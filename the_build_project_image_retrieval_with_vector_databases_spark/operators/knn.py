@@ -1,0 +1,182 @@
+"""Exact k-nearest-neighbor search — THE core operator (SURVEY §2.6 J1).
+
+Reference semantics (``utils/faiss_utils.py:19-22`` ``index.search``,
+called from ``app.py:171``): query vector vs corpus matrix, top-k by
+ascending L2 (shipped ``IndexFlatL2``) or descending inner product
+(``utils/__init__.py:76-77`` variant); positional-metadata join follows
+(``utils/__init__.py:139-143``) — here metadata lives in the same row, so
+the join disappears.
+
+Spark-first physical strategy:
+
+- **Single query** → distance expression over the (cached, columnar)
+  corpus scan + ``ORDER BY dist LIMIT k`` — Catalyst plans
+  ``TakeOrderedAndProject``: per-partition top-k heaps, driver merge.
+  Zero shuffle. This is exactly FAISS's flat-search heap merge,
+  distributed.
+- **Query set** → ``crossJoin(broadcast(queries))`` (no shuffle of the
+  corpus — the N×Q expansion streams through codegen) + per-query
+  window rank for small Q, or a two-phase ``mapInPandas`` local-top-k /
+  global-top-k for large Q (avoids the rank window's full shuffle of
+  N×Q rows; only Q×k×partitions rows shuffle).
+
+At 100 TB the corpus never moves: queries broadcast, distances fuse into
+the scan stage, and only k rows per (query, partition) survive.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine_sim, dot, l2_dist
+
+_METRICS = {
+    "l2": (l2_dist, True),  # (distance fn, ascending?)
+    "cosine": (cosine_sim, False),
+    "dot": (dot, False),
+}
+
+
+def _score(metric: str, a, b) -> tuple[Column, bool]:
+    try:
+        fn, asc = _METRICS[metric]
+    except KeyError:
+        raise ValueError(f"unknown metric {metric!r}; one of {sorted(_METRICS)}")
+    return fn(a, b), asc
+
+
+def knn_single(
+    corpus: DataFrame,
+    query_vec: Column,
+    k: int = 5,
+    metric: str = "l2",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_id=None,
+) -> DataFrame:
+    """Top-k rows of ``corpus`` nearest to one query vector.
+
+    ``query_vec`` is a literal/broadcastable Column (e.g. ``F.lit(...)``
+    array or a scalar-subquery column). Plans as a single scan +
+    ``TakeOrderedAndProject`` — no shuffle, no UDF.
+    """
+    score, asc = _score(metric, F.col(vec_col), query_vec)
+    out = corpus
+    if exclude_id is not None:
+        out = out.filter(F.col(id_col) != F.lit(exclude_id))
+    out = out.withColumn("dist", score)
+    order = [F.col("dist").asc() if asc else F.col("dist").desc(), F.col(id_col).asc()]
+    return out.orderBy(*order).limit(k)
+
+
+def knn_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    metric: str = "l2",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """For every row of ``queries``, the top-k nearest corpus rows.
+
+    Output: all query columns (prefixed ``query_id``) + corpus id/label
+    columns + ``dist`` + ``rank``. The queries side is broadcast — the
+    corpus is scanned exactly once regardless of Q.
+    """
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("__qvec"),
+    )
+    score, asc = _score(metric, F.col(vec_col), F.col("__qvec"))
+    joined = corpus.crossJoin(F.broadcast(q))
+    if exclude_self:
+        joined = joined.filter(F.col(id_col) != F.col("query_id"))
+    joined = joined.withColumn("dist", score)
+    order = [F.col("dist").asc() if asc else F.col("dist").desc(), F.col(id_col).asc()]
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("__qvec")
+    )
+
+
+def knn_join_two_phase(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    metric: str = "l2",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Scale path for large query batches: local top-k per partition, then
+    global top-k — mirrors FAISS's per-block heap + merge (SURVEY §4.3.2).
+
+    The rank-window version shuffles N×Q scored rows; this shuffles only
+    Q×k×P rows (P = corpus partitions). Same results, property-tested
+    equal to :func:`knn_join`.
+    """
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("__qvec"),
+    )
+    score, asc = _score(metric, F.col(vec_col), F.col("__qvec"))
+    joined = corpus.crossJoin(F.broadcast(q))
+    if exclude_self:
+        joined = joined.filter(F.col(id_col) != F.col("query_id"))
+    scored = joined.withColumn("dist", score).drop("__qvec")
+
+    order = [F.col("dist").asc() if asc else F.col("dist").desc(), F.col(id_col).asc()]
+    # Phase 1: top-k within each scan partition — no shuffle; the window
+    # partitions by (spark_partition_id, query_id) which is already local.
+    local_w = Window.partitionBy(F.spark_partition_id(), "query_id").orderBy(*order)
+    local = scored.withColumn("__lr", F.row_number().over(local_w)).filter(
+        F.col("__lr") <= k
+    )
+    # Phase 2: global top-k over the surviving Q×k×P rows (tiny shuffle).
+    global_w = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        local.drop("__lr")
+        .withColumn("rank", F.row_number().over(global_w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def radius_join(
+    left: DataFrame,
+    right: DataFrame,
+    radius: float,
+    metric: str = "l2",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """All pairs (l, r) with distance < radius (similarity > radius for
+    cosine/dot). The range variant of J1 — also the primitive behind
+    embedding-cosine near-dup detection.
+
+    Emits ``(left_id, right_id, dist)`` for ``left_id < right_id``.
+    Brute-force O(|L|·|R|); the scale path blocks by LSH/IVF bucket first
+    (see operators.ann) so only candidate pairs are scored.
+    """
+    l = left.select(
+        F.col(id_col).alias("left_id"), F.col(vec_col).alias("__lvec")
+    )
+    r = right.select(
+        F.col(id_col).alias("right_id"), F.col(vec_col).alias("__rvec")
+    )
+    score, asc = _score(metric, F.col("__lvec"), F.col("__rvec"))
+    pred = (F.col("dist") < radius) if asc else (F.col("dist") > radius)
+    return (
+        l.crossJoin(F.broadcast(r))
+        .filter(F.col("left_id") < F.col("right_id"))
+        .withColumn("dist", score)
+        .filter(pred)
+        .select("left_id", "right_id", "dist")
+    )

@@ -1,0 +1,70 @@
+"""Sampling & splits (SURVEY §2.5).
+
+SA1 — the reference's stratified per-class sample
+(``utils/precompute_features.py:152-159``): exactly ``min(k, n_g)`` rows
+per label, seeded ``random.sample``. Python-RNG bit-parity is not
+reproducible cross-engine (SURVEY §7.4.2), so the engine pins a
+**deterministic surrogate order**: a multiplicative-hash of the row id
+(Knuth's 2654435761 mod 2^31-1) — pure integer arithmetic both Spark and
+DuckDB evaluate identically, pseudo-random w.r.t. any natural ordering,
+stable across partitioning/versions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+HASH_MULT = 2654435761  # Knuth multiplicative hash
+HASH_MOD = 2147483647  # 2^31 - 1
+
+
+def shuffle_key(id_col: str = "vec_id", seed: int = 42):
+    """Deterministic pseudo-random sort key: ((id + seed) * 2654435761) % (2^31-1)."""
+    return ((F.col(id_col) + F.lit(seed)) * F.lit(HASH_MULT)) % F.lit(HASH_MOD)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    k: int,
+    id_col: str,
+    seed: int = 42,
+) -> DataFrame:
+    """Exactly min(k, group size) rows per stratum, deterministic.
+
+    ``sampleBy`` only gives *expected* fractions; the reference requires
+    exact-k, so this is the window-rank pattern. One shuffle on the
+    stratum key; with many strata the hash partitioning spreads evenly, and
+    at scale a salt on the hot stratum bounds skew (AQE skew-join also
+    kicks in for the shuffle).
+    """
+    w = Window.partitionBy(strata_col).orderBy(
+        shuffle_key(id_col, seed).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def random_split(
+    df: DataFrame, weights: list[float], seed: int = 42
+) -> list[DataFrame]:
+    """SA2 — the reference's 80/20 ``random_split`` (``train_model.py:42-45``)."""
+    return df.randomSplit(weights, seed)
+
+
+def deterministic_split(
+    df: DataFrame, frac: float, id_col: str, seed: int = 42
+) -> tuple[DataFrame, DataFrame]:
+    """Oracle-checkable split: hash(id) mod 100 < frac*100 → left.
+
+    ``randomSplit`` is per-partition RNG (not reproducible in DuckDB);
+    this variant is the deterministic contract the correctness gate uses.
+    """
+    key = shuffle_key(id_col, seed) % F.lit(100)
+    left = df.filter(key < F.lit(int(frac * 100)))
+    right = df.filter(key >= F.lit(int(frac * 100)))
+    return left, right

@@ -1,0 +1,527 @@
+"""Query registry: every implemented operator exposed as
+(spark, sf_dir) -> DataFrame, with a matching DuckDB oracle SQL string.
+
+Cross-engine exactness rules used throughout (so the driver's
+order-insensitive value-hash matches):
+
+- vector math: elementwise cast to double, **left-fold** accumulation
+  (Spark ``aggregate`` ≡ DuckDB ``list_reduce``) → bit-identical sums;
+  outputs rounded to 6 decimals *after* ordering.
+- money/metric sums: cast each operand to a fixed ``decimal`` first
+  (both engines round the same double), sum exactly in decimal, cast the
+  final sum to double — immune to summation order.
+- averages: exact decimal sum ÷ count in double (single deterministic op),
+  never native double ``avg``.
+- sampling/"random" order: multiplicative integer hash (Knuth) — pure
+  int arithmetic both engines evaluate identically.
+- every computed column aliased identically in both engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.vector import cosine_sim, l2_dist, l2_norm
+from .operators.sample import HASH_MOD, HASH_MULT, stratified_sample
+from .sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# DuckDB SQL fragments (oracle side)
+# ---------------------------------------------------------------------------
+
+# left-fold L2 distance between two FLOAT[] lists, all-double arithmetic —
+# bit-matches functions.vector.l2_dist
+def _dk_l2(a: str, b: str) -> str:
+    return (
+        f"sqrt(list_reduce(list_transform(list_zip({a}, {b}), "
+        f"s -> (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE)) * "
+        f"(CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE))), (x, y) -> x + y))"
+    )
+
+
+def _dk_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(list_zip({a}, {b}), "
+        f"s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (x, y) -> x + y)"
+    )
+
+
+def _dk_norm(a: str) -> str:
+    return (
+        f"sqrt(list_reduce(list_transform({a}, "
+        f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))"
+    )
+
+
+def _dk_cosine(a: str, b: str) -> str:
+    return (
+        f"({_dk_dot(a, b)}) / greatest(({_dk_norm(a)}) * ({_dk_norm(b)}), 1e-12)"
+    )
+
+
+def _dk_shuffle_key(id_col: str, seed: int = 42) -> str:
+    return f"(({id_col} + {seed}) * {HASH_MULT}) % {HASH_MOD}"
+
+
+# ---------------------------------------------------------------------------
+# Vector-search queries (reference flagship surface, SURVEY §3.1)
+# ---------------------------------------------------------------------------
+
+
+def q_knn_l2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: top-10 L2 neighbors of vec_id=0, self excluded (J1+T1+J2).
+
+    Plan: broadcast 1-row query → distance fused into the corpus scan →
+    ``TakeOrderedAndProject`` (per-partition heaps, no shuffle).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("__qvec"))
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .withColumn("dist_exact", l2_dist("embedding", "__qvec"))
+        .orderBy(F.col("dist_exact").asc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id", "label", F.round("dist_exact", 6).alias("dist"))
+    )
+
+
+ORACLE_KNN_L2 = f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id, e.label, {_dk_l2('e.embedding', 'q.qe')} AS dist_exact
+  FROM embeddings e, q
+  WHERE e.vec_id <> 0
+)
+SELECT vec_id, label, round(dist_exact, 6) AS dist
+FROM scored
+ORDER BY dist_exact ASC, vec_id ASC
+LIMIT 10
+"""
+
+
+def q_knn_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN join: for each of 8 query vectors, top-3 neighbors (window rank)."""
+    from .operators.knn import knn_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = knn_join(emb, queries, k=3, metric="l2")
+    return out.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        "label",
+        F.round("dist", 6).alias("dist"),
+        "rank",
+    )
+
+
+ORACLE_KNN_JOIN = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, e.label,
+         {_dk_l2('e.embedding', 'q.qe')} AS dist_exact
+  FROM embeddings e, q
+  WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY dist_exact ASC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, label, round(dist_exact, 6) AS dist, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IP/cosine variant (reference ``utils/__init__.py:67-83``): top-10 by
+    descending cosine to vec_id=0."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("__qvec"))
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .withColumn("sim_exact", cosine_sim("embedding", "__qvec"))
+        .orderBy(F.col("sim_exact").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id", "label", F.round("sim_exact", 6).alias("sim"))
+    )
+
+
+ORACLE_COSINE = f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id, e.label, {_dk_cosine('e.embedding', 'q.qe')} AS sim_exact
+  FROM embeddings e, q
+  WHERE e.vec_id <> 0
+)
+SELECT vec_id, label, round(sim_exact, 6) AS sim
+FROM scored
+ORDER BY sim_exact DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+def q_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 sanity surface: per-label count + min/max L2 norm (unit-norm
+    invariant, reference ``src/model.py:58``)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.withColumn("nrm", l2_norm("embedding"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("nrm"), 6).alias("min_norm"),
+            F.round(F.max("nrm"), 6).alias("max_norm"),
+        )
+    )
+
+
+ORACLE_NORMS = f"""
+SELECT label, count(*) AS n,
+       round(min(nrm), 6) AS min_norm,
+       round(max(nrm), 6) AS max_norm
+FROM (SELECT label, {_dk_norm('embedding')} AS nrm FROM embeddings)
+GROUP BY label
+"""
+
+
+def q_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range variant of J1: pairs with L2 < 0.9 within the vec_id<200 block."""
+    from .operators.knn import radius_join
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    out = radius_join(emb, emb, radius=0.9, metric="l2")
+    return out.select(
+        "left_id", "right_id", F.round("dist", 6).alias("dist")
+    )
+
+
+ORACLE_RADIUS = f"""
+WITH blk AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+pairs AS (
+  SELECT a.vec_id AS left_id, b.vec_id AS right_id,
+         {_dk_l2('a.embedding', 'b.embedding')} AS dist_exact
+  FROM blk a, blk b
+  WHERE a.vec_id < b.vec_id
+)
+SELECT left_id, right_id, round(dist_exact, 6) AS dist
+FROM pairs WHERE dist_exact < 0.9
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sampling / grouping / dim-join queries (SURVEY §2.4–2.6)
+# ---------------------------------------------------------------------------
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SA1: exactly min(20, group) rows per label, deterministic surrogate
+    order (SURVEY §7.4.2)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return stratified_sample(emb, "label", 20, "vec_id").select("vec_id", "label")
+
+
+ORACLE_STRAT_SAMPLE = f"""
+SELECT vec_id, label FROM (
+  SELECT vec_id, label,
+         row_number() OVER (PARTITION BY label
+                            ORDER BY {_dk_shuffle_key('vec_id')} ASC, vec_id ASC) AS rn
+  FROM embeddings
+) WHERE rn <= 20
+"""
+
+
+def q_label_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2: per-label cardinality."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.groupBy("label").agg(F.count("*").alias("n"))
+
+
+ORACLE_LABEL_COUNTS = "SELECT label, count(*) AS n FROM embeddings GROUP BY label"
+
+
+def q_distinct_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3+T2: distinct labels, sorted lexicographically as category names
+    (mirrors ``app.py:97-106``)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label")
+        .distinct()
+        .withColumn("category", F.concat(F.lit("cat_"), F.col("label")))
+        .orderBy("category")
+    )
+
+
+ORACLE_DISTINCT_LABELS = """
+SELECT label, 'cat_' || CAST(label AS VARCHAR) AS category
+FROM (SELECT DISTINCT label FROM embeddings)
+ORDER BY category
+"""
+
+
+def q_label_category_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: left join to a (label→category) dim with missing entries →
+    ``coalesce('Unknown')`` (reference ``utils/precompute_features.py:208``).
+
+    The dim table deliberately lacks labels ≥ 7 to pin the null path; it is
+    broadcast (tiny dim — the 100 TB-scale plan keeps this a map-side join).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = (
+        emb.select("label")
+        .distinct()
+        .filter(F.col("label") < 7)
+        .withColumn("category", F.concat(F.lit("cat_"), F.col("label")))
+    )
+    out = (
+        emb.join(F.broadcast(dim), "label", "left")
+        .withColumn("category", F.coalesce("category", F.lit("Unknown")))
+    )
+    return out.groupBy("category").agg(F.count("*").alias("n"))
+
+
+ORACLE_LABEL_CATEGORY = """
+WITH dim AS (
+  SELECT label, 'cat_' || CAST(label AS VARCHAR) AS category
+  FROM (SELECT DISTINCT label FROM embeddings) WHERE label < 7
+)
+SELECT coalesce(dim.category, 'Unknown') AS category, count(*) AS n
+FROM embeddings e LEFT JOIN dim ON e.label = dim.label
+GROUP BY 1
+"""
+
+
+def q_suffix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 as written: string-suffix theta join (abs path LIKE '%'+relpath),
+    reference ``utils/precompute_features.py:196-209``.
+
+    Paths are derived deterministically from the embeddings table (every
+    3rd row has a manifest entry; others → NULL label recovery). Spark
+    plans this as BroadcastNestedLoopJoin — correct but O(N·M); the
+    idiomatic rewrite is q_suffix_join_equi.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    paths = emb.select(
+        "vec_id",
+        F.concat(
+            F.lit("/abs/root/data/cat_"), "label", F.lit("/img_"), "vec_id",
+            F.lit(".jpg"),
+        ).alias("abs_path"),
+    )
+    manifest = emb.filter(F.col("vec_id") % 3 == 0).select(
+        F.col("label").alias("m_label"),
+        F.concat(
+            F.lit("cat_"), "label", F.lit("/img_"), "vec_id", F.lit(".jpg")
+        ).alias("relpath"),
+    )
+    joined = paths.join(
+        F.broadcast(manifest),
+        F.col("abs_path").endswith(F.concat(F.lit("/"), F.col("relpath"))),
+        "left",
+    )
+    return joined.select(
+        "vec_id", "abs_path", F.col("m_label").alias("recovered_label")
+    )
+
+
+ORACLE_SUFFIX_JOIN = """
+WITH paths AS (
+  SELECT vec_id,
+         '/abs/root/data/cat_' || CAST(label AS VARCHAR) || '/img_' ||
+         CAST(vec_id AS VARCHAR) || '.jpg' AS abs_path
+  FROM embeddings WHERE vec_id < 300
+),
+manifest AS (
+  SELECT label AS m_label,
+         'cat_' || CAST(label AS VARCHAR) || '/img_' ||
+         CAST(vec_id AS VARCHAR) || '.jpg' AS relpath
+  FROM embeddings WHERE vec_id < 300 AND vec_id % 3 = 0
+)
+SELECT p.vec_id, p.abs_path, m.m_label AS recovered_label
+FROM paths p LEFT JOIN manifest m
+  ON suffix(p.abs_path, '/' || m.relpath)
+"""
+
+
+def q_path_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5–P7: backslash→slash, prefix strip, basename, extension test
+    (reference ``utils/precompute_features.py:64-97``, ``utils/__init__.py:152``)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    raw = F.concat(
+        F.lit("caltech101\\cat_"), "label", F.lit("\\img_"), "vec_id", F.lit(".jpg")
+    )
+    df = emb.select("vec_id", raw.alias("rawpath"))
+    posix = F.regexp_replace("rawpath", r"\\", "/")
+    stripped = F.regexp_replace(posix, r"^caltech101/", "")
+    return df.select(
+        "vec_id",
+        stripped.alias("relpath"),
+        F.element_at(F.split(stripped, "/"), -1).alias("basename"),
+        stripped.endswith(".jpg").alias("is_jpg"),
+    )
+
+
+ORACLE_PATH_NORMALIZE = r"""
+WITH raw AS (
+  SELECT vec_id,
+         'caltech101\cat_' || CAST(label AS VARCHAR) || '\img_' ||
+         CAST(vec_id AS VARCHAR) || '.jpg' AS rawpath
+  FROM embeddings WHERE vec_id < 100
+),
+norm AS (
+  SELECT vec_id,
+         regexp_replace(regexp_replace(rawpath, '\\', '/', 'g'),
+                        '^caltech101/', '') AS relpath
+  FROM raw
+)
+SELECT vec_id, relpath,
+       list_extract(string_split(relpath, '/'), -1) AS basename,
+       suffix(relpath, '.jpg') AS is_jpg
+FROM norm
+"""
+
+
+# ---------------------------------------------------------------------------
+# Relational / TPC-H-style queries (generalized §2.4, §2.6, §2.7)
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: big scan → 2-key hash agg with decimal-exact sums.
+
+    Partial (map-side) aggregation + 32-way final agg; at 100 TB this is
+    the canonical scan-heavy query — no join, shuffle only carries the
+    tiny partial-agg state.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(7,4)")
+    tax = F.col("l_tax").cast("decimal(7,4)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            # round exact decimal sums to scale 2 BEFORE the double cast:
+            # keeps the unscaled value < 2^53 so both engines' decimal→double
+            # conversion is correctly rounded (scale-10 unscaled values
+            # double-round differently in DuckDB's int128 path).
+            F.round(F.sum(price * (F.lit(1).cast("decimal(2,0)") - disc)), 2)
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    price
+                    * (F.lit(1).cast("decimal(2,0)") - disc)
+                    * (F.lit(1).cast("decimal(2,0)") + tax)
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("sum_charge"),
+            (F.sum(qty).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(disc).cast("double") / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+ORACLE_PRICING = """
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+           (CAST(1 AS DECIMAL(2,0)) - CAST(l_discount AS DECIMAL(7,4)))), 2) AS DOUBLE)
+    AS sum_disc_price,
+  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+           (CAST(1 AS DECIMAL(2,0)) - CAST(l_discount AS DECIMAL(7,4))) *
+           (CAST(1 AS DECIMAL(2,0)) + CAST(l_tax AS DECIMAL(7,4)))), 2) AS DOUBLE)
+    AS sum_charge,
+  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
+  CAST(sum(CAST(l_discount AS DECIMAL(7,4))) AS DOUBLE) / count(*) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join (fact ⋈ dim ⋈ dim) + agg + top-10: customer revenue by
+    nation. Dims broadcast; only `orders` shuffles on the agg key."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    price = F.col("o_totalprice").cast("decimal(14,2)")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(price).cast("double").alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(10)
+    )
+
+
+ORACLE_TOP_CUSTOMERS = """
+SELECT c_custkey, c_name, n_name,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue,
+       count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "knn_l2_topk": q_knn_l2_topk,
+    "knn_join_topk": q_knn_join_topk,
+    "cosine_topk": q_cosine_topk,
+    "vector_norms": q_vector_norms,
+    "radius_pairs": q_radius_pairs,
+    "stratified_sample": q_stratified_sample,
+    "label_counts": q_label_counts,
+    "distinct_labels": q_distinct_labels,
+    "label_category_join": q_label_category_join,
+    "suffix_join": q_suffix_join,
+    "path_normalize": q_path_normalize,
+    "pricing_summary": q_pricing_summary,
+    "top_revenue_customers": q_top_revenue_customers,
+}
+
+ORACLES: dict[str, str] = {
+    "knn_l2_topk": ORACLE_KNN_L2,
+    "knn_join_topk": ORACLE_KNN_JOIN,
+    "cosine_topk": ORACLE_COSINE,
+    "vector_norms": ORACLE_NORMS,
+    "radius_pairs": ORACLE_RADIUS,
+    "stratified_sample": ORACLE_STRAT_SAMPLE,
+    "label_counts": ORACLE_LABEL_COUNTS,
+    "distinct_labels": ORACLE_DISTINCT_LABELS,
+    "label_category_join": ORACLE_LABEL_CATEGORY,
+    "suffix_join": ORACLE_SUFFIX_JOIN,
+    "path_normalize": ORACLE_PATH_NORMALIZE,
+    "pricing_summary": ORACLE_PRICING,
+    "top_revenue_customers": ORACLE_TOP_CUSTOMERS,
+}

@@ -1,0 +1,40 @@
+"""Parquet table loaders for the driver-generated fixtures (TESTDATA.md).
+
+Parquet is the engine's canonical storage: columnar, schema-carrying,
+min/max-stat'd — Catalyst pushes filters and prunes columns into the scan
+(the ``.explain`` shows ``PushedFilters`` / ``ReadSchema``), which is the
+scale story for a 100 TB corpus.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table as a DataFrame (lazy — no scan yet)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def register_views(spark: SparkSession, sf_dir: str, names=TABLES) -> None:
+    """Register fixture tables as temp views so ``spark.sql`` queries can
+    name them exactly as the DuckDB oracle does."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
