@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is fully materialized through the noop sink (no driver
+collect skew); a warmup pass loads file footers + JIT before timing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from the_build_project_image_retrieval_with_vector_databases_spark.session import (
+    get_spark,
+)
+from the_build_project_image_retrieval_with_vector_databases_spark import queries as Q
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+BENCH_QUERIES = [
+    "knn_l2_topk",
+    "knn_join_topk",
+    "cosine_topk",
+    "radius_pairs",
+    "stratified_sample",
+    "pricing_summary",
+    "top_revenue_customers",
+    "top_terms",
+    "exact_dedup",
+    "ngram_jaccard_dedup",
+    "minhash_lsh_dedup",
+    "simhash",
+    "tumbling_window",
+    "sessionize",
+    "json_extract_agg",
+]
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    spark = get_spark(app_name="bench")
+    try:
+        sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    # warmup: JVM/codegen + parquet footers
+    materialize(Q.QUERIES["label_counts"](spark, SF_DIR))
+
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = Q.QUERIES[name]
+        t0 = time.perf_counter()
+        materialize(fn(spark, SF_DIR))
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "sum_query_seconds_sf" + str(sf),
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,176 @@
+"""Approximate nearest-neighbor search — the scale path for J1.
+
+The reference ships exact ``IndexFlatL2`` (brute force). At 100 TB the
+brute-force scan is a last resort; the engine layers two classic ANN
+schemes on top of the same embeddings table, both expressed as DataFrame
+ops so Catalyst's partition pruning does the index lookup:
+
+- **IVF (inverted file)**: KMeans centroids (MLlib) → every vector is
+  assigned its nearest centroid id → table written
+  ``partitionBy("centroid")``. A query probes the ``nprobe`` nearest
+  centroids; the centroid filter becomes *partition pruning* on the
+  parquet scan — the FAISS ``IndexIVFFlat`` analogue, with Spark's
+  storage layout as the inverted lists.
+- **Random-hyperplane LSH** (cosine): k sign-bits of projections onto
+  fixed Gaussian hyperplanes → bucket key; near-dup/candidate search
+  joins on bucket. Deterministic seeded projections (NumPy RNG),
+  evaluated as a Catalyst expression over the embedding array — no UDF.
+
+Both come with recall property tests vs the exact operator
+(tests/test_ann.py) rather than a DuckDB oracle — the driver records the
+weaker rows-only check for them (SURVEY §5.2).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vector import l2_dist
+
+try:  # MLlib is in the base image; guard anyway for minimal installs
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    _HAVE_MLLIB = True
+except Exception:  # pragma: no cover
+    _HAVE_MLLIB = False
+
+
+# ---------------------------------------------------------------------------
+# IVF
+# ---------------------------------------------------------------------------
+
+
+def train_centroids(
+    df: DataFrame,
+    k: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 20,
+) -> list[list[float]]:
+    """KMeans centroids for the IVF coarse quantizer (driver-side list,
+    tiny: k × D floats)."""
+    if not _HAVE_MLLIB:
+        raise RuntimeError("pyspark.ml unavailable")
+    km = KMeans(k=k, seed=seed, maxIter=max_iter, featuresCol="__features")
+    model = km.fit(df.select(array_to_vector(F.col(vec_col)).alias("__features")))
+    return [c.tolist() for c in model.clusterCenters()]
+
+
+def _centroid_array_lit(centroids: list[list[float]]):
+    return F.array(
+        *[
+            F.array(*[F.lit(float(x)) for x in c]).cast("array<double>")
+            for c in centroids
+        ]
+    )
+
+
+def assign_centroids(
+    df: DataFrame, centroids: list[list[float]], vec_col: str = "embedding"
+) -> DataFrame:
+    """Nearest-centroid id per row, as a pure Catalyst expression:
+    argmin over the (broadcast-literal) centroid array. No UDF, no shuffle."""
+    cents = _centroid_array_lit(centroids)
+    dists = F.transform(cents, lambda c: l2_dist(F.col(vec_col), c))
+    # argmin = position of the minimum (first occurrence wins, 0-based)
+    assigned = F.array_position(dists, F.array_min(dists)) - 1
+    return df.withColumn("centroid", assigned.cast("int"))
+
+
+def write_ivf_index(
+    df: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF layout: embeddings partitioned by centroid —
+    the engine's replacement for ``faiss.write_index`` (S5; reference
+    ``utils/faiss_utils.py:11-13``). Partition pruning over this layout
+    is the inverted-list probe."""
+    assigned = assign_centroids(df, centroids, vec_col)
+    assigned.write.mode("overwrite").partitionBy("centroid").parquet(path)
+
+
+def ivf_search(
+    spark_or_df,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 5,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    path: str | None = None,
+) -> DataFrame:
+    """Probe the ``nprobe`` nearest centroid partitions, exact top-k inside.
+
+    With ``path`` (the partitioned layout) the centroid IN-filter prunes
+    parquet partitions — only nprobe/k of the corpus is read. Given a
+    DataFrame, the filter still short-circuits the scan after the cheap
+    ``centroid`` comparison."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    cents = np.asarray(centroids, dtype=np.float64)
+    order = np.argsort(((cents - q) ** 2).sum(axis=1), kind="stable")
+    probe = [int(i) for i in order[:nprobe]]
+
+    if path is not None:
+        df = spark_or_df.read.parquet(path)
+    else:
+        df = spark_or_df
+        if "centroid" not in df.columns:
+            df = assign_centroids(df, centroids, vec_col)
+    qlit = F.array(*[F.lit(float(x)) for x in q]).cast("array<double>")
+    return (
+        df.filter(F.col("centroid").isin(probe))
+        .withColumn("dist", l2_dist(F.col(vec_col), qlit))
+        .orderBy(F.col("dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH (cosine)
+# ---------------------------------------------------------------------------
+
+
+def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def lsh_bucket(
+    df: DataFrame,
+    planes: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Sign-bit bucket key: bit_i = 1 if v·h_i > 0. Pure expression
+    (dot products over literal plane arrays) — codegen'd, no UDF."""
+    from ..functions.vector import dot
+
+    key = None
+    for i, h in enumerate(planes):
+        hlit = F.array(*[F.lit(float(x)) for x in h]).cast("array<double>")
+        bit = F.when(dot(F.col(vec_col), hlit) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        key = bit if key is None else key + bit
+    return df.withColumn(out_col, key.cast("long"))
+
+
+def lsh_candidates(
+    df: DataFrame,
+    planes: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Candidate near-neighbor pairs = same LSH bucket (one shuffle on the
+    bucket key)."""
+    b = lsh_bucket(df, planes, vec_col)
+    a = b.select(F.col(id_col).alias("left_id"), F.col("bucket"))
+    c = b.select(F.col(id_col).alias("right_id"), F.col("bucket"))
+    return (
+        a.join(c, "bucket")
+        .filter(F.col("left_id") < F.col("right_id"))
+        .select("left_id", "right_id", "bucket")
+    )

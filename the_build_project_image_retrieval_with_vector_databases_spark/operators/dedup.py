@@ -1,0 +1,245 @@
+"""Deduplication operators — exact and near-dup (north-star extensions;
+the core of an LLM training-data pipeline at 100 TB).
+
+Four families, all shuffle-conscious:
+
+- **exact**: group on content hash (md5) — one shuffle keyed by the hash,
+  perfectly spread (no skew by construction).
+- **n-gram Jaccard**: shingle inverted index → candidate pairs share a
+  shingle → exact Jaccard on the pair. The shingle join is the classic
+  blocking trick: only documents sharing ≥1 shingle ever meet.
+- **MinHash + LSH**: signature = min over shingles of universal hashes
+  ((a·x + b) mod p) on md5-derived shingle ints; band-bucket join emits
+  candidates, exact Jaccard verifies. All arithmetic is
+  cross-engine-portable (oracle-checkable!) — no Spark-private hash.
+- **SimHash**: 64-bit sign-aggregated token hashes; near-dups = equal
+  bands / small Hamming distance.
+- **embedding cosine**: delegate to operators.knn.radius_join (cosine
+  metric) — near-dup = cosine > τ.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import md5_long, token_shingles, tokens
+
+# MinHash universal-hash parameters: (a, b) pairs, modulus a Mersenne prime.
+MINHASH_PRIME = 2147483647  # 2^31 - 1
+MINHASH_COEFFS: list[tuple[int, int]] = [
+    (1103515245, 12345),
+    (214013, 2531011),
+    (69069, 362437),
+    (1664525, 1013904223),
+    (22695477, 1),
+    (134775813, 1),
+    (1140671485, 12820163),
+    (6364136223846793005 % MINHASH_PRIME, 1442695040888963407 % MINHASH_PRIME),
+]
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups by content hash: representative (min id),
+    group size. Hash-partitioned single shuffle; at 100 TB the md5 key
+    spreads uniformly so no skew mitigation is needed."""
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_md5"))
+        .groupBy("text_md5")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def exact_dedup_keep_first(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """The dedup *transformation*: keep the min-id row per distinct text."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def shingle_table(
+    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, shingle) inverted index over distinct token n-gram shingles."""
+    return df.select(
+        F.col(id_col),
+        F.explode(token_shingles(tokens(text_col), n)).alias("shingle"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate pairs sharing ≥1 shingle, verified by exact Jaccard ≥ τ.
+
+    |A∩B| comes from the inverted-index self-join grouped by pair;
+    |A∪B| = |A| + |B| − |A∩B|. Shuffles are keyed by shingle (blocking)
+    then by pair — both bounded by true near-dup density, not N².
+    Stop-shingles (appearing in > ~1% of docs) should be dropped at real
+    scale; the fixture corpus doesn't need it.
+    """
+    sh = shingle_table(df, n, text_col, id_col)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("left_id"), "shingle")
+    b = sh.select(F.col(id_col).alias("right_id"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("left_id") < F.col("right_id"))
+        .groupBy("left_id", "right_id")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("left_id"), F.col("n_sh").alias("n_left"))
+    sb = sizes.select(F.col(id_col).alias("right_id"), F.col("n_sh").alias("n_right"))
+    return (
+        inter.join(sa, "left_id")
+        .join(sb, "right_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_left") + F.col("n_right") - F.col("n_inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("left_id", "right_id", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    n: int = 3,
+    num_hashes: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash signature per document: mh_i = min over shingles of
+    ((aᵢ·x + b_i) mod p), x = md5-derived shingle int.
+
+    Computed as array expressions inside one projection — zero shuffles,
+    zero UDFs; documents with < n tokens get an empty-shingle guard
+    (signature component = p, sentinel max)."""
+    assert num_hashes <= len(MINHASH_COEFFS)
+    sh = token_shingles(tokens(text_col), n)
+    xs = F.transform(sh, lambda s: md5_long(s) % MINHASH_PRIME)
+    def _universal(a: int, b: int):
+        # factory closure: Spark HOFs introspect lambda arity, so the
+        # coefficients must NOT appear as default args
+        return lambda x: (x * a + b) % MINHASH_PRIME
+
+    cols = [F.col(id_col)]
+    for i in range(num_hashes):
+        a, b = MINHASH_COEFFS[i]
+        hashed = F.transform(xs, _universal(a, b))
+        cols.append(
+            F.coalesce(F.array_min(hashed), F.lit(MINHASH_PRIME)).alias(f"mh{i}")
+        )
+    return df.select(*cols)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs: band the signature (rows = H/bands),
+    bucket-join on (band_idx, band_key), verify with exact Jaccard ≥ τ.
+
+    The only shuffles are keyed by band buckets (small) and candidate
+    pairs (near-dup density) — this is the 100 TB path where the
+    all-pairs Jaccard join is infeasible.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, n, num_hashes, text_col, id_col)
+    band_rows = []
+    for b in range(bands):
+        key = F.concat_ws(
+            "_",
+            *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)],
+        )
+        band_rows.append(
+            sigs.select(
+                F.col(id_col), F.lit(b).alias("band"), key.alias("band_key")
+            )
+        )
+    banded = band_rows[0]
+    for br in band_rows[1:]:
+        banded = banded.unionAll(br)
+    a = banded.select(F.col(id_col).alias("left_id"), "band", "band_key")
+    b_ = banded.select(F.col(id_col).alias("right_id"), "band", "band_key")
+    candidates = (
+        a.join(b_, ["band", "band_key"])
+        .filter(F.col("left_id") < F.col("right_id"))
+        .select("left_id", "right_id")
+        .distinct()
+    )
+    verified = candidates.join(
+        ngram_jaccard_pairs(df, n, threshold, text_col, id_col),
+        ["left_id", "right_id"],
+    )
+    return verified.select("left_id", "right_id", "jaccard")
+
+
+def simhash(
+    df: DataFrame,
+    bits: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash: for each bit position j, sum ±1 over token hashes' bit j;
+    fingerprint bit j = 1 if the sum > 0. Portable arithmetic only
+    (md5-derived token ints, shift = integer divide by 2^j).
+
+    Near-dup candidates = equal fingerprints (or equal half-bands at
+    higher recall). Relational shape: explode tokens → hash once → one
+    hash-aggregate with ``bits`` conditional sums (partial aggregation
+    map-side, so the shuffle carries one row of vote counters per doc) —
+    scales to arbitrarily long documents, unlike a per-row array fold."""
+    e = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    xs = e.select(F.col(id_col), md5_long("tok").alias("x"))
+    votes = [
+        F.sum(
+            F.when((F.floor(F.col("x") / (1 << j)).cast("long") % 2) == 1, 1).otherwise(
+                -1
+            )
+        ).alias(f"v{j}")
+        for j in range(bits)
+    ]
+    v = xs.groupBy(id_col).agg(*votes)
+    fp = None
+    for j in range(bits):
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        fp = bit if fp is None else fp + bit
+    fps = v.select(F.col(id_col), fp.cast("long").alias("simhash"))
+    # docs with zero tokens have no exploded rows — restore with fp=0
+    return (
+        df.select(id_col)
+        .join(fps, id_col, "left")
+        .select(F.col(id_col), F.coalesce("simhash", F.lit(0)).alias("simhash"))
+    )
+
+
+def simhash_dup_groups(
+    df: DataFrame, bits: int = 32, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Documents sharing an identical SimHash fingerprint (strict variant)."""
+    s = simhash(df, bits, text_col, id_col)
+    return (
+        s.groupBy("simhash")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n_docs") > 1)
+    )

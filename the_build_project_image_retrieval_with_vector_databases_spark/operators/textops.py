@@ -1,0 +1,166 @@
+"""Text-analysis operators for the LLM-data-pipeline surface (north-star
+extensions; SURVEY §7.2 M4): token stats, top terms, TF-IDF, language ID,
+quality scoring, document fingerprinting.
+
+Everything is built-in Catalyst expressions (split/explode/aggregates) —
+no Python UDFs — so the operators stay in whole-stage codegen and scale
+linearly with executors. Hashing uses the md5-hex trick from
+``functions.text`` so DuckDB oracles can reproduce values exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import md5_long, tokens
+
+# Tiny embedded stopword lists for the language-ID heuristic (public,
+# standard closed-class words). Deliberately small: the operator contract
+# is "argmax of stopword-hit ratio per language", not linguistic accuracy.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"),
+    "de": ("der", "die", "das", "und", "nicht", "ist", "ich", "ein", "zu", "mit"),
+    "fr": ("le", "la", "les", "et", "des", "est", "une", "dans", "que", "pour"),
+    "es": ("el", "la", "los", "y", "de", "que", "en", "un", "por", "con"),
+}
+
+
+def with_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("toks", tokens(text_col))
+
+
+def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document token count / distinct count / mean token length."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    total_len = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    )
+    return df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.round(
+            total_len.cast("double") / F.greatest(n, F.lit(1)).cast("double"), 6
+        ).alias("mean_token_len"),
+    )
+
+
+def top_terms(
+    df: DataFrame, k: int = 20, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-wide term frequencies, top-k (tiebreak lexicographic).
+
+    explode → hash agg; partial aggregation keeps the shuffle tiny at
+    scale (term cardinality, not token count)."""
+    exploded = df.select(F.explode(tokens(text_col)).alias("term"))
+    counts = exploded.groupBy("term").agg(F.count("*").alias("tf"))
+    return counts.orderBy(F.col("tf").desc(), F.col("term").asc()).limit(k)
+
+
+def tf_idf(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 2,
+) -> DataFrame:
+    """Classic smoothed TF-IDF: tf(t,d) · ln((N+1)/(df+1)).
+
+    Two hash aggregations; doc count enters as a broadcast scalar
+    (cross-join of a 1-row aggregate — Catalyst broadcasts it)."""
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df")).filter(
+        F.col("df") >= min_df
+    )
+    n_docs = df.select(F.count("*").alias("n_docs"))
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log((F.col("n_docs") + 1).cast("double") / (F.col("df") + 1).cast("double")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """n-gram/stopword language-ID heuristic: score(lang) = fraction of
+    tokens that are lang stopwords; predicted = argmax (ties → lang name
+    ascending); 'und' (undetermined) if no stopword hits at all."""
+    toks = tokens(text_col)
+    n = F.greatest(F.size(toks), F.lit(1)).cast("double")
+    scores = [
+        (
+            lang,
+            F.size(
+                F.filter(toks, lambda t: t.isin(*LANG_STOPWORDS[lang]))
+            ).cast("double")
+            / n,
+        )
+        for lang in sorted(LANG_STOPWORDS)
+    ]
+    # argmax via greatest + chained when (deterministic tie → first lang asc)
+    best = F.greatest(*[s for _, s in scores])
+    pred = F.lit("und")
+    for lang, s in reversed(scores):
+        pred = F.when((best > 0) & (s == best), F.lit(lang)).otherwise(pred)
+    out = df.select(
+        F.col(id_col),
+        pred.alias("pred_lang"),
+        F.round(best, 6).alias("lang_score"),
+    )
+    return out
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic document quality: alpha-char ratio, mean token length
+    band, stopword presence — composite in [0, 1] (rounded, portable)."""
+    txt = F.col(text_col)
+    toks = tokens(text_col)
+    n_tok = F.greatest(F.size(toks), F.lit(1)).cast("double")
+    n_chars = F.greatest(F.length(txt), F.lit(1)).cast("double")
+    alpha_ratio = (
+        F.length(F.regexp_replace(txt, "[^a-zA-Z]", "")).cast("double") / n_chars
+    )
+    mean_tok_len = (
+        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).cast("double")
+        / n_tok
+    )
+    len_band = F.when((mean_tok_len >= 3.0) & (mean_tok_len <= 10.0), 1.0).otherwise(0.5)
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin(*LANG_STOPWORDS["en"]))
+    ).cast("double")
+    stop_ratio = stop_hits / n_tok
+    stop_band = F.when(stop_ratio > 0.05, 1.0).otherwise(0.6)
+    score = F.round(
+        (alpha_ratio * 0.4 + len_band * 0.3 + stop_band * 0.3), 6
+    )
+    return df.select(
+        F.col(id_col),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(mean_tok_len, 6).alias("mean_tok_len"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        score.alias("quality"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic document fingerprint: min md5-derived token hash
+    (1-permutation MinHash) + full-text md5 — the cheap building block for
+    containment checks and shard-local dedup."""
+    toks = tokens(text_col)
+    tok_hashes = F.transform(toks, lambda t: md5_long(t))
+    return df.select(
+        F.col(id_col),
+        F.array_min(tok_hashes).alias("min_token_hash"),
+        F.md5(F.col(text_col)).alias("text_md5"),
+    )

@@ -1,0 +1,119 @@
+"""Event-time window operators over the ``events`` table (SURVEY §2.9
+extensions) — batch implementations whose semantics mirror the streaming
+versions in ``streaming/`` so the DuckDB oracle can check them.
+
+Cross-engine rule for window boundaries: emit epoch seconds
+(``bigint``) computed by pure integer arithmetic — identical in Spark and
+DuckDB regardless of timestamp internals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _epoch_bucket(ts_col: str, width_s: int):
+    return (F.floor(F.unix_timestamp(F.col(ts_col)) / width_s) * width_s).cast("long")
+
+
+def tumbling_counts(
+    df: DataFrame, width_s: int = 600, ts_col: str = "ts"
+) -> DataFrame:
+    """Tumbling event-time windows: per (window, event_type) count and
+    decimal-exact value sum. Uses Spark's native ``window()`` operator;
+    the output key is the window start as epoch seconds."""
+    val = F.col("value").cast("decimal(18,6)")
+    return (
+        df.groupBy(
+            F.window(F.col(ts_col), f"{width_s} seconds").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(val), 2).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("long").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    df: DataFrame, width_s: int = 600, slide_s: int = 300, ts_col: str = "ts"
+) -> DataFrame:
+    """Sliding windows via native ``window(ts, width, slide)`` — each event
+    lands in width/slide overlapping windows."""
+    return (
+        df.groupBy(
+            F.window(F.col(ts_col), f"{width_s} seconds", f"{slide_s} seconds").alias(
+                "w"
+            ),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("long").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    gap_s: int = 1800,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Gaps-and-islands sessionization: a new session starts when the gap
+    to the previous event of the same user exceeds ``gap_s``.
+
+    Batch analogue of Structured Streaming's ``session_window`` (the
+    streaming twin lives in streaming/queries.py). One shuffle on
+    ``user_col``; the two windows share that partitioning (Catalyst plans
+    a single exchange)."""
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+    epoch = F.unix_timestamp(F.col(ts_col))
+    gap = epoch - F.lag(epoch).over(w)
+    is_new = F.when(gap.isNull() | (gap > gap_s), 1).otherwise(0)
+    sess = F.sum(is_new).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("__sess", sess)
+        .groupBy(user_col, "__sess")
+        .agg(
+            F.min(epoch.cast("long")).alias("session_start"),
+            F.max(epoch.cast("long")).alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            user_col,
+            F.col("__sess").cast("long").alias("session_idx"),
+            "session_start",
+            "session_end",
+            "n_events",
+        )
+    )
+
+
+def dedup_latest(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Keep the earliest event per key — the batch twin of streaming
+    ``dropDuplicates`` with watermark (first-arrival wins)."""
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

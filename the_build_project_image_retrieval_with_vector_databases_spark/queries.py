@@ -494,6 +494,9 @@ LIMIT 10
 # Registry
 # ---------------------------------------------------------------------------
 
+from .queries_text import TEXT_ORACLES, TEXT_QUERIES  # noqa: E402
+from .queries_events import EVENT_ORACLES, EVENT_QUERIES  # noqa: E402
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_l2_topk": q_knn_l2_topk,
     "knn_join_topk": q_knn_join_topk,
@@ -508,6 +511,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "path_normalize": q_path_normalize,
     "pricing_summary": q_pricing_summary,
     "top_revenue_customers": q_top_revenue_customers,
+    **TEXT_QUERIES,
+    **EVENT_QUERIES,
 }
 
 ORACLES: dict[str, str] = {
@@ -524,4 +529,6 @@ ORACLES: dict[str, str] = {
     "path_normalize": ORACLE_PATH_NORMALIZE,
     "pricing_summary": ORACLE_PRICING,
     "top_revenue_customers": ORACLE_TOP_CUSTOMERS,
+    **TEXT_ORACLES,
+    **EVENT_ORACLES,
 }

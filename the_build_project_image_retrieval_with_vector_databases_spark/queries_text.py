@@ -1,0 +1,342 @@
+"""Text-analysis + dedup queries over the ``documents`` table, with
+generated DuckDB oracle SQL (north-star extensions, SURVEY §7.2 M4).
+
+The oracle fragments mirror the Spark expressions exactly:
+tokenization = regex-split + empty-filter, hashing = md5-hex→int
+arithmetic, sums = integer/left-fold — all bit-portable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import dedup as D
+from .operators import textops as T
+from .operators.dedup import MINHASH_COEFFS, MINHASH_PRIME
+from .operators.textops import LANG_STOPWORDS
+from .sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# DuckDB fragments
+# ---------------------------------------------------------------------------
+
+def _dk_toks(col: str = "text") -> str:
+    return (
+        f"list_filter(string_split_regex(lower(trim({col})), '\\s+'), "
+        "x -> x <> '')"
+    )
+
+
+def _dk_hex2long(h: str) -> str:
+    """First 8 hex chars of md5 → bigint; mirrors functions.text.md5_long."""
+    return (
+        "CAST(list_reduce(list_transform(range(1, 9), "
+        f"i -> CAST((strpos('0123456789abcdef', substr({h}, i, 1)) - 1) AS BIGINT)"
+        " * CAST(power(16, 8 - i) AS BIGINT)), (a, b) -> a + b) AS BIGINT)"
+    )
+
+
+def _dk_shingles(toks: str, n: int = 3) -> str:
+    return (
+        f"list_distinct(list_transform(range(1, greatest(len({toks}) - {n - 1}, 0) + 1), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' ')))"
+    )
+
+
+def _dk_stop_filter(toks: str, words) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter({toks}, t -> list_contains([{lst}], t)))"
+
+
+# ---------------------------------------------------------------------------
+# Queries
+# ---------------------------------------------------------------------------
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = T.token_stats(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_distinct_tokens").cast("long").alias("n_distinct_tokens"),
+        "mean_token_len",
+    )
+
+
+ORACLE_TOKEN_STATS = f"""
+WITH t AS (SELECT doc_id, {_dk_toks()} AS toks FROM documents)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       len(list_distinct(toks)) AS n_distinct_tokens,
+       round((CASE WHEN len(toks) = 0 THEN 0
+              ELSE list_reduce(list_transform(toks, t -> length(t)), (a,b) -> a+b)
+              END)::DOUBLE / greatest(len(toks), 1), 6) AS mean_token_len
+FROM t
+"""
+
+
+def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return T.top_terms(docs, k=20)
+
+
+ORACLE_TOP_TERMS = f"""
+WITH t AS (SELECT {_dk_toks()} AS toks FROM documents),
+e AS (SELECT unnest(toks) AS term FROM t)
+SELECT term, count(*) AS tf FROM e GROUP BY term
+ORDER BY tf DESC, term ASC LIMIT 20
+"""
+
+
+def q_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return T.tf_idf(docs, min_df=2)
+
+
+ORACLE_TF_IDF = f"""
+WITH t AS (SELECT doc_id, {_dk_toks()} AS toks FROM documents),
+e AS (SELECT doc_id, unnest(toks) AS term FROM t),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM e GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1 HAVING count(*) >= 2),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+       round(tf.tf::DOUBLE * ln((n.n_docs + 1)::DOUBLE / (dfreq.df + 1)::DOUBLE), 6)
+         AS tfidf
+FROM tf JOIN dfreq USING (term), n
+"""
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return T.language_id(docs)
+
+
+def _oracle_language_id() -> str:
+    score_exprs = ",\n       ".join(
+        f"{_dk_stop_filter('toks', LANG_STOPWORDS[lang])}::DOUBLE / "
+        f"greatest(len(toks), 1) AS s_{lang}"
+        for lang in sorted(LANG_STOPWORDS)
+    )
+    best = "greatest(" + ", ".join(f"s_{l}" for l in sorted(LANG_STOPWORDS)) + ")"
+    case = " ".join(
+        f"WHEN s_{l} = best THEN '{l}'" for l in sorted(LANG_STOPWORDS)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {_dk_toks()} AS toks FROM documents),
+s AS (SELECT doc_id,
+       {score_exprs}
+      FROM t),
+b AS (SELECT *, {best} AS best FROM s)
+SELECT doc_id,
+       CASE WHEN best <= 0 THEN 'und' {case} ELSE 'und' END AS pred_lang,
+       round(best, 6) AS lang_score
+FROM b
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return T.quality_score(docs)
+
+
+def _oracle_quality() -> str:
+    stop = _dk_stop_filter("toks", LANG_STOPWORDS["en"])
+    return f"""
+WITH t AS (SELECT doc_id, text, {_dk_toks()} AS toks FROM documents),
+m AS (
+  SELECT doc_id,
+    length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE /
+      greatest(length(text), 1) AS alpha_ratio,
+    (CASE WHEN len(toks) = 0 THEN 0
+     ELSE list_reduce(list_transform(toks, t -> length(t)), (a,b) -> a+b)
+     END)::DOUBLE / greatest(len(toks), 1) AS mean_tok_len,
+    {stop}::DOUBLE / greatest(len(toks), 1) AS stop_ratio
+  FROM t
+)
+SELECT doc_id, round(alpha_ratio, 6) AS alpha_ratio,
+       round(mean_tok_len, 6) AS mean_tok_len,
+       round(stop_ratio, 6) AS stop_ratio,
+       round(alpha_ratio * 0.4 +
+             (CASE WHEN mean_tok_len >= 3.0 AND mean_tok_len <= 10.0
+                   THEN 1.0 ELSE 0.5 END) * 0.3 +
+             (CASE WHEN stop_ratio > 0.05 THEN 1.0 ELSE 0.6 END) * 0.3, 6)
+         AS quality
+FROM m
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return T.fingerprint(docs)
+
+
+ORACLE_FINGERPRINT = f"""
+WITH t AS (SELECT doc_id, text, {_dk_toks()} AS toks FROM documents),
+h AS (SELECT doc_id, text,
+        list_transform(toks, tk -> {_dk_hex2long("md5(tk)")}) AS hs
+      FROM t)
+SELECT doc_id,
+       CASE WHEN len(hs) = 0 THEN NULL ELSE list_min(hs) END AS min_token_hash,
+       md5(text) AS text_md5
+FROM h
+"""
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.exact_dedup(docs)
+
+
+ORACLE_EXACT_DEDUP = """
+SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+
+
+def _oracle_jaccard(threshold: float = 0.8, lsh: bool = False, bands: int = 4,
+                    rows_per_band: int = 2) -> str:
+    """All-pairs (blocked by shared shingle) Jaccard; with ``lsh`` adds the
+    band-bucket candidate restriction so false negatives match Spark's."""
+    base = f"""
+WITH t AS (SELECT doc_id, {_dk_toks()} AS toks FROM documents),
+sh AS (SELECT doc_id, unnest({_dk_shingles('toks')}) AS shingle FROM t),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS left_id, b.doc_id AS right_id, count(*) AS n_inter
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT left_id, right_id,
+         round(n_inter::DOUBLE /
+               (sa.n_sh + sb.n_sh - n_inter)::DOUBLE, 6) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = left_id
+  JOIN sizes sb ON sb.doc_id = right_id
+)"""
+    if not lsh:
+        return base + f"""
+SELECT left_id, right_id, jaccard FROM jac WHERE jaccard >= {threshold}
+"""
+    sig_cols = []
+    for i in range(bands * rows_per_band):
+        a, b = MINHASH_COEFFS[i]
+        sig_cols.append(
+            "coalesce(min((x * {a} + {b}) % {p}), {p}) AS mh{i}".format(
+                a=a, b=b, p=MINHASH_PRIME, i=i
+            )
+        )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, concat_ws('_', {keys}) AS band_key FROM sig".format(
+            b=b,
+            keys=", ".join(f"mh{b * rows_per_band + r}" for r in range(rows_per_band)),
+        )
+        for b in range(bands)
+    )
+    return base + f""",
+xs AS (SELECT doc_id, ({_dk_hex2long('md5(shingle)')}) % {MINHASH_PRIME} AS x FROM sh),
+sig0 AS (SELECT doc_id, {', '.join(sig_cols)} FROM xs GROUP BY doc_id),
+sig AS (
+  SELECT d.doc_id, {', '.join(f'coalesce(s.mh{i}, {MINHASH_PRIME}) AS mh{i}' for i in range(bands * rows_per_band))}
+  FROM (SELECT doc_id FROM documents) d LEFT JOIN sig0 s USING (doc_id)
+),
+banded AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+  FROM banded a JOIN banded b USING (band, band_key)
+  WHERE a.doc_id < b.doc_id
+)
+SELECT j.left_id, j.right_id, j.jaccard
+FROM jac j JOIN cand USING (left_id, right_id)
+WHERE j.jaccard >= {threshold}
+"""
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_signatures(docs, n=3, num_hashes=8)
+
+
+def _oracle_minhash_signatures(num_hashes: int = 8) -> str:
+    sig_cols = []
+    for i in range(num_hashes):
+        a, b = MINHASH_COEFFS[i]
+        sig_cols.append(f"coalesce(min((x * {a} + {b}) % {MINHASH_PRIME}), {MINHASH_PRIME}) AS mh{i}")
+    coal = ", ".join(
+        f"coalesce(s.mh{i}, {MINHASH_PRIME}) AS mh{i}" for i in range(num_hashes)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {_dk_toks()} AS toks FROM documents),
+sh AS (SELECT doc_id, unnest({_dk_shingles('toks')}) AS shingle FROM t),
+xs AS (SELECT doc_id, ({_dk_hex2long('md5(shingle)')}) % {MINHASH_PRIME} AS x FROM sh),
+sig0 AS (SELECT doc_id, {', '.join(sig_cols)} FROM xs GROUP BY doc_id)
+SELECT d.doc_id, {coal}
+FROM (SELECT doc_id FROM documents) d LEFT JOIN sig0 s USING (doc_id)
+"""
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(docs, n=3, num_hashes=8, bands=4, threshold=0.5)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash(docs, bits=32)
+
+
+def _oracle_simhash(bits: int = 32) -> str:
+    votes = ", ".join(
+        f"sum(CASE WHEN CAST(floor(x / {1 << j}) AS BIGINT) % 2 = 1 "
+        f"THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(bits)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {_dk_toks()} AS toks FROM documents),
+e AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+xs AS (SELECT doc_id, {_dk_hex2long('md5(tok)')} AS x FROM e),
+v AS (SELECT doc_id, {votes} FROM xs GROUP BY doc_id),
+f AS (SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM v)
+SELECT d.doc_id, coalesce(f.simhash, 0) AS simhash
+FROM (SELECT doc_id FROM documents) d LEFT JOIN f USING (doc_id)
+"""
+
+
+TEXT_QUERIES = {
+    "token_stats": q_token_stats,
+    "top_terms": q_top_terms,
+    "tf_idf": q_tf_idf,
+    "language_id": q_language_id,
+    "quality_score": q_quality_score,
+    "doc_fingerprint": q_fingerprint,
+    "exact_dedup": q_exact_dedup,
+    "ngram_jaccard_dedup": q_ngram_jaccard,
+    "minhash_signatures": q_minhash_signatures,
+    "minhash_lsh_dedup": q_minhash_lsh,
+    "simhash": q_simhash,
+}
+
+TEXT_ORACLES = {
+    "token_stats": ORACLE_TOKEN_STATS,
+    "top_terms": ORACLE_TOP_TERMS,
+    "tf_idf": ORACLE_TF_IDF,
+    "language_id": _oracle_language_id(),
+    "quality_score": _oracle_quality(),
+    "doc_fingerprint": ORACLE_FINGERPRINT,
+    "exact_dedup": ORACLE_EXACT_DEDUP,
+    "ngram_jaccard_dedup": _oracle_jaccard(0.8, lsh=False),
+    "minhash_signatures": _oracle_minhash_signatures(8),
+    "minhash_lsh_dedup": _oracle_jaccard(0.5, lsh=True),
+    "simhash": _oracle_simhash(32),
+}

@@ -29,8 +29,26 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one fixture table as a DataFrame (lazy — no scan yet)."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Load one fixture table as a DataFrame (lazy — no scan yet).
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS) which Spark refuses by
+    default; read it as nanos-long (legacy conf, runtime-settable) and
+    rebuild a microsecond TimestampType via exact integer division so
+    event-time operators (window/session) work natively. DuckDB reads the
+    same file as TIMESTAMP_NS — ``floor(epoch(ts))``-style oracle
+    arithmetic matches the truncation exactly.
+    """
+    if name == "events":
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str, names=TABLES) -> None:

@@ -1,0 +1,105 @@
+"""Structured Streaming twins of the batch window operators.
+
+Semantics are pinned by the batch implementations in
+``operators/windows.py`` (which the DuckDB oracle checks); these wire the
+same expressions into ``readStream``/``writeStream`` with watermarks.
+Tests drive them with bounded file sources + ``processAllAvailable()``
+(memory sink), so the state-store code paths genuinely execute.
+
+The serve loop mirrors the reference's interactive query path
+(upload → embed → kNN → join, ``app.py:124-179``): a stream of query
+vectors joined per-microbatch against the cached embeddings table via
+``foreachBatch``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+
+def streaming_tumbling_counts(
+    stream: DataFrame,
+    width_s: int = 600,
+    watermark_s: int = 1800,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Tumbling event-time counts with a watermark for late data."""
+    return (
+        stream.withWatermark(ts_col, f"{watermark_s} seconds")
+        .groupBy(F.window(F.col(ts_col), f"{width_s} seconds"), F.col("event_type"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).cast("long").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def streaming_session_window(
+    stream: DataFrame,
+    gap_s: int = 1800,
+    watermark_s: int = 3600,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Native session windows (``session_window``) — the streaming
+    equivalent of operators.windows.sessionize."""
+    return (
+        stream.withWatermark(ts_col, f"{watermark_s} seconds")
+        .groupBy(
+            F.session_window(F.col(ts_col), f"{gap_s} seconds"), F.col(user_col)
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col(user_col),
+            F.unix_timestamp(F.col("session_window.start"))
+            .cast("long")
+            .alias("session_start"),
+            F.unix_timestamp(F.col("session_window.end"))
+            .cast("long")
+            .alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def streaming_dedup(
+    stream: DataFrame,
+    key_cols: list[str],
+    watermark_s: int = 3600,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming dropDuplicates with watermark-bounded state."""
+    return stream.withWatermark(ts_col, f"{watermark_s} seconds").dropDuplicates(
+        key_cols
+    )
+
+
+def serve_loop(
+    query_stream: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    sink: Callable[[DataFrame, int], None] | None = None,
+    checkpoint: str | None = None,
+) -> StreamingQuery:
+    """The reference's interactive query path as a stream: each microbatch
+    of query vectors runs the broadcast kNN join against the cached corpus
+    (``foreachBatch`` — exactly-once per sink contract)."""
+    from ..operators.knn import knn_join
+
+    corpus = corpus.cache()
+
+    def score_batch(batch: DataFrame, epoch_id: int) -> None:
+        out = knn_join(corpus, batch, k=k, exclude_self=False)
+        if sink is not None:
+            sink(out, epoch_id)
+
+    writer = query_stream.writeStream.foreachBatch(score_batch)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
