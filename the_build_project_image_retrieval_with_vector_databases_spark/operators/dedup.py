@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import md5_long, token_shingles, tokens
+from ..sources.tables import spread
 
 # MinHash universal-hash parameters: (a, b) pairs, modulus a Mersenne prime.
 MINHASH_PRIME = 2147483647  # 2^31 - 1
@@ -63,13 +64,24 @@ def exact_dedup_keep_first(df: DataFrame, text_col: str = "text", id_col: str = 
     )
 
 
+def doc_shingles(
+    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, sh: array<string>) — distinct token n-gram shingles, one
+    row per document. The shared upstream of every near-dup operator;
+    ``spread`` unlocks all cores when the scan has too few splits (one
+    fixture file → one task otherwise; a no-op at real input widths)."""
+    return spread(df).select(
+        F.col(id_col), token_shingles(tokens(text_col), n).alias("sh")
+    )
+
+
 def shingle_table(
     df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """(doc_id, shingle) inverted index over distinct token n-gram shingles."""
-    return df.select(
-        F.col(id_col),
-        F.explode(token_shingles(tokens(text_col), n)).alias("shingle"),
+    return doc_shingles(df, n, text_col, id_col).select(
+        F.col(id_col), F.explode("sh").alias("shingle")
     )
 
 
@@ -88,21 +100,26 @@ def ngram_jaccard_pairs(
     Stop-shingles (appearing in > ~1% of docs) should be dropped at real
     scale; the fixture corpus doesn't need it.
     """
-    sh = shingle_table(df, n, text_col, id_col)
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("left_id"), "shingle")
-    b = sh.select(F.col(id_col).alias("right_id"), "shingle")
-    inter = (
+    ex = doc_shingles(df, n, text_col, id_col).select(
+        F.col(id_col),
+        F.size("sh").alias("n_sh"),
+        F.explode("sh").alias("shingle"),
+    )
+    # carry each doc's shingle count THROUGH the explode: n_left/n_right are
+    # functionally dependent on the ids, so adding them to the group keys is
+    # free — and it deletes two post-aggregation joins plus the separate
+    # sizes shuffle the naive plan would need.
+    a = ex.select(
+        F.col(id_col).alias("left_id"), F.col("n_sh").alias("n_left"), "shingle"
+    )
+    b = ex.select(
+        F.col(id_col).alias("right_id"), F.col("n_sh").alias("n_right"), "shingle"
+    )
+    return (
         a.join(b, "shingle")
         .filter(F.col("left_id") < F.col("right_id"))
-        .groupBy("left_id", "right_id")
+        .groupBy("left_id", "right_id", "n_left", "n_right")
         .agg(F.count("*").alias("n_inter"))
-    )
-    sa = sizes.select(F.col(id_col).alias("left_id"), F.col("n_sh").alias("n_left"))
-    sb = sizes.select(F.col(id_col).alias("right_id"), F.col("n_sh").alias("n_right"))
-    return (
-        inter.join(sa, "left_id")
-        .join(sb, "right_id")
         .withColumn(
             "jaccard",
             F.round(
@@ -126,25 +143,32 @@ def minhash_signatures(
     """MinHash signature per document: mh_i = min over shingles of
     ((aᵢ·x + b_i) mod p), x = md5-derived shingle int.
 
-    Computed as array expressions inside one projection — zero shuffles,
-    zero UDFs; documents with < n tokens get an empty-shingle guard
-    (signature component = p, sentinel max)."""
+    Relational shape matters here: explode shingles → hash each shingle
+    string with md5 ONCE → one hash-aggregate with ``num_hashes`` cheap
+    integer ``min`` aggregates. The tempting all-array formulation
+    (``array_min(transform(...))`` per column in one projection) makes
+    Catalyst re-evaluate the md5/conv subtree per signature column —
+    CollapseProject gives no common-subexpression reuse — an 8× blowup
+    measured at ~6× wall-clock. The aggregate is map-side partial, so the
+    shuffle carries one 8-long row per document regardless of length.
+    Documents with < n tokens get the sentinel signature (p everywhere)
+    via a left join back to the id universe."""
     assert num_hashes <= len(MINHASH_COEFFS)
-    sh = token_shingles(tokens(text_col), n)
-    xs = F.transform(sh, lambda s: md5_long(s) % MINHASH_PRIME)
-    def _universal(a: int, b: int):
-        # factory closure: Spark HOFs introspect lambda arity, so the
-        # coefficients must NOT appear as default args
-        return lambda x: (x * a + b) % MINHASH_PRIME
-
-    cols = [F.col(id_col)]
-    for i in range(num_hashes):
-        a, b = MINHASH_COEFFS[i]
-        hashed = F.transform(xs, _universal(a, b))
-        cols.append(
-            F.coalesce(F.array_min(hashed), F.lit(MINHASH_PRIME)).alias(f"mh{i}")
-        )
-    return df.select(*cols)
+    xs = shingle_table(df, n, text_col, id_col).select(
+        F.col(id_col), (md5_long("shingle") % MINHASH_PRIME).alias("x")
+    )
+    aggs = [
+        F.min((F.col("x") * a + b) % MINHASH_PRIME).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_COEFFS[:num_hashes])
+    ]
+    sig0 = xs.groupBy(id_col).agg(*aggs)
+    return df.select(id_col).join(sig0, id_col, "left").select(
+        F.col(id_col),
+        *[
+            F.coalesce(F.col(f"mh{i}"), F.lit(MINHASH_PRIME)).alias(f"mh{i}")
+            for i in range(num_hashes)
+        ],
+    )
 
 
 def minhash_lsh_pairs(
@@ -157,28 +181,40 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs: band the signature (rows = H/bands),
-    bucket-join on (band_idx, band_key), verify with exact Jaccard ≥ τ.
+    bucket-join on (band_idx, band_key), verify candidates — and ONLY
+    candidates — with exact Jaccard ≥ τ via ``array_intersect`` on the
+    per-doc shingle sets.
 
-    The only shuffles are keyed by band buckets (small) and candidate
-    pairs (near-dup density) — this is the 100 TB path where the
-    all-pairs Jaccard join is infeasible.
+    This is the 100 TB path: the only shuffles are keyed by band buckets
+    (small keys, uniform by construction of the hash) and by doc id for
+    the candidate verification joins. There is NO all-pairs shingle join
+    anywhere — the exact-Jaccard work is proportional to the number of
+    LSH candidate pairs, not N².
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, n, num_hashes, text_col, id_col)
-    band_rows = []
-    for b in range(bands):
-        key = F.concat_ws(
-            "_",
-            *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)],
-        )
-        band_rows.append(
-            sigs.select(
-                F.col(id_col), F.lit(b).alias("band"), key.alias("band_key")
+    # The signature table is referenced by both sides of the bucket
+    # self-join; cache it so the shingle→md5→aggregate pipeline runs once.
+    # It is 8 longs + id per document — at 100 TB corpus scale this is
+    # gigabytes, not terabytes, and MEMORY_AND_DISK spills safely.
+    sigs = minhash_signatures(df, n, num_hashes, text_col, id_col).persist()
+    # one pass over the signatures: inline_outer an array of (band, key)
+    # structs instead of a bands-way union (single projection, no re-scan)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.col(f"mh{b * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ],
+                ).alias("band_key"),
             )
-        )
-    banded = band_rows[0]
-    for br in band_rows[1:]:
-        banded = banded.unionAll(br)
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select(F.col(id_col), F.inline_outer(band_structs))
     a = banded.select(F.col(id_col).alias("left_id"), "band", "band_key")
     b_ = banded.select(F.col(id_col).alias("right_id"), "band", "band_key")
     candidates = (
@@ -187,9 +223,28 @@ def minhash_lsh_pairs(
         .select("left_id", "right_id")
         .distinct()
     )
-    verified = candidates.join(
-        ngram_jaccard_pairs(df, n, threshold, text_col, id_col),
-        ["left_id", "right_id"],
+    # Shingle sets are fetched twice (left/right of the verify join);
+    # persist so tokenize+shingle runs once per doc, not twice.
+    shs = doc_shingles(df, n, text_col, id_col).persist()
+    verified = (
+        candidates.join(
+            shs.select(F.col(id_col).alias("left_id"), F.col("sh").alias("sh_l")),
+            "left_id",
+        )
+        .join(
+            shs.select(F.col(id_col).alias("right_id"), F.col("sh").alias("sh_r")),
+            "right_id",
+        )
+        .withColumn("n_inter", F.size(F.array_intersect("sh_l", "sh_r")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.size("sh_l") + F.size("sh_r") - F.col("n_inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
     )
     return verified.select("left_id", "right_id", "jaccard")
 
@@ -209,7 +264,7 @@ def simhash(
     hash-aggregate with ``bits`` conditional sums (partial aggregation
     map-side, so the shuffle carries one row of vote counters per doc) —
     scales to arbitrarily long documents, unlike a per-row array fold."""
-    e = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    e = spread(df).select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
     xs = e.select(F.col(id_col), md5_long("tok").alias("x"))
     votes = [
         F.sum(

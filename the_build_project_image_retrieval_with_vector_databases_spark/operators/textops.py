@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import md5_long, tokens
+from ..sources.tables import spread
 
 # Tiny embedded stopword lists for the language-ID heuristic (public,
 # standard closed-class words). Deliberately small: the operator contract
@@ -37,7 +38,7 @@ def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     total_len = F.aggregate(
         toks, F.lit(0), lambda acc, t: acc + F.length(t)
     )
-    return df.select(
+    return spread(df).select(
         F.col(id_col),
         n.alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
@@ -54,7 +55,7 @@ def top_terms(
 
     explode → hash agg; partial aggregation keeps the shuffle tiny at
     scale (term cardinality, not token count)."""
-    exploded = df.select(F.explode(tokens(text_col)).alias("term"))
+    exploded = spread(df).select(F.explode(tokens(text_col)).alias("term"))
     counts = exploded.groupBy("term").agg(F.count("*").alias("tf"))
     return counts.orderBy(F.col("tf").desc(), F.col("term").asc()).limit(k)
 
@@ -69,7 +70,7 @@ def tf_idf(
 
     Two hash aggregations; doc count enters as a broadcast scalar
     (cross-join of a 1-row aggregate — Catalyst broadcasts it)."""
-    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    toks = spread(df).select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df")).filter(
         F.col("df") >= min_df
@@ -113,7 +114,7 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     pred = F.lit("und")
     for lang, s in reversed(scores):
         pred = F.when((best > 0) & (s == best), F.lit(lang)).otherwise(pred)
-    out = df.select(
+    out = spread(df).select(
         F.col(id_col),
         pred.alias("pred_lang"),
         F.round(best, 6).alias("lang_score"),
@@ -144,7 +145,7 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     score = F.round(
         (alpha_ratio * 0.4 + len_band * 0.3 + stop_band * 0.3), 6
     )
-    return df.select(
+    return spread(df).select(
         F.col(id_col),
         F.round(alpha_ratio, 6).alias("alpha_ratio"),
         F.round(mean_tok_len, 6).alias("mean_tok_len"),
@@ -159,7 +160,7 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     containment checks and shard-local dedup."""
     toks = tokens(text_col)
     tok_hashes = F.transform(toks, lambda t: md5_long(t))
-    return df.select(
+    return spread(df).select(
         F.col(id_col),
         F.array_min(tok_hashes).alias("min_token_hash"),
         F.md5(F.col(text_col)).alias("text_md5"),

@@ -51,6 +51,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, factor: int = 1) -> DataFrame:
+    """Round-robin repartition ONLY when the plan has fewer splits than
+    cores (e.g. fixtures: one parquet file → one task, serializing all
+    expression work onto 1 of 32 cores). On real cluster inputs the scan
+    already has >= defaultParallelism splits and this is an exact no-op —
+    no shuffle is added at 100 TB widths.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism * factor
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str, names=TABLES) -> None:
     """Register fixture tables as temp views so ``spark.sql`` queries can
     name them exactly as the DuckDB oracle does."""
