@@ -1,0 +1,140 @@
+"""Property tests for the approximate-search operators (SURVEY §5.2):
+recall vs the exact operator, assignment correctness vs NumPy, and the
+two-phase top-k's exact equivalence to the window-rank pattern."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from the_build_project_image_retrieval_with_vector_databases_spark.operators.ann import (
+    assign_centroids,
+    hyperplanes,
+    ivf_search,
+    lsh_bucket,
+    lsh_candidates,
+    train_centroids,
+)
+from the_build_project_image_retrieval_with_vector_databases_spark.operators.knn import (
+    knn_join,
+    knn_join_two_phase,
+    knn_single,
+)
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def emb_np(emb):
+    rows = sorted(emb.collect(), key=lambda r: r.vec_id)
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    return ids, mat
+
+
+def test_assign_centroids_matches_numpy(emb, emb_np):
+    ids, mat = emb_np
+    centroids = [list(map(float, mat[i])) for i in range(8)]
+    got = {
+        r.vec_id: r.centroid
+        for r in assign_centroids(emb, centroids).select("vec_id", "centroid").collect()
+    }
+    cents = np.asarray(centroids)
+    d = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    want = d.argmin(axis=1)  # first-min ties, same as array_position
+    assert [got[i] for i in ids] == list(want)
+
+
+def test_ivf_full_probe_equals_exact(spark, emb, emb_np):
+    """nprobe == k_centroids ⇒ IVF degenerates to exact search."""
+    ids, mat = emb_np
+    centroids = [list(map(float, mat[i])) for i in range(8)]
+    q = list(map(float, mat[0]))
+    qlit = F.array(*[F.lit(x) for x in q]).cast("array<double>")
+    exact = knn_single(emb.filter(F.col("vec_id") != 0), qlit, k=5)
+    approx = ivf_search(
+        assign_centroids(emb, centroids).filter(F.col("vec_id") != 0),
+        centroids, q, k=5, nprobe=8,
+    )
+    assert [r.vec_id for r in exact.collect()] == [
+        r.vec_id for r in approx.collect()
+    ]
+
+
+def test_ivf_partial_probe_recall(spark, emb, emb_np):
+    """Recall@10 of nprobe=4/16 IVF vs exact — random unit vectors are a
+    worst case for IVF, so the bar is deliberately modest (> 0.3) and the
+    real assertion is structural: results come only from probed cells."""
+    ids, mat = emb_np
+    centroids = train_centroids(emb, k=16, seed=42)
+    q = list(map(float, mat[0]))
+    qlit = F.array(*[F.lit(x) for x in q]).cast("array<double>")
+    corpus = assign_centroids(emb, centroids).filter(F.col("vec_id") != 0).cache()
+    exact_ids = {r.vec_id for r in knn_single(corpus, qlit, k=10).collect()}
+    got = ivf_search(corpus, centroids, q, k=10, nprobe=4).collect()
+    cents = np.asarray(centroids)
+    probe = set(
+        np.argsort(((cents - np.asarray(q)) ** 2).sum(axis=1), kind="stable")[:4]
+    )
+    assert {r.centroid for r in got} <= probe
+    assert len({r.vec_id for r in got} & exact_ids) / 10 > 0.3
+
+
+def test_lsh_bucket_matches_numpy(emb, emb_np):
+    ids, mat = emb_np
+    planes = hyperplanes(mat.shape[1], 8, seed=7)
+    h = np.asarray(planes)
+    want = ((mat @ h.T) > 0).astype(np.int64) @ (1 << np.arange(8))
+    got = {
+        r.vec_id: r.bucket
+        for r in lsh_bucket(emb, planes).select("vec_id", "bucket").collect()
+    }
+    assert [got[i] for i in ids] == list(want)
+
+
+def test_lsh_candidates_are_cobucketed_pairs(emb, emb_np):
+    ids, mat = emb_np
+    planes = hyperplanes(mat.shape[1], 6, seed=7)
+    h = np.asarray(planes)
+    bucket = ((mat @ h.T) > 0).astype(np.int64) @ (1 << np.arange(6))
+    want = {
+        (int(a), int(b))
+        for i, a in enumerate(ids)
+        for j, b in enumerate(ids)
+        if a < b and bucket[i] == bucket[j]
+    }
+    got = {
+        (r.left_id, r.right_id)
+        for r in lsh_candidates(emb, planes).collect()
+    }
+    assert got == want
+
+
+def test_two_phase_equals_window_rank(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = knn_join(emb, queries, k=4).select("query_id", "vec_id", "rank")
+    b = knn_join_two_phase(emb, queries, k=4).select("query_id", "vec_id", "rank")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_l2_rank_equals_cosine_rank_on_unit_vectors(emb):
+    """SURVEY §7.4.4: on unit vectors ‖a−b‖² = 2−2cos ⇒ identical ranking."""
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    by_l2 = knn_join(emb, queries, k=5, metric="l2").select(
+        "query_id", "vec_id", "rank"
+    )
+    by_cos = knn_join(emb, queries, k=5, metric="cosine").select(
+        "query_id", "vec_id", "rank"
+    )
+    assert sorted(map(tuple, by_l2.collect())) == sorted(map(tuple, by_cos.collect()))

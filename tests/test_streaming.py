@@ -1,0 +1,146 @@
+"""Structured Streaming paths genuinely executed (SURVEY §2.9): bounded
+file sources driven with ``processAllAvailable()`` so the state-store /
+watermark code runs, results checked against the identical batch
+expressions (the batch twins are what the DuckDB oracle pins)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from the_build_project_image_retrieval_with_vector_databases_spark.streaming.queries import (
+    serve_loop,
+    streaming_dedup,
+    streaming_tumbling_counts,
+)
+from the_build_project_image_retrieval_with_vector_databases_spark.operators.knn import (
+    knn_join,
+)
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def events_dir(tmp_path):
+    d = tmp_path / "events_in"
+    d.mkdir()
+    shutil.copy(f"{SF_SMOKE}/events.parquet", d / "part-000.parquet")
+    return str(d)
+
+
+def _load_events(spark, path):
+    df = spark.read.parquet(path)
+    if dict(df.dtypes).get("ts") == "bigint":  # TIMESTAMP(NANOS) fixture
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def _stream_events(spark, path):
+    batch = spark.read.parquet(path)
+    s = spark.readStream.schema(batch.schema).parquet(path)
+    if dict(s.dtypes).get("ts") == "bigint":
+        s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return s
+
+
+def test_streaming_tumbling_counts_match_batch(spark, events_dir, tmp_path):
+    stream = _stream_events(spark, events_dir)
+    q = (
+        streaming_tumbling_counts(stream, width_s=600)
+        .writeStream.format("memory")
+        .queryName("t_tumbling")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_tumbling"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT * FROM t_tumbling").collect()
+    finally:
+        q.stop()
+    want = streaming_tumbling_counts(
+        _load_events(spark, events_dir), width_s=600
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert len(got) > 0
+
+
+def test_streaming_tumbling_incremental_second_file(spark, events_dir, tmp_path):
+    """A second input file arriving later flows through the same query —
+    complete mode re-emits the merged aggregate."""
+    stream = _stream_events(spark, events_dir)
+    q = (
+        streaming_tumbling_counts(stream, width_s=3600)
+        .writeStream.format("memory")
+        .queryName("t_incr")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_incr"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n1 = spark.sql("SELECT sum(n) AS s FROM t_incr").first().s
+        # land a second (identical) file → counts double
+        shutil.copy(
+            f"{SF_SMOKE}/events.parquet", f"{events_dir}/part-001.parquet"
+        )
+        q.processAllAvailable()
+        n2 = spark.sql("SELECT sum(n) AS s FROM t_incr").first().s
+    finally:
+        q.stop()
+    assert n2 == 2 * n1
+
+
+def test_streaming_dedup_matches_batch_distinct(spark, events_dir, tmp_path):
+    stream = _stream_events(spark, events_dir)
+    q = (
+        streaming_dedup(stream, ["event_id"])
+        .select("event_id")
+        .writeStream.format("memory")
+        .queryName("t_dedup")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT count(*) AS n FROM t_dedup").first().n
+    finally:
+        q.stop()
+    want = _load_events(spark, events_dir).select("event_id").distinct().count()
+    assert got == want
+
+
+def test_serve_loop_matches_batch_knn(spark, tmp_path):
+    """The reference's interactive query path as a stream (app.py:124-179):
+    each microbatch of query vectors → broadcast kNN join vs cached corpus."""
+    corpus = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    queries = corpus.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    qdir = tmp_path / "queries_in"
+    queries.coalesce(1).write.parquet(str(qdir))
+
+    results = []
+    stream = spark.readStream.schema(queries.schema).parquet(str(qdir))
+    q = serve_loop(
+        stream,
+        corpus,
+        k=3,
+        sink=lambda df, epoch: results.extend(
+            df.select("query_id", "vec_id", "rank").collect()
+        ),
+        checkpoint=str(tmp_path / "ckpt_serve"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    want = (
+        knn_join(corpus, queries, k=3, exclude_self=False)
+        .select("query_id", "vec_id", "rank")
+        .collect()
+    )
+    assert sorted(map(tuple, results)) == sorted(map(tuple, want))
+    assert len(results) == 15  # 5 queries × k=3

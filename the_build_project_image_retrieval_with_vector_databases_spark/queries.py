@@ -193,11 +193,13 @@ GROUP BY label
 
 
 def q_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Range variant of J1: pairs with L2 < 0.9 within the vec_id<200 block."""
+    """Range variant of J1: pairs with L2 < 1.2 within the vec_id<200 block
+    (unit random 64-D vectors concentrate near √2 ≈ 1.414; 1.2 keeps ~1% of
+    pairs so the oracle checks non-trivial output)."""
     from .operators.knn import radius_join
 
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
-    out = radius_join(emb, emb, radius=0.9, metric="l2")
+    out = radius_join(emb, emb, radius=1.2, metric="l2")
     return out.select(
         "left_id", "right_id", F.round("dist", 6).alias("dist")
     )
@@ -212,7 +214,7 @@ pairs AS (
   WHERE a.vec_id < b.vec_id
 )
 SELECT left_id, right_id, round(dist_exact, 6) AS dist
-FROM pairs WHERE dist_exact < 0.9
+FROM pairs WHERE dist_exact < 1.2
 """
 
 
@@ -496,6 +498,7 @@ LIMIT 10
 
 from .queries_text import TEXT_ORACLES, TEXT_QUERIES  # noqa: E402
 from .queries_events import EVENT_ORACLES, EVENT_QUERIES  # noqa: E402
+from .queries_ann import ANN_ORACLES, ANN_QUERIES  # noqa: E402
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_l2_topk": q_knn_l2_topk,
@@ -513,6 +516,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_revenue_customers": q_top_revenue_customers,
     **TEXT_QUERIES,
     **EVENT_QUERIES,
+    **ANN_QUERIES,
 }
 
 ORACLES: dict[str, str] = {
@@ -531,4 +535,5 @@ ORACLES: dict[str, str] = {
     "top_revenue_customers": ORACLE_TOP_CUSTOMERS,
     **TEXT_ORACLES,
     **EVENT_ORACLES,
+    **ANN_ORACLES,
 }

@@ -1,0 +1,288 @@
+"""ANN / index-layout / sampling-split queries with DuckDB oracles.
+
+Covers the scale path of the reference's flagship operator (SURVEY §4.3.3):
+IVF partition-probing (the ``IndexIVFFlat`` analogue of the shipped
+``IndexFlatL2``, reference ``utils/faiss_utils.py:4-9``), random-hyperplane
+LSH bucketing, embedding-cosine near-dup (north-star), the two-phase top-k
+physical pattern, grouped-id assembly (A1) and the deterministic 80/20
+split (SA2, reference ``train_model.py:42-45``).
+
+Oracle-parity tricks specific to this module:
+
+- IVF centroids are *rows of the table itself* (vec_id < 16) so both
+  engines derive identical centroid vectors with no RNG; the Spark side
+  collects them into literal arrays (16 × 64 floats — trivially broadcast).
+- LSH hyperplanes are seeded NumPy Gaussians generated at import and
+  inlined as double literals into BOTH the Spark expression and the oracle
+  SQL (``repr(float)`` round-trips exactly in the two parsers).
+- Assignment ties (argmin over centroid distances) break toward the lowest
+  centroid id in both engines (``array_position`` first-match ↔ window
+  ``ORDER BY dist, cid``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.ann import assign_centroids, hyperplanes, ivf_search, lsh_bucket
+from .operators.knn import knn_join_two_phase, radius_join
+from .operators.sample import HASH_MOD, HASH_MULT, deterministic_split
+from .sources.tables import load_table
+
+EMB_DIM = 64  # driver fixture embeddings are 64-D unit float vectors
+N_PLANES = 8
+LSH_PLANES: list[list[float]] = hyperplanes(EMB_DIM, N_PLANES, seed=42)
+
+
+# ---------------------------------------------------------------------------
+# DuckDB fragments (duplicated from queries.py to keep modules standalone)
+# ---------------------------------------------------------------------------
+
+def _dk_l2(a: str, b: str) -> str:
+    return (
+        f"sqrt(list_reduce(list_transform(list_zip({a}, {b}), "
+        f"s -> (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE)) * "
+        f"(CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE))), (x, y) -> x + y))"
+    )
+
+
+def _dk_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(list_zip({a}, {b}), "
+        f"s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (x, y) -> x + y)"
+    )
+
+
+def _dk_norm(a: str) -> str:
+    return (
+        f"sqrt(list_reduce(list_transform({a}, "
+        f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))"
+    )
+
+
+def _dk_cosine(a: str, b: str) -> str:
+    return f"({_dk_dot(a, b)}) / greatest(({_dk_norm(a)}) * ({_dk_norm(b)}), 1e-12)"
+
+
+# ---------------------------------------------------------------------------
+# IVF probe search
+# ---------------------------------------------------------------------------
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-5 for the flagship query vector: assign every row to its
+    nearest of 16 centroids, probe the 4 centroids nearest the query, exact
+    top-k inside the probed cells only.
+
+    At 100 TB the assignment is materialized once (``plans.index_build``
+    with ``partitionBy("centroid")``) and the probe filter becomes parquet
+    partition pruning — this query exercises the same expressions on the
+    unmaterialized layout."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent_rows = sorted(
+        emb.filter(F.col("vec_id") < 16).select("vec_id", "embedding").collect(),
+        key=lambda r: r.vec_id,
+    )
+    centroids = [[float(x) for x in r.embedding] for r in cent_rows]
+    qvec = centroids[0]  # embedding of vec_id = 0 (flagship query)
+    assigned = assign_centroids(emb, centroids).filter(F.col("vec_id") != 0)
+    out = ivf_search(assigned, centroids, qvec, k=5, nprobe=4)
+    return out.select(
+        "vec_id", "label", "centroid", F.round("dist", 6).alias("dist")
+    )
+
+
+ORACLE_IVF_TOPK = f"""
+WITH cents AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id, e.label, e.embedding, c.cid,
+         {_dk_l2('e.embedding', 'c.ce')} AS cdist
+  FROM embeddings e CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, label, embedding, cid AS centroid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cdist ASC, cid ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT c.cid FROM cents c, q
+  ORDER BY {_dk_l2('c.ce', 'q.qe')} ASC, c.cid ASC LIMIT 4
+)
+SELECT a.vec_id, a.label, CAST(a.centroid AS INT) AS centroid,
+       round({_dk_l2('a.embedding', 'q.qe')}, 6) AS dist
+FROM assigned a, q
+WHERE a.centroid IN (SELECT cid FROM probes) AND a.vec_id <> 0
+ORDER BY {_dk_l2('a.embedding', 'q.qe')} ASC, a.vec_id ASC
+LIMIT 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH bucketing
+# ---------------------------------------------------------------------------
+
+
+def q_lsh_bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket histogram of the 8-plane sign-bit LSH over the embeddings —
+    pins the bucketing expression the candidate join keys on."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    b = lsh_bucket(emb, LSH_PLANES)
+    return b.groupBy("bucket").agg(
+        F.count("*").alias("n"), F.min("vec_id").alias("min_vec_id")
+    )
+
+
+def _oracle_lsh_buckets() -> str:
+    bits = []
+    for i, h in enumerate(LSH_PLANES):
+        lit = "[" + ", ".join(repr(float(x)) for x in h) + "]::DOUBLE[]"
+        bits.append(
+            f"(CASE WHEN ({_dk_dot('embedding', lit)}) > 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+        )
+    expr = " + ".join(bits)
+    return f"""
+WITH b AS (SELECT vec_id, CAST({expr} AS BIGINT) AS bucket FROM embeddings)
+SELECT bucket, count(*) AS n, min(vec_id) AS min_vec_id
+FROM b GROUP BY bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup (north-star dedup family)
+# ---------------------------------------------------------------------------
+
+
+def q_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine > 0.28 within the
+    vec_id < 300 block (brute-force radius join; the LSH-blocked variant
+    at scale feeds ``lsh_candidates`` into the same verify expression)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    out = radius_join(emb, emb, radius=0.28, metric="cosine")
+    return out.select("left_id", "right_id", F.round("dist", 6).alias("cos_sim"))
+
+
+ORACLE_COSINE_DEDUP = f"""
+WITH blk AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+pairs AS (
+  SELECT a.vec_id AS left_id, b.vec_id AS right_id,
+         {_dk_cosine('a.embedding', 'b.embedding')} AS sim
+  FROM blk a, blk b WHERE a.vec_id < b.vec_id
+)
+SELECT left_id, right_id, round(sim, 6) AS cos_sim
+FROM pairs WHERE sim > 0.28
+"""
+
+
+# ---------------------------------------------------------------------------
+# Two-phase top-k (scale path for the kNN join, SURVEY §4.3.2)
+# ---------------------------------------------------------------------------
+
+
+def q_knn_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result contract as ``knn_join_topk`` (window-rank pattern) via
+    the two-phase local/global top-k — shuffles Q·k·P rows instead of N·Q."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = knn_join_two_phase(emb, queries, k=3, metric="l2")
+    return out.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        "label",
+        F.round("dist", 6).alias("dist"),
+        "rank",
+    )
+
+
+ORACLE_KNN_TWO_PHASE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, e.label,
+         {_dk_l2('e.embedding', 'q.qe')} AS dist_exact
+  FROM embeddings e, q
+  WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY dist_exact ASC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, label, round(dist_exact, 6) AS dist, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Grouped-id assembly (A1) and deterministic split (SA2)
+# ---------------------------------------------------------------------------
+
+
+def q_grouped_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 — the reference's group-by-label id-list assembly
+    (``images_by_category``, ``utils/precompute_features.py:147-149``):
+    per-label count + sorted id roster (joined to a string so the
+    value-hash is order-insensitive-safe)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.array_join(F.array_sort(F.collect_list("vec_id")), ",").alias("ids"),
+    )
+
+
+ORACLE_GROUPED_IDS = """
+SELECT label, count(*) AS n,
+       array_to_string(list_sort(list(vec_id)), ',') AS ids
+FROM embeddings GROUP BY label
+"""
+
+
+def q_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SA2 — deterministic 80/20 train/val split: per-side cardinality and
+    id checksum (reference ``random_split``, ``train_model.py:42-45``;
+    RNG replaced by the portable multiplicative hash, SURVEY §7.4.2)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    left, right = deterministic_split(emb, 0.8, "vec_id")
+    tagged = left.select(F.lit("train").alias("side"), "vec_id").unionAll(
+        right.select(F.lit("val").alias("side"), "vec_id")
+    )
+    return tagged.groupBy("side").agg(
+        F.count("*").alias("n"), F.sum("vec_id").alias("id_checksum")
+    )
+
+
+ORACLE_SPLIT_COUNTS = f"""
+WITH tagged AS (
+  SELECT CASE WHEN ((vec_id + 42) * {HASH_MULT}) % {HASH_MOD} % 100 < 80
+              THEN 'train' ELSE 'val' END AS side,
+         vec_id
+  FROM embeddings
+)
+SELECT side, count(*) AS n, sum(vec_id) AS id_checksum
+FROM tagged GROUP BY side
+"""
+
+
+ANN_QUERIES = {
+    "ivf_topk": q_ivf_topk,
+    "lsh_bucket_counts": q_lsh_bucket_counts,
+    "cosine_dedup": q_cosine_dedup,
+    "knn_two_phase": q_knn_two_phase,
+    "grouped_ids": q_grouped_ids,
+    "split_counts": q_split_counts,
+}
+
+ANN_ORACLES = {
+    "ivf_topk": ORACLE_IVF_TOPK,
+    "lsh_bucket_counts": _oracle_lsh_buckets(),
+    "cosine_dedup": ORACLE_COSINE_DEDUP,
+    "knn_two_phase": ORACLE_KNN_TWO_PHASE,
+    "grouped_ids": ORACLE_GROUPED_IDS,
+    "split_counts": ORACLE_SPLIT_COUNTS,
+}

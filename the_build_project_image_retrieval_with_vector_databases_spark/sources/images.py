@@ -54,8 +54,8 @@ def _stub_decode(payload: bytes) -> tuple[int, int, int]:
     .convert("RGB")`` (reference ``utils/precompute_features.py:174``),
     then ``np.asarray(img)`` → (H, W, 3).
     """
-    if payload is None or len(payload) == 0:
-        raise ValueError("empty payload")
+    if payload is None or len(payload) < 4:
+        raise ValueError("truncated payload")  # real codecs fail on short magic
     h = hashlib.md5(payload).digest()
     return 64 + h[0] % 192, 64 + h[1] % 192, 3
 
