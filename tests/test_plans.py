@@ -1,0 +1,93 @@
+"""Physical-plan assertions — the 100 TB design contracts (SURVEY §4):
+filters and column pruning reach the parquet scan, small dims broadcast,
+single-query top-k plans as TakeOrderedAndProject (per-partition heaps,
+no shuffle), and the big aggregations keep map-side partial aggregation.
+
+These tests pin the *plan shape*, so a regression that silently turns a
+broadcast join into a sort-merge join (or drops pushdown) fails CI even
+though results stay correct."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+import __spark_entry__ as entrymod
+from pyspark.sql import functions as F
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture(autouse=True)
+def _fresh_cache(spark):
+    """Other test modules cache these parquet scans; a cached plan turns
+    FileScan into InMemoryTableScan and hides PushedFilters/ReadSchema."""
+    spark.catalog.clearCache()
+    yield
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _explain(df) -> str:
+    # full optimized + physical text without executing
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "extended"
+    )
+
+
+def test_knn_single_is_take_ordered_no_shuffle(spark):
+    df = entrymod.queries()["knn_l2_topk"](spark, SF_SMOKE)
+    plan = _explain(df)
+    assert "TakeOrderedAndProject" in plan
+    # no exchange other than the tiny broadcast of the 1-row query vector
+    body = plan[plan.index("== Physical Plan =="):]
+    assert "Exchange hashpartitioning" not in body
+    assert "SortMergeJoin" not in body
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    df = emb.filter(F.col("vec_id") < 100).select("vec_id", "label")
+    plan = _explain(df)
+    assert re.search(r"PushedFilters: \[.*LessThan\(vec_id,100\)", plan)
+    # column pruning: embedding must NOT be read for this projection
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m and "embedding" not in m.group(1)
+
+
+def test_dim_join_broadcasts(spark):
+    df = entrymod.queries()["top_revenue_customers"](spark, SF_SMOKE)
+    plan = _explain(df)
+    body = plan[plan.index("== Physical Plan =="):]
+    assert "BroadcastHashJoin" in body
+    assert "SortMergeJoin" not in body
+
+
+def test_pricing_summary_partial_aggregation(spark):
+    df = entrymod.queries()["pricing_summary"](spark, SF_SMOKE)
+    plan = _explain(df)
+    body = plan[plan.index("== Physical Plan =="):]
+    # partial (map-side) aggregate before the exchange, final after
+    assert "partial_sum" in body or "partial_count" in body
+    assert re.search(r"l_shipdate.*1998-09-02", plan) is not None  # pushed filter
+
+
+def test_knn_join_broadcasts_queries_not_corpus(spark):
+    df = entrymod.queries()["knn_join_topk"](spark, SF_SMOKE)
+    plan = _explain(df)
+    body = plan[plan.index("== Physical Plan =="):]
+    assert "BroadcastNestedLoopJoin" in body or "BroadcastExchange" in body
+    # the corpus is never hash-repartitioned for the join itself; the only
+    # hash exchange allowed is the per-query rank window
+    assert body.count("Exchange hashpartitioning") <= 1
+
+
+def test_exact_dedup_single_shuffle(spark):
+    df = entrymod.queries()["exact_dedup"](spark, SF_SMOKE)
+    plan = _explain(df)
+    body = plan[plan.index("== Physical Plan =="):]
+    assert body.count("Exchange hashpartitioning") == 1
+    assert "partial_count" in body or "partial_min" in body

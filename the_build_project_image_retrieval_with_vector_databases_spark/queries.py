@@ -499,6 +499,7 @@ LIMIT 10
 from .queries_text import TEXT_ORACLES, TEXT_QUERIES  # noqa: E402
 from .queries_events import EVENT_ORACLES, EVENT_QUERIES  # noqa: E402
 from .queries_ann import ANN_ORACLES, ANN_QUERIES  # noqa: E402
+from .queries_pipeline import PIPELINE_ORACLES, PIPELINE_QUERIES  # noqa: E402
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_l2_topk": q_knn_l2_topk,
@@ -517,6 +518,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **TEXT_QUERIES,
     **EVENT_QUERIES,
     **ANN_QUERIES,
+    **PIPELINE_QUERIES,
 }
 
 ORACLES: dict[str, str] = {
@@ -536,4 +538,5 @@ ORACLES: dict[str, str] = {
     **TEXT_ORACLES,
     **EVENT_ORACLES,
     **ANN_ORACLES,
+    **PIPELINE_ORACLES,
 }

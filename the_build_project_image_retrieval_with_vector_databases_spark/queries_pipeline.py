@@ -1,0 +1,234 @@
+"""Pipeline-surface queries: manifest ingestion (S2), image-folder scan +
+decode (S1/S3 — through real ``binaryFile`` + ``mapInPandas``), training
+metric aggregates (A5/A6), and the formatted display projection (P8/T3).
+All oracle-checked; the fixture inputs live inside the package
+(``fixtures/``) because the driver's sf dirs carry no manifest/images.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.vector import l2_dist
+from .sources.images import decode_images, scan_image_folder
+from .sources.manifest import read_manifest
+from .sources.tables import load_table
+
+_FIXTURES = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
+MANIFEST_PATH = os.path.join(_FIXTURES, "train_val.json")
+IMAGES_ROOT = os.path.join(_FIXTURES, "images")
+
+
+# ---------------------------------------------------------------------------
+# S2 — manifest scan + positional label resolution (J4 with OOB fallback)
+# ---------------------------------------------------------------------------
+
+
+def q_manifest_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference ``utils/precompute_features.py:136-144``: load
+    ``{"train": [[label, relpath]], "categories": [...]}``, resolve each
+    label positionally against the (dirty) vocabulary, 'Unknown' for
+    out-of-bounds labels (``:158,208``). ``sf_dir`` unused — the manifest
+    is a package fixture mirroring the reference's ``train_val.json``."""
+    train, categories = read_manifest(spark, MANIFEST_PATH)
+    out = (
+        train.join(F.broadcast(categories), "label", "left")
+        .withColumn("category", F.coalesce("category", F.lit("Unknown")))
+        .withColumn(
+            "relpath",
+            F.regexp_replace("relpath", r"^caltech101/101_ObjectCategories/", ""),
+        )
+    )
+    return out.select("label", "relpath", "category")
+
+
+ORACLE_MANIFEST_SCAN = f"""
+WITH m AS (SELECT * FROM read_json('{MANIFEST_PATH}')),
+train AS (
+  SELECT CAST(pair[1] AS INT) AS label,
+         json_extract_string(pair[2], '$') AS relpath
+  FROM (SELECT unnest(train) AS pair FROM m)
+),
+cats AS (
+  SELECT s.label, s.category FROM (
+    SELECT unnest([{{'label': i - 1, 'category': categories[i]}}
+                   for i in range(1, len(categories) + 1)]) AS s
+    FROM m)
+)
+SELECT t.label,
+       regexp_replace(t.relpath, '^caltech101/101_ObjectCategories/', '') AS relpath,
+       coalesce(c.category, 'Unknown') AS category
+FROM train t LEFT JOIN cats c ON t.label = c.label
+"""
+
+
+# ---------------------------------------------------------------------------
+# S1 + S3 — binaryFile folder scan → Arrow-batched decode
+# ---------------------------------------------------------------------------
+
+
+def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ImageFolder scan (category = parent dir) through the real
+    ``mapInPandas`` decode UDF; the stub decoder's dimensions are
+    md5-derived so the oracle reproduces them exactly — this oracle-checks
+    the *plumbing* (schema, batching, hashing), with the PIL body swapped
+    in unchanged at deploy time."""
+    scanned = scan_image_folder(spark, IMAGES_ROOT, glob="*.jpg")
+    decoded = decode_images(scanned)
+    return decoded.select(
+        F.element_at(F.split("path", "/"), -1).alias("basename"),
+        "category",
+        F.col("length").alias("n_bytes"),
+        "width",
+        "height",
+        "n_channels",
+        "decode_ok",
+    )
+
+
+def _hex2int(col: str, pos: int) -> str:
+    return (
+        f"(CAST(strpos('0123456789abcdef', substr({col}, {pos}, 1)) - 1 AS INT) * 16"
+        f" + CAST(strpos('0123456789abcdef', substr({col}, {pos + 1}, 1)) - 1 AS INT))"
+    )
+
+
+ORACLE_IMAGE_DECODE = f"""
+WITH b AS (
+  SELECT filename, content, md5(lower(hex(content))) AS h,
+         octet_length(content) AS n_bytes
+  FROM read_blob('{IMAGES_ROOT}/*/*.jpg')
+)
+SELECT list_extract(string_split(filename, '/'), -1) AS basename,
+       list_extract(string_split(filename, '/'), -2) AS category,
+       n_bytes,
+       CASE WHEN n_bytes >= 4 THEN 64 + {_hex2int('h', 1)} % 192 ELSE NULL END AS width,
+       CASE WHEN n_bytes >= 4 THEN 64 + {_hex2int('h', 3)} % 192 ELSE NULL END AS height,
+       CASE WHEN n_bytes >= 4 THEN 3 ELSE NULL END AS n_channels,
+       n_bytes >= 4 AS decode_ok
+FROM b
+"""
+
+
+# ---------------------------------------------------------------------------
+# A5/A6 — training metric aggregates (epoch loss mean, accuracy ratio)
+# ---------------------------------------------------------------------------
+
+
+def q_train_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's per-epoch metric reduction (``train_model.py:78-103``):
+    running mean of a loss and Σcorrect/Σtotal accuracy. Batches are
+    simulated deterministically from the embeddings table (epoch =
+    vec_id % 4, pred = hash-derived); the aggregation shape — partial
+    map-side sums, one tiny shuffle per epoch key — is the real contract."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sim = emb.select(
+        (F.col("vec_id") % 4).alias("epoch"),
+        ((F.col("vec_id") * 37 + 11) % 1000).cast("double").alias("loss_x1000"),
+        ((F.col("vec_id") * 7 + 3) % 10).alias("pred"),
+        "label",
+    )
+    return (
+        sim.groupBy("epoch")
+        .agg(
+            F.round(F.sum("loss_x1000") / F.count("*") / 1000.0, 6).alias("avg_loss"),
+            F.round(
+                F.sum(F.when(F.col("pred") == F.col("label"), 1).otherwise(0))
+                / F.count("*")
+                * 100.0,
+                4,
+            ).alias("accuracy_pct"),
+            F.count("*").alias("n_samples"),
+        )
+        .orderBy("epoch")
+    )
+
+
+ORACLE_TRAIN_METRICS = """
+WITH sim AS (
+  SELECT vec_id % 4 AS epoch,
+         CAST((vec_id * 37 + 11) % 1000 AS DOUBLE) AS loss_x1000,
+         (vec_id * 7 + 3) % 10 AS pred,
+         label
+  FROM embeddings
+)
+SELECT epoch,
+       round(sum(loss_x1000) / count(*) / 1000.0, 6) AS avg_loss,
+       round(sum(CASE WHEN pred = label THEN 1 ELSE 0 END) * 100.0 / count(*), 4)
+         AS accuracy_pct,
+       count(*) AS n_samples
+FROM sim GROUP BY epoch ORDER BY epoch
+"""
+
+
+# ---------------------------------------------------------------------------
+# P8 + T3 — formatted result display (score strings, 5-wide result grid)
+# ---------------------------------------------------------------------------
+
+
+def q_knn_display(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's result rendering (``utils/__init__.py:130-152``):
+    top-10 neighbors with ``f"{score:.4f}"`` formatting and 5-per-row grid
+    chunking — as a projection over the kNN result."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("__qvec"))
+    ranked = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .withColumn("dist_exact", l2_dist("embedding", "__qvec"))
+        .orderBy(F.col("dist_exact").asc(), F.col("vec_id").asc())
+        .limit(10)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("dist_exact").asc(), F.col("vec_id").asc())
+            ),
+        )
+    )
+    return ranked.select(
+        "vec_id",
+        F.format_number(F.col("dist_exact"), 4).alias("dist_str"),
+        F.floor((F.col("rank") - 1) / 5).cast("int").alias("grid_row"),
+        ((F.col("rank") - 1) % 5).cast("int").alias("grid_col"),
+    )
+
+
+ORACLE_KNN_DISPLAY = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id,
+         sqrt(list_reduce(list_transform(list_zip(e.embedding, q.qe),
+              s -> (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE)) *
+                   (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE))), (x, y) -> x + y))
+           AS dist_exact
+  FROM embeddings e, q WHERE e.vec_id <> 0
+),
+ranked AS (
+  SELECT vec_id, dist_exact,
+         row_number() OVER (ORDER BY dist_exact ASC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT vec_id,
+       printf('%.4f', dist_exact) AS dist_str,
+       CAST(floor((rank - 1) / 5) AS INT) AS grid_row,
+       CAST((rank - 1) % 5 AS INT) AS grid_col
+FROM ranked WHERE rank <= 10
+"""
+
+
+PIPELINE_QUERIES = {
+    "manifest_scan": q_manifest_scan,
+    "image_decode": q_image_decode,
+    "train_metrics": q_train_metrics,
+    "knn_display": q_knn_display,
+}
+
+PIPELINE_ORACLES = {
+    "manifest_scan": ORACLE_MANIFEST_SCAN,
+    "image_decode": ORACLE_IMAGE_DECODE,
+    "train_metrics": ORACLE_TRAIN_METRICS,
+    "knn_display": ORACLE_KNN_DISPLAY,
+}

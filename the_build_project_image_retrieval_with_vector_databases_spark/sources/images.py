@@ -50,14 +50,17 @@ def _stub_decode(payload: bytes) -> tuple[int, int, int]:
     """Deterministic fake decoder (PIL absent in this container).
 
     Derives a plausible (width, height, channels) from the payload hash.
-    REAL IMPLEMENTATION: ``img = PIL.Image.open(io.BytesIO(payload))
-    .convert("RGB")`` (reference ``utils/precompute_features.py:174``),
-    then ``np.asarray(img)`` → (H, W, 3).
+    The hash runs over the *hex encoding* of the bytes so a SQL oracle can
+    reproduce it (``md5(lower(hex(content)))`` — DuckDB's md5 takes
+    VARCHAR only). REAL IMPLEMENTATION: ``img = PIL.Image.open(
+    io.BytesIO(payload)).convert("RGB")`` (reference
+    ``utils/precompute_features.py:174``), then ``np.asarray(img)`` →
+    (H, W, 3).
     """
     if payload is None or len(payload) < 4:
         raise ValueError("truncated payload")  # real codecs fail on short magic
-    h = hashlib.md5(payload).digest()
-    return 64 + h[0] % 192, 64 + h[1] % 192, 3
+    h = hashlib.md5(bytes(payload).hex().encode()).hexdigest()
+    return 64 + int(h[0:2], 16) % 192, 64 + int(h[2:4], 16) % 192, 3
 
 
 def decode_images(df: DataFrame) -> DataFrame:
@@ -96,23 +99,42 @@ def decode_images(df: DataFrame) -> DataFrame:
 
 
 def stub_embed_text(df: DataFrame, text_col: str, dim: int = 64) -> DataFrame:
-    """P2 stand-in: deterministic pseudo-embedding from md5 bytes,
-    L2-normalized — lets the full index-build pipeline (sample → embed →
-    normalize → write) run end-to-end without torch. The real model runs
-    through the same ``mapInPandas`` shape with broadcast weights."""
+    """P2 stand-in: deterministic pseudo-embedding, L2-normalized — lets
+    the full index-build pipeline (sample → embed → normalize → write) run
+    end-to-end without torch.
+
+    Exercises the real S9 checkpoint pattern (reference ``torch.load`` at
+    ``app.py:41-42`` / ``utils/precompute_features.py:130-131``): the
+    "model weights" (a seeded projection matrix standing in for the
+    checkpoint state-dict) are **broadcast once** from the driver and
+    materialized once per partition iterator — swap the matrix for real
+    weights + a torch forward and nothing else changes. Features are
+    md5-derived per row, then pushed through the broadcast projection as
+    one BLAS matmul per Arrow batch (A7's contiguous-matrix execution)."""
     import numpy as np
 
+    weights = np.random.default_rng(0xC0FFEE).standard_normal((32, dim))
+    bweights = df.sparkSession.sparkContext.broadcast(weights)
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        w = bweights.value  # per-partition init: "load the checkpoint" once
         for pdf in it:
-            vecs = []
-            for t in pdf[text_col].astype(str):
-                rng = np.random.default_rng(
-                    int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
-                )
-                v = rng.standard_normal(dim).astype(np.float32)
-                v /= max(float(np.linalg.norm(v)), 1e-12)
-                vecs.append(v.tolist())
-            yield pdf.assign(embedding=vecs)
+            feats = np.array(
+                [
+                    np.frombuffer(
+                        hashlib.md5(t.encode()).digest()
+                        + hashlib.md5(b"salt:" + t.encode()).digest(),
+                        dtype=np.uint8,
+                    )
+                    for t in pdf[text_col].astype(str)
+                ],
+                dtype=np.float64,
+            )  # (N, 32) batch matrix
+            mat = (feats - 127.5) @ w  # one matmul per Arrow batch
+            mat /= np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+            )
+            yield pdf.assign(embedding=list(mat.astype(np.float32)))
 
     fields = ", ".join(f"{c} {t}" for c, t in df.dtypes)
     return df.mapInPandas(batches, schema=f"{fields}, embedding array<float>")
