@@ -43,6 +43,9 @@ BENCH_QUERIES = [
     "lsh_bucket_counts",
     "cosine_dedup",
     "knn_two_phase",
+    "regional_volume",
+    "supplier_rollup",
+    "asof_join",
 ]
 
 

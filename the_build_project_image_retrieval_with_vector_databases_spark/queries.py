@@ -500,6 +500,7 @@ from .queries_text import TEXT_ORACLES, TEXT_QUERIES  # noqa: E402
 from .queries_events import EVENT_ORACLES, EVENT_QUERIES  # noqa: E402
 from .queries_ann import ANN_ORACLES, ANN_QUERIES  # noqa: E402
 from .queries_pipeline import PIPELINE_ORACLES, PIPELINE_QUERIES  # noqa: E402
+from .queries_relational import RELATIONAL_ORACLES, RELATIONAL_QUERIES  # noqa: E402
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_l2_topk": q_knn_l2_topk,
@@ -519,6 +520,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **EVENT_QUERIES,
     **ANN_QUERIES,
     **PIPELINE_QUERIES,
+    **RELATIONAL_QUERIES,
 }
 
 ORACLES: dict[str, str] = {
@@ -539,4 +541,5 @@ ORACLES: dict[str, str] = {
     **EVENT_ORACLES,
     **ANN_ORACLES,
     **PIPELINE_ORACLES,
+    **RELATIONAL_ORACLES,
 }

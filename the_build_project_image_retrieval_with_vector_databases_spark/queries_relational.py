@@ -1,0 +1,316 @@
+"""Generalized relational surface: multi-way join pipelines, semi/anti
+joins, rollup/grouping sets, set operations, and the event-time as-of
+join — the operator families SURVEY §2.6/§2.8 notes as "free in Spark"
+that a user of a complete engine expects, each pinned by a DuckDB oracle.
+
+Plan-shape intent at 100 TB (asserted where stable in tests/test_plans.py):
+dims (region/nation/customer/supplier/part) broadcast; only the fact
+tables shuffle, keyed by their join/agg columns; semi/anti joins stay
+broadcast (no fact-side shuffle); the as-of join is a union + window —
+one shuffle on the entity key, no range cross-product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5 shape: 6-way join + agg (fact ⋈ fact ⋈ dims)
+# ---------------------------------------------------------------------------
+
+
+def q_regional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue volume per nation where customer and supplier share the
+    nation: lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈ nation ⋈ region.
+    Facts (lineitem, orders) hash-join on orderkey; every dim broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    revenue = (
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * (F.lit(1).cast("decimal(2,0)") - F.col("l_discount").cast("decimal(7,4)"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(cust.c_nationkey == supp.s_nationkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(revenue), 2).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+ORACLE_REGIONAL_VOLUME = """
+SELECT r_name, n_name,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                (CAST(1 AS DECIMAL(2,0)) - CAST(l_discount AS DECIMAL(7,4)))), 2)
+            AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+GROUP BY r_name, n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Semi / anti joins (TPC-H Q4 shape + complement)
+# ---------------------------------------------------------------------------
+
+
+def q_order_priority_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders with ≥1 late lineitem (EXISTS → left-semi join), counted per
+    priority. The semi side is the fact table; Spark keeps it a broadcast/
+    hash semi so no lineitem rows flow past the match test."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = li.filter(F.col("l_returnflag") == "R").select("l_orderkey").distinct()
+    return (
+        orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_ORDER_PRIORITY = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no URGENT order, per market segment
+    (the unfiltered anti-join is empty in the fixture — every customer
+    ordered — so the predicate keeps the check non-trivial)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"), F.min("c_custkey").alias("min_custkey"))
+    )
+
+
+ORACLE_CUSTOMERS_NO_ORDERS = """
+SELECT c_mktsegment, count(*) AS n_customers, min(c_custkey) AS min_custkey
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# Rollup (grouping sets) over the region→nation hierarchy
+# ---------------------------------------------------------------------------
+
+
+def q_supplier_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier account balance rolled up region → nation → grand total.
+    Spark `rollup` ≡ GROUPING SETS ((r,n),(r),()); 'ALL' marks subtotal
+    rows (grouping-id made explicit so the oracle hash matches)."""
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = supp.join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.round(F.sum(F.col("s_acctbal").cast("decimal(14,2)")), 2)
+            .cast("double")
+            .alias("total_acctbal"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "n_suppliers",
+            "total_acctbal",
+        )
+    )
+
+
+ORACLE_SUPPLIER_ROLLUP = """
+SELECT coalesce(r_name, 'ALL') AS region,
+       coalesce(n_name, 'ALL') AS nation,
+       count(*) AS n_suppliers,
+       CAST(round(sum(CAST(s_acctbal AS DECIMAL(14,2))), 2) AS DOUBLE)
+         AS total_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Set operations (§2.8)
+# ---------------------------------------------------------------------------
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT over two event-type user populations —
+    one row per (op, cardinality)."""
+    ev = load_table(spark, sf_dir, "events")
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    return (
+        clickers.union(buyers).distinct().select(F.lit("union").alias("op"), "user_id")
+        .unionAll(
+            clickers.intersect(buyers).select(F.lit("intersect").alias("op"), "user_id")
+        )
+        .unionAll(
+            clickers.exceptAll(buyers).select(F.lit("except").alias("op"), "user_id")
+        )
+        .groupBy("op")
+        .agg(F.count("*").alias("n_users"), F.sum("user_id").alias("id_checksum"))
+    )
+
+
+ORACLE_SET_OPS = """
+WITH clickers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+buyers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+tagged AS (
+  SELECT 'union' AS op, user_id FROM (SELECT user_id FROM clickers UNION SELECT user_id FROM buyers)
+  UNION ALL
+  SELECT 'intersect', user_id FROM (SELECT user_id FROM clickers INTERSECT SELECT user_id FROM buyers)
+  UNION ALL
+  SELECT 'except', user_id FROM (SELECT user_id FROM clickers EXCEPT SELECT user_id FROM buyers)
+)
+SELECT op, count(*) AS n_users, sum(user_id) AS id_checksum
+FROM tagged GROUP BY op
+"""
+
+
+# ---------------------------------------------------------------------------
+# As-of join (event-time): each purchase ⟵ most recent prior view per user
+# ---------------------------------------------------------------------------
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (backward) join, the classic time-series operator Spark lacks
+    natively: for every 'purchase' event, the latest 'view' event of the
+    same user with view.ts <= purchase.ts.
+
+    Implemented shuffle-lean as union + window (operators.windows.asof
+    pattern): tag both streams, sort per user by (ts, tag), carry the last
+    seen view via `last(ignorenulls)` — ONE shuffle on user_id, no range
+    cross-product, no windowed nested-loop. Oracle: DuckDB's native
+    ASOF JOIN."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("v_ts")
+    )
+    tagged = purchases.select(
+        "user_id",
+        F.col("p_ts").alias("ts"),
+        F.lit(1).alias("is_p"),
+        "purchase_id",
+        F.lit(None).cast("long").alias("view_id"),
+        F.lit(None).cast("timestamp").alias("v_ts"),
+    ).unionAll(
+        views.select(
+            "user_id",
+            F.col("v_ts").alias("ts"),
+            F.lit(0).alias("is_p"),
+            F.lit(None).cast("long").alias("purchase_id"),
+            "view_id",
+            "v_ts",
+        )
+    )
+    # views sort before purchases at equal ts (is_p asc) → "<=" semantics;
+    # among equal-ts views the larger event_id wins (matches the oracle's
+    # deterministic tiebreak below)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_p").asc(), F.col("view_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = (
+        tagged.withColumn("last_view_id", F.last("view_id", ignorenulls=True).over(w))
+        .withColumn("last_v_ts", F.last("v_ts", ignorenulls=True).over(w))
+        .filter(F.col("is_p") == 1)
+    )
+    return joined.select(
+        "user_id",
+        "purchase_id",
+        F.unix_timestamp("ts").cast("long").alias("purchase_ep"),
+        "last_view_id",
+        F.unix_timestamp("last_v_ts").cast("long").alias("view_ep"),
+    )
+
+
+# DuckDB ASOF JOIN picks *a* row at the greatest v_ts <= p_ts but leaves
+# equal-v_ts ties unspecified; the window formulation above picks the max
+# view_id. Pin the oracle to the same contract with an explicit arg_max
+# over the (v_ts, view_id) tuple.
+ORACLE_ASOF_JOIN = """
+WITH p AS (SELECT user_id, event_id AS purchase_id, ts AS p_ts
+           FROM events WHERE event_type = 'purchase'),
+v AS (SELECT user_id, event_id AS view_id, ts AS v_ts
+      FROM events WHERE event_type = 'view'),
+best AS (
+  SELECT p.user_id, p.purchase_id, p.p_ts,
+         max(v.v_ts) AS best_ts
+  FROM p LEFT JOIN v ON v.user_id = p.user_id AND v.v_ts <= p.p_ts
+  GROUP BY p.user_id, p.purchase_id, p.p_ts
+),
+resolved AS (
+  SELECT b.user_id, b.purchase_id, b.p_ts, b.best_ts,
+         (SELECT max(view_id) FROM v
+          WHERE v.user_id = b.user_id AND v.v_ts = b.best_ts) AS last_view_id
+  FROM best b
+)
+SELECT user_id, purchase_id,
+       CAST(floor(epoch(p_ts)) AS BIGINT) AS purchase_ep,
+       last_view_id,
+       CAST(floor(epoch(best_ts)) AS BIGINT) AS view_ep
+FROM resolved
+"""
+
+
+RELATIONAL_QUERIES = {
+    "regional_volume": q_regional_volume,
+    "order_priority_semi": q_order_priority_semi,
+    "customers_without_orders": q_customers_without_orders,
+    "supplier_rollup": q_supplier_rollup,
+    "set_ops": q_set_ops,
+    "asof_join": q_asof_join,
+}
+
+RELATIONAL_ORACLES = {
+    "regional_volume": ORACLE_REGIONAL_VOLUME,
+    "order_priority_semi": ORACLE_ORDER_PRIORITY,
+    "customers_without_orders": ORACLE_CUSTOMERS_NO_ORDERS,
+    "supplier_rollup": ORACLE_SUPPLIER_ROLLUP,
+    "set_ops": ORACLE_SET_OPS,
+    "asof_join": ORACLE_ASOF_JOIN,
+}
