@@ -139,6 +139,7 @@ def minhash_signatures(
     num_hashes: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signature per document: mh_i = min over shingles of
     ((aᵢ·x + b_i) mod p), x = md5-derived shingle int.
@@ -154,7 +155,9 @@ def minhash_signatures(
     Documents with < n tokens get the sentinel signature (p everywhere)
     via a left join back to the id universe."""
     assert num_hashes <= len(MINHASH_COEFFS)
-    xs = shingle_table(df, n, text_col, id_col).select(
+    if shingles is None:
+        shingles = doc_shingles(df, n, text_col, id_col)
+    xs = shingles.select(F.col(id_col), F.explode("sh").alias("shingle")).select(
         F.col(id_col), (md5_long("shingle") % MINHASH_PRIME).alias("x")
     )
     aggs = [
@@ -162,7 +165,7 @@ def minhash_signatures(
         for i, (a, b) in enumerate(MINHASH_COEFFS[:num_hashes])
     ]
     sig0 = xs.groupBy(id_col).agg(*aggs)
-    return df.select(id_col).join(sig0, id_col, "left").select(
+    return shingles.select(id_col).join(sig0, id_col, "left").select(
         F.col(id_col),
         *[
             F.coalesce(F.col(f"mh{i}"), F.lit(MINHASH_PRIME)).alias(f"mh{i}")
@@ -192,40 +195,44 @@ def minhash_lsh_pairs(
     LSH candidate pairs, not N².
     """
     rows_per_band = num_hashes // bands
+    # One tokenize+shingle pass feeds EVERYTHING: the persisted per-doc
+    # shingle sets are exploded into the signature aggregate and reused by
+    # both sides of the verify join (at 100 TB this halves the dominant
+    # scan+tokenize cost; the persisted set is corpus-sized and
+    # MEMORY_AND_DISK spills safely).
+    shs = doc_shingles(df, n, text_col, id_col).persist()
     # The signature table is referenced by both sides of the bucket
-    # self-join; cache it so the shingle→md5→aggregate pipeline runs once.
-    # It is 8 longs + id per document — at 100 TB corpus scale this is
-    # gigabytes, not terabytes, and MEMORY_AND_DISK spills safely.
-    sigs = minhash_signatures(df, n, num_hashes, text_col, id_col).persist()
-    # one pass over the signatures: inline_outer an array of (band, key)
-    # structs instead of a bands-way union (single projection, no re-scan)
+    # self-join; persist so the shingle→md5→aggregate pipeline runs once.
+    # It is 8 longs + id per document — gigabytes at 100 TB corpus scale.
+    sigs = minhash_signatures(
+        df, n, num_hashes, text_col, id_col, shingles=shs
+    ).persist()
+    # one pass over the signatures: inline_outer an array of band structs
+    # instead of a bands-way union (single projection, no re-scan); band
+    # keys stay INTEGER columns — joining on (band, k0..k_{r-1}) avoids
+    # building/hashing concat strings for every row
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.concat_ws(
-                    "_",
-                    *[
-                        F.col(f"mh{b * rows_per_band + r}")
-                        for r in range(rows_per_band)
-                    ],
-                ).alias("band_key"),
+                *[
+                    F.col(f"mh{b * rows_per_band + r}").alias(f"k{r}")
+                    for r in range(rows_per_band)
+                ],
             )
             for b in range(bands)
         ]
     )
+    key_cols = ["band"] + [f"k{r}" for r in range(rows_per_band)]
     banded = sigs.select(F.col(id_col), F.inline_outer(band_structs))
-    a = banded.select(F.col(id_col).alias("left_id"), "band", "band_key")
-    b_ = banded.select(F.col(id_col).alias("right_id"), "band", "band_key")
+    a = banded.select(F.col(id_col).alias("left_id"), *key_cols)
+    b_ = banded.select(F.col(id_col).alias("right_id"), *key_cols)
     candidates = (
-        a.join(b_, ["band", "band_key"])
+        a.join(b_, key_cols)
         .filter(F.col("left_id") < F.col("right_id"))
         .select("left_id", "right_id")
         .distinct()
     )
-    # Shingle sets are fetched twice (left/right of the verify join);
-    # persist so tokenize+shingle runs once per doc, not twice.
-    shs = doc_shingles(df, n, text_col, id_col).persist()
     verified = (
         candidates.join(
             shs.select(F.col(id_col).alias("left_id"), F.col("sh").alias("sh_l")),

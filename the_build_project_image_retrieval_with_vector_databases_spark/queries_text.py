@@ -234,10 +234,13 @@ SELECT left_id, right_id, jaccard FROM jac WHERE jaccard >= {threshold}
                 a=a, b=b, p=MINHASH_PRIME, i=i
             )
         )
+    key_cols = ", ".join(f"k{r}" for r in range(rows_per_band))
     band_selects = " UNION ALL ".join(
-        "SELECT doc_id, {b} AS band, concat_ws('_', {keys}) AS band_key FROM sig".format(
+        "SELECT doc_id, {b} AS band, {keys} FROM sig".format(
             b=b,
-            keys=", ".join(f"mh{b * rows_per_band + r}" for r in range(rows_per_band)),
+            keys=", ".join(
+                f"mh{b * rows_per_band + r} AS k{r}" for r in range(rows_per_band)
+            ),
         )
         for b in range(bands)
     )
@@ -251,7 +254,7 @@ sig AS (
 banded AS ({band_selects}),
 cand AS (
   SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
-  FROM banded a JOIN banded b USING (band, band_key)
+  FROM banded a JOIN banded b USING (band, {key_cols})
   WHERE a.doc_id < b.doc_id
 )
 SELECT j.left_id, j.right_id, j.jaccard
