@@ -1,0 +1,93 @@
+"""Hypothesis property tests: the Catalyst expression library vs NumPy /
+pure-Python reference implementations on randomized inputs. One Spark
+round-trip per example keeps runtime bounded (small example counts)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from the_build_project_image_retrieval_with_vector_databases_spark.functions.vector import (
+    cosine_sim,
+    dot,
+    l2_dist,
+    l2_norm,
+    l2_normalize,
+)
+from the_build_project_image_retrieval_with_vector_databases_spark.functions.text import (
+    token_shingles,
+    tokens,
+)
+from pyspark.sql import functions as F
+
+finite_f32 = st.floats(
+    min_value=-100.0, max_value=100.0, allow_nan=False, width=32
+)
+vec_pair = st.integers(min_value=1, max_value=24).flatmap(
+    lambda d: st.tuples(
+        st.lists(finite_f32, min_size=d, max_size=d),
+        st.lists(finite_f32, min_size=d, max_size=d),
+    )
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(vec_pair)
+def test_vector_exprs_match_numpy(spark, pair):
+    a, b = pair
+    df = spark.createDataFrame(
+        [(a, b)], "a array<float>, b array<float>"
+    )
+    row = df.select(
+        dot("a", "b").alias("dot"),
+        l2_dist("a", "b").alias("l2"),
+        l2_norm("a").alias("na"),
+        cosine_sim("a", "b").alias("cos"),
+    ).first()
+    na = np.asarray(a, dtype=np.float32).astype(np.float64)
+    nb = np.asarray(b, dtype=np.float32).astype(np.float64)
+    assert math.isclose(row.dot, float(na @ nb), rel_tol=1e-9, abs_tol=1e-9)
+    assert math.isclose(
+        row.l2, float(np.sqrt(((na - nb) ** 2).sum())), rel_tol=1e-9, abs_tol=1e-9
+    )
+    assert math.isclose(row.na, float(np.linalg.norm(na)), rel_tol=1e-9, abs_tol=1e-9)
+    denom = max(float(np.linalg.norm(na)) * float(np.linalg.norm(nb)), 1e-12)
+    assert math.isclose(row.cos, float(na @ nb) / denom, rel_tol=1e-9, abs_tol=1e-9)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(finite_f32, min_size=1, max_size=24))
+def test_l2_normalize_unit_norm_or_zero(spark, v):
+    df = spark.createDataFrame([(v,)], "v array<float>")
+    out = df.select(l2_norm(l2_normalize("v")).alias("n")).first().n
+    raw = float(np.linalg.norm(np.asarray(v, dtype=np.float32).astype(np.float64)))
+    if raw > 1e-9:
+        assert abs(out - 1.0) < 1e-9
+    else:
+        assert out <= 1.0  # zero vector guarded by eps, stays ~0
+
+
+text_strategy = st.text(
+    alphabet=st.sampled_from("ab XY\t\n.!"), min_size=0, max_size=60
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(text_strategy, st.integers(min_value=1, max_value=4))
+def test_tokens_and_shingles_match_python(spark, text, n):
+    df = spark.createDataFrame([(text,)], "t string")
+    row = df.select(
+        tokens("t").alias("toks"), token_shingles(tokens("t"), n).alias("sh")
+    ).first()
+    want_toks = [w for w in text.lower().strip().split() if w]
+    # Spark split on \s+ of a leading-space-trimmed string: equivalent to
+    # Python str.split() for whitespace-only separators
+    assert row.toks == want_toks
+    want_sh = []
+    for i in range(max(len(want_toks) - n + 1, 0)):
+        g = " ".join(want_toks[i : i + n])
+        if g not in want_sh:
+            want_sh.append(g)
+    assert sorted(row.sh) == sorted(want_sh)

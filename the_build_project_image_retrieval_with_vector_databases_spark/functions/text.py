@@ -27,21 +27,28 @@ def token_shingles(toks: Column | str, n: int = 3, sep: str = " ") -> Column:
 
     Implemented with ``sequence`` + ``slice`` (built-in, no UDF): shingle i
     is ``concat_ws(sep, slice(toks, i, n))`` for i in 1..len-n+1.
+
+    Guard: ``sequence(1, 0)`` is DESCENDING in Spark (yields [1, 0], and
+    slice(…, 0, n) then throws), so token arrays shorter than ``n`` map to
+    an explicit empty shingle array.
     """
     toks = F.col(toks) if isinstance(toks, str) else toks
-    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    count = F.size(toks) - F.lit(n - 1)
     idx = F.sequence(F.lit(1), count)
     sh = F.transform(idx, lambda i: F.concat_ws(sep, F.slice(toks, i, n)))
-    return F.array_distinct(sh)
+    empty = F.array().cast("array<string>")
+    return F.when(count >= 1, F.array_distinct(sh)).otherwise(empty)
 
 
 def char_ngrams(text: Column | str, n: int = 3) -> Column:
-    """Distinct character n-grams → ``array<string>``."""
+    """Distinct character n-grams → ``array<string>`` (same short-input
+    guard as :func:`token_shingles`)."""
     c = F.col(text) if isinstance(text, str) else text
-    count = F.greatest(F.length(c) - F.lit(n - 1), F.lit(0))
+    count = F.length(c) - F.lit(n - 1)
     idx = F.sequence(F.lit(1), count)
     grams = F.transform(idx, lambda i: F.substring(c, i, n))
-    return F.array_distinct(grams)
+    empty = F.array().cast("array<string>")
+    return F.when(count >= 1, F.array_distinct(grams)).otherwise(empty)
 
 
 def hex_prefix_to_long(hex_col: Column | str, digits: int = 8) -> Column:
