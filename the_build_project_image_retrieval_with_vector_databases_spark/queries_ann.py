@@ -264,7 +264,7 @@ WITH tagged AS (
          vec_id
   FROM embeddings
 )
-SELECT side, count(*) AS n, sum(vec_id) AS id_checksum
+SELECT side, count(*) AS n, CAST(sum(vec_id) AS BIGINT) AS id_checksum
 FROM tagged GROUP BY side
 """
 

@@ -175,10 +175,17 @@ GROUP BY ROLLUP (r_name, n_name)
 
 def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNION / INTERSECT / EXCEPT over two event-type user populations —
-    one row per (op, cardinality)."""
+    one row per (op, cardinality). The buyers side is value-restricted so
+    all three ops yield *distinct, non-empty* groups (every user clicks in
+    the fixture; without the predicate EXCEPT is empty and UNION ≡
+    INTERSECT, which couldn't catch a broken exceptAll)."""
     ev = load_table(spark, sf_dir, "events")
     clickers = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
-    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    buyers = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 90.0))
+        .select("user_id")
+        .distinct()
+    )
     return (
         clickers.union(buyers).distinct().select(F.lit("union").alias("op"), "user_id")
         .unionAll(
@@ -194,7 +201,8 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_SET_OPS = """
 WITH clickers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
-buyers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+buyers AS (SELECT DISTINCT user_id FROM events
+           WHERE event_type = 'purchase' AND value > 90.0),
 tagged AS (
   SELECT 'union' AS op, user_id FROM (SELECT user_id FROM clickers UNION SELECT user_id FROM buyers)
   UNION ALL
@@ -202,7 +210,7 @@ tagged AS (
   UNION ALL
   SELECT 'except', user_id FROM (SELECT user_id FROM clickers EXCEPT SELECT user_id FROM buyers)
 )
-SELECT op, count(*) AS n_users, sum(user_id) AS id_checksum
+SELECT op, count(*) AS n_users, CAST(sum(user_id) AS BIGINT) AS id_checksum
 FROM tagged GROUP BY op
 """
 
