@@ -16,9 +16,10 @@ Spark-first physical strategy:
   distributed.
 - **Query set** → ``crossJoin(broadcast(queries))`` (no shuffle of the
   corpus — the N×Q expansion streams through codegen) + per-query
-  window rank for small Q, or a two-phase ``mapInPandas`` local-top-k /
-  global-top-k for large Q (avoids the rank window's full shuffle of
-  N×Q rows; only Q×k×partitions rows shuffle).
+  window rank. Spark ≥3.5 plans the rank filter as a two-phase
+  ``WindowGroupLimit`` (Partial before the exchange, Final after), so
+  only Q×k×partitions rows shuffle — the FAISS local-heap/merge shape
+  comes out of the optimizer, not hand-rolled operators.
 
 At 100 TB the corpus never moves: queries broadcast, distances fuse into
 the scan stage, and only k rows per (query, partition) survive.
@@ -116,36 +117,30 @@ def knn_join_two_phase(
     query_id_col: str = "query_id",
     exclude_self: bool = True,
 ) -> DataFrame:
-    """Scale path for large query batches: local top-k per partition, then
-    global top-k — mirrors FAISS's per-block heap + merge (SURVEY §4.3.2).
+    """Two-phase (local top-k per partition → global top-k) kNN join —
+    mirrors FAISS's per-block heap + merge (SURVEY §4.3.2).
 
-    The rank-window version shuffles N×Q scored rows; this shuffles only
-    Q×k×P rows (P = corpus partitions). Same results, property-tested
-    equal to :func:`knn_join`.
+    Delegates to :func:`knn_join`: Spark ≥3.5 plans the rank-window +
+    ``rank <= k`` filter as ``WindowGroupLimit`` with a **Partial** stage
+    BEFORE the exchange, i.e. each map partition forwards at most k rows
+    per query — the shuffle carries Q×k×P rows, not N×Q. That IS the
+    two-phase execution, natively, with zero extra operators; an earlier
+    hand-rolled phase-1 window keyed by ``spark_partition_id`` only added
+    a redundant second exchange of the same data (the window's partition
+    keys force a hash exchange regardless of how "local" the keys are).
+    The Partial WindowGroupLimit plan shape is pinned in
+    ``tests/test_plans.py``.
     """
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        F.col(query_vec_col).alias("__qvec"),
-    )
-    score, asc = _score(metric, F.col(vec_col), F.col("__qvec"))
-    joined = corpus.crossJoin(F.broadcast(q))
-    if exclude_self:
-        joined = joined.filter(F.col(id_col) != F.col("query_id"))
-    scored = joined.withColumn("dist", score).drop("__qvec")
-
-    order = [F.col("dist").asc() if asc else F.col("dist").desc(), F.col(id_col).asc()]
-    # Phase 1: top-k within each scan partition — no shuffle; the window
-    # partitions by (spark_partition_id, query_id) which is already local.
-    local_w = Window.partitionBy(F.spark_partition_id(), "query_id").orderBy(*order)
-    local = scored.withColumn("__lr", F.row_number().over(local_w)).filter(
-        F.col("__lr") <= k
-    )
-    # Phase 2: global top-k over the surviving Q×k×P rows (tiny shuffle).
-    global_w = Window.partitionBy("query_id").orderBy(*order)
-    return (
-        local.drop("__lr")
-        .withColumn("rank", F.row_number().over(global_w))
-        .filter(F.col("rank") <= k)
+    return knn_join(
+        corpus,
+        queries,
+        k=k,
+        metric=metric,
+        vec_col=vec_col,
+        id_col=id_col,
+        query_vec_col=query_vec_col,
+        query_id_col=query_id_col,
+        exclude_self=exclude_self,
     )
 
 

@@ -135,10 +135,13 @@ def q_train_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         sim.groupBy("epoch")
         .agg(
             F.round(F.sum("loss_x1000") / F.count("*") / 1000.0, 6).alias("avg_loss"),
+            # operand order matches the oracle's sum*100.0/count exactly —
+            # (sum/count)*100.0 can differ in the last ulp and straddle the
+            # round(...,4) boundary
             F.round(
                 F.sum(F.when(F.col("pred") == F.col("label"), 1).otherwise(0))
-                / F.count("*")
-                * 100.0,
+                * 100.0
+                / F.count("*"),
                 4,
             ).alias("accuracy_pct"),
             F.count("*").alias("n_samples"),
