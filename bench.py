@@ -32,11 +32,15 @@ BENCH_QUERIES = [
     "pricing_summary",
     "top_revenue_customers",
     "top_terms",
+    "salted_term_counts",
+    "suffix_join",
     "exact_dedup",
     "ngram_jaccard_dedup",
     "minhash_lsh_dedup",
     "simhash",
+    "simhash_near_dup",
     "tumbling_window",
+    "sliding_window",
     "sessionize",
     "json_extract_agg",
     "ivf_topk",
@@ -44,6 +48,7 @@ BENCH_QUERIES = [
     "cosine_dedup",
     "knn_two_phase",
     "regional_volume",
+    "part_profit",
     "supplier_rollup",
     "asof_join",
 ]

@@ -85,6 +85,46 @@ def test_knn_join_broadcasts_queries_not_corpus(spark):
     assert body.count("Exchange hashpartitioning") <= 1
 
 
+def test_knn_join_two_phase_windowgrouplimit(spark):
+    """The kNN-join rank filter must plan as two-phase WindowGroupLimit:
+    a Partial stage below the exchange (≤k rows per query per map
+    partition shuffle — the FAISS local-heap/merge shape) and a Final
+    stage above it."""
+    df = entrymod.queries()["knn_two_phase"](spark, SF_SMOKE)
+    plan = _physical(df)
+    partial = plan.index("Partial")
+    assert "WindowGroupLimit" in plan
+    exchange = plan.index("Exchange hashpartitioning")
+    # physical plans print top-down: Final WindowGroupLimit, then the
+    # exchange, then the Partial stage underneath
+    final = plan.index("Final")
+    assert final < exchange < partial
+
+
+def test_ngram_jaccard_no_scanfilter_tokenize(spark):
+    """The inverted-index self-join must not let InferFiltersFromGenerate
+    re-inline the tokenize expression as a per-row scan filter, and must
+    stay a sort-merge join (broadcast would compute the pipeline twice)."""
+    df = entrymod.queries()["ngram_jaccard_dedup"](spark, SF_SMOKE)
+    plan = _physical(df)
+    # one tokenize per join side in the projection — not 8× in filters
+    assert plan.count("split(trim(lower(") <= 2
+    assert "SortMergeJoin" in plan
+
+
+def test_ivf_topk_partition_pruned(spark):
+    """The benched IVF probe must run against the materialized
+    partitioned layout with the centroid IN-filter applied as parquet
+    *partition pruning* (nprobe/16 of the data read), self-exclusion
+    pushed to the scan, and a zero-shuffle TakeOrderedAndProject top-k."""
+    df = entrymod.queries()["ivf_topk"](spark, SF_SMOKE)
+    plan = _physical(df)
+    assert re.search(r"PartitionFilters: \[.*centroid.*IN \(", plan)
+    assert "Not(EqualTo(vec_id,0))" in plan  # self-exclusion pushed down
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
 def test_exact_dedup_single_shuffle(spark):
     df = entrymod.queries()["exact_dedup"](spark, SF_SMOKE)
     plan = _explain(df)

@@ -70,18 +70,32 @@ def doc_shingles(
     """(doc_id, sh: array<string>) — distinct token n-gram shingles, one
     row per document. The shared upstream of every near-dup operator;
     ``spread`` unlocks all cores when the scan has too few splits (one
-    fixture file → one task otherwise; a no-op at real input widths)."""
-    return spread(df).select(
-        F.col(id_col), token_shingles(tokens(text_col), n).alias("sh")
+    fixture file → one task otherwise; a no-op at real input widths).
+
+    The tokenize runs in its OWN projection: ``token_shingles`` references
+    its token-array input multiple times (size + per-shingle slice), and
+    inlining the regex-split expression makes Catalyst re-evaluate the
+    tokenize once per reference — O(tokens × shingles) per document,
+    measured 2× wall-clock on the whole shingle pass. A separate alias is
+    not collapsed (CollapseProject keeps non-cheap multi-referenced
+    aliases), so the split happens once per row."""
+    toked = spread(df).select(F.col(id_col), tokens(text_col).alias("__toks"))
+    return toked.select(
+        F.col(id_col), token_shingles(F.col("__toks"), n).alias("sh")
     )
 
 
 def shingle_table(
     df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """(doc_id, shingle) inverted index over distinct token n-gram shingles."""
-    return doc_shingles(df, n, text_col, id_col).select(
-        F.col(id_col), F.explode("sh").alias("shingle")
+    """(doc_id, shingle) inverted index over distinct token n-gram shingles.
+
+    explode_outer + null-filter (not plain explode) everywhere a heavy
+    array expression feeds a generate — see ngram_jaccard_pairs."""
+    return (
+        doc_shingles(df, n, text_col, id_col)
+        .select(F.col(id_col), F.explode_outer("sh").alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
     )
 
 
@@ -91,34 +105,73 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_df_frac: float | None = None,
+    min_df_cap: int = 10,
 ) -> DataFrame:
     """Candidate pairs sharing ≥1 shingle, verified by exact Jaccard ≥ τ.
 
     |A∩B| comes from the inverted-index self-join grouped by pair;
     |A∪B| = |A| + |B| − |A∩B|. Shuffles are keyed by shingle (blocking)
-    then by pair — both bounded by true near-dup density, not N².
-    Stop-shingles (appearing in > ~1% of docs) should be dropped at real
-    scale; the fixture corpus doesn't need it.
+    then by pair — both bounded by true near-dup density, not N²...
+    PROVIDED no shingle is corpus-hot. ``max_df_frac`` is the stop-shingle
+    guard that makes that hold at 100 TB: shingles whose document
+    frequency exceeds ``max(min_df_cap, ceil(max_df_frac · n_docs))`` are
+    dropped from every document's set BEFORE pairing (Jaccard is then over
+    the filtered sets — the standard Broder-style stop-shingle rule).
+    Without it a single boilerplate shingle contributes df² join rows.
+    ``min_df_cap`` keeps duplicate *clusters* intact: a k-way duplicated
+    doc's shingles legitimately reach df = k, and dropping them would hide
+    exactly the clusters dedup most needs to find.
+
+    Scale shape: shingle strings are hashed to 60-bit ints (md5-prefix —
+    cross-engine-portable, so the oracle groups by the SAME hash and even
+    hash collisions agree bit-for-bit between engines) — the hot join and
+    pair aggregation shuffle longs, not ~20-char strings. Both sides of
+    the self-join are the same aliased plan, so the shingle exchange is
+    computed once and reused (ReusedExchange), not twice.
     """
+    # explode_OUTER + null-filter, not plain explode: a bare explode lets
+    # InferFiltersFromGenerate push `size(shingles) > 0` into the scan,
+    # inlining the whole tokenize+shingle expression as a per-row scan
+    # filter (measured 16 copies of the tokenize subtree in the plan and
+    # ~5× wall-clock). The outer generate blocks that pushdown; empty-doc
+    # rows surface as one null and are dropped here instead.
     ex = doc_shingles(df, n, text_col, id_col).select(
-        F.col(id_col),
-        F.size("sh").alias("n_sh"),
-        F.explode("sh").alias("shingle"),
-    )
-    # carry each doc's shingle count THROUGH the explode: n_left/n_right are
-    # functionally dependent on the ids, so adding them to the group keys is
-    # free — and it deletes two post-aggregation joins plus the separate
-    # sizes shuffle the naive plan would need.
-    a = ex.select(
-        F.col(id_col).alias("left_id"), F.col("n_sh").alias("n_left"), "shingle"
-    )
-    b = ex.select(
-        F.col(id_col).alias("right_id"), F.col("n_sh").alias("n_right"), "shingle"
-    )
+        F.col(id_col), F.explode_outer("sh").alias("shingle_s")
+    ).filter(F.col("shingle_s").isNotNull())
+    ex = ex.select(F.col(id_col), md5_long("shingle_s", digits=15).alias("shingle"))
+    if max_df_frac is not None:
+        n_docs = df.select(F.count("*").alias("__n_docs"))
+        cap = F.greatest(
+            F.lit(min_df_cap).cast("long"),
+            F.ceil(F.lit(float(max_df_frac)) * F.col("__n_docs")),
+        )
+        wdf = Window.partitionBy("shingle")
+        ex = (
+            ex.withColumn("__df", F.count("*").over(wdf))
+            .crossJoin(F.broadcast(n_docs))
+            .filter(F.col("__df") <= cap)
+            .drop("__df", "__n_docs")
+        )
+    # per-doc set size AFTER the cap, carried through the join so the pair
+    # aggregation needs no post-hoc sizes join
+    wid = Window.partitionBy(id_col)
+    ex = ex.withColumn("n_sh", F.count("*").over(wid))
+    a, b = ex.alias("a"), ex.alias("b")
+    # merge hint: AQE would otherwise broadcast one side (the exploded
+    # table fits under the threshold at test SF), which computes the
+    # tokenize pipeline twice; sort-merge keeps both sides as the same
+    # shuffled subplan — and at 100 TB the exploded table is never
+    # broadcastable anyway, so this pins the plan shape scale uses.
     return (
-        a.join(b, "shingle")
-        .filter(F.col("left_id") < F.col("right_id"))
-        .groupBy("left_id", "right_id", "n_left", "n_right")
+        a.join(b.hint("merge"), F.col("a.shingle") == F.col("b.shingle"))
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("left_id"),
+            F.col(f"b.{id_col}").alias("right_id"),
+            F.col("a.n_sh").alias("n_left"),
+            F.col("b.n_sh").alias("n_right"),
+        )
         .agg(F.count("*").alias("n_inter"))
         .withColumn(
             "jaccard",
@@ -157,8 +210,10 @@ def minhash_signatures(
     assert num_hashes <= len(MINHASH_COEFFS)
     if shingles is None:
         shingles = doc_shingles(df, n, text_col, id_col)
-    xs = shingles.select(F.col(id_col), F.explode("sh").alias("shingle")).select(
-        F.col(id_col), (md5_long("shingle") % MINHASH_PRIME).alias("x")
+    xs = (
+        shingles.select(F.col(id_col), F.explode_outer("sh").alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
+        .select(F.col(id_col), (md5_long("shingle") % MINHASH_PRIME).alias("x"))
     )
     aggs = [
         F.min((F.col("x") * a + b) % MINHASH_PRIME).alias(f"mh{i}")
@@ -182,6 +237,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    cache_handles: list | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs: band the signature (rows = H/bands),
     bucket-join on (band_idx, band_key), verify candidates — and ONLY
@@ -193,7 +249,17 @@ def minhash_lsh_pairs(
     the candidate verification joins. There is NO all-pairs shingle join
     anywhere — the exact-Jaccard work is proportional to the number of
     LSH candidate pairs, not N².
-    """
+
+    Caching contract: two intermediates (shingle sets, signatures) are
+    persisted because each is consumed by multiple joins. Pass
+    ``cache_handles`` (a list) to receive them and ``unpersist()`` after
+    the returned plan is materialized; without it the cached blocks live
+    until session GC — fine for one-shot jobs, a leak in long-lived
+    sessions."""
+    assert num_hashes % bands == 0, (
+        f"num_hashes ({num_hashes}) must divide evenly into bands ({bands}); "
+        "trailing signature hashes would be silently ignored"
+    )
     rows_per_band = num_hashes // bands
     # One tokenize+shingle pass feeds EVERYTHING: the persisted per-doc
     # shingle sets are exploded into the signature aggregate and reused by
@@ -207,6 +273,8 @@ def minhash_lsh_pairs(
     sigs = minhash_signatures(
         df, n, num_hashes, text_col, id_col, shingles=shs
     ).persist()
+    if cache_handles is not None:
+        cache_handles.extend([shs, sigs])
     # one pass over the signatures: inline_outer an array of band structs
     # instead of a bands-way union (single projection, no re-scan); band
     # keys stay INTEGER columns — joining on (band, k0..k_{r-1}) avoids
@@ -271,7 +339,11 @@ def simhash(
     hash-aggregate with ``bits`` conditional sums (partial aggregation
     map-side, so the shuffle carries one row of vote counters per doc) —
     scales to arbitrarily long documents, unlike a per-row array fold."""
-    e = spread(df).select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    e = (
+        spread(df)
+        .select(F.col(id_col), F.explode_outer(tokens(text_col)).alias("tok"))
+        .filter(F.col("tok").isNotNull())
+    )
     xs = e.select(F.col(id_col), md5_long("tok").alias("x"))
     votes = [
         F.sum(
@@ -304,4 +376,73 @@ def simhash_dup_groups(
         s.groupBy("simhash")
         .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keep_id"))
         .filter(F.col("n_docs") > 1)
+    )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cache_handles: list | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs at Hamming distance ≤ d over the SimHash
+    fingerprint — the distance-tolerant variant of
+    :func:`simhash_dup_groups` (reference near-dup semantics:
+    ``utils/__init__.py:67-83`` cosine over near-identical images; here
+    the text analogue at fingerprint level).
+
+    Standard band-rotation LSH on the fingerprint: split the ``bits``-bit
+    fingerprint into ``bands`` contiguous ``bits/bands``-bit keys. By
+    pigeonhole, two fingerprints within Hamming distance d < bands agree
+    on ≥ 1 whole band, so the candidate join on (band, band_key) has
+    **perfect recall** for d ≤ bands − 1 (enforced below). Candidates are
+    verified with ``bit_count(fp_l XOR fp_r) ≤ d`` — integer-portable, so
+    the DuckDB oracle runs the identical arithmetic.
+
+    Scale shape: one fingerprint aggregate (persisted — both join sides
+    consume it), bands×N banded rows, shuffle keyed by (band, band_key).
+    No all-pairs comparison anywhere: work is proportional to bucket
+    collisions, and the verify is O(1) per candidate. Same
+    ``cache_handles`` cleanup contract as :func:`minhash_lsh_pairs`."""
+    assert bits % bands == 0, f"bits ({bits}) must divide into bands ({bands})"
+    assert max_hamming < bands, (
+        f"recall guarantee needs max_hamming ({max_hamming}) < bands ({bands}): "
+        "pigeonhole gives >= 1 equal band only when d < bands"
+    )
+    band_bits = bits // bands
+    s = simhash(df, bits, text_col, id_col).persist()
+    if cache_handles is not None:
+        cache_handles.append(s)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                (
+                    F.floor(F.col("simhash") / F.lit(1 << (b * band_bits))).cast(
+                        "long"
+                    )
+                    % F.lit(1 << band_bits)
+                ).alias("bkey"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = s.select(F.col(id_col), F.col("simhash"), F.inline(band_structs))
+    a = banded.select(
+        F.col(id_col).alias("left_id"), F.col("simhash").alias("fp_l"), "band", "bkey"
+    )
+    b_ = banded.select(
+        F.col(id_col).alias("right_id"), F.col("simhash").alias("fp_r"), "band", "bkey"
+    )
+    return (
+        a.join(b_, ["band", "bkey"])
+        .filter(F.col("left_id") < F.col("right_id"))
+        .select("left_id", "right_id", "fp_l", "fp_r")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("fp_l").bitwiseXOR(F.col("fp_r"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("left_id", "right_id", F.col("hamming").cast("int").alias("hamming"))
     )

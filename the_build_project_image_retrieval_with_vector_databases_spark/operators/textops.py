@@ -55,7 +55,14 @@ def top_terms(
 
     explode → hash agg; partial aggregation keeps the shuffle tiny at
     scale (term cardinality, not token count)."""
-    exploded = spread(df).select(F.explode(tokens(text_col)).alias("term"))
+    # explode_outer + null-filter: a bare explode lets Catalyst push a
+    # size(tokens)>0 filter into the scan, re-evaluating the tokenize per
+    # row (see operators.dedup.ngram_jaccard_pairs)
+    exploded = (
+        spread(df)
+        .select(F.explode_outer(tokens(text_col)).alias("term"))
+        .filter(F.col("term").isNotNull())
+    )
     counts = exploded.groupBy("term").agg(F.count("*").alias("tf"))
     return counts.orderBy(F.col("tf").desc(), F.col("term").asc()).limit(k)
 
@@ -70,7 +77,11 @@ def tf_idf(
 
     Two hash aggregations; doc count enters as a broadcast scalar
     (cross-join of a 1-row aggregate — Catalyst broadcasts it)."""
-    toks = spread(df).select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    toks = (
+        spread(df)
+        .select(F.col(id_col), F.explode_outer(tokens(text_col)).alias("term"))
+        .filter(F.col("term").isNotNull())
+    )
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df")).filter(
         F.col("df") >= min_df

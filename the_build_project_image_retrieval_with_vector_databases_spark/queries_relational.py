@@ -70,6 +70,59 @@ GROUP BY r_name, n_name
 
 
 # ---------------------------------------------------------------------------
+# TPC-H Q9 shape: part-filtered profit per nation per year
+# ---------------------------------------------------------------------------
+
+
+def q_part_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9-shape 'product profit' cube: revenue of lineitems whose part name
+    matches a token, per supplier nation per ship year (the fixture has no
+    partsupp table, so revenue stands in for profit).
+
+    100 TB plan: the name filter prunes `part` BEFORE the broadcast (a
+    selective dim filter belongs on the build side); lineitem — the only
+    big table — is never shuffled: both joins broadcast, and the final
+    aggregation's map-side partial runs on the scan stage."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    revenue = (
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * (F.lit(1).cast("decimal(2,0)") - F.col("l_discount").cast("decimal(7,4)"))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").alias("o_year"),
+        )
+        .agg(
+            F.round(F.sum(revenue), 2).cast("double").alias("profit"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+ORACLE_PART_PROFIT = """
+SELECT n_name AS nation,
+       CAST(year(l_shipdate) AS INT) AS o_year,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                (CAST(1 AS DECIMAL(2,0)) - CAST(l_discount AS DECIMAL(7,4)))), 2)
+            AS DOUBLE) AS profit,
+       count(*) AS n_items
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, year(l_shipdate)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Semi / anti joins (TPC-H Q4 shape + complement)
 # ---------------------------------------------------------------------------
 
@@ -307,6 +360,7 @@ FROM resolved
 
 RELATIONAL_QUERIES = {
     "regional_volume": q_regional_volume,
+    "part_profit": q_part_profit,
     "order_priority_semi": q_order_priority_semi,
     "customers_without_orders": q_customers_without_orders,
     "supplier_rollup": q_supplier_rollup,
@@ -316,6 +370,7 @@ RELATIONAL_QUERIES = {
 
 RELATIONAL_ORACLES = {
     "regional_volume": ORACLE_REGIONAL_VOLUME,
+    "part_profit": ORACLE_PART_PROFIT,
     "order_priority_semi": ORACLE_ORDER_PRIORITY,
     "customers_without_orders": ORACLE_CUSTOMERS_NO_ORDERS,
     "supplier_rollup": ORACLE_SUPPLIER_ROLLUP,
