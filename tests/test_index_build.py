@@ -9,6 +9,8 @@ from pyspark.sql import functions as F
 
 from the_build_project_image_retrieval_with_vector_databases_spark.plans.index_build import (
     build_index,
+    write_metadata_json,
+    write_vector_map,
 )
 from the_build_project_image_retrieval_with_vector_databases_spark.operators.ann import (
     ivf_search,
@@ -44,6 +46,31 @@ def test_build_index_ids_stable_under_repartition(spark):
     ka = sorted((r.vec_id, r.row_id) for r in a.select("vec_id", "row_id").collect())
     kb = sorted((r.vec_id, r.row_id) for r in b.select("vec_id", "row_id").collect())
     assert ka == kb
+
+
+def test_sidecar_sinks_roundtrip(spark, tmp_path):
+    """S7 (JSON metadata) and S8 (key→vector map) sidecar-parity sinks:
+    write + re-read preserves rows, keys, and vector payloads exactly."""
+    built = build_index(_emb(spark), per_class=5).cache()
+    n = built.count()
+
+    jpath = str(tmp_path / "metadata_json")
+    write_metadata_json(built, jpath)
+    meta = spark.read.json(jpath)
+    assert meta.count() == n
+    assert "embedding" not in meta.columns  # vectors excluded from S7
+    want = {(r.vec_id, r.label, r.row_id) for r in built.collect()}
+    got = {(r.vec_id, r.label, r.row_id) for r in meta.collect()}
+    assert got == want
+
+    vpath = str(tmp_path / "vector_map")
+    write_vector_map(built, vpath)
+    vmap = spark.read.parquet(vpath)
+    assert vmap.columns == ["row_id", "embedding"]
+    assert vmap.count() == n
+    a = {r.row_id: list(r.embedding) for r in built.select("row_id", "embedding").collect()}
+    b = {r.row_id: list(r.embedding) for r in vmap.collect()}
+    assert a == b  # float32 bits survive the parquet roundtrip exactly
 
 
 def test_ivf_layout_roundtrip(spark, tmp_path):

@@ -158,6 +158,54 @@ def lsh_bucket(
     return df.withColumn(out_col, key.cast("long"))
 
 
+def brp_lsh_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 8,
+    seed: int = 42,
+):
+    """MLlib ``BucketedRandomProjectionLSH`` over the embedding column —
+    the built-in Euclidean-LSH path SURVEY §7.3 names alongside the
+    custom hyperplane LSH (which stays the oracle-checkable default).
+
+    Returns ``(model, featured_df)`` where ``featured_df`` carries the
+    ``__features`` vector column the model hashes. At scale the model's
+    ``approxSimilarityJoin`` shuffles on (hash-table, bucket) keys —
+    the same bucketed-join shape as :func:`lsh_candidates`."""
+    if not _HAVE_MLLIB:
+        raise RuntimeError("pyspark.ml unavailable")
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+
+    featured = df.withColumn("__features", array_to_vector(F.col(vec_col)))
+    brp = BucketedRandomProjectionLSH(
+        inputCol="__features",
+        outputCol="__hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    )
+    return brp.fit(featured), featured
+
+
+def brp_approx_topk(model, featured: DataFrame, query_vec: list[float], k: int = 10):
+    """``approxNearestNeighbors``: candidates = rows sharing ≥1 hash
+    bucket with the key, exact L2 on candidates only."""
+    from pyspark.ml.linalg import Vectors
+
+    return model.approxNearestNeighbors(
+        featured, Vectors.dense([float(x) for x in query_vec]), k, distCol="dist"
+    )
+
+
+def brp_similarity_join(
+    model, a: DataFrame, b: DataFrame, threshold: float
+) -> DataFrame:
+    """``approxSimilarityJoin`` at an L2 distance threshold — the MLlib
+    counterpart of :func:`lsh_candidates` + radius verify."""
+    return model.approxSimilarityJoin(a, b, threshold, distCol="dist")
+
+
 def lsh_candidates(
     df: DataFrame,
     planes: list[list[float]],

@@ -88,3 +88,28 @@ def build_index(
     if out_path:
         indexed.write.mode("overwrite").parquet(out_path)
     return indexed
+
+
+def write_metadata_json(
+    indexed: DataFrame, path: str, vec_col: str = "embedding"
+) -> None:
+    """S7 sidecar parity: the reference's JSON metadata file
+    (``utils/precompute_features.py:211-213`` — one
+    ``{path,label,category}`` record per indexed row). Here: the
+    non-vector columns of the index table as JSON lines — a distributed
+    write, no driver materialization (``json.dump`` of the whole corpus
+    on one node is exactly what dies at 100 TB)."""
+    indexed.drop(vec_col).write.mode("overwrite").json(path)
+
+
+def write_vector_map(
+    indexed: DataFrame,
+    path: str,
+    key_col: str = "row_id",
+    vec_col: str = "embedding",
+) -> None:
+    """S8 sidecar parity: the reference's pickled ``{path: feature}`` map
+    (``utils/precompute_features.py:221-224``). Here: a two-column
+    (key, vector) parquet table — columnar, splittable, predicate-pushable;
+    a pickle blob is a single-node artifact with none of those."""
+    indexed.select(key_col, vec_col).write.mode("overwrite").parquet(path)

@@ -9,8 +9,11 @@ state loads once per partition iterator — the distributed analogue of the
 reference's ``@st.cache_resource`` model caching (``app.py:30``).
 
 The image libraries (PIL/torch) are NOT in this container, so the decode
-body is a clearly-marked deterministic stub; the Spark-side plumbing
-(schema, batch iteration, error tolerance) is real and tested.
+body defaults to a clearly-marked deterministic stub; the Spark-side
+plumbing (schema, batch iteration, error tolerance) is real and tested.
+The REAL bodies exist behind optional imports: ``decode_images(decoder=
+"pil"|"auto")`` and :func:`embed_images_torch` run the reference's actual
+codec/model code when PIL/torch are importable.
 """
 
 from __future__ import annotations
@@ -21,6 +24,25 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# Optional real codecs/models — absent in this container; every consumer
+# takes a `decoder=`/loader argument so the stub stays the default for
+# oracle-reproducible runs even where PIL/torch ARE installed.
+try:  # pragma: no cover - container has no PIL
+    from PIL import Image as _PILImage
+
+    _HAVE_PIL = True
+except Exception:
+    _PILImage = None
+    _HAVE_PIL = False
+
+try:  # pragma: no cover - container has no torch
+    import torch as _torch
+
+    _HAVE_TORCH = True
+except Exception:
+    _torch = None
+    _HAVE_TORCH = False
 
 IMAGE_GLOB = "*.{jpg,jpeg,png}"  # reference upload filter, app.py:78
 
@@ -47,15 +69,12 @@ def scan_image_folder(
 
 
 def _stub_decode(payload: bytes) -> tuple[int, int, int]:
-    """Deterministic fake decoder (PIL absent in this container).
+    """Deterministic fake decoder (the oracle-reproducible default).
 
     Derives a plausible (width, height, channels) from the payload hash.
     The hash runs over the *hex encoding* of the bytes so a SQL oracle can
     reproduce it (``md5(lower(hex(content)))`` — DuckDB's md5 takes
-    VARCHAR only). REAL IMPLEMENTATION: ``img = PIL.Image.open(
-    io.BytesIO(payload)).convert("RGB")`` (reference
-    ``utils/precompute_features.py:174``), then ``np.asarray(img)`` →
-    (H, W, 3).
+    VARCHAR only).
     """
     if payload is None or len(payload) < 4:
         raise ValueError("truncated payload")  # real codecs fail on short magic
@@ -63,12 +82,34 @@ def _stub_decode(payload: bytes) -> tuple[int, int, int]:
     return 64 + int(h[0:2], 16) % 192, 64 + int(h[2:4], 16) % 192, 3
 
 
-def decode_images(df: DataFrame) -> DataFrame:
+def _pil_decode(payload: bytes) -> tuple[int, int, int]:
+    """Real decoder — the reference's body (``utils/precompute_features.py:174``,
+    ``app.py:158-160``): open, force RGB, read dimensions. Only reachable
+    when PIL is importable."""
+    import io
+
+    img = _PILImage.open(io.BytesIO(bytes(payload))).convert("RGB")
+    return img.width, img.height, 3
+
+
+def decode_images(df: DataFrame, decoder: str = "stub") -> DataFrame:
     """S3: binary → decoded metadata via Arrow-batched mapInPandas.
+
+    ``decoder``: ``"stub"`` (default — deterministic, oracle-checkable),
+    ``"pil"`` (real codec, requires PIL), or ``"auto"`` (PIL if
+    importable, stub otherwise). The stub stays the default so
+    correctness runs are reproducible on any container; a user with PIL
+    installed flips one argument and the identical distributed plumbing
+    (schema, Arrow batching, per-row error tolerance) carries the real
+    codec.
 
     Per-row failures null the row out instead of failing the job
     (F2 error-tolerant map, reference ``utils/precompute_features.py:167-182``).
     """
+    if decoder == "pil" and not _HAVE_PIL:
+        raise RuntimeError("decoder='pil' requested but PIL is not importable")
+    use_pil = decoder == "pil" or (decoder == "auto" and _HAVE_PIL)
+    decode = _pil_decode if use_pil else _stub_decode
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # per-partition init goes here (load codec/model ONCE per task)
@@ -78,7 +119,7 @@ def decode_images(df: DataFrame) -> DataFrame:
                 pdf["path"], pdf["length"], pdf["category"], pdf["content"]
             ):
                 try:
-                    w, hgt, c = _stub_decode(content)
+                    w, hgt, c = decode(content)
                     out.append((path, length, category, w, hgt, c, True))
                 except Exception:
                     out.append((path, length, category, None, None, None, False))
@@ -96,6 +137,58 @@ def decode_images(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(batches, schema=DECODED_SCHEMA)
+
+
+def embed_images_torch(
+    df: DataFrame,
+    model_loader,
+    dim: int,
+    content_col: str = "content",
+    batch_size: int = 64,
+) -> DataFrame:
+    """P1+P2 real path — decode → preprocess → batched forward → L2
+    normalize, the reference's per-image loop (``app.py:158-168``,
+    ``utils/__init__.py:28-53``, ``src/model.py:51-58``) re-shaped for
+    Spark: ``model_loader()`` (e.g. construct + ``torch.load`` a
+    checkpoint, the S9 pattern) runs ONCE per partition iterator — the
+    distributed analogue of ``@st.cache_resource`` (``app.py:30``) — and
+    images flow through in (batch, 3, 224, 224) tensors instead of the
+    reference's batch=1. Requires torch + PIL (importable check at call
+    time, so the module loads anywhere)."""
+    if not (_HAVE_TORCH and _HAVE_PIL):
+        raise RuntimeError("embed_images_torch requires torch and PIL")
+    import io
+
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        model = model_loader()  # once per task: the checkpoint load (S9)
+        model.eval()
+        mean = np.array([0.485, 0.456, 0.406], dtype=np.float32)
+        std = np.array([0.229, 0.224, 0.225], dtype=np.float32)
+        with _torch.no_grad():
+            for pdf in it:
+                embs = []
+                for start in range(0, len(pdf), batch_size):
+                    chunk = pdf[content_col].iloc[start : start + batch_size]
+                    imgs = []
+                    for payload in chunk:
+                        img = _PILImage.open(io.BytesIO(bytes(payload)))
+                        img = img.convert("RGB").resize((224, 224))
+                        arr = np.asarray(img, dtype=np.float32) / 255.0
+                        imgs.append(((arr - mean) / std).transpose(2, 0, 1))
+                    t = _torch.from_numpy(np.stack(imgs))
+                    feats = model.extract_features(t).cpu().numpy()
+                    feats /= np.maximum(
+                        np.linalg.norm(feats, axis=1, keepdims=True), 1e-12
+                    )
+                    embs.extend(feats.astype(np.float32))
+                yield pdf.drop(columns=[content_col]).assign(embedding=embs)
+
+    fields = ", ".join(
+        f"{c} {t}" for c, t in df.dtypes if c != content_col
+    )
+    return df.mapInPandas(batches, schema=f"{fields}, embedding array<float>")
 
 
 def stub_embed_text(df: DataFrame, text_col: str, dim: int = 64) -> DataFrame:
