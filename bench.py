@@ -33,6 +33,7 @@ BENCH_QUERIES = [
     "top_revenue_customers",
     "top_terms",
     "salted_term_counts",
+    "clean_corpus",
     "suffix_join",
     "exact_dedup",
     "ngram_jaccard_dedup",

@@ -366,6 +366,93 @@ FROM (SELECT doc_id FROM documents) d LEFT JOIN f USING (doc_id)
 """
 
 
+def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed LLM training-data pipeline — the operators above
+    chained the way a real corpus run chains them: quality gate
+    (composite ≥ 0.7) → exact dedup (keep min-id per content hash) →
+    per-language rollup of what survives.
+
+    Shuffle budget: one window shuffle keyed by md5(text) for the dedup,
+    one id-keyed join hash for language tags (both uniform keys), one
+    partial-agg'd rollup shuffle of |langs| rows. The quality filter is
+    a pure per-row expression that fuses into the scan stage, so the
+    corpus is read ONCE. Aggregates are integer-only (counts/checksums) —
+    no cross-engine float summation-order hazards."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = T.quality_score(docs).select("doc_id", "quality")
+    lang = T.language_id(docs).select("doc_id", "pred_lang")
+    kept = docs.join(q, "doc_id").filter(F.col("quality") >= 0.7)
+    deduped = D.exact_dedup_keep_first(kept)
+    stats = deduped.select("doc_id", F.size(tokens("text")).alias("n_tokens"))
+    return (
+        stats.join(lang, "doc_id")
+        .groupBy("pred_lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doc_id").alias("id_checksum"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+    )
+
+
+def _oracle_clean_corpus(threshold: float = 0.7) -> str:
+    stop_en = _dk_stop_filter("toks", LANG_STOPWORDS["en"])
+    score_exprs = ",\n       ".join(
+        f"{_dk_stop_filter('toks', LANG_STOPWORDS[lang])}::DOUBLE / "
+        f"greatest(len(toks), 1) AS s_{lang}"
+        for lang in sorted(LANG_STOPWORDS)
+    )
+    best = "greatest(" + ", ".join(f"s_{l}" for l in sorted(LANG_STOPWORDS)) + ")"
+    case = " ".join(
+        f"WHEN s_{l} = best THEN '{l}'" for l in sorted(LANG_STOPWORDS)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, text, {_dk_toks()} AS toks FROM documents),
+m AS (
+  SELECT doc_id,
+    length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE /
+      greatest(length(text), 1) AS alpha_ratio,
+    (CASE WHEN len(toks) = 0 THEN 0
+     ELSE list_reduce(list_transform(toks, t -> length(t)), (a,b) -> a+b)
+     END)::DOUBLE / greatest(len(toks), 1) AS mean_tok_len,
+    {stop_en}::DOUBLE / greatest(len(toks), 1) AS stop_ratio
+  FROM t
+),
+qual AS (
+  SELECT doc_id,
+         round(alpha_ratio * 0.4 +
+               (CASE WHEN mean_tok_len >= 3.0 AND mean_tok_len <= 10.0
+                     THEN 1.0 ELSE 0.5 END) * 0.3 +
+               (CASE WHEN stop_ratio > 0.05 THEN 1.0 ELSE 0.6 END) * 0.3, 6)
+           AS quality
+  FROM m
+),
+kept AS (
+  SELECT t.doc_id, t.text, t.toks FROM t JOIN qual USING (doc_id)
+  WHERE quality >= {threshold}
+),
+deduped AS (
+  SELECT doc_id, toks FROM (
+    SELECT doc_id, toks,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM kept
+  ) WHERE rn = 1
+),
+s AS (SELECT doc_id, {score_exprs} FROM t),
+b AS (SELECT *, {best} AS best FROM s),
+lang AS (
+  SELECT doc_id,
+         CASE WHEN best <= 0 THEN 'und' {case} ELSE 'und' END AS pred_lang
+  FROM b
+)
+SELECT pred_lang, count(*) AS n_docs,
+       CAST(sum(d.doc_id) AS BIGINT) AS id_checksum,
+       CAST(sum(len(d.toks)) AS BIGINT) AS total_tokens
+FROM deduped d JOIN lang USING (doc_id)
+GROUP BY pred_lang
+"""
+
+
 def q_salted_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe token frequency: token counts are Zipf-distributed (the
     hot stopword owns a large share of all rows), so the aggregation runs
@@ -454,6 +541,7 @@ TEXT_QUERIES = {
     "simhash": q_simhash,
     "simhash_near_dup": q_simhash_near_dup,
     "salted_term_counts": q_salted_term_counts,
+    "clean_corpus": q_clean_corpus,
 }
 
 TEXT_ORACLES = {
@@ -470,4 +558,5 @@ TEXT_ORACLES = {
     "simhash": _oracle_simhash(32),
     "simhash_near_dup": _oracle_simhash_near_dup(32, 4, 3),
     "salted_term_counts": ORACLE_SALTED_TERM_COUNTS,
+    "clean_corpus": _oracle_clean_corpus(0.7),
 }
