@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "sessionize",
     "json_extract_agg",
     "ivf_topk",
+    "pq_topk",
     "lsh_bucket_counts",
     "cosine_dedup",
     "knn_two_phase",

@@ -125,6 +125,18 @@ def test_ivf_topk_partition_pruned(spark):
     assert "Exchange hashpartitioning" not in plan
 
 
+def test_pq_topk_scans_codes_only(spark):
+    """The ADC search must scan ONLY the code columns of the encoded
+    layout (8 ints/row, not the 64-float embedding), with zero shuffles
+    and a TakeOrderedAndProject top-k."""
+    df = entrymod.queries()["pq_topk"](spark, SF_SMOKE)
+    plan = _physical(df)
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m and "embedding" not in m.group(1) and "code_0" in m.group(1)
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+
+
 def test_exact_dedup_single_shuffle(spark):
     df = entrymod.queries()["exact_dedup"](spark, SF_SMOKE)
     plan = _explain(df)

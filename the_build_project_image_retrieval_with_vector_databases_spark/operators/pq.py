@@ -1,0 +1,183 @@
+"""Product quantization (PQ) — the ``IndexIVFPQ``/``IndexPQ`` analogue of
+the reference's flat index (``utils/faiss_utils.py:4-9``), Spark-first.
+
+PQ splits a D-dim vector into ``m`` sub-vectors of D/m dims; each
+sub-vector is quantized to the id of its nearest center in a per-subspace
+codebook of ``ksub`` centers. A vector then costs ``m`` small ints
+instead of D floats (64-D float32 → 8 bytes at m=8/ksub≤256 — 32×), and
+query distance is approximated with an **ADC lookup table**: for query q,
+``lut[j][c] = ‖q_j − codebook[j][c]‖²`` is precomputed once (m × ksub
+doubles — trivially a broadcast literal), and each row's distance is
+``Σ_j lut[j][code_j]`` — m array lookups + m−1 adds per row, no
+per-row float vector math at all.
+
+Spark-first shape: encoding is a pure Catalyst expression (slice +
+transform + array_position argmin — codegen'd, zero shuffle,
+embarrassingly parallel), the encoded table is a normal parquet sink
+(composable with the IVF ``partitionBy(centroid)`` layout for the full
+IVFPQ: prune partitions, then ADC-scan only the probed cells), and the
+ADC query plans as TakeOrderedAndProject over one scan of the *codes*
+— at 100 TB the scan reads m ints per row instead of D floats.
+
+Portability contract: codebooks here are **sliced from data rows**
+(deterministic, no RNG), so a DuckDB oracle derives bit-identical codes
+and distances; real deployments would train per-subspace KMeans
+(:func:`train_pq_codebooks_kmeans`, MLlib) — everything downstream is
+codebook-agnostic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vector import l2_dist_sq
+
+
+def slice_codebooks(
+    vectors: list[list[float]], m: int
+) -> list[list[list[float]]]:
+    """codebooks[j][c] = sub-vector j of training vector c. Every training
+    vector contributes one center to every subspace — ksub = len(vectors)."""
+    dim = len(vectors[0])
+    assert dim % m == 0, f"dim ({dim}) must divide into m ({m}) subspaces"
+    dsub = dim // m
+    return [
+        [[float(x) for x in v[j * dsub : (j + 1) * dsub]] for v in vectors]
+        for j in range(m)
+    ]
+
+
+def train_pq_codebooks_kmeans(
+    df: DataFrame,
+    m: int,
+    ksub: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> list[list[list[float]]]:
+    """Per-subspace KMeans codebooks (the FAISS-style training path; not
+    oracle-portable — property-tested instead). One MLlib fit per
+    subspace over the sliced column."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    dim = len(df.select(vec_col).first()[0])
+    assert dim % m == 0
+    dsub = dim // m
+    books = []
+    for j in range(m):
+        sub = df.select(
+            array_to_vector(
+                F.slice(F.col(vec_col), j * dsub + 1, dsub).cast("array<double>")
+            ).alias("__features")
+        )
+        km = KMeans(k=ksub, seed=seed, maxIter=20, featuresCol="__features")
+        books.append([c.tolist() for c in km.fit(sub).clusterCenters()])
+    return books
+
+
+def _centers_lit(centers: list[list[float]]) -> Column:
+    return F.array(
+        *[
+            F.array(*[F.lit(float(x)) for x in c]).cast("array<double>")
+            for c in centers
+        ]
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Append ``code_0 … code_{m-1}`` int columns: per-subspace argmin
+    over the codebook (first-match tie-break — identical to DuckDB's
+    ``list_position``). Pure expression: no UDF, no shuffle."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    out = df
+    for j in range(m):
+        sub = F.slice(F.col(vec_col), j * dsub + 1, dsub)
+        # single-arg lambda: a 2-arg lambda would make PySpark bind the
+        # second param to the array INDEX (the (element, index) form)
+        dists = F.transform(_centers_lit(codebooks[j]), lambda c: l2_dist_sq(sub, c))
+        code = F.array_position(dists, F.array_min(dists)) - 1
+        out = out.withColumn(f"code_{j}", code.cast("int"))
+    return out
+
+
+def adc_lut(
+    codebooks: list[list[list[float]]], query_vec: list[float]
+) -> list[list[float]]:
+    """lut[j][c] = ‖q_j − codebook[j][c]‖², accumulated as an explicit
+    left fold in python floats — bit-identical to the engines'
+    ``F.aggregate`` / ``list_reduce`` folds, so the same literal doubles
+    can be inlined into both the Spark expression and the oracle SQL."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    lut = []
+    for j in range(m):
+        qsub = [float(x) for x in query_vec[j * dsub : (j + 1) * dsub]]
+        row = []
+        for c in codebooks[j]:
+            acc = 0.0
+            for a, b in zip(qsub, c):
+                acc = acc + (a - b) * (a - b)
+            row.append(acc)
+        lut.append(row)
+    return lut
+
+
+def pq_adc_dist(lut: list[list[float]]) -> Column:
+    """Σ_j lut[j][code_j] as a left-assoc sum of ``element_at`` lookups."""
+    total = None
+    for j, row in enumerate(lut):
+        arr = F.array(*[F.lit(float(x)) for x in row])
+        term = F.element_at(arr, F.col(f"code_{j}") + 1)
+        total = term if total is None else total + term
+    return total
+
+
+def pq_adc_topk(
+    encoded: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC top-k over the encoded table: one scan of the code columns,
+    m lookups + adds per row, TakeOrderedAndProject heap-merge — the
+    same zero-shuffle plan as the flat kNN but over 32×-smaller data."""
+    lut = adc_lut(codebooks, query_vec)
+    return (
+        encoded.withColumn("adc_dist", pq_adc_dist(lut))
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def pq_adc_rerank_topk(
+    encoded: DataFrame,
+    raw: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    overfetch: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The production PQ shape — ADC shortlist (k·overfetch candidates
+    from the compact codes) → exact re-rank on the raw vectors of the
+    shortlist only. Recall is set by the shortlist (quantization error
+    only reorders within it); exactness of the final top-k distances is
+    full float. The shortlist (≤ k·overfetch ids) broadcasts into a
+    semi-join against the raw table; with an id-sorted/bucketed raw
+    layout that join prunes to point reads at scale."""
+    shortlist = pq_adc_topk(encoded, codebooks, query_vec, k * overfetch, id_col)
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+    return (
+        raw.join(F.broadcast(shortlist.select(id_col)), id_col)
+        .withColumn("dist", F.sqrt(l2_dist_sq(F.col(vec_col), qlit)))
+        .orderBy(F.col("dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

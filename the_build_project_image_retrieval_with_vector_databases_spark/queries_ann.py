@@ -148,6 +148,96 @@ LIMIT 5
 
 
 # ---------------------------------------------------------------------------
+# Product quantization (ADC search over the encoded table)
+# ---------------------------------------------------------------------------
+
+PQ_M = 8  # 64-D → 8 subspaces of 8 dims; ksub = 16 (training rows vec_id < 16)
+
+# One PQ-encoded table per (process, sf_dir): codebooks sliced from rows
+# vec_id < 16 (deterministic, oracle-derivable), codes materialized once —
+# the ADC query then scans m ints per row instead of D floats.
+_PQ_LAYOUTS: dict[str, tuple[str, list, list]] = {}
+
+
+def _pq_layout(spark: SparkSession, sf_dir: str):
+    if sf_dir not in _PQ_LAYOUTS:
+        import tempfile
+
+        from .operators.pq import pq_encode, slice_codebooks
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        rows = sorted(
+            emb.filter(F.col("vec_id") < 16).select("vec_id", "embedding").collect(),
+            key=lambda r: r.vec_id,
+        )
+        train = [[float(x) for x in r.embedding] for r in rows]
+        codebooks = slice_codebooks(train, PQ_M)
+        encoded = pq_encode(emb, codebooks).select(
+            "vec_id", "label", *[f"code_{j}" for j in range(PQ_M)]
+        )
+        path = tempfile.mkdtemp(prefix="sparkgraft_pq_") + "/codes"
+        encoded.write.mode("overwrite").parquet(path)
+        _PQ_LAYOUTS[sf_dir] = (path, codebooks, train[0])
+    return _PQ_LAYOUTS[sf_dir]
+
+
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC top-10 for the flagship query vector over the materialized
+    code table (``operators.pq``): per-row cost is 8 array lookups into
+    the query's distance LUT + 7 adds, the scan reads 8 ints per row
+    instead of 64 floats, and the plan is the same zero-shuffle
+    TakeOrderedAndProject as the flat search. The oracle re-derives
+    codes AND ADC distances from the raw table in SQL."""
+    from .operators.pq import pq_adc_topk
+
+    path, codebooks, qvec = _pq_layout(spark, sf_dir)
+    codes = spark.read.parquet(path).filter(F.col("vec_id") != 0)
+    out = pq_adc_topk(codes, codebooks, qvec, k=10)
+    return out.select("vec_id", "label", F.round("adc_dist", 6).alias("adc_dist"))
+
+
+def _dk_l2sq_slice(a: str, b: str, j: int, dsub: int) -> str:
+    sa = f"list_slice({a}, {j * dsub + 1}, {j * dsub + dsub})"
+    sb = f"list_slice({b}, {j * dsub + 1}, {j * dsub + dsub})"
+    return (
+        f"list_reduce(list_transform(list_zip({sa}, {sb}), "
+        f"s -> (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE)) * "
+        f"(CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE))), (x, y) -> x + y)"
+    )
+
+
+def _oracle_pq_topk(m: int = PQ_M, dim: int = EMB_DIM, k: int = 10) -> str:
+    dsub = dim // m
+    code_exprs = ",\n         ".join(
+        f"min({{'d': {_dk_l2sq_slice('e.embedding', 't.embedding', j, dsub)}, "
+        f"'c': t.vec_id}}).c AS code_{j}"
+        for j in range(m)
+    )
+    lut_joins = "\n".join(
+        f"JOIN train t{j} ON t{j}.vec_id = c.code_{j}" for j in range(m)
+    )
+    adc = " + ".join(
+        f"({_dk_l2sq_slice('q.qe', f't{j}.embedding', j, dsub)})" for j in range(m)
+    )
+    return f"""
+WITH train AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 16),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+codes AS (
+  SELECT e.vec_id AS vid, e.label,
+         {code_exprs}
+  FROM embeddings e CROSS JOIN train t
+  WHERE e.vec_id <> 0
+  GROUP BY e.vec_id, e.label
+)
+SELECT c.vid AS vec_id, c.label, round({adc}, 6) AS adc_dist
+FROM codes c CROSS JOIN q
+{lut_joins}
+ORDER BY ({adc}) ASC, c.vid ASC
+LIMIT {k}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Random-hyperplane LSH bucketing
 # ---------------------------------------------------------------------------
 
@@ -296,6 +386,7 @@ FROM tagged GROUP BY side
 
 ANN_QUERIES = {
     "ivf_topk": q_ivf_topk,
+    "pq_topk": q_pq_topk,
     "lsh_bucket_counts": q_lsh_bucket_counts,
     "cosine_dedup": q_cosine_dedup,
     "knn_two_phase": q_knn_two_phase,
@@ -305,6 +396,7 @@ ANN_QUERIES = {
 
 ANN_ORACLES = {
     "ivf_topk": ORACLE_IVF_TOPK,
+    "pq_topk": _oracle_pq_topk(),
     "lsh_bucket_counts": _oracle_lsh_buckets(),
     "cosine_dedup": ORACLE_COSINE_DEDUP,
     "knn_two_phase": ORACLE_KNN_TWO_PHASE,
