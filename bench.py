@@ -43,6 +43,8 @@ BENCH_QUERIES = [
     "tumbling_window",
     "sliding_window",
     "sessionize",
+    "views_before_purchase",
+    "kmv_distinct_sketch",
     "json_extract_agg",
     "ivf_topk",
     "pq_topk",

@@ -1,0 +1,69 @@
+"""Distinct-count sketches: KMV accuracy/exactness properties and the
+HLL++ (`approx_count_distinct`) error-bound check that can't be
+oracle-verified (engine-private registers)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from the_build_project_image_retrieval_with_vector_databases_spark.operators.sketch import (
+    kmv_distinct,
+)
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    df = spark.read.parquet(f"{SF_SMOKE}/events.parquet").cache()
+    df.count()
+    return df
+
+
+def test_kmv_exact_below_k(events):
+    """Groups with fewer than k distinct keys are estimated EXACTLY —
+    the sketch saw every value."""
+    exact = {
+        r.event_type: r.n
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    big_k = max(exact.values()) + 10
+    got = {
+        r.event_type: (r.n_seen, r.kmv_est)
+        for r in kmv_distinct(events, "user_id", "event_type", k=big_k).collect()
+    }
+    for et, n in exact.items():
+        assert got[et] == (n, float(n))
+
+
+def test_kmv_estimate_within_error(events):
+    """At k=64 the KMV standard error is ~1/√(k−2) ≈ 13%; assert a loose
+    3σ bound (deterministic — the 'randomness' is the fixed md5 hash)."""
+    exact = {
+        r.event_type: r.n
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    got = {
+        r.event_type: r.kmv_est
+        for r in kmv_distinct(events, "user_id", "event_type", k=64).collect()
+    }
+    for et, n in exact.items():
+        assert abs(got[et] - n) / n < 0.4, (et, got[et], n)
+
+
+def test_hll_within_error(events):
+    """Spark's HLL++ at rsd=0.05: observed error must stay within ~3 rsd."""
+    rows = (
+        events.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n"),
+            F.approx_count_distinct("user_id", rsd=0.05).alias("approx"),
+        )
+        .collect()
+    )
+    for r in rows:
+        assert abs(r.approx - r.n) / r.n < 0.15, (r.event_type, r.approx, r.n)

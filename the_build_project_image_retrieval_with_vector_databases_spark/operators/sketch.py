@@ -1,0 +1,58 @@
+"""Distinct-count sketches.
+
+Spark ships HyperLogLog++ (``approx_count_distinct``) — the right tool in
+production, but its register layout is engine-private, so no cross-engine
+oracle can check it. The engine therefore also provides a **KMV
+(k-minimum-values) sketch** built on the md5-derived portable hash: keep
+the k smallest distinct hash values of the key; with the hash normalized
+to (0, 1], the classic estimator is
+
+    n̂ = (k − 1) / u_k        (u_k = k-th smallest normalized hash)
+
+Fully deterministic → the DuckDB oracle reproduces the estimate
+bit-for-bit, which makes the *sketch itself* testable, not just its
+error bound. Scale shape: one shuffle keyed by (group, hash) for the
+distinct, and the per-group k-smallest runs as a rank window on the same
+key layout — the sketch state is k longs per group (mergeable by
+min-union, same as production KMV).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import md5_long
+
+HASH_SPACE = float(1 << 60)  # md5_long(digits=15) ∈ [0, 16^15) = [0, 2^60)
+
+
+def kmv_distinct(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Per-group KMV distinct estimate: (group, n_seen, kmv_est).
+
+    ``n_seen`` = number of sketch slots filled (= exact distinct count
+    when the group has < k distinct keys — the estimator is exact there
+    by construction)."""
+    h = md5_long(F.col(key_col).cast("string"), digits=15)
+    hashes = df.select(F.col(group_col), h.alias("h")).distinct()
+    w = Window.partitionBy(group_col).orderBy(F.col("h").asc())
+    sk = (
+        hashes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .groupBy(group_col)
+        .agg(F.max("h").alias("hk"), F.count("*").alias("n_seen"))
+    )
+    u_k = F.col("hk").cast("double") / F.lit(HASH_SPACE)
+    est = F.when(
+        F.col("n_seen") < k, F.col("n_seen").cast("double")
+    ).otherwise(F.lit(float(k - 1)) / u_k)
+    return sk.select(
+        F.col(group_col),
+        F.col("n_seen"),
+        F.round(est, 6).alias("kmv_est"),
+    )

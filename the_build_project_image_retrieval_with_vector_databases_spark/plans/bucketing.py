@@ -1,0 +1,41 @@
+"""Bucketed (co-located) table layout — the shuffle-free fact ⋈ fact
+path at 100 TB.
+
+A repeated big join (lineitem ⋈ orders on orderkey, every analytics run)
+pays a full shuffle of both sides each time — unless both tables are
+written ``bucketBy(n, key)`` into the catalog: Spark then knows both
+sides are hash-partitioned identically ON DISK and plans a sort-merge
+join with **zero Exchange on either side** (pinned by
+``tests/test_bucketing.py``). The one-time bucketed write costs the same
+shuffle the first join would have — every subsequent join is free.
+
+Rules of thumb encoded here: bucket count should divide evenly into the
+cluster's parallelism target; bucket on the highest-cardinality join key
+(orderkey, never a dim key); sort within buckets by the same key so the
+merge phase needs no per-task sort either.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int,
+    path: str,
+    sort: bool = True,
+) -> None:
+    """Materialize ``df`` as a bucketed external table (parquet at
+    ``path``, registered as ``table_name``). Readers via
+    ``spark.table(table_name)`` inherit the bucket layout."""
+    w = (
+        df.write.format("parquet")
+        .mode("overwrite")
+        .bucketBy(n_buckets, bucket_col)
+    )
+    if sort:
+        w = w.sortBy(bucket_col)
+    w.option("path", path).saveAsTable(table_name)

@@ -7,7 +7,7 @@ arithmetic → engine-portable); event values sum via decimal(14,2)
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .operators import windows as W
@@ -121,6 +121,106 @@ FROM (
 """
 
 
+def q_views_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval join collapsed into a RANGE-frame window: for every
+    purchase, the count of same-user views in the preceding hour.
+
+    The naive formulation is a theta join (views.ts ∈ [p.ts−1h, p.ts]) —
+    a per-row backward range probe that explodes at scale. The RANGE
+    frame form shuffles ONCE on user_id and scans each user's timeline
+    in order; frame semantics over the epoch key are identical in Spark
+    and DuckDB (peers at equal ts all included), so it oracle-checks
+    exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_timestamp("ts").cast("long").alias("ep"),
+        F.when(F.col("event_type") == "view", 1).otherwise(0).alias("is_view"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ep").rangeBetween(-3600, 0)
+    return (
+        tagged.withColumn("views_1h", F.sum("is_view").over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            "ep",
+            F.col("views_1h").cast("long").alias("views_1h"),
+        )
+    )
+
+
+ORACLE_VIEWS_BEFORE_PURCHASE = """
+WITH e AS (
+  SELECT user_id, event_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+         CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_view
+  FROM events
+),
+win AS (
+  SELECT user_id, event_id, event_type, ep,
+         sum(is_view) OVER (PARTITION BY user_id ORDER BY ep
+                            RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+           AS views_1h
+  FROM e
+)
+SELECT user_id, event_id AS purchase_id, ep,
+       CAST(views_1h AS BIGINT) AS views_1h
+FROM win WHERE event_type = 'purchase'
+"""
+
+
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch per event type (operators.sketch) laid
+    beside the exact count — the oracle recomputes the ENTIRE sketch
+    (same hash, same k-smallest, same estimator), so the sketch's
+    arithmetic is verified cross-engine, not just its error bound.
+    Spark's HLL++ (`approx_count_distinct`) covers the same need in
+    production but is engine-private; pytest property-checks it instead
+    (tests/test_sketch.py)."""
+    from .operators.sketch import kmv_distinct
+
+    ev = load_table(spark, sf_dir, "events")
+    sk = kmv_distinct(ev, key_col="user_id", group_col="event_type", k=64)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return sk.join(exact, "event_type").select(
+        "event_type", "n_exact", "n_seen", "kmv_est"
+    )
+
+
+def _oracle_kmv(k: int = 64) -> str:
+    from .queries_text import _dk_hex15_to_long
+
+    h = _dk_hex15_to_long("md5(CAST(user_id AS VARCHAR))")
+    return f"""
+WITH hashes AS (
+  SELECT DISTINCT event_type, {h} AS h FROM events
+),
+ranked AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h ASC) AS rn
+  FROM hashes
+),
+sk AS (
+  SELECT event_type, max(h) AS hk, count(*) AS n_seen
+  FROM ranked WHERE rn <= {k} GROUP BY event_type
+),
+exact AS (
+  SELECT event_type, count(DISTINCT user_id) AS n_exact FROM events
+  GROUP BY event_type
+)
+SELECT s.event_type, e.n_exact, s.n_seen,
+       round(CASE WHEN s.n_seen < {k} THEN CAST(s.n_seen AS DOUBLE)
+                  ELSE {float(k - 1)} / (CAST(s.hk AS DOUBLE) / 1152921504606846976.0)
+             END, 6) AS kmv_est
+FROM sk s JOIN exact e USING (event_type)
+"""
+
+
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON scalar functions over the props column (S2-adjacent
     semi-structured path)."""
@@ -154,6 +254,8 @@ EVENT_QUERIES = {
     "sessionize": q_sessionize,
     "streaming_dedup_batch": q_streaming_dedup_batch,
     "json_extract_agg": q_json_extract,
+    "views_before_purchase": q_views_before_purchase,
+    "kmv_distinct_sketch": q_kmv_distinct,
 }
 
 EVENT_ORACLES = {
@@ -162,4 +264,6 @@ EVENT_ORACLES = {
     "sessionize": ORACLE_SESSIONIZE,
     "streaming_dedup_batch": ORACLE_STREAM_DEDUP,
     "json_extract_agg": ORACLE_JSON,
+    "views_before_purchase": ORACLE_VIEWS_BEFORE_PURCHASE,
+    "kmv_distinct_sketch": _oracle_kmv(64),
 }
