@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "json_extract_agg",
     "ivf_topk",
     "pq_topk",
+    "ivfpq_topk",
     "lsh_bucket_counts",
     "cosine_dedup",
     "knn_two_phase",

@@ -137,6 +137,18 @@ def test_pq_topk_scans_codes_only(spark):
     assert "Exchange" not in plan
 
 
+def test_ivfpq_topk_pruned_and_codes_only(spark):
+    """The composed IVF+PQ search must BOTH prune centroid partitions AND
+    scan only the code columns — the two scan-bytes reductions multiply."""
+    df = entrymod.queries()["ivfpq_topk"](spark, SF_SMOKE)
+    plan = _physical(df)
+    assert re.search(r"PartitionFilters: \[.*centroid.*IN \(", plan)
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m and "embedding" not in m.group(1) and "code_0" in m.group(1)
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+
+
 def test_exact_dedup_single_shuffle(spark):
     df = entrymod.queries()["exact_dedup"](spark, SF_SMOKE)
     plan = _explain(df)

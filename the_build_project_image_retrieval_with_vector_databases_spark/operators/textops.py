@@ -104,11 +104,10 @@ def tf_idf(
     )
 
 
-def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """n-gram/stopword language-ID heuristic: score(lang) = fraction of
-    tokens that are lang stopwords; predicted = argmax (ties → lang name
-    ascending); 'und' (undetermined) if no stopword hits at all."""
-    toks = tokens(text_col)
+def lang_pred_expr(toks):
+    """(pred_lang, best_score) expressions over a token-array column —
+    the reusable core of :func:`language_id`, composable into fused
+    single-scan pipelines (see queries_text.q_clean_corpus)."""
     n = F.greatest(F.size(toks), F.lit(1)).cast("double")
     scores = [
         (
@@ -125,19 +124,25 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     pred = F.lit("und")
     for lang, s in reversed(scores):
         pred = F.when((best > 0) & (s == best), F.lit(lang)).otherwise(pred)
-    out = spread(df).select(
+    return pred, best
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """n-gram/stopword language-ID heuristic: score(lang) = fraction of
+    tokens that are lang stopwords; predicted = argmax (ties → lang name
+    ascending); 'und' (undetermined) if no stopword hits at all."""
+    pred, best = lang_pred_expr(tokens(text_col))
+    return spread(df).select(
         F.col(id_col),
         pred.alias("pred_lang"),
         F.round(best, 6).alias("lang_score"),
     )
-    return out
 
 
-def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Heuristic document quality: alpha-char ratio, mean token length
-    band, stopword presence — composite in [0, 1] (rounded, portable)."""
-    txt = F.col(text_col)
-    toks = tokens(text_col)
+def quality_exprs(txt, toks):
+    """(alpha_ratio, mean_tok_len, stop_ratio, quality) expressions over a
+    text column + its token array — the reusable core of
+    :func:`quality_score`."""
     n_tok = F.greatest(F.size(toks), F.lit(1)).cast("double")
     n_chars = F.greatest(F.length(txt), F.lit(1)).cast("double")
     alpha_ratio = (
@@ -155,6 +160,15 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     stop_band = F.when(stop_ratio > 0.05, 1.0).otherwise(0.6)
     score = F.round(
         (alpha_ratio * 0.4 + len_band * 0.3 + stop_band * 0.3), 6
+    )
+    return alpha_ratio, mean_tok_len, stop_ratio, score
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic document quality: alpha-char ratio, mean token length
+    band, stopword presence — composite in [0, 1] (rounded, portable)."""
+    alpha_ratio, mean_tok_len, stop_ratio, score = quality_exprs(
+        F.col(text_col), tokens(text_col)
     )
     return spread(df).select(
         F.col(id_col),

@@ -196,6 +196,120 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", "label", F.round("adc_dist", 6).alias("adc_dist"))
 
 
+# IVF + PQ composed (the IndexIVFPQ analogue): centroid partition pruning
+# FIRST, ADC lookup inside the probed cells only. One layout carries both:
+# partitionBy(centroid) directories of (vec_id, label, code_0..7) rows.
+_IVFPQ_LAYOUTS: dict[str, tuple[str, list, list, list]] = {}
+
+
+def _ivfpq_layout(spark: SparkSession, sf_dir: str):
+    if sf_dir not in _IVFPQ_LAYOUTS:
+        import tempfile
+
+        from .operators.ann import assign_centroids
+        from .operators.pq import pq_encode, slice_codebooks
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        rows = sorted(
+            emb.filter(F.col("vec_id") < 16).select("vec_id", "embedding").collect(),
+            key=lambda r: r.vec_id,
+        )
+        train = [[float(x) for x in r.embedding] for r in rows]
+        codebooks = slice_codebooks(train, PQ_M)
+        df = pq_encode(assign_centroids(emb, train), codebooks).select(
+            "vec_id", "label", "centroid", *[f"code_{j}" for j in range(PQ_M)]
+        )
+        path = tempfile.mkdtemp(prefix="sparkgraft_ivfpq_") + "/layout"
+        df.write.mode("overwrite").partitionBy("centroid").parquet(path)
+        _IVFPQ_LAYOUTS[sf_dir] = (path, train, codebooks, train[0])
+    return _IVFPQ_LAYOUTS[sf_dir]
+
+
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ composed search — FAISS ``IndexIVFPQ`` re-expressed as
+    storage layout + Catalyst: the centroid IN-filter prunes parquet
+    partitions (reads nprobe/16 of the cells), then the ADC lookup table
+    scores only the code columns of the surviving cells (8 ints/row).
+    Scan bytes at 100 TB ≈ corpus × (nprobe/k_cents) × (8B / 256B) —
+    three orders of magnitude below the flat search, in one declarative
+    plan with zero shuffles."""
+    from .operators.pq import pq_adc_dist, adc_lut
+
+    path, centroids, codebooks, qvec = _ivfpq_layout(spark, sf_dir)
+    q = np.asarray(qvec, dtype=np.float64)
+    cents = np.asarray(centroids, dtype=np.float64)
+    order = np.argsort(((cents - q) ** 2).sum(axis=1), kind="stable")
+    probe = [int(i) for i in order[:4]]
+    lut = adc_lut(codebooks, qvec)
+    codes = (
+        spark.read.parquet(path)
+        .filter(F.col("centroid").isin(probe))
+        .filter(F.col("vec_id") != 0)
+    )
+    out = (
+        codes.withColumn("adc_dist", pq_adc_dist(lut))
+        .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+    return out.select(
+        "vec_id",
+        "label",
+        F.col("centroid").cast("int").alias("centroid"),
+        F.round("adc_dist", 6).alias("adc_dist"),
+    )
+
+
+def _oracle_ivfpq_topk(m: int = PQ_M, dim: int = EMB_DIM, k: int = 10) -> str:
+    dsub = dim // m
+    code_exprs = ",\n         ".join(
+        f"min({{'d': {_dk_l2sq_slice('e.embedding', 't.embedding', j, dsub)}, "
+        f"'c': t.vec_id}}).c AS code_{j}"
+        for j in range(m)
+    )
+    lut_joins = "\n".join(
+        f"JOIN train t{j} ON t{j}.vec_id = c.code_{j}" for j in range(m)
+    )
+    adc = " + ".join(
+        f"({_dk_l2sq_slice('q.qe', f't{j}.embedding', j, dsub)})" for j in range(m)
+    )
+    return f"""
+WITH train AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 16),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id, e.label, e.embedding, t.vec_id AS cid,
+         {_dk_l2('e.embedding', 't.embedding')} AS cdist
+  FROM embeddings e CROSS JOIN train t
+),
+assigned AS (
+  SELECT vec_id, cid AS centroid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cdist ASC, cid ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT t.vec_id AS cid FROM train t, q
+  ORDER BY {_dk_l2('t.embedding', 'q.qe')} ASC, t.vec_id ASC LIMIT 4
+),
+codes AS (
+  SELECT e.vec_id AS vid, e.label,
+         {code_exprs}
+  FROM embeddings e CROSS JOIN train t
+  WHERE e.vec_id <> 0
+  GROUP BY e.vec_id, e.label
+)
+SELECT c.vid AS vec_id, c.label, CAST(a.centroid AS INT) AS centroid,
+       round({adc}, 6) AS adc_dist
+FROM codes c
+JOIN assigned a ON a.vec_id = c.vid
+CROSS JOIN q
+{lut_joins}
+WHERE a.centroid IN (SELECT cid FROM probes)
+ORDER BY ({adc}) ASC, c.vid ASC
+LIMIT {k}
+"""
+
+
 def _dk_l2sq_slice(a: str, b: str, j: int, dsub: int) -> str:
     sa = f"list_slice({a}, {j * dsub + 1}, {j * dsub + dsub})"
     sb = f"list_slice({b}, {j * dsub + 1}, {j * dsub + dsub})"
@@ -387,6 +501,7 @@ FROM tagged GROUP BY side
 ANN_QUERIES = {
     "ivf_topk": q_ivf_topk,
     "pq_topk": q_pq_topk,
+    "ivfpq_topk": q_ivfpq_topk,
     "lsh_bucket_counts": q_lsh_bucket_counts,
     "cosine_dedup": q_cosine_dedup,
     "knn_two_phase": q_knn_two_phase,
@@ -397,6 +512,7 @@ ANN_QUERIES = {
 ANN_ORACLES = {
     "ivf_topk": ORACLE_IVF_TOPK,
     "pq_topk": _oracle_pq_topk(),
+    "ivfpq_topk": _oracle_ivfpq_topk(),
     "lsh_bucket_counts": _oracle_lsh_buckets(),
     "cosine_dedup": ORACLE_COSINE_DEDUP,
     "knn_two_phase": ORACLE_KNN_TWO_PHASE,

@@ -372,26 +372,36 @@ def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     (composite ≥ 0.7) → exact dedup (keep min-id per content hash) →
     per-language rollup of what survives.
 
-    Shuffle budget: one window shuffle keyed by md5(text) for the dedup,
-    one id-keyed join hash for language tags (both uniform keys), one
-    partial-agg'd rollup shuffle of |langs| rows. The quality filter is
-    a pure per-row expression that fuses into the scan stage, so the
-    corpus is read ONCE. Aggregates are integer-only (counts/checksums) —
-    no cross-engine float summation-order hazards."""
+    Fused single-scan shape: quality, predicted language, and token count
+    are all *per-row expressions* (``operators.textops.quality_exprs`` /
+    ``lang_pred_expr``), so they compute in ONE projection over ONE read
+    of the corpus — not three operator DataFrames joined back on doc_id
+    (2 scans and 2 shuffles saved vs the naive composition). Remaining
+    shuffles: the dedup window keyed by md5(text) and the |langs|-row
+    rollup — both uniform. The tokenize materializes in its own
+    projection (the CollapseProject rule — see ``doc_shingles``) so the
+    regex split runs once per row, not once per expression that
+    references the token array. Aggregates are integer-only
+    (counts/checksums) — no cross-engine float summation-order hazards."""
     docs = load_table(spark, sf_dir, "documents")
-    q = T.quality_score(docs).select("doc_id", "quality")
-    lang = T.language_id(docs).select("doc_id", "pred_lang")
-    kept = docs.join(q, "doc_id").filter(F.col("quality") >= 0.7)
+    toked = spread(docs).select(
+        "doc_id", "text", tokens("text").alias("__toks")
+    )
+    pred, _best = T.lang_pred_expr(F.col("__toks"))
+    _a, _m, _s, quality = T.quality_exprs(F.col("text"), F.col("__toks"))
+    enriched = toked.select(
+        "doc_id",
+        "text",
+        F.size("__toks").alias("n_tokens"),
+        pred.alias("pred_lang"),
+        quality.alias("quality"),
+    )
+    kept = enriched.filter(F.col("quality") >= 0.7)
     deduped = D.exact_dedup_keep_first(kept)
-    stats = deduped.select("doc_id", F.size(tokens("text")).alias("n_tokens"))
-    return (
-        stats.join(lang, "doc_id")
-        .groupBy("pred_lang")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("doc_id").alias("id_checksum"),
-            F.sum("n_tokens").cast("long").alias("total_tokens"),
-        )
+    return deduped.groupBy("pred_lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("doc_id").alias("id_checksum"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
     )
 
 
