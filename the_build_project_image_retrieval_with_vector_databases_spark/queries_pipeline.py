@@ -20,6 +20,7 @@ from .sources.tables import load_table
 _FIXTURES = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
 MANIFEST_PATH = os.path.join(_FIXTURES, "train_val.json")
 IMAGES_ROOT = os.path.join(_FIXTURES, "images")
+VIDEOS_ROOT = os.path.join(_FIXTURES, "videos")
 
 
 # ---------------------------------------------------------------------------
@@ -110,6 +111,68 @@ SELECT list_extract(string_split(filename, '/'), -1) AS basename,
        CASE WHEN n_bytes >= 4 THEN 3 ELSE NULL END AS n_channels,
        n_bytes >= 4 AS decode_ok
 FROM b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Video frame sampling (multimodal breadth: 1 row → k frame rows)
+# ---------------------------------------------------------------------------
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binaryFile video scan → Arrow-batched frame sampling
+    (``sources.media.sample_frames``): every 2nd frame of each payload,
+    one input row exploding to many output rows inside the Arrow batch,
+    short payloads surfacing as error rows. Stub codec (md5-derived frame
+    digests) so the oracle verifies the full explode/error plumbing."""
+    from .sources.media import sample_frames
+
+    scanned = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.mp4")
+        .load(VIDEOS_ROOT)
+    )
+    frames = sample_frames(scanned, stride=2)
+    return frames.select(
+        F.element_at(F.split("path", "/"), -1).alias("basename"),
+        "n_frames",
+        "frame_idx",
+        "frame_ms",
+        "frame_hash",
+        "decode_ok",
+    )
+
+
+def _oracle_frame_sample() -> str:
+    from .queries_text import _dk_hex15_to_long
+
+    h = _dk_hex15_to_long(
+        "md5(concat(lower(hex(content)), ':', CAST(f AS VARCHAR)))"
+    )
+    return f"""
+WITH b AS (
+  SELECT filename, content, octet_length(content) AS n
+  FROM read_blob('{VIDEOS_ROOT}/*.mp4')
+),
+ok AS (
+  SELECT filename, content, CAST(floor(n / 256) AS INT) AS n_frames
+  FROM b WHERE n >= 256
+),
+frames AS (
+  SELECT filename, content, n_frames,
+         unnest(range(0, n_frames, 2)) AS f
+  FROM ok
+)
+SELECT list_extract(string_split(filename, '/'), -1) AS basename,
+       n_frames, CAST(f AS INT) AS frame_idx,
+       (CAST(f AS DOUBLE) * 1000.0) / 25.0 AS frame_ms,
+       {h} AS frame_hash,
+       TRUE AS decode_ok
+FROM frames
+UNION ALL
+SELECT list_extract(string_split(filename, '/'), -1),
+       NULL, NULL, NULL, NULL, FALSE
+FROM b WHERE n < 256
 """
 
 
@@ -225,6 +288,7 @@ FROM ranked WHERE rank <= 10
 PIPELINE_QUERIES = {
     "manifest_scan": q_manifest_scan,
     "image_decode": q_image_decode,
+    "frame_sample": q_frame_sample,
     "train_metrics": q_train_metrics,
     "knn_display": q_knn_display,
 }
@@ -232,6 +296,7 @@ PIPELINE_QUERIES = {
 PIPELINE_ORACLES = {
     "manifest_scan": ORACLE_MANIFEST_SCAN,
     "image_decode": ORACLE_IMAGE_DECODE,
+    "frame_sample": _oracle_frame_sample(),
     "train_metrics": ORACLE_TRAIN_METRICS,
     "knn_display": ORACLE_KNN_DISPLAY,
 }
