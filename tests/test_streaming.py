@@ -11,6 +11,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from the_build_project_image_retrieval_with_vector_databases_spark.streaming.queries import (
+    interval_join,
     serve_loop,
     streaming_dedup,
     streaming_tumbling_counts,
@@ -110,6 +111,35 @@ def test_streaming_dedup_matches_batch_distinct(spark, events_dir, tmp_path):
         q.stop()
     want = _load_events(spark, events_dir).select("event_id").distinct().count()
     assert got == want
+
+
+def test_stream_stream_interval_join_matches_batch(spark, events_dir, tmp_path):
+    """Real stream-stream join execution (two file streams, watermarked
+    state, append sink) — result set equals the identical batch join."""
+    s = _stream_events(spark, events_dir)
+    sp = s.filter(F.col("event_type") == "purchase")
+    sv = s.filter(F.col("event_type") == "view")
+    q = (
+        interval_join(sp, sv, max_lag_s=3600)
+        .writeStream.format("memory")
+        .queryName("t_ssjoin")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssjoin"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT * FROM t_ssjoin").collect()
+    finally:
+        q.stop()
+    b = _load_events(spark, events_dir)
+    want = interval_join(
+        b.filter(F.col("event_type") == "purchase"),
+        b.filter(F.col("event_type") == "view"),
+        max_lag_s=3600,
+    ).collect()
+    assert len(want) > 0
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
 
 
 def test_serve_loop_matches_batch_knn(spark, tmp_path):

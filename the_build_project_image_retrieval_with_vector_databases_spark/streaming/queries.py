@@ -80,6 +80,44 @@ def streaming_dedup(
     )
 
 
+def interval_join(
+    purchases: DataFrame,
+    views: DataFrame,
+    max_lag_s: int = 3600,
+    watermark_s: int = 3600,
+) -> DataFrame:
+    """Stream-stream interval join: every purchase matched to the same
+    user's views within the preceding ``max_lag_s``. Watermarks on BOTH
+    sides plus the time-range predicate are what lets Spark expire join
+    state (without them the view buffer grows forever) — state per key is
+    bounded by watermark + lag. Works identically on batch DataFrames
+    (the twin the test compares against; the batch *aggregate* form is
+    the oracle-checked ``views_before_purchase``)."""
+    p = purchases.withWatermark("ts", f"{watermark_s} seconds").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    v = views.withWatermark("ts", f"{watermark_s} seconds").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    return p.join(
+        v,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {max_lag_s} SECONDS")),
+        "inner",
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "view_id",
+        F.unix_timestamp("p_ts").cast("long").alias("purchase_ep"),
+        F.unix_timestamp("v_ts").cast("long").alias("view_ep"),
+    )
+
+
 def serve_loop(
     query_stream: DataFrame,
     corpus: DataFrame,
