@@ -54,6 +54,8 @@ BENCH_QUERIES = [
     "knn_two_phase",
     "regional_volume",
     "part_profit",
+    "forecast_revenue",
+    "running_revenue",
     "supplier_rollup",
     "asof_join",
 ]

@@ -123,6 +123,89 @@ GROUP BY n_name, year(l_shipdate)
 
 
 # ---------------------------------------------------------------------------
+# TPC-H Q6 shape: pure scan aggregation, every predicate pushed down
+# ---------------------------------------------------------------------------
+
+
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6-shape forecast revenue: one scan, three pushed-down predicates,
+    one global aggregate — the canonical 'is pushdown working' probe. At
+    100 TB this reads only the 4 referenced columns and skips row groups
+    via parquet min/max stats on every predicate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice").cast("decimal(12,2)") * F.col(
+        "l_discount"
+    ).cast("decimal(7,4)")
+    out = (
+        li.filter(
+            (F.col("l_shipdate") >= "2021-01-01")
+            & (F.col("l_shipdate") < "2022-01-01")
+            & (F.col("l_discount").between(0.02, 0.06))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(revenue), 2).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+    return out
+
+
+ORACLE_FORECAST_REVENUE = """
+SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                      CAST(l_discount AS DECIMAL(7,4))), 2) AS DOUBLE)
+         AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '2021-01-01'
+  AND l_shipdate <  TIMESTAMP '2022-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.06
+  AND l_quantity < 24
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cumulative window: per-customer running revenue + order rank
+# ---------------------------------------------------------------------------
+
+
+def q_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer cumulative order revenue + sequence rank (the running
+    aggregate family, §2.4 A5 generalized): one shuffle on the entity
+    key, ROWS frame over the per-customer timeline. Bounded to the first
+    20 customers so the output stays hash-comparable at any SF."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 20)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seq = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    total = F.col("o_totalprice").cast("decimal(14,2)")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(seq).alias("order_seq"),
+        F.sum(total).over(w).cast("double").alias("running_revenue"),
+    )
+
+
+ORACLE_RUNNING_REVENUE = """
+SELECT o_custkey, o_orderkey,
+       CAST(row_number() OVER w AS INT) AS order_seq,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) OVER (
+              PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS running_revenue
+FROM orders
+WHERE o_custkey <= 20
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Semi / anti joins (TPC-H Q4 shape + complement)
 # ---------------------------------------------------------------------------
 
@@ -361,6 +444,8 @@ FROM resolved
 RELATIONAL_QUERIES = {
     "regional_volume": q_regional_volume,
     "part_profit": q_part_profit,
+    "forecast_revenue": q_forecast_revenue,
+    "running_revenue": q_running_revenue,
     "order_priority_semi": q_order_priority_semi,
     "customers_without_orders": q_customers_without_orders,
     "supplier_rollup": q_supplier_rollup,
@@ -371,6 +456,8 @@ RELATIONAL_QUERIES = {
 RELATIONAL_ORACLES = {
     "regional_volume": ORACLE_REGIONAL_VOLUME,
     "part_profit": ORACLE_PART_PROFIT,
+    "forecast_revenue": ORACLE_FORECAST_REVENUE,
+    "running_revenue": ORACLE_RUNNING_REVENUE,
     "order_priority_semi": ORACLE_ORDER_PRIORITY,
     "customers_without_orders": ORACLE_CUSTOMERS_NO_ORDERS,
     "supplier_rollup": ORACLE_SUPPLIER_ROLLUP,
