@@ -50,6 +50,8 @@ BENCH_QUERIES = [
     "pq_topk",
     "ivfpq_topk",
     "lsh_bucket_counts",
+    "lsh_near_dup",
+    "dedup_components",
     "cosine_dedup",
     "knn_two_phase",
     "regional_volume",

@@ -387,6 +387,51 @@ FROM b GROUP BY bucket
 # ---------------------------------------------------------------------------
 
 
+def q_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH-blocked embedding near-dup at FULL table scope — the scale
+    path `cosine_dedup` (brute-force on a bounded block) delegates to at
+    100 TB: candidates = same 8-plane hyperplane bucket (one shuffle on
+    the bucket key), exact cosine verify on candidates only. Work ∝
+    bucket collisions (N²/2^8 expected), never all-pairs."""
+    from .operators.ann import lsh_candidates
+    from .functions.vector import cosine_sim
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cands = lsh_candidates(emb, LSH_PLANES)
+    e_l = emb.select(F.col("vec_id").alias("left_id"), F.col("embedding").alias("__el"))
+    e_r = emb.select(F.col("vec_id").alias("right_id"), F.col("embedding").alias("__er"))
+    return (
+        cands.join(e_l, "left_id")
+        .join(e_r, "right_id")
+        .withColumn("sim", cosine_sim(F.col("__el"), F.col("__er")))
+        .filter(F.col("sim") > 0.2)
+        .select("left_id", "right_id", F.round("sim", 6).alias("cos_sim"))
+    )
+
+
+def _oracle_lsh_near_dup(threshold: float = 0.2) -> str:
+    bits = []
+    for i, h in enumerate(LSH_PLANES):
+        lit = "[" + ", ".join(repr(float(x)) for x in h) + "]::DOUBLE[]"
+        bits.append(
+            f"(CASE WHEN ({_dk_dot('embedding', lit)}) > 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+        )
+    expr = " + ".join(bits)
+    return f"""
+WITH b AS (SELECT vec_id, embedding, CAST({expr} AS BIGINT) AS bucket
+           FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS left_id, b2.vec_id AS right_id,
+         {_dk_cosine('a.embedding', 'b2.embedding')} AS sim
+  FROM b a JOIN b b2 USING (bucket)
+  WHERE a.vec_id < b2.vec_id
+)
+SELECT left_id, right_id, round(sim, 6) AS cos_sim
+FROM pairs WHERE sim > {threshold}
+"""
+
+
 def q_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs by embedding cosine > 0.28 within the
     vec_id < 300 block (brute-force radius join; the LSH-blocked variant
@@ -503,6 +548,7 @@ ANN_QUERIES = {
     "pq_topk": q_pq_topk,
     "ivfpq_topk": q_ivfpq_topk,
     "lsh_bucket_counts": q_lsh_bucket_counts,
+    "lsh_near_dup": q_lsh_near_dup,
     "cosine_dedup": q_cosine_dedup,
     "knn_two_phase": q_knn_two_phase,
     "grouped_ids": q_grouped_ids,
@@ -514,6 +560,7 @@ ANN_ORACLES = {
     "pq_topk": _oracle_pq_topk(),
     "ivfpq_topk": _oracle_ivfpq_topk(),
     "lsh_bucket_counts": _oracle_lsh_buckets(),
+    "lsh_near_dup": _oracle_lsh_near_dup(0.2),
     "cosine_dedup": ORACLE_COSINE_DEDUP,
     "knn_two_phase": ORACLE_KNN_TWO_PHASE,
     "grouped_ids": ORACLE_GROUPED_IDS,

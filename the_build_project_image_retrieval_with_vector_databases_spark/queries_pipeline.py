@@ -21,6 +21,7 @@ _FIXTURES = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
 MANIFEST_PATH = os.path.join(_FIXTURES, "train_val.json")
 IMAGES_ROOT = os.path.join(_FIXTURES, "images")
 VIDEOS_ROOT = os.path.join(_FIXTURES, "videos")
+CORPUS_JSONL = os.path.join(_FIXTURES, "corpus.jsonl")
 
 
 # ---------------------------------------------------------------------------
@@ -177,6 +178,60 @@ FROM b WHERE n < 256
 
 
 # ---------------------------------------------------------------------------
+# JSONL corpus ingestion (the standard LLM training-corpus wire format)
+# ---------------------------------------------------------------------------
+
+
+def q_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newline-delimited JSON corpus → typed rows → per-source rollup
+    with exact-dup counting, in one pass: the first stage of every real
+    corpus intake. `spark.read.json` schema-on-reads each line in
+    parallel (line-splittable at 100 TB, unlike multiline JSON); the
+    rollup counts docs, tokens, and how many rows are exact duplicates
+    of an earlier doc (window over md5(text))."""
+    docs = spark.read.json(CORPUS_JSONL).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        "text",
+    )
+    from .functions.text import tokens
+
+    w = Window.partitionBy(F.md5("text")).orderBy(F.col("doc_id").asc())
+    enriched = docs.select(
+        "doc_id",
+        "source",
+        F.size(tokens("text")).alias("n_tokens"),
+        (F.row_number().over(w) > 1).alias("is_dup"),
+    )
+    return enriched.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).cast("long").alias("n_dups"),
+    )
+
+
+def _oracle_jsonl_ingest() -> str:
+    from .queries_text import _dk_toks
+
+    return f"""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, source, text
+  FROM read_json_auto('{CORPUS_JSONL}', format='newline_delimited')
+),
+e AS (
+  SELECT doc_id, source, len({_dk_toks()}) AS n_tokens,
+         row_number() OVER (PARTITION BY md5(text)
+                            ORDER BY doc_id ASC) > 1 AS is_dup
+  FROM d
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dups
+FROM e GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
 # A5/A6 — training metric aggregates (epoch loss mean, accuracy ratio)
 # ---------------------------------------------------------------------------
 
@@ -289,6 +344,7 @@ PIPELINE_QUERIES = {
     "manifest_scan": q_manifest_scan,
     "image_decode": q_image_decode,
     "frame_sample": q_frame_sample,
+    "jsonl_ingest": q_jsonl_ingest,
     "train_metrics": q_train_metrics,
     "knn_display": q_knn_display,
 }
@@ -297,6 +353,7 @@ PIPELINE_ORACLES = {
     "manifest_scan": ORACLE_MANIFEST_SCAN,
     "image_decode": ORACLE_IMAGE_DECODE,
     "frame_sample": _oracle_frame_sample(),
+    "jsonl_ingest": _oracle_jsonl_ingest(),
     "train_metrics": ORACLE_TRAIN_METRICS,
     "knn_display": ORACLE_KNN_DISPLAY,
 }

@@ -537,6 +537,44 @@ FROM cand WHERE bit_count(xor(fp_l, fp_r)) <= {max_hamming}
 """
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup CLUSTERS: MinHash-LSH near-dup pairs → connected components
+    (label propagation to fixpoint, ``operators.graph``) → one
+    representative + member roster per cluster. The oracle re-derives the
+    same components via a recursive-CTE transitive closure — cross-engine
+    agreement on an iterative algorithm's fixpoint."""
+    from .operators.graph import dedup_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, threshold=0.5)
+    return dedup_components(pairs)
+
+
+def _oracle_dedup_components() -> str:
+    pairs_sql = _oracle_jaccard(0.5, lsh=True)
+    return f"""
+WITH RECURSIVE
+edges AS (SELECT left_id, right_id FROM ({pairs_sql})),
+und AS (
+  SELECT left_id AS a, right_id AS b FROM edges
+  UNION
+  SELECT right_id, left_id FROM edges
+),
+reach(a, b) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+),
+comp AS (
+  SELECT a AS node, least(a, min(b)) AS component
+  FROM reach GROUP BY a
+)
+SELECT component, count(*) AS n_docs,
+       CAST(sum(node) AS BIGINT) AS id_checksum
+FROM comp GROUP BY component
+"""
+
+
 TEXT_QUERIES = {
     "token_stats": q_token_stats,
     "top_terms": q_top_terms,
@@ -552,6 +590,7 @@ TEXT_QUERIES = {
     "simhash_near_dup": q_simhash_near_dup,
     "salted_term_counts": q_salted_term_counts,
     "clean_corpus": q_clean_corpus,
+    "dedup_components": q_dedup_components,
 }
 
 TEXT_ORACLES = {
@@ -569,4 +608,5 @@ TEXT_ORACLES = {
     "simhash_near_dup": _oracle_simhash_near_dup(32, 4, 3),
     "salted_term_counts": ORACLE_SALTED_TERM_COUNTS,
     "clean_corpus": _oracle_clean_corpus(0.7),
+    "dedup_components": _oracle_dedup_components(),
 }
