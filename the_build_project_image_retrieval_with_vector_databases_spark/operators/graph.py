@@ -47,6 +47,15 @@ def connected_components(
         .withColumn("comp", F.col("node"))
         .persist()
     )
+
+    def _checksum(lb: DataFrame) -> int:
+        # labels only ever DECREASE elementwise, so the label sum is
+        # strictly monotone until the fixpoint — an unchanged sum IS
+        # convergence. One tiny aggregate per round instead of a
+        # join-diff-count (halves the per-round job count).
+        return lb.agg(F.sum("comp")).first()[0]
+
+    prev_sum = _checksum(labels)
     try:
         for _ in range(max_iter):
             nbr = (
@@ -64,16 +73,12 @@ def connected_components(
                 )
                 .persist()
             )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "node")
-                .filter(F.col("n.comp") != F.col("o.comp"))
-                .count()
-            )
+            new_sum = _checksum(new_labels)
             labels.unpersist()
             labels = new_labels
-            if changed == 0:
+            if new_sum == prev_sum:
                 return labels
+            prev_sum = new_sum
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds"
         )
