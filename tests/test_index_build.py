@@ -73,6 +73,49 @@ def test_sidecar_sinks_roundtrip(spark, tmp_path):
     assert a == b  # float32 bits survive the parquet roundtrip exactly
 
 
+def test_ivf_append_maintenance(spark, tmp_path):
+    """Appending a new batch into the IVF layout: existing rows intact,
+    new rows land in their assigned partitions, probes see both."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.ann import (
+        append_to_ivf_index,
+        train_centroids,
+        write_ivf_index,
+    )
+
+    emb = _emb(spark)
+    base = emb.filter(F.col("vec_id") < 400)
+    extra = emb.filter(F.col("vec_id") >= 400)
+    cents = train_centroids(base, k=4, seed=42)
+    path = str(tmp_path / "ivf_inc")
+    write_ivf_index(base, path, cents)
+    n_base = spark.read.parquet(path).count()
+    append_to_ivf_index(extra, path, cents)
+    merged = spark.read.parquet(path)
+    assert merged.count() == emb.count()
+    assert n_base == 400
+    # appended rows are assigned to the same centroid the expression gives
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.ann import (
+        assign_centroids,
+    )
+    want = {
+        r.vec_id: r.centroid
+        for r in assign_centroids(extra, cents).select("vec_id", "centroid").collect()
+    }
+    got = {
+        r.vec_id: r.centroid
+        for r in merged.filter(F.col("vec_id") >= 400)
+        .select("vec_id", "centroid")
+        .collect()
+    }
+    assert got == want
+    # a probe over the merged layout can return appended vectors
+    qrow = extra.first()
+    hits = ivf_search(
+        spark, cents, list(map(float, qrow.embedding)), k=3, nprobe=4, path=path
+    ).collect()
+    assert qrow.vec_id in {r.vec_id for r in hits}
+
+
 def test_ivf_layout_roundtrip(spark, tmp_path):
     path = str(tmp_path / "ivf_index")
     built = build_index(_emb(spark), out_path=path, per_class=20, ivf_k=4)

@@ -94,6 +94,24 @@ def write_ivf_index(
     assigned.write.mode("overwrite").partitionBy("centroid").parquet(path)
 
 
+def append_to_ivf_index(
+    df: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental index maintenance — the answer to 'how do I add
+    vectors without rebuilding?': assign the NEW batch to the existing
+    coarse quantizer and APPEND into the partitioned layout. Each append
+    writes only its own partition files (existing files untouched);
+    readers see the merged inverted lists on the next scan, and partition
+    pruning keeps working because the directory key is unchanged. Re-run
+    :func:`train_centroids` + full rewrite only when drift degrades
+    recall (same trade FAISS makes with a frozen coarse quantizer)."""
+    assigned = assign_centroids(df, centroids, vec_col)
+    assigned.write.mode("append").partitionBy("centroid").parquet(path)
+
+
 def ivf_search(
     spark_or_df,
     centroids: list[list[float]],

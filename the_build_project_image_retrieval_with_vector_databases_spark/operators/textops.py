@@ -179,6 +179,35 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+# BPE-ish pretokenizer: letter runs, digit runs, single punctuation — the
+# coarse shape GPT-style byte-pair pretokenization produces (public
+# pattern family; kept to the regex subset Java and RE2 parse identically
+# so the oracle reproduces it).
+BPE_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def bpe_token_counts(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document token counts under BOTH tokenizers: whitespace words
+    and the BPE-ish regex (`BPE_PATTERN`) — the cost-estimation numbers
+    an LLM-pipeline owner asks for ('how many tokens is this corpus?').
+    Pure codegen'd expressions; ratio rounded for cross-engine hashing."""
+    lowered = F.lower(F.col(text_col))
+    ws = tokens(text_col)
+    bpe = F.regexp_extract_all(lowered, F.lit(BPE_PATTERN), 0)
+    n_ws = F.size(ws)
+    n_bpe = F.size(bpe)
+    return spread(df).select(
+        F.col(id_col),
+        n_ws.alias("n_words"),
+        n_bpe.alias("n_bpe_tokens"),
+        F.round(
+            n_bpe.cast("double") / F.greatest(n_ws, F.lit(1)).cast("double"), 6
+        ).alias("tokens_per_word"),
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Deterministic document fingerprint: min md5-derived token hash
     (1-permutation MinHash) + full-text md5 — the cheap building block for

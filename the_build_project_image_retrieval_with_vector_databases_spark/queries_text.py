@@ -537,6 +537,28 @@ FROM cand WHERE bit_count(xor(fp_l, fp_r)) <= {max_hamming}
 """
 
 
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs BPE-ish token counts per document (corpus costing)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.bpe_token_counts(docs)
+
+
+ORACLE_BPE_TOKEN_COUNTS = f"""
+WITH t AS (
+  SELECT doc_id,
+         len({_dk_toks()}) AS n_words,
+         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+           AS n_bpe_tokens
+  FROM documents
+)
+SELECT doc_id, CAST(n_words AS INT) AS n_words,
+       CAST(n_bpe_tokens AS INT) AS n_bpe_tokens,
+       round(CAST(n_bpe_tokens AS DOUBLE) /
+             CAST(greatest(n_words, 1) AS DOUBLE), 6) AS tokens_per_word
+FROM t
+"""
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup CLUSTERS: MinHash-LSH near-dup pairs → connected components
     (label propagation to fixpoint, ``operators.graph``) → one
@@ -591,6 +613,7 @@ TEXT_QUERIES = {
     "salted_term_counts": q_salted_term_counts,
     "clean_corpus": q_clean_corpus,
     "dedup_components": q_dedup_components,
+    "bpe_token_counts": q_bpe_token_counts,
 }
 
 TEXT_ORACLES = {
@@ -609,4 +632,5 @@ TEXT_ORACLES = {
     "salted_term_counts": ORACLE_SALTED_TERM_COUNTS,
     "clean_corpus": _oracle_clean_corpus(0.7),
     "dedup_components": _oracle_dedup_components(),
+    "bpe_token_counts": ORACLE_BPE_TOKEN_COUNTS,
 }
