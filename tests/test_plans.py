@@ -149,6 +149,19 @@ def test_ivfpq_topk_pruned_and_codes_only(spark):
     assert "Exchange" not in plan
 
 
+def test_registry_wide_plan_hygiene(spark):
+    """Global contracts over EVERY registered query's physical plan:
+    no row-at-a-time Python UDFs (`BatchEvalPython`) — Arrow
+    `MapInPandas`/`FlatMapGroupsInPandas` are the only Python operators
+    allowed — and no un-broadcast `CartesianProduct` (the broadcast
+    nested-loop form is fine; a shuffled cartesian is never the plan we
+    want)."""
+    for name, fn in sorted(entrymod.queries().items()):
+        plan = _physical(fn(spark, SF_SMOKE))
+        assert "BatchEvalPython" not in plan, f"{name}: row-wise Python UDF"
+        assert "CartesianProduct" not in plan, f"{name}: shuffled cartesian"
+
+
 def test_exact_dedup_single_shuffle(spark):
     df = entrymod.queries()["exact_dedup"](spark, SF_SMOKE)
     plan = _explain(df)
