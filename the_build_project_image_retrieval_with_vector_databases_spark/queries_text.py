@@ -8,7 +8,7 @@ arithmetic, sums = integer/left-fold — all bit-portable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .operators import dedup as D
@@ -597,6 +597,78 @@ FROM comp GROUP BY component
 """
 
 
+def q_top_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped top-k (N-per-group): 3 highest-quality docs per predicted
+    language — plans as two-phase ``WindowGroupLimit`` (≤3 rows per group
+    per map partition shuffle), same shape as the kNN join rank."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = spread(docs).select("doc_id", "text", tokens("text").alias("__toks"))
+    pred, _ = T.lang_pred_expr(F.col("__toks"))
+    _a, _m, _s, quality = T.quality_exprs(F.col("text"), F.col("__toks"))
+    scored = toked.select(
+        "doc_id", pred.alias("pred_lang"), quality.alias("quality")
+    )
+    w = Window.partitionBy("pred_lang").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("pred_lang", "rank", "doc_id", "quality")
+    )
+
+
+def _oracle_top_docs_per_lang() -> str:
+    # reuse the clean_corpus quality/lang CTE structure
+    stop_en = _dk_stop_filter("toks", LANG_STOPWORDS["en"])
+    score_exprs = ",\n       ".join(
+        f"{_dk_stop_filter('toks', LANG_STOPWORDS[lang])}::DOUBLE / "
+        f"greatest(len(toks), 1) AS s_{lang}"
+        for lang in sorted(LANG_STOPWORDS)
+    )
+    best = "greatest(" + ", ".join(f"s_{l}" for l in sorted(LANG_STOPWORDS)) + ")"
+    case = " ".join(
+        f"WHEN s_{l} = best THEN '{l}'" for l in sorted(LANG_STOPWORDS)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, text, {_dk_toks()} AS toks FROM documents),
+m AS (
+  SELECT doc_id,
+    length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE /
+      greatest(length(text), 1) AS alpha_ratio,
+    (CASE WHEN len(toks) = 0 THEN 0
+     ELSE list_reduce(list_transform(toks, t -> length(t)), (a,b) -> a+b)
+     END)::DOUBLE / greatest(len(toks), 1) AS mean_tok_len,
+    {stop_en}::DOUBLE / greatest(len(toks), 1) AS stop_ratio
+  FROM t
+),
+qual AS (
+  SELECT doc_id,
+         round(alpha_ratio * 0.4 +
+               (CASE WHEN mean_tok_len >= 3.0 AND mean_tok_len <= 10.0
+                     THEN 1.0 ELSE 0.5 END) * 0.3 +
+               (CASE WHEN stop_ratio > 0.05 THEN 1.0 ELSE 0.6 END) * 0.3, 6)
+           AS quality
+  FROM m
+),
+s AS (SELECT doc_id, {score_exprs} FROM t),
+b AS (SELECT *, {best} AS best FROM s),
+lang AS (
+  SELECT doc_id,
+         CASE WHEN best <= 0 THEN 'und' {case} ELSE 'und' END AS pred_lang
+  FROM b
+),
+ranked AS (
+  SELECT l.pred_lang, q.doc_id, q.quality,
+         row_number() OVER (PARTITION BY l.pred_lang
+                            ORDER BY q.quality DESC, q.doc_id ASC) AS rank
+  FROM qual q JOIN lang l USING (doc_id)
+)
+SELECT pred_lang, CAST(rank AS INT) AS rank, doc_id, quality
+FROM ranked WHERE rank <= 3
+"""
+
+
 TEXT_QUERIES = {
     "token_stats": q_token_stats,
     "top_terms": q_top_terms,
@@ -614,6 +686,7 @@ TEXT_QUERIES = {
     "clean_corpus": q_clean_corpus,
     "dedup_components": q_dedup_components,
     "bpe_token_counts": q_bpe_token_counts,
+    "top_docs_per_lang": q_top_docs_per_lang,
 }
 
 TEXT_ORACLES = {
@@ -633,4 +706,5 @@ TEXT_ORACLES = {
     "clean_corpus": _oracle_clean_corpus(0.7),
     "dedup_components": _oracle_dedup_components(),
     "bpe_token_counts": ORACLE_BPE_TOKEN_COUNTS,
+    "top_docs_per_lang": _oracle_top_docs_per_lang(),
 }
