@@ -161,13 +161,26 @@ def test_brp_similarity_join_pairs(spark, emb, emb_np):
     assert want and len(got & want) / len(want) >= 0.9
 
 
-def test_two_phase_equals_window_rank(spark, emb):
+def test_knn_join_matches_numpy_reference(spark, emb, emb_np):
+    """knn_join (and its two-phase alias) against an independent NumPy
+    brute-force reference — pins the actual top-k semantics (L2 order,
+    self-exclusion, id tie-break), not one Spark plan vs another."""
+    ids, mat = emb_np
     queries = emb.filter(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    a = knn_join(emb, queries, k=4).select("query_id", "vec_id", "rank")
-    b = knn_join_two_phase(emb, queries, k=4).select("query_id", "vec_id", "rank")
-    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    got = {
+        (r.query_id, r.rank): r.vec_id
+        for r in knn_join_two_phase(emb, queries, k=4).collect()
+    }
+    id_to_row = {int(v): i for i, v in enumerate(ids)}
+    for q in range(16):
+        d = np.sqrt(((mat - mat[id_to_row[q]]) ** 2).sum(axis=1))
+        order = sorted(
+            (float(d[i]), int(ids[i])) for i in range(len(ids)) if ids[i] != q
+        )
+        want = [vid for _, vid in order[:4]]
+        assert [got[(q, r)] for r in range(1, 5)] == want
 
 
 def test_l2_rank_equals_cosine_rank_on_unit_vectors(emb):

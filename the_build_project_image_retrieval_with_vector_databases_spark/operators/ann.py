@@ -112,6 +112,17 @@ def append_to_ivf_index(
     assigned.write.mode("append").partitionBy("centroid").parquet(path)
 
 
+def nearest_centroids(
+    centroids: list[list[float]], query_vec: list[float], nprobe: int
+) -> list[int]:
+    """Ids of the ``nprobe`` centroids nearest the query (stable L2
+    order) — the probe-selection step shared by every IVF-family search."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    cents = np.asarray(centroids, dtype=np.float64)
+    order = np.argsort(((cents - q) ** 2).sum(axis=1), kind="stable")
+    return [int(i) for i in order[:nprobe]]
+
+
 def ivf_search(
     spark_or_df,
     centroids: list[list[float]],
@@ -128,10 +139,8 @@ def ivf_search(
     parquet partitions — only nprobe/k of the corpus is read. Given a
     DataFrame, the filter still short-circuits the scan after the cheap
     ``centroid`` comparison."""
-    q = np.asarray(query_vec, dtype=np.float64)
-    cents = np.asarray(centroids, dtype=np.float64)
-    order = np.argsort(((cents - q) ** 2).sum(axis=1), kind="stable")
-    probe = [int(i) for i in order[:nprobe]]
+    q = [float(x) for x in query_vec]
+    probe = nearest_centroids(centroids, q, nprobe)
 
     if path is not None:
         df = spark_or_df.read.parquet(path)

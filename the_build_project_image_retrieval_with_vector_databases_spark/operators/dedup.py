@@ -137,9 +137,15 @@ def ngram_jaccard_pairs(
     # ~5× wall-clock). The outer generate blocks that pushdown; empty-doc
     # rows surface as one null and are dropped here instead.
     ex = doc_shingles(df, n, text_col, id_col).select(
-        F.col(id_col), F.explode_outer("sh").alias("shingle_s")
+        F.col(id_col),
+        F.size("sh").alias("__raw_n_sh"),
+        F.explode_outer("sh").alias("shingle_s"),
     ).filter(F.col("shingle_s").isNotNull())
-    ex = ex.select(F.col(id_col), md5_long("shingle_s", digits=15).alias("shingle"))
+    ex = ex.select(
+        F.col(id_col),
+        F.col("__raw_n_sh"),
+        md5_long("shingle_s", digits=15).alias("shingle"),
+    )
     if max_df_frac is not None:
         n_docs = df.select(F.count("*").alias("__n_docs"))
         cap = F.greatest(
@@ -153,10 +159,15 @@ def ngram_jaccard_pairs(
             .filter(F.col("__df") <= cap)
             .drop("__df", "__n_docs")
         )
-    # per-doc set size AFTER the cap, carried through the join so the pair
-    # aggregation needs no post-hoc sizes join
-    wid = Window.partitionBy(id_col)
-    ex = ex.withColumn("n_sh", F.count("*").over(wid))
+        # per-doc set size must be recomputed AFTER the cap (Jaccard is
+        # over the filtered sets); carried through the join so the pair
+        # aggregation needs no post-hoc sizes join
+        wid = Window.partitionBy(id_col)
+        ex = ex.withColumn("n_sh", F.count("*").over(wid)).drop("__raw_n_sh")
+    else:
+        # uncapped: the pre-explode array size IS the set size — carried
+        # through the explode for free, no doc_id-keyed window shuffle
+        ex = ex.withColumnRenamed("__raw_n_sh", "n_sh")
     a, b = ex.alias("a"), ex.alias("b")
     # merge hint: AQE would otherwise broadcast one side (the exploded
     # table fits under the threshold at test SF), which computes the

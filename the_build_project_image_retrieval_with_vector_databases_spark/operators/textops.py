@@ -181,9 +181,10 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 # BPE-ish pretokenizer: letter runs, digit runs, single punctuation — the
 # coarse shape GPT-style byte-pair pretokenization produces (public
-# pattern family; kept to the regex subset Java and RE2 parse identically
-# so the oracle reproduces it).
-BPE_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+# pattern family). Whitespace is an EXPLICIT char class, not `\s`: Java's
+# `\s` includes \x0B (vertical tab) while RE2's does not, so `\s` would
+# silently diverge between Spark and the DuckDB oracle on such input.
+BPE_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9 \t\n\f\r]"
 
 
 def bpe_token_counts(

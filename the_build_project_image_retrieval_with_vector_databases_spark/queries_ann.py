@@ -22,7 +22,6 @@ Oracle-parity tricks specific to this module:
 
 from __future__ import annotations
 
-import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -71,28 +70,46 @@ def _dk_cosine(a: str, b: str) -> str:
 # ---------------------------------------------------------------------------
 
 
-# One materialized IVF layout per (process, sf_dir): built on first use —
-# centroid collect (16 rows, one time) + partitionBy("centroid") parquet
-# write — then every probe is a partition-pruned scan. This is the index
-# lifecycle at 100 TB: build once, amortize over every query; the benched
-# steady-state is the probe, not the build.
-_IVF_LAYOUTS: dict[str, tuple[str, list[list[float]]]] = {}
+# Materialized index layouts, one per (kind, process, sf_dir): built on
+# first use — training-row collect (16 rows, one time) + a partitioned /
+# encoded parquet write — then every probe is a pruned scan. This is the
+# index lifecycle at 100 TB: build once, amortize over every query; the
+# benched steady-state is the probe, not the build. (The temp dirs live
+# for the process lifetime — same scope as the memo dict.)
+_LAYOUTS: dict[tuple[str, str], tuple] = {}
+
+
+def _training_vectors(spark: SparkSession, sf_dir: str):
+    """(embeddings_df, 16 training vectors ordered by vec_id) — the
+    deterministic, oracle-derivable 'training set' every index layout
+    here quantizes against (rows vec_id < 16 of the table itself)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = sorted(
+        emb.filter(F.col("vec_id") < 16).select("vec_id", "embedding").collect(),
+        key=lambda r: r.vec_id,
+    )
+    return emb, [[float(x) for x in r.embedding] for r in rows]
+
+
+def _layout(spark: SparkSession, sf_dir: str, kind: str, build):
+    """Memoized layout build: ``build(emb, train, path) -> tuple`` runs
+    once per (kind, sf_dir) per process."""
+    key = (kind, sf_dir)
+    if key not in _LAYOUTS:
+        import tempfile
+
+        emb, train = _training_vectors(spark, sf_dir)
+        path = tempfile.mkdtemp(prefix=f"sparkgraft_{kind}_") + "/layout"
+        _LAYOUTS[key] = build(emb, train, path)
+    return _LAYOUTS[key]
 
 
 def _ivf_layout(spark: SparkSession, sf_dir: str) -> tuple[str, list[list[float]]]:
-    if sf_dir not in _IVF_LAYOUTS:
-        import tempfile
+    def build(emb, train, path):
+        write_ivf_index(emb, path, train)
+        return path, train
 
-        emb = load_table(spark, sf_dir, "embeddings")
-        cent_rows = sorted(
-            emb.filter(F.col("vec_id") < 16).select("vec_id", "embedding").collect(),
-            key=lambda r: r.vec_id,
-        )
-        centroids = [[float(x) for x in r.embedding] for r in cent_rows]
-        path = tempfile.mkdtemp(prefix="sparkgraft_ivf_") + "/layout"
-        write_ivf_index(emb, path, centroids)
-        _IVF_LAYOUTS[sf_dir] = (path, centroids)
-    return _IVF_LAYOUTS[sf_dir]
+    return _layout(spark, sf_dir, "ivf", build)
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -153,32 +170,18 @@ LIMIT 5
 
 PQ_M = 8  # 64-D → 8 subspaces of 8 dims; ksub = 16 (training rows vec_id < 16)
 
-# One PQ-encoded table per (process, sf_dir): codebooks sliced from rows
-# vec_id < 16 (deterministic, oracle-derivable), codes materialized once —
-# the ADC query then scans m ints per row instead of D floats.
-_PQ_LAYOUTS: dict[str, tuple[str, list, list]] = {}
-
-
 def _pq_layout(spark: SparkSession, sf_dir: str):
-    if sf_dir not in _PQ_LAYOUTS:
-        import tempfile
-
+    def build(emb, train, path):
         from .operators.pq import pq_encode, slice_codebooks
 
-        emb = load_table(spark, sf_dir, "embeddings")
-        rows = sorted(
-            emb.filter(F.col("vec_id") < 16).select("vec_id", "embedding").collect(),
-            key=lambda r: r.vec_id,
-        )
-        train = [[float(x) for x in r.embedding] for r in rows]
         codebooks = slice_codebooks(train, PQ_M)
         encoded = pq_encode(emb, codebooks).select(
             "vec_id", "label", *[f"code_{j}" for j in range(PQ_M)]
         )
-        path = tempfile.mkdtemp(prefix="sparkgraft_pq_") + "/codes"
         encoded.write.mode("overwrite").parquet(path)
-        _PQ_LAYOUTS[sf_dir] = (path, codebooks, train[0])
-    return _PQ_LAYOUTS[sf_dir]
+        return path, codebooks, train[0]
+
+    return _layout(spark, sf_dir, "pq", build)
 
 
 def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -199,30 +202,19 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # IVF + PQ composed (the IndexIVFPQ analogue): centroid partition pruning
 # FIRST, ADC lookup inside the probed cells only. One layout carries both:
 # partitionBy(centroid) directories of (vec_id, label, code_0..7) rows.
-_IVFPQ_LAYOUTS: dict[str, tuple[str, list, list, list]] = {}
-
-
 def _ivfpq_layout(spark: SparkSession, sf_dir: str):
-    if sf_dir not in _IVFPQ_LAYOUTS:
-        import tempfile
-
+    def build(emb, train, path):
         from .operators.ann import assign_centroids
         from .operators.pq import pq_encode, slice_codebooks
 
-        emb = load_table(spark, sf_dir, "embeddings")
-        rows = sorted(
-            emb.filter(F.col("vec_id") < 16).select("vec_id", "embedding").collect(),
-            key=lambda r: r.vec_id,
-        )
-        train = [[float(x) for x in r.embedding] for r in rows]
         codebooks = slice_codebooks(train, PQ_M)
         df = pq_encode(assign_centroids(emb, train), codebooks).select(
             "vec_id", "label", "centroid", *[f"code_{j}" for j in range(PQ_M)]
         )
-        path = tempfile.mkdtemp(prefix="sparkgraft_ivfpq_") + "/layout"
         df.write.mode("overwrite").partitionBy("centroid").parquet(path)
-        _IVFPQ_LAYOUTS[sf_dir] = (path, train, codebooks, train[0])
-    return _IVFPQ_LAYOUTS[sf_dir]
+        return path, train, codebooks, train[0]
+
+    return _layout(spark, sf_dir, "ivfpq", build)
 
 
 def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -233,13 +225,11 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scan bytes at 100 TB ≈ corpus × (nprobe/k_cents) × (8B / 256B) —
     three orders of magnitude below the flat search, in one declarative
     plan with zero shuffles."""
+    from .operators.ann import nearest_centroids
     from .operators.pq import pq_adc_dist, adc_lut
 
     path, centroids, codebooks, qvec = _ivfpq_layout(spark, sf_dir)
-    q = np.asarray(qvec, dtype=np.float64)
-    cents = np.asarray(centroids, dtype=np.float64)
-    order = np.argsort(((cents - q) ** 2).sum(axis=1), kind="stable")
-    probe = [int(i) for i in order[:4]]
+    probe = nearest_centroids(centroids, qvec, nprobe=4)
     lut = adc_lut(codebooks, qvec)
     codes = (
         spark.read.parquet(path)

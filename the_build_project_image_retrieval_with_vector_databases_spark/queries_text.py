@@ -405,7 +405,11 @@ def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_clean_corpus(threshold: float = 0.7) -> str:
+def _quality_lang_ctes() -> str:
+    """Shared CTE scaffolding (tokens → quality components → composite →
+    language scores → prediction) used by every oracle that re-derives
+    the quality/language per-row expressions — ONE definition so a
+    formula tweak can't desynchronize the oracles."""
     stop_en = _dk_stop_filter("toks", LANG_STOPWORDS["en"])
     score_exprs = ",\n       ".join(
         f"{_dk_stop_filter('toks', LANG_STOPWORDS[lang])}::DOUBLE / "
@@ -417,7 +421,7 @@ def _oracle_clean_corpus(threshold: float = 0.7) -> str:
         f"WHEN s_{l} = best THEN '{l}'" for l in sorted(LANG_STOPWORDS)
     )
     return f"""
-WITH t AS (SELECT doc_id, text, {_dk_toks()} AS toks FROM documents),
+t AS (SELECT doc_id, text, {_dk_toks()} AS toks FROM documents),
 m AS (
   SELECT doc_id,
     length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE /
@@ -437,6 +441,18 @@ qual AS (
            AS quality
   FROM m
 ),
+s AS (SELECT doc_id, {score_exprs} FROM t),
+b AS (SELECT *, {best} AS best FROM s),
+lang AS (
+  SELECT doc_id,
+         CASE WHEN best <= 0 THEN 'und' {case} ELSE 'und' END AS pred_lang
+  FROM b
+)"""
+
+
+def _oracle_clean_corpus(threshold: float = 0.7) -> str:
+    return f"""
+WITH {_quality_lang_ctes()},
 kept AS (
   SELECT t.doc_id, t.text, t.toks FROM t JOIN qual USING (doc_id)
   WHERE quality >= {threshold}
@@ -447,13 +463,6 @@ deduped AS (
            row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
     FROM kept
   ) WHERE rn = 1
-),
-s AS (SELECT doc_id, {score_exprs} FROM t),
-b AS (SELECT *, {best} AS best FROM s),
-lang AS (
-  SELECT doc_id,
-         CASE WHEN best <= 0 THEN 'und' {case} ELSE 'und' END AS pred_lang
-  FROM b
 )
 SELECT pred_lang, count(*) AS n_docs,
        CAST(sum(d.doc_id) AS BIGINT) AS id_checksum,
@@ -547,7 +556,8 @@ ORACLE_BPE_TOKEN_COUNTS = f"""
 WITH t AS (
   SELECT doc_id,
          len({_dk_toks()}) AS n_words,
-         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+         len(regexp_extract_all(lower(text),
+                                '[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\f\\r]'))
            AS n_bpe_tokens
   FROM documents
 )
@@ -619,45 +629,8 @@ def q_top_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_top_docs_per_lang() -> str:
-    # reuse the clean_corpus quality/lang CTE structure
-    stop_en = _dk_stop_filter("toks", LANG_STOPWORDS["en"])
-    score_exprs = ",\n       ".join(
-        f"{_dk_stop_filter('toks', LANG_STOPWORDS[lang])}::DOUBLE / "
-        f"greatest(len(toks), 1) AS s_{lang}"
-        for lang in sorted(LANG_STOPWORDS)
-    )
-    best = "greatest(" + ", ".join(f"s_{l}" for l in sorted(LANG_STOPWORDS)) + ")"
-    case = " ".join(
-        f"WHEN s_{l} = best THEN '{l}'" for l in sorted(LANG_STOPWORDS)
-    )
     return f"""
-WITH t AS (SELECT doc_id, text, {_dk_toks()} AS toks FROM documents),
-m AS (
-  SELECT doc_id,
-    length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE /
-      greatest(length(text), 1) AS alpha_ratio,
-    (CASE WHEN len(toks) = 0 THEN 0
-     ELSE list_reduce(list_transform(toks, t -> length(t)), (a,b) -> a+b)
-     END)::DOUBLE / greatest(len(toks), 1) AS mean_tok_len,
-    {stop_en}::DOUBLE / greatest(len(toks), 1) AS stop_ratio
-  FROM t
-),
-qual AS (
-  SELECT doc_id,
-         round(alpha_ratio * 0.4 +
-               (CASE WHEN mean_tok_len >= 3.0 AND mean_tok_len <= 10.0
-                     THEN 1.0 ELSE 0.5 END) * 0.3 +
-               (CASE WHEN stop_ratio > 0.05 THEN 1.0 ELSE 0.6 END) * 0.3, 6)
-           AS quality
-  FROM m
-),
-s AS (SELECT doc_id, {score_exprs} FROM t),
-b AS (SELECT *, {best} AS best FROM s),
-lang AS (
-  SELECT doc_id,
-         CASE WHEN best <= 0 THEN 'und' {case} ELSE 'und' END AS pred_lang
-  FROM b
-),
+WITH {_quality_lang_ctes()},
 ranked AS (
   SELECT l.pred_lang, q.doc_id, q.quality,
          row_number() OVER (PARTITION BY l.pred_lang

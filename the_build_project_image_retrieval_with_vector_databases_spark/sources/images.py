@@ -179,6 +179,11 @@ def embed_images_torch(
                         imgs.append(((arr - mean) / std).transpose(2, 0, 1))
                     t = _torch.from_numpy(np.stack(imgs))
                     feats = model.extract_features(t).cpu().numpy()
+                    if feats.shape[1] != dim:
+                        raise ValueError(
+                            f"model emitted {feats.shape[1]}-dim features, "
+                            f"caller declared dim={dim}"
+                        )
                     feats /= np.maximum(
                         np.linalg.norm(feats, axis=1, keepdims=True), 1e-12
                     )
