@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "sessionize",
     "views_before_purchase",
     "kmv_distinct_sketch",
+    "value_quantiles",
     "json_extract_agg",
     "ivf_topk",
     "pq_topk",

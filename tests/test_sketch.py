@@ -55,6 +55,22 @@ def test_kmv_estimate_within_error(events):
         assert abs(got[et] - n) / n < 0.4, (et, got[et], n)
 
 
+def test_approx_percentile_within_error(events):
+    """`approx_percentile` (mergeable sketch, engine-private like HLL):
+    observed quantile must land within a tight rank-error band of the
+    exact interpolated percentile at accuracy=10000."""
+    rows = (
+        events.groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.95)").alias("exact"),
+            F.expr("approx_percentile(value, 0.95, 10000)").alias("approx"),
+        )
+        .collect()
+    )
+    for r in rows:
+        assert abs(r.approx - r.exact) / max(abs(r.exact), 1e-9) < 0.05
+
+
 def test_hll_within_error(events):
     """Spark's HLL++ at rsd=0.05: observed error must stay within ~3 rsd."""
     rows = (

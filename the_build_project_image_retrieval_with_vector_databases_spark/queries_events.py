@@ -172,6 +172,31 @@ FROM win WHERE event_type = 'purchase'
 """
 
 
+def q_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median / p95 / p99 of purchase
+    value per event type) — Spark's `percentile` and DuckDB's
+    `quantile_cont` share the (n−1)·p linear-interpolation definition, so
+    the values hash-match exactly. The production approximate path
+    (`approx_percentile`, KLL-sketch-style mergeable state) is
+    property-tested in tests/test_sketch.py — engine-private, like HLL."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+ORACLE_VALUE_QUANTILES = """
+SELECT event_type, count(*) AS n,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
+"""
+
+
 def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct-count sketch per event type (operators.sketch) laid
     beside the exact count — the oracle recomputes the ENTIRE sketch
@@ -256,6 +281,7 @@ EVENT_QUERIES = {
     "json_extract_agg": q_json_extract,
     "views_before_purchase": q_views_before_purchase,
     "kmv_distinct_sketch": q_kmv_distinct,
+    "value_quantiles": q_value_quantiles,
 }
 
 EVENT_ORACLES = {
@@ -266,4 +292,5 @@ EVENT_ORACLES = {
     "json_extract_agg": ORACLE_JSON,
     "views_before_purchase": ORACLE_VIEWS_BEFORE_PURCHASE,
     "kmv_distinct_sketch": _oracle_kmv(64),
+    "value_quantiles": ORACLE_VALUE_QUANTILES,
 }
