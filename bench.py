@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "ivf_topk",
     "pq_topk",
     "ivfpq_topk",
+    "sq_topk",
     "lsh_bucket_counts",
     "lsh_near_dup",
     "dedup_components",

@@ -118,6 +118,38 @@ def test_pq_rerank_beats_raw_adc(emb, emb_np, books):
             assert abs(r.dist - true_d[r.vec_id]) < 1e-12
 
 
+def test_sq_topk_high_recall(spark, emb, emb_np):
+    """int8 scalar quantization loses far less than PQ (64 codes vs 8):
+    recall@10 vs exact ≥ 0.6 on worst-case random vectors with a 16-row
+    calibration (out-of-range dims clamp; a larger training sample
+    raises this — the 16-row sample is the oracle-portability contract,
+    not a recommendation)."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.pq import (
+        sq_dist_sq,
+        sq_encode,
+        sq_train_bounds,
+    )
+
+    ids, mat = emb_np
+    bounds = sq_train_bounds([list(map(float, mat[i])) for i in range(16)])
+    q = list(map(float, mat[0]))
+    corpus = emb.filter(F.col("vec_id") != 0)
+    qlit = F.array(*[F.lit(x) for x in q]).cast("array<double>")
+    exact = {r.vec_id for r in knn_single(corpus, qlit, k=10).collect()}
+    enc = sq_encode(corpus, bounds)
+    got = {
+        r.vec_id
+        for r in enc.withColumn("d", sq_dist_sq(bounds, q))
+        .orderBy(F.col("d").asc(), F.col("vec_id").asc())
+        .limit(10)
+        .collect()
+    }
+    assert len(got & exact) / 10 >= 0.6
+    # codes are genuinely 8-bit
+    row = enc.first()
+    assert all(0 <= c <= 255 for c in row.sq_codes)
+
+
 def test_kmeans_codebooks_path(emb):
     """The FAISS-style trained-codebook path: per-subspace MLlib KMeans,
     codes in range, ADC search returns k rows (property-only — KMeans

@@ -342,8 +342,76 @@ LIMIT {k}
 
 
 # ---------------------------------------------------------------------------
-# Random-hyperplane LSH bucketing
+# Scalar quantization (int8) — the 4th FAISS-family tier (Flat/IVF/PQ/SQ)
 # ---------------------------------------------------------------------------
+
+
+def _sq_layout(spark: SparkSession, sf_dir: str):
+    def build(emb, train, path):
+        from .operators.pq import sq_encode, sq_train_bounds
+
+        bounds = sq_train_bounds(train)
+        sq_encode(emb, bounds).select("vec_id", "label", "sq_codes").write.mode(
+            "overwrite"
+        ).parquet(path)
+        return path, bounds, train[0]
+
+    return _layout(spark, sf_dir, "sq", build)
+
+
+def q_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar-quantized top-10 (FAISS ``ScalarQuantizer`` QT_8bit
+    analogue): per-dim (lo, range) calibrated on the 16 training rows,
+    codes materialized once (4× smaller than float32), search = exact L2
+    on bin-midpoint dequantization — a pure literal-folded expression
+    over the int codes. The oracle re-encodes AND re-scores from the raw
+    table with the same inlined calibration literals."""
+    from .operators.pq import sq_dist_sq
+
+    path, bounds, qvec = _sq_layout(spark, sf_dir)
+    codes = spark.read.parquet(path).filter(F.col("vec_id") != 0)
+    out = (
+        codes.withColumn("sq_dist", sq_dist_sq(bounds, qvec))
+        .orderBy(F.col("sq_dist").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+    return out.select("vec_id", "label", F.round("sq_dist", 6).alias("sq_dist"))
+
+
+def _oracle_sq_topk(dim: int = EMB_DIM, k: int = 10) -> str:
+    """Re-derives the per-dim calibration (min / range over the 16
+    training rows) in SQL — same arithmetic the Spark side runs in
+    python over the collected rows — then re-encodes + re-scores every
+    row with the identical floor/clamp/midpoint formula."""
+    code = (
+        "CAST(greatest(0, least(255, "
+        "CAST(floor((CAST(s[1] AS DOUBLE) - s[2]) / s[3] * 255.0) AS INT)"
+        ")) AS DOUBLE)"
+    )
+    term = f"(s[2] + ({code} + 0.5) * s[3] / 255.0 - CAST(s[4] AS DOUBLE))"
+    dist = (
+        "list_reduce(list_transform("
+        "list_zip(e.embedding, bl.lo_l, bl.rng_l, q.qe), "
+        f"s -> {term} * {term}), (x, y) -> x + y)"
+    )
+    return f"""
+WITH train AS (SELECT embedding FROM embeddings WHERE vec_id < 16),
+idx AS (SELECT unnest(range(1, {dim + 1})) AS i),
+bounds AS (
+  SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS lo,
+         greatest(max(CAST(embedding[i] AS DOUBLE))
+                  - min(CAST(embedding[i] AS DOUBLE)), 1e-12) AS rng
+  FROM train, idx GROUP BY i
+),
+bl AS (SELECT list(lo ORDER BY i) AS lo_l, list(rng ORDER BY i) AS rng_l
+       FROM bounds),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, e.label, round({dist}, 6) AS sq_dist
+FROM embeddings e, bl, q
+WHERE e.vec_id <> 0
+ORDER BY ({dist}) ASC, e.vec_id ASC
+LIMIT {k}
+"""
 
 
 def q_lsh_bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -537,6 +605,7 @@ ANN_QUERIES = {
     "ivf_topk": q_ivf_topk,
     "pq_topk": q_pq_topk,
     "ivfpq_topk": q_ivfpq_topk,
+    "sq_topk": q_sq_topk,
     "lsh_bucket_counts": q_lsh_bucket_counts,
     "lsh_near_dup": q_lsh_near_dup,
     "cosine_dedup": q_cosine_dedup,
@@ -549,6 +618,7 @@ ANN_ORACLES = {
     "ivf_topk": ORACLE_IVF_TOPK,
     "pq_topk": _oracle_pq_topk(),
     "ivfpq_topk": _oracle_ivfpq_topk(),
+    "sq_topk": _oracle_sq_topk(),
     "lsh_bucket_counts": _oracle_lsh_buckets(),
     "lsh_near_dup": _oracle_lsh_near_dup(0.2),
     "cosine_dedup": ORACLE_COSINE_DEDUP,
