@@ -35,6 +35,7 @@ BENCH_QUERIES = [
     "salted_term_counts",
     "clean_corpus",
     "suffix_join",
+    "suffix_join_equi",
     "exact_dedup",
     "ngram_jaccard_dedup",
     "minhash_lsh_dedup",

@@ -352,6 +352,65 @@ FROM paths p LEFT JOIN manifest m
 """
 
 
+def q_suffix_join_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 rewritten scale-safe: the manifest relpaths have a FIXED
+    segment depth (category/file — true of the reference's manifest,
+    ``utils/precompute_features.py:196-209``), so the suffix test
+    normalizes into an exact key: last-2-segments(abs_path) = relpath.
+    The O(N·M) nested loop becomes a plain hash equi-join — broadcast
+    here, shuffled-on-key at any scale. Same result contract as
+    ``suffix_join`` (both oracle-checked on the same fixture)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    paths = emb.select(
+        "vec_id",
+        F.concat(
+            F.lit("/abs/root/data/cat_"), "label", F.lit("/img_"), "vec_id",
+            F.lit(".jpg"),
+        ).alias("abs_path"),
+    )
+    segs = F.split(F.col("abs_path"), "/")
+    paths = paths.withColumn(
+        "__suffix_key",
+        F.concat(F.element_at(segs, -2), F.lit("/"), F.element_at(segs, -1)),
+    )
+    manifest = emb.filter(F.col("vec_id") % 3 == 0).select(
+        F.col("label").alias("m_label"),
+        F.concat(
+            F.lit("cat_"), "label", F.lit("/img_"), "vec_id", F.lit(".jpg")
+        ).alias("relpath"),
+    )
+    joined = paths.join(
+        F.broadcast(manifest), paths["__suffix_key"] == manifest["relpath"], "left"
+    )
+    return joined.select(
+        "vec_id", "abs_path", F.col("m_label").alias("recovered_label")
+    )
+
+
+ORACLE_SUFFIX_JOIN_EQUI = """
+WITH paths AS (
+  SELECT vec_id,
+         '/abs/root/data/cat_' || CAST(label AS VARCHAR) || '/img_' ||
+         CAST(vec_id AS VARCHAR) || '.jpg' AS abs_path
+  FROM embeddings WHERE vec_id < 300
+),
+keyed AS (
+  SELECT vec_id, abs_path,
+         list_extract(string_split(abs_path, '/'), -2) || '/' ||
+         list_extract(string_split(abs_path, '/'), -1) AS suffix_key
+  FROM paths
+),
+manifest AS (
+  SELECT label AS m_label,
+         'cat_' || CAST(label AS VARCHAR) || '/img_' ||
+         CAST(vec_id AS VARCHAR) || '.jpg' AS relpath
+  FROM embeddings WHERE vec_id < 300 AND vec_id % 3 = 0
+)
+SELECT k.vec_id, k.abs_path, m.m_label AS recovered_label
+FROM keyed k LEFT JOIN manifest m ON k.suffix_key = m.relpath
+"""
+
+
 def q_path_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P5–P7: backslash→slash, prefix strip, basename, extension test
     (reference ``utils/precompute_features.py:64-97``, ``utils/__init__.py:152``)."""
@@ -513,6 +572,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "distinct_labels": q_distinct_labels,
     "label_category_join": q_label_category_join,
     "suffix_join": q_suffix_join,
+    "suffix_join_equi": q_suffix_join_equi,
     "path_normalize": q_path_normalize,
     "pricing_summary": q_pricing_summary,
     "top_revenue_customers": q_top_revenue_customers,
@@ -534,6 +594,7 @@ ORACLES: dict[str, str] = {
     "distinct_labels": ORACLE_DISTINCT_LABELS,
     "label_category_join": ORACLE_LABEL_CATEGORY,
     "suffix_join": ORACLE_SUFFIX_JOIN,
+    "suffix_join_equi": ORACLE_SUFFIX_JOIN_EQUI,
     "path_normalize": ORACLE_PATH_NORMALIZE,
     "pricing_summary": ORACLE_PRICING,
     "top_revenue_customers": ORACLE_TOP_CUSTOMERS,
