@@ -76,61 +76,142 @@ def test_decode_images_error_tolerant(spark, image_root):
 
 def test_pil_decoder_gating(spark, image_root):
     """decoder='pil' must raise (not silently stub) when PIL is absent;
-    decoder='auto' must fall back to the stub and keep the pipeline green."""
+    decoder='auto' (the real-codec chain) must keep the pipeline green by
+    turning unsupported payloads into decode_ok=false rows, not errors."""
     scanned = scan_image_folder(spark, image_root, glob="*.jpg")
     if not _HAVE_PIL:
         with pytest.raises(RuntimeError, match="PIL"):
             decode_images(scanned, decoder="pil")
-    out = decode_images(scanned, decoder="auto").collect()
-    assert len(out) == 7  # auto path runs end-to-end either way
+        # fixture payloads are fake-jpg bytes: no real codec can decode them
+        out = decode_images(scanned, decoder="auto").collect()
+        assert len(out) == 7 and not any(r.decode_ok for r in out)
+    else:
+        out = decode_images(scanned, decoder="auto").collect()
+        assert len(out) == 7
 
 
-@pytest.mark.skipif(not _HAVE_PIL, reason="PIL not installed in container")
-def test_pil_decode_real_images(spark, tmp_path):
-    """Real-codec path: PNGs generated by PIL decode to their true
-    dimensions (not the stub's hash-derived fakes)."""
-    from PIL import Image
+# ---------------------------------------------------------------------------
+# REAL decode path — dependency-free PPM/BMP codecs, generated in-test.
+# ---------------------------------------------------------------------------
 
+
+def _ppm_bytes(width, height, rgb=None, comment=False):
+    """Binary P6 writer: header + raw RGB raster (value = deterministic
+    function of position unless a constant rgb triple is given)."""
+    head = b"P6\n"
+    if comment:
+        head += b"# in-test fixture\n"
+    head += f"{width} {height}\n255\n".encode()
+    px = bytearray()
+    for y in range(height):
+        for x in range(width):
+            px += bytes(rgb if rgb else ((x * 7) % 256, (y * 11) % 256, (x + y) % 256))
+    return head + bytes(px)
+
+
+def _bmp_bytes(width, height, rgb=(10, 20, 30)):
+    """24-bit BI_RGB BMP writer: bottom-up rows padded to 4 bytes, BGR."""
+    import struct
+
+    row = bytes(bytes((rgb[2], rgb[1], rgb[0])) * width)
+    pad = b"\x00" * ((4 - (width * 3) % 4) % 4)
+    raster = (row + pad) * height
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(raster), 2835, 2835, 0, 0)
+    file_head = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(raster), 0, 0, 14 + 40)
+    return file_head + info + raster
+
+
+def test_pure_decode_real_dimensions(spark, tmp_path):
+    """Real-codec path, no PIL: generated PPM/PGM/BMP files decode to
+    their TRUE header dimensions (not the stub's hash-derived fakes), and
+    a corrupt raster yields an error row instead of a job failure."""
     root = tmp_path / "real" / "cats"
     root.mkdir(parents=True)
-    Image.new("RGB", (320, 200)).save(root / "a.png")
-    Image.new("L", (64, 48)).save(root / "b.png")
-    scanned = scan_image_folder(spark, str(tmp_path / "real"), glob="*.png")
+    (root / "a.ppm").write_bytes(_ppm_bytes(320, 200, comment=True))
+    (root / "b.ppm").write_bytes(_ppm_bytes(64, 48))
+    (root / "c.bmp").write_bytes(_bmp_bytes(33, 21))  # odd width → row padding
+    (root / "trunc.ppm").write_bytes(_ppm_bytes(50, 50)[:-10])
+    scanned = scan_image_folder(spark, str(tmp_path / "real"), glob="*.{ppm,bmp}")
     got = {
-        r.path.rsplit("/", 1)[-1]: (r.width, r.height, r.n_channels)
-        for r in decode_images(scanned, decoder="pil").collect()
+        r.path.rsplit("/", 1)[-1]: (r.width, r.height, r.n_channels, r.decode_ok)
+        for r in decode_images(scanned, decoder="auto").collect()
     }
-    assert got == {"a.png": (320, 200, 3), "b.png": (64, 48, 3)}
+    assert got == {
+        "a.ppm": (320, 200, 3, True),
+        "b.ppm": (64, 48, 3, True),
+        "c.bmp": (33, 21, 3, True),
+        "trunc.ppm": (None, None, None, False),
+    }
+    assert all(r[3] or r[:3] == (None, None, None) for r in got.values())
 
 
-@pytest.mark.skipif(
-    not (_HAVE_TORCH and _HAVE_PIL), reason="torch/PIL not installed in container"
-)
-def test_embed_images_torch_real(spark, tmp_path):
-    """Real-model path: a trivial torch module with extract_features
-    embeds a generated image batch to unit-norm vectors."""
-    import torch
-    from PIL import Image
+def test_pure_decode_pixel_values():
+    """Pixel-exact decode: BMP BGR→RGB conversion, bottom-up flip, and row
+    padding all verified against hand-built rasters."""
+    import struct
 
-    class Tiny(torch.nn.Module):
-        def __init__(self):
-            super().__init__()
-            self.pool = torch.nn.AdaptiveAvgPool2d((4, 4))
+    import numpy as np
 
-        def extract_features(self, x):
-            return self.pool(x).flatten(1)
+    from the_build_project_image_retrieval_with_vector_databases_spark.sources.images import (
+        decode_pixels,
+        resize_nearest,
+    )
+
+    # 2×2 P6: row0 = red, green; row1 = blue, white
+    ppm = b"P6\n2 2\n255\n" + bytes(
+        (255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255)
+    )
+    arr = decode_pixels(ppm)
+    assert arr.shape == (2, 2, 3)
+    assert arr[0, 0].tolist() == [255, 0, 0] and arr[1, 1].tolist() == [255, 255, 255]
+
+    # 1×2 BMP: stored bottom-up, so the FIRST stored row is the BOTTOM row
+    bottom_bgr = bytes((0, 0, 255)) + b"\x00"  # red pixel + pad-to-4
+    top_bgr = bytes((255, 0, 0)) + b"\x00"  # blue pixel + pad-to-4
+    info = struct.pack("<IiiHHIIiiII", 40, 1, 2, 1, 24, 0, 8, 0, 0, 0, 0)
+    bmp = struct.pack("<2sIHHI", b"BM", 62, 0, 0, 54) + info + bottom_bgr + top_bgr
+    arr = decode_pixels(bmp)
+    assert arr[0, 0].tolist() == [0, 0, 255]  # top row = blue (RGB order)
+    assert arr[1, 0].tolist() == [255, 0, 0]  # bottom row = red
+
+    # nearest-neighbor resize: 2×2 checker upsampled 4×4 keeps exact values
+    up = resize_nearest(decode_pixels(ppm), 4, 4)
+    assert up.shape == (4, 4, 3)
+    assert up[0, 0].tolist() == [255, 0, 0] and up[3, 3].tolist() == [255, 255, 255]
+    assert np.array_equal(up[:2, :2], np.broadcast_to([255, 0, 0], (2, 2, 3)))
+
+
+def test_embed_images_pure_real_pixels(spark, tmp_path):
+    """Real pixel math end-to-end without torch/PIL: decode → resize →
+    pool → projection → L2 norm. Distinct images embed distinctly, the
+    same image embeds identically, and failures embed as null rows."""
+    import numpy as np
+
+    from the_build_project_image_retrieval_with_vector_databases_spark.sources.images import (
+        embed_images_pure,
+    )
 
     root = tmp_path / "real" / "dogs"
     root.mkdir(parents=True)
-    for i in range(3):
-        Image.new("RGB", (100 + i, 80)).save(root / f"{i}.png")
-    scanned = scan_image_folder(spark, str(tmp_path / "real"), glob="*.png")
-    out = embed_images_torch(scanned, Tiny, dim=48).collect()
-    assert len(out) == 3
-    import numpy as np
-
-    for r in out:
-        assert abs(np.linalg.norm(r.embedding) - 1.0) < 1e-5
+    (root / "a.ppm").write_bytes(_ppm_bytes(100, 80))
+    (root / "a2.ppm").write_bytes(_ppm_bytes(100, 80))  # identical pixels
+    (root / "b.bmp").write_bytes(_bmp_bytes(40, 40, rgb=(200, 10, 10)))
+    (root / "bad.ppm").write_bytes(b"P6 garbage")
+    scanned = scan_image_folder(spark, str(tmp_path / "real"), glob="*.{ppm,bmp}")
+    out = {
+        r.path.rsplit("/", 1)[-1]: r
+        for r in embed_images_pure(scanned, dim=32).collect()
+    }
+    assert len(out) == 4
+    assert not out["bad.ppm"].decode_ok and out["bad.ppm"].embedding is None
+    for name in ("a.ppm", "a2.ppm", "b.bmp"):
+        assert out[name].decode_ok
+        assert abs(np.linalg.norm(out[name].embedding) - 1.0) < 1e-5
+    assert out["a.ppm"].embedding == out["a2.ppm"].embedding  # deterministic
+    sim = float(
+        np.dot(out["a.ppm"].embedding, out["b.bmp"].embedding)
+    )
+    assert sim < 0.999  # different pixels ⇒ different embedding
 
 
 def test_embed_images_torch_gated():
