@@ -23,6 +23,7 @@ from the_build_project_image_retrieval_with_vector_databases_spark.operators.knn
     knn_join,
     knn_join_two_phase,
     knn_single,
+    radius_join,
 )
 from .conftest import SF_SMOKE
 
@@ -195,3 +196,43 @@ def test_l2_rank_equals_cosine_rank_on_unit_vectors(emb):
         "query_id", "vec_id", "rank"
     )
     assert sorted(map(tuple, by_l2.collect())) == sorted(map(tuple, by_cos.collect()))
+
+
+def test_radius_join_lsh_blocking_semantics(emb, emb_np):
+    """Blocked radius join ≡ brute force restricted to band-agreeing
+    pairs: (a) blocked ⊆ brute-force (no false positives — the exact
+    verify runs on candidates), (b) every brute-force pair whose vectors
+    agree on at least one whole sign-bit band IS returned (banding loses
+    only cross-bucket pairs), (c) useful recall on this data."""
+    ids, mat = emb_np
+    planes = hyperplanes(mat.shape[1], 8, seed=42)
+    block = emb.filter(F.col("vec_id") < 200)
+    brute = {
+        (r.left_id, r.right_id): r.dist
+        for r in radius_join(block, block, radius=0.25, metric="cosine").collect()
+    }
+    blocked = {
+        (r.left_id, r.right_id): r.dist
+        for r in radius_join(
+            block, block, radius=0.25, metric="cosine",
+            blocking="lsh", planes=planes, n_bands=2,
+        ).collect()
+    }
+    assert set(blocked) <= set(brute)
+    for pair, d in blocked.items():
+        assert abs(brute[pair] - d) < 1e-9
+    # numpy band buckets: planes [0:4) and [4:8)
+    id_to_row = {int(v): i for i, v in enumerate(ids)}
+    pl = np.asarray(planes)
+    bits = (mat @ pl.T) > 0  # (N, 8)
+    weights = 2 ** np.arange(4)
+    b0 = bits[:, :4] @ weights
+    b1 = bits[:, 4:] @ weights
+    expected = {
+        p
+        for p in brute
+        if b0[id_to_row[p[0]]] == b0[id_to_row[p[1]]]
+        or b1[id_to_row[p[0]]] == b1[id_to_row[p[1]]]
+    }
+    assert set(blocked) == expected
+    assert len(blocked) > 0  # the contract is non-vacuous on this data

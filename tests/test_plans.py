@@ -162,6 +162,19 @@ def test_registry_wide_plan_hygiene(spark):
         assert "CartesianProduct" not in plan, f"{name}: shuffled cartesian"
 
 
+def test_cosine_dedup_is_bucket_keyed_not_nested_loop(spark):
+    """Round-3 contract: cosine_dedup routes through the LSH-banded
+    radius_join — the candidate step is a hash equi-join on the band
+    bucket, so NO nested-loop/cartesian join may appear anywhere in the
+    plan (the brute-force form planned a BroadcastNestedLoopJoin)."""
+    df = entrymod.queries()["cosine_dedup"](spark, SF_SMOKE)
+    plan = _physical(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the candidate join keys on the exploded (band, bucket) pair
+    assert "__band" in plan and "__key" in plan
+
+
 def test_exact_dedup_single_shuffle(spark):
     df = entrymod.queries()["exact_dedup"](spark, SF_SMOKE)
     plan = _explain(df)

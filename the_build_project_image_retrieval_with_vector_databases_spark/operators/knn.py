@@ -151,15 +151,34 @@ def radius_join(
     metric: str = "l2",
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    blocking: str | None = None,
+    planes: list[list[float]] | None = None,
+    n_bands: int = 2,
 ) -> DataFrame:
     """All pairs (l, r) with distance < radius (similarity > radius for
     cosine/dot). The range variant of J1 — also the primitive behind
     embedding-cosine near-dup detection.
 
     Emits ``(left_id, right_id, dist)`` for ``left_id < right_id``.
-    Brute-force O(|L|·|R|); the scale path blocks by LSH/IVF bucket first
-    (see operators.ann) so only candidate pairs are scored.
+
+    ``blocking=None`` (default) is brute-force O(|L|·|R|) — intended for
+    bounded blocks only. ``blocking="lsh"`` is the scale path: the given
+    hyperplanes split into ``n_bands`` bands; a pair is a candidate iff
+    it agrees on every sign bit of at least one band (classic LSH
+    OR-of-ANDs banding), the candidate join keys on (band, band-bucket)
+    — a plain hash-partitioned equi-join, never a cartesian — and the
+    exact metric verifies candidates only. Approximate by construction:
+    recall trades against candidate volume via ``n_bands`` ×
+    band width.
     """
+    if blocking == "lsh":
+        if not planes:
+            raise ValueError("blocking='lsh' requires hyperplanes")
+        return _radius_join_lsh(
+            left, right, radius, metric, vec_col, id_col, planes, n_bands
+        )
+    if blocking is not None:
+        raise ValueError(f"unknown blocking mode {blocking!r}")
     l = left.select(
         F.col(id_col).alias("left_id"), F.col(vec_col).alias("__lvec")
     )
@@ -171,6 +190,72 @@ def radius_join(
     return (
         l.crossJoin(F.broadcast(r))
         .filter(F.col("left_id") < F.col("right_id"))
+        .withColumn("dist", score)
+        .filter(pred)
+        .select("left_id", "right_id", "dist")
+    )
+
+
+def _band_bucket_exprs(
+    planes: list[list[float]], n_bands: int, vec_col: str
+) -> list[Column]:
+    """One integer bucket per band: band b owns the contiguous plane slice
+    [b·w, (b+1)·w); bit_i = 1 iff v·h_i > 0. Pure codegen'd expressions
+    (dot products over literal plane arrays) — no UDF."""
+    from ..functions.vector import dot
+
+    width = len(planes) // n_bands
+    if width == 0:
+        raise ValueError(f"{len(planes)} planes cannot form {n_bands} bands")
+    exprs = []
+    for b in range(n_bands):
+        key = None
+        for i, h in enumerate(planes[b * width : (b + 1) * width]):
+            hlit = F.array(*[F.lit(float(x)) for x in h]).cast("array<double>")
+            bit = F.when(dot(F.col(vec_col), hlit) > 0, F.lit(1 << i)).otherwise(
+                F.lit(0)
+            )
+            key = bit if key is None else key + bit
+        exprs.append(key.cast("long"))
+    return exprs
+
+
+def _radius_join_lsh(
+    left: DataFrame,
+    right: DataFrame,
+    radius: float,
+    metric: str,
+    vec_col: str,
+    id_col: str,
+    planes: list[list[float]],
+    n_bands: int,
+) -> DataFrame:
+    """LSH-banded radius join: explode each row to its ``n_bands``
+    (band, bucket) keys, equi-join the bands, dedupe candidate id pairs,
+    then score exactly. Every shuffle is keyed (band bucket, then id) —
+    the plan contains hash joins only, no nested-loop/cartesian."""
+    bands = _band_bucket_exprs(planes, n_bands, vec_col)
+
+    def keyed(df: DataFrame, out_id: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.posexplode(F.array(*bands)).alias("__band", "__key"),
+        )
+
+    cands = (
+        keyed(left, "left_id")
+        .join(keyed(right, "right_id"), ["__band", "__key"])
+        .filter(F.col("left_id") < F.col("right_id"))
+        .select("left_id", "right_id")
+        .distinct()  # OR-of-bands: a pair may collide in several bands
+    )
+    lvec = left.select(F.col(id_col).alias("left_id"), F.col(vec_col).alias("__lvec"))
+    rvec = right.select(F.col(id_col).alias("right_id"), F.col(vec_col).alias("__rvec"))
+    score, asc = _score(metric, F.col("__lvec"), F.col("__rvec"))
+    pred = (F.col("dist") < radius) if asc else (F.col("dist") > radius)
+    return (
+        cands.join(lvec, "left_id")
+        .join(rvec, "right_id")
         .withColumn("dist", score)
         .filter(pred)
         .select("left_id", "right_id", "dist")

@@ -492,19 +492,49 @@ FROM pairs WHERE sim > {threshold}
 
 def q_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs by embedding cosine > 0.28 within the
-    vec_id < 300 block (brute-force radius join; the LSH-blocked variant
-    at scale feeds ``lsh_candidates`` into the same verify expression)."""
+    vec_id < 300 block, through the BLOCKED radius join: the 8 LSH planes
+    split into 2 bands of 4 sign bits, candidates = pairs agreeing on at
+    least one whole band (hash equi-join on the band key — no nested-loop
+    join anywhere in the plan, asserted in test_plans.py), exact cosine
+    verify on candidates only. Approximate-by-construction contract; the
+    oracle reproduces the banding bit-for-bit."""
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
-    out = radius_join(emb, emb, radius=0.28, metric="cosine")
+    out = radius_join(
+        emb,
+        emb,
+        radius=0.28,
+        metric="cosine",
+        blocking="lsh",
+        planes=LSH_PLANES,
+        n_bands=2,
+    )
     return out.select("left_id", "right_id", F.round("dist", 6).alias("cos_sim"))
+
+
+def _dk_band_bucket(planes: list[list[float]], n_bands: int, band: int) -> str:
+    """DuckDB mirror of operators.knn._band_bucket_exprs: contiguous plane
+    slice per band, bit value ``1 << i`` within the band."""
+    width = len(planes) // n_bands
+    bits = []
+    for i, h in enumerate(planes[band * width : (band + 1) * width]):
+        lit = "[" + ", ".join(repr(float(x)) for x in h) + "]::DOUBLE[]"
+        bits.append(
+            f"(CASE WHEN ({_dk_dot('embedding', lit)}) > 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+        )
+    return "CAST(" + " + ".join(bits) + " AS BIGINT)"
 
 
 ORACLE_COSINE_DEDUP = f"""
 WITH blk AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+b AS (SELECT vec_id, embedding,
+             {_dk_band_bucket(LSH_PLANES, 2, 0)} AS b0,
+             {_dk_band_bucket(LSH_PLANES, 2, 1)} AS b1
+      FROM blk),
 pairs AS (
-  SELECT a.vec_id AS left_id, b.vec_id AS right_id,
-         {_dk_cosine('a.embedding', 'b.embedding')} AS sim
-  FROM blk a, blk b WHERE a.vec_id < b.vec_id
+  SELECT a.vec_id AS left_id, c.vec_id AS right_id,
+         {_dk_cosine('a.embedding', 'c.embedding')} AS sim
+  FROM b a JOIN b c ON a.vec_id < c.vec_id AND (a.b0 = c.b0 OR a.b1 = c.b1)
 )
 SELECT left_id, right_id, round(sim, 6) AS cos_sim
 FROM pairs WHERE sim > 0.28
