@@ -36,3 +36,32 @@ def test_max_iter_guard(spark):
         connected_components(
             _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)]), max_iter=1
         )
+
+
+def test_path_graph_converges_logarithmically(spark):
+    """The adversarial topology for plain propagation: a 10,000-node path
+    needs ~10,000 propagate-only rounds, but pointer jumping must land the
+    fixpoint within 30 — and every node must still label to the global
+    min."""
+    n = 10_000
+    edges = (
+        spark.range(1, n)
+        .selectExpr("id AS left_id", "id + 1 AS right_id")
+        .coalesce(8)
+    )
+    cc = connected_components(edges, max_iter=30)
+    agg = cc.groupBy("comp").count().collect()
+    cc.unpersist()
+    assert len(agg) == 1 and agg[0].comp == 1 and agg[0]["count"] == n
+
+
+def test_dedup_components_releases_all_cached_blocks(spark):
+    """dedup_components owns its caching: after the result materializes,
+    the executor storage pool holds nothing new (the iteration's persisted
+    labels/edges are all released; the fixpoint lives in a temp parquet
+    spill)."""
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    out = dedup_components(_edges(spark, [(1, 2), (2, 3), (3, 4), (7, 8)]))
+    assert {r.component for r in out.collect()} == {1, 7}
+    assert jsc.getPersistentRDDs().size() == before

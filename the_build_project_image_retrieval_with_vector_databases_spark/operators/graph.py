@@ -6,13 +6,31 @@ component* of the pair graph (A~B, B~C ⇒ {A,B,C} is one cluster even if
 A≁C directly). Components need iteration — the one operator family in
 this engine that is not a single declarative plan.
 
-Spark-first shape: label propagation to fixpoint. Each round is a fully
-distributed join + min-aggregate keyed by node id; the *driver* only
-runs the (bounded) loop and the convergence check — the legitimate use
-of driver control flow, O(diameter) rounds, and near-dup clusters are
-almost-cliques so diameter is tiny. Each round's labels are persisted
-and the previous round unpersisted, so lineage stays O(1) deep (the
-classic iterative-algorithm trap is an O(rounds)-deep lazy plan).
+Spark-first shape: min-label propagation with **pointer jumping**
+(label-doubling, the shortcutting step of Shiloach–Vishkin / the
+star-contraction family). Each round is two fully distributed keyed
+joins: (1) every node takes the min label over its neighborhood, (2)
+every node then jumps to its label's label (``comp ← comp(comp)``).
+Step 2 at-least-doubles the shortcut distance every round, so
+convergence is O(log n) rounds on ANY topology — a 10k-node path
+converges in ~14 rounds, not 10k — while near-dup almost-cliques still
+finish in 2-3.
+
+Iterative-lineage discipline: each round **checkpoints the label table
+to parquet** (two alternating spill dirs, overwritten in turn), so the
+next round's plan is a constant-size file scan. Persisting alone is NOT
+enough — a persisted DataFrame keeps its full logical plan, and a loop
+that references the previous round's frame twice per round (propagate
+join + jump join) grows the plan tree 4× per round until the driver
+OOMs just *printing* it. The disk checkpoint is the classic fix (what
+GraphFrames' checkpointInterval does), and it doubles as the caching
+contract: the returned labels are a plain file scan — ZERO cached
+blocks outlive the call, repeated calls leak nothing into the executor
+storage pool. Spill dirs are process-temp and removed at exit.
+
+The *driver* runs only the bounded loop + an O(1) convergence check
+(labels decrease monotonically, so an unchanged label SUM is the
+fixpoint).
 
 The DuckDB oracle computes the same components via a recursive-CTE
 transitive closure — exact cross-engine agreement on an iterative
@@ -21,62 +39,99 @@ algorithm's fixpoint.
 
 from __future__ import annotations
 
+import atexit
+import os
+import shutil
+import tempfile
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_SPILL_DIRS: list[str] = []
+
+
+def _spill_dir(prefix: str) -> str:
+    d = tempfile.mkdtemp(prefix=prefix)
+    if not _SPILL_DIRS:
+        atexit.register(lambda: [shutil.rmtree(p, True) for p in _SPILL_DIRS])
+    _SPILL_DIRS.append(d)
+    return d
 
 
 def connected_components(
     edges: DataFrame,
     left_col: str = "left_id",
     right_col: str = "right_id",
-    max_iter: int = 25,
+    max_iter: int = 30,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``;
-    ``component`` = min node id reachable (including self). Converges in
-    O(graph diameter) rounds; raises if ``max_iter`` is hit without a
-    fixpoint (deterministic result only AT the fixpoint)."""
+    ``component`` = min node id reachable (including self).
+
+    Converges in O(log n) rounds via pointer jumping (see module doc);
+    raises if ``max_iter`` is hit without a fixpoint (deterministic
+    result only AT the fixpoint). Returns a parquet-backed file-scan
+    DataFrame (process-temp spill, removed at exit); no cached blocks
+    remain after the call.
+    """
+    spark = edges.sparkSession
+    root = _spill_dir("cc-labels-")
+
+    def _slot(i: int) -> str:
+        return os.path.join(root, f"r{i}")
+
     sym = edges.select(
         F.col(left_col).cast("long").alias("a"),
         F.col(right_col).cast("long").alias("b"),
     )
     sym = sym.unionAll(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
     sym = sym.persist()
-    labels = (
-        sym.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("comp", F.col("node"))
-        .persist()
-    )
 
     def _checksum(lb: DataFrame) -> int:
         # labels only ever DECREASE elementwise, so the label sum is
         # strictly monotone until the fixpoint — an unchanged sum IS
         # convergence. One tiny aggregate per round instead of a
-        # join-diff-count (halves the per-round job count).
+        # join-diff-count.
         return lb.agg(F.sum("comp")).first()[0]
 
-    prev_sum = _checksum(labels)
     try:
-        for _ in range(max_iter):
+        sym.select(F.col("a").alias("node")).distinct().withColumn(
+            "comp", F.col("node")
+        ).write.mode("overwrite").parquet(_slot(0))
+        labels = spark.read.parquet(_slot(0))
+        prev_sum = _checksum(labels)
+        for rnd in range(max_iter):
+            # (1) propagate: min label over the neighborhood (keyed join
+            #     on node id + map-side-partial min aggregate)
             nbr = (
                 sym.join(labels, sym["b"] == labels["node"])
                 .groupBy("a")
                 .agg(F.min("comp").alias("nbr_min"))
             )
-            new_labels = (
-                labels.join(nbr, labels["node"] == nbr["a"], "left")
-                .select(
-                    labels["node"],
-                    F.least(
-                        F.col("comp"), F.coalesce("nbr_min", F.col("comp"))
-                    ).alias("comp"),
-                )
-                .persist()
+            prop = labels.join(nbr, labels["node"] == nbr["a"], "left").select(
+                labels["node"],
+                F.least(F.col("comp"), F.coalesce("nbr_min", F.col("comp"))).alias(
+                    "comp"
+                ),
             )
-            new_sum = _checksum(new_labels)
-            labels.unpersist()
-            labels = new_labels
+            # (2) pointer jump: comp ← comp(comp). Every comp value is
+            #     itself a node id (labels start as identity and only take
+            #     existing ids), so the inner self-join is total.
+            hop = prop.select(
+                F.col("node").alias("__jnode"), F.col("comp").alias("__jcomp")
+            )
+            out = prop.join(hop, prop["comp"] == hop["__jnode"]).select(
+                prop["node"], F.col("__jcomp").alias("comp")
+            )
+            # round r+1 writes a FRESH dir (never the one this round's
+            # plan reads), then the dir two rounds back is deleted —
+            # disk stays bounded at two label generations
+            out.write.mode("overwrite").parquet(_slot(rnd + 1))  # lineage cut
+            labels = spark.read.parquet(_slot(rnd + 1))
+            new_sum = _checksum(labels)
+            if rnd >= 1:
+                shutil.rmtree(_slot(rnd - 1), ignore_errors=True)
             if new_sum == prev_sum:
+                shutil.rmtree(_slot(rnd), ignore_errors=True)
                 return labels
             prev_sum = new_sum
         raise RuntimeError(
@@ -92,7 +147,8 @@ def dedup_components(
     right_col: str = "right_id",
 ) -> DataFrame:
     """Cluster summary per component: representative (min id), member
-    count, id checksum — the keep/drop manifest of a dedup run."""
+    count, id checksum — the keep/drop manifest of a dedup run. Inherits
+    connected_components' zero-cache-footprint contract."""
     cc = connected_components(pairs, left_col, right_col)
     return cc.groupBy(F.col("comp").alias("component")).agg(
         F.count("*").alias("n_docs"),

@@ -571,7 +571,8 @@ FROM t
 
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup CLUSTERS: MinHash-LSH near-dup pairs → connected components
-    (label propagation to fixpoint, ``operators.graph``) → one
+    (min-label propagation + pointer jumping, O(log n) rounds on any
+    topology, per-round parquet checkpoint — ``operators.graph``) → one
     representative + member roster per cluster. The oracle re-derives the
     same components via a recursive-CTE transitive closure — cross-engine
     agreement on an iterative algorithm's fixpoint."""
