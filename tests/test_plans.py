@@ -181,3 +181,16 @@ def test_exact_dedup_single_shuffle(spark):
     body = plan[plan.index("== Physical Plan =="):]
     assert body.count("Exchange hashpartitioning") == 1
     assert "partial_count" in body or "partial_min" in body
+
+
+def test_dedup_queries_release_cached_blocks(spark):
+    """Round-2 ADVICE: the dedup query wrappers own their operators'
+    cache_handles — after each query's result materializes, the executor
+    storage pool holds nothing new (intermediates live exactly while the
+    spill write needs them)."""
+    jsc = spark.sparkContext._jsc.sc()
+    for name in ("minhash_lsh_dedup", "simhash_near_dup", "dedup_components"):
+        before = jsc.getPersistentRDDs().size()
+        rows = entrymod.queries()[name](spark, SF_SMOKE).collect()
+        assert rows, name
+        assert jsc.getPersistentRDDs().size() == before, f"{name} leaked cache"

@@ -39,23 +39,13 @@ algorithm's fixpoint.
 
 from __future__ import annotations
 
-import atexit
 import os
 import shutil
-import tempfile
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_SPILL_DIRS: list[str] = []
-
-
-def _spill_dir(prefix: str) -> str:
-    d = tempfile.mkdtemp(prefix=prefix)
-    if not _SPILL_DIRS:
-        atexit.register(lambda: [shutil.rmtree(p, True) for p in _SPILL_DIRS])
-    _SPILL_DIRS.append(d)
-    return d
+from .spill import spill_dir as _spill_dir
 
 
 def connected_components(

@@ -337,8 +337,17 @@ FROM (SELECT doc_id FROM documents) d LEFT JOIN sig0 s USING (doc_id)
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Owns the operator's caching contract: the tokenize/signature
+    intermediates persist only while the pair table materializes to a
+    temp spill, then every block is released (round-2 ADVICE)."""
+    from .operators.spill import materialize_and_release
+
     docs = load_table(spark, sf_dir, "documents")
-    return D.minhash_lsh_pairs(docs, n=3, num_hashes=8, bands=4, threshold=0.5)
+    handles: list = []
+    pairs = D.minhash_lsh_pairs(
+        docs, n=3, num_hashes=8, bands=4, threshold=0.5, cache_handles=handles
+    )
+    return materialize_and_release(pairs, handles, "minhash-pairs-")
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -501,9 +510,16 @@ GROUP BY term ORDER BY n DESC, term ASC LIMIT 30
 
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs at Hamming ≤ 3 via 4×8-bit band rotation —
-    the distance-tolerant companion to ``simhash`` (VERDICT r1 item 5)."""
+    the distance-tolerant companion to ``simhash`` (VERDICT r1 item 5).
+    Owns the fingerprint cache: materialize to spill, release."""
+    from .operators.spill import materialize_and_release
+
     docs = load_table(spark, sf_dir, "documents")
-    return D.simhash_near_dup_pairs(docs, bits=32, bands=4, max_hamming=3)
+    handles: list = []
+    pairs = D.simhash_near_dup_pairs(
+        docs, bits=32, bands=4, max_hamming=3, cache_handles=handles
+    )
+    return materialize_and_release(pairs, handles, "simhash-pairs-")
 
 
 def _oracle_simhash_near_dup(
@@ -579,8 +595,12 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.graph import dedup_components
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.minhash_lsh_pairs(docs, threshold=0.5)
-    return dedup_components(pairs)
+    handles: list = []
+    pairs = D.minhash_lsh_pairs(docs, threshold=0.5, cache_handles=handles)
+    out = dedup_components(pairs)  # materializes labels during the call
+    for h in handles:
+        h.unpersist()
+    return out
 
 
 def _oracle_dedup_components() -> str:
