@@ -236,3 +236,54 @@ def test_radius_join_lsh_blocking_semantics(emb, emb_np):
     }
     assert set(blocked) == expected
     assert len(blocked) > 0  # the contract is non-vacuous on this data
+
+
+def test_content_addressed_layout_reuse_and_invalidation(spark, tmp_path):
+    """Round-3 contract for the materialized index layouts: the path is
+    content-addressed by (kind, source dir, source fingerprint), so a
+    fresh process (simulated by clearing the in-process memo) REUSES the
+    built layout without rewriting it, and regenerating the source table
+    changes the address (stale layouts can never be served)."""
+    import os
+    import shutil as _sh
+    import time
+
+    from the_build_project_image_retrieval_with_vector_databases_spark import (
+        queries_ann as qa,
+    )
+
+    src = tmp_path / "sfx"
+    src.mkdir()
+    fixture = f"{SF_SMOKE}/embeddings.parquet"
+    if os.path.isdir(fixture):
+        _sh.copytree(fixture, src / "embeddings.parquet")
+    else:
+        _sh.copy(fixture, src / "embeddings.parquet")
+    sf_dir = str(src)
+
+    path1, centroids1 = qa._ivf_layout(spark, sf_dir)
+    assert qa._layout_complete(path1)
+    stamp = os.path.getmtime(os.path.join(path1, "_SUCCESS"))
+
+    # "second process": drop the memo; the build must be skipped entirely
+    qa._LAYOUTS.clear()
+    t0 = time.time()
+    path2, centroids2 = qa._ivf_layout(spark, sf_dir)
+    reuse_s = time.time() - t0
+    assert path2 == path1 and centroids2 == centroids1
+    assert os.path.getmtime(os.path.join(path1, "_SUCCESS")) == stamp  # no rewrite
+    assert reuse_s < 2.0  # collect(16 rows) + stat, not a table rewrite
+
+    # fixture regenerated in place -> fingerprint changes -> new address,
+    # and the superseded generation is pruned after the rebuild
+    tbl = src / "embeddings.parquet"
+    part = (
+        next(p for p in tbl.iterdir() if p.suffix == ".parquet")
+        if tbl.is_dir()
+        else tbl
+    )
+    os.utime(part, ns=(time.time_ns(), time.time_ns()))
+    qa._LAYOUTS.clear()
+    path3, _ = qa._ivf_layout(spark, sf_dir)
+    assert path3 != path1
+    assert qa._layout_complete(path3) and not os.path.exists(path1)

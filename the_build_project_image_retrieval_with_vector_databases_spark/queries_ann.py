@@ -22,6 +22,11 @@ Oracle-parity tricks specific to this module:
 
 from __future__ import annotations
 
+import hashlib
+import os
+import shutil
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -70,13 +75,45 @@ def _dk_cosine(a: str, b: str) -> str:
 # ---------------------------------------------------------------------------
 
 
-# Materialized index layouts, one per (kind, process, sf_dir): built on
-# first use — training-row collect (16 rows, one time) + a partitioned /
-# encoded parquet write — then every probe is a pruned scan. This is the
-# index lifecycle at 100 TB: build once, amortize over every query; the
-# benched steady-state is the probe, not the build. (The temp dirs live
-# for the process lifetime — same scope as the memo dict.)
-_LAYOUTS: dict[tuple[str, str], tuple] = {}
+# Materialized index layouts, CONTENT-ADDRESSED: the on-disk path derives
+# from (kind, source-dir identity, source-table fingerprint), so
+#  - a fresh process REUSES a layout an earlier process built (the build
+#    is skipped entirely — timed in tests/test_ann.py),
+#  - regenerating the fixture at the same path changes the fingerprint
+#    and transparently triggers a rebuild (no stale index serving),
+#  - superseded generations of the same (kind, source) are pruned on
+#    rebuild, so disk stays bounded at one live layout per index.
+# This is the index lifecycle at 100 TB: build once, amortize over every
+# query and every session; the benched steady-state is the probe, not the
+# build. The in-process memo on top avoids re-stat + re-collect per call.
+_LAYOUTS: dict[tuple, tuple] = {}
+_LAYOUT_ROOT = os.path.join(tempfile.gettempdir(), "spark_graft_layouts")
+
+
+def _table_fingerprint(sf_dir: str, table: str = "embeddings.parquet") -> str:
+    """Cheap content identity for the source table: name+size+mtime_ns of
+    every file — any fixture regeneration perturbs it."""
+    p = os.path.join(sf_dir, table)
+    parts = []
+    if os.path.isdir(p):
+        for name in sorted(os.listdir(p)):
+            st = os.stat(os.path.join(p, name))
+            parts.append(f"{name}:{st.st_size}:{st.st_mtime_ns}")
+    else:
+        st = os.stat(p)
+        parts.append(f"{os.path.basename(p)}:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.sha256("|".join(parts).encode()).hexdigest()[:12]
+
+
+def _layout_path(sf_dir: str, kind: str) -> tuple[str, str]:
+    """(content-addressed layout dir, stale-pruning prefix)."""
+    sfh = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    prefix = f"{kind}-{sfh}-"
+    return os.path.join(_LAYOUT_ROOT, prefix + _table_fingerprint(sf_dir)), prefix
+
+
+def _layout_complete(path: str) -> bool:
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
 
 
 def _training_vectors(spark: SparkSession, sf_dir: str):
@@ -92,21 +129,31 @@ def _training_vectors(spark: SparkSession, sf_dir: str):
 
 
 def _layout(spark: SparkSession, sf_dir: str, kind: str, build):
-    """Memoized layout build: ``build(emb, train, path) -> tuple`` runs
-    once per (kind, sf_dir) per process."""
-    key = (kind, sf_dir)
+    """Memoized content-addressed layout: ``build(emb, train, path,
+    fresh) -> tuple`` runs once per (kind, sf_dir, fingerprint) per
+    process, and performs its parquet write only when ``fresh`` (no
+    ``_SUCCESS`` marker at the content-addressed path — i.e. no earlier
+    process already materialized this exact layout)."""
+    path, prefix = _layout_path(sf_dir, kind)
+    key = (kind, sf_dir, path)
     if key not in _LAYOUTS:
-        import tempfile
-
         emb, train = _training_vectors(spark, sf_dir)
-        path = tempfile.mkdtemp(prefix=f"sparkgraft_{kind}_") + "/layout"
-        _LAYOUTS[key] = build(emb, train, path)
+        fresh = not _layout_complete(path)
+        _LAYOUTS[key] = build(emb, train, path, fresh)
+        if fresh:
+            # prune superseded generations (older fingerprints) of this index
+            root = os.path.dirname(path)
+            for d in os.listdir(root):
+                full = os.path.join(root, d)
+                if d.startswith(prefix) and full != path:
+                    shutil.rmtree(full, ignore_errors=True)
     return _LAYOUTS[key]
 
 
 def _ivf_layout(spark: SparkSession, sf_dir: str) -> tuple[str, list[list[float]]]:
-    def build(emb, train, path):
-        write_ivf_index(emb, path, train)
+    def build(emb, train, path, fresh):
+        if fresh:
+            write_ivf_index(emb, path, train)
         return path, train
 
     return _layout(spark, sf_dir, "ivf", build)
@@ -171,14 +218,15 @@ LIMIT 5
 PQ_M = 8  # 64-D → 8 subspaces of 8 dims; ksub = 16 (training rows vec_id < 16)
 
 def _pq_layout(spark: SparkSession, sf_dir: str):
-    def build(emb, train, path):
+    def build(emb, train, path, fresh):
         from .operators.pq import pq_encode, slice_codebooks
 
         codebooks = slice_codebooks(train, PQ_M)
-        encoded = pq_encode(emb, codebooks).select(
-            "vec_id", "label", *[f"code_{j}" for j in range(PQ_M)]
-        )
-        encoded.write.mode("overwrite").parquet(path)
+        if fresh:
+            encoded = pq_encode(emb, codebooks).select(
+                "vec_id", "label", *[f"code_{j}" for j in range(PQ_M)]
+            )
+            encoded.write.mode("overwrite").parquet(path)
         return path, codebooks, train[0]
 
     return _layout(spark, sf_dir, "pq", build)
@@ -203,15 +251,16 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # FIRST, ADC lookup inside the probed cells only. One layout carries both:
 # partitionBy(centroid) directories of (vec_id, label, code_0..7) rows.
 def _ivfpq_layout(spark: SparkSession, sf_dir: str):
-    def build(emb, train, path):
+    def build(emb, train, path, fresh):
         from .operators.ann import assign_centroids
         from .operators.pq import pq_encode, slice_codebooks
 
         codebooks = slice_codebooks(train, PQ_M)
-        df = pq_encode(assign_centroids(emb, train), codebooks).select(
-            "vec_id", "label", "centroid", *[f"code_{j}" for j in range(PQ_M)]
-        )
-        df.write.mode("overwrite").partitionBy("centroid").parquet(path)
+        if fresh:
+            df = pq_encode(assign_centroids(emb, train), codebooks).select(
+                "vec_id", "label", "centroid", *[f"code_{j}" for j in range(PQ_M)]
+            )
+            df.write.mode("overwrite").partitionBy("centroid").parquet(path)
         return path, train, codebooks, train[0]
 
     return _layout(spark, sf_dir, "ivfpq", build)
@@ -347,13 +396,14 @@ LIMIT {k}
 
 
 def _sq_layout(spark: SparkSession, sf_dir: str):
-    def build(emb, train, path):
+    def build(emb, train, path, fresh):
         from .operators.pq import sq_encode, sq_train_bounds
 
         bounds = sq_train_bounds(train)
-        sq_encode(emb, bounds).select("vec_id", "label", "sq_codes").write.mode(
-            "overwrite"
-        ).parquet(path)
+        if fresh:
+            sq_encode(emb, bounds).select(
+                "vec_id", "label", "sq_codes"
+            ).write.mode("overwrite").parquet(path)
         return path, bounds, train[0]
 
     return _layout(spark, sf_dir, "sq", build)
