@@ -287,3 +287,30 @@ def test_content_addressed_layout_reuse_and_invalidation(spark, tmp_path):
     path3, _ = qa._ivf_layout(spark, sf_dir)
     assert path3 != path1
     assert qa._layout_complete(path3) and not os.path.exists(path1)
+
+
+def test_ivf_recall_monotone_in_nprobe_on_benched_layout(spark, emb, emb_np):
+    """The knob a real user turns: recall@10 vs exact search as nprobe
+    sweeps 1→16 over the SAME materialized partitioned layout the bench
+    probes. Recall must be monotone non-decreasing and exactly 1.0 at
+    nprobe = n_centroids (full probe ≡ flat search)."""
+    from the_build_project_image_retrieval_with_vector_databases_spark import (
+        queries_ann as qa,
+    )
+
+    ids, mat = emb_np
+    path, centroids = qa._ivf_layout(spark, SF_SMOKE)
+    layout = spark.read.parquet(path).filter(F.col("vec_id") != 0)
+    q = [float(x) for x in mat[0]]
+    qlit = F.array(*[F.lit(x) for x in q]).cast("array<double>")
+    exact = {r.vec_id for r in knn_single(emb.filter(F.col("vec_id") != 0), qlit, k=10).collect()}
+    recalls = []
+    for nprobe in (1, 2, 4, 8, 16):
+        got = {
+            r.vec_id
+            for r in ivf_search(layout, centroids, q, k=10, nprobe=nprobe).collect()
+        }
+        recalls.append(len(got & exact) / 10)
+    assert recalls == sorted(recalls), f"recall not monotone: {recalls}"
+    assert recalls[-1] == 1.0, f"full probe must equal exact: {recalls}"
+    assert recalls[0] > 0.0  # the nearest cell carries at least one true hit
