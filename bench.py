@@ -63,6 +63,13 @@ BENCH_QUERIES = [
     "running_revenue",
     "supplier_rollup",
     "asof_join",
+    # round-3 additions: bench coverage tracks the registry (VERDICT #9)
+    "top_docs_per_lang",
+    "bpe_token_counts",
+    "tf_idf",
+    "streaming_dedup_batch",
+    "order_priority_semi",
+    "customers_without_orders",
 ]
 
 

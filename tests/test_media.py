@@ -76,3 +76,25 @@ def test_audio_chunks_cover_payload(videos):
         rows = sorted(by_file[name], key=lambda r: r.chunk_idx)
         assert sum(r.n_bytes for r in rows) == size  # full coverage, no overlap
         assert [r.offset for r in rows] == [i * 512 for i in range(len(rows))]
+
+
+def test_audio_chunks_error_tolerant(spark, tmp_path):
+    """A null/empty payload becomes a single decode_ok=false row (F2) —
+    the job survives and nothing silently vanishes."""
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "path": ["ok.wav", "empty.wav", "null.wav"],
+                "content": [b"\x01" * 700, b"", None],
+            }
+        )
+    )
+    rows = audio_chunks(df, chunk_bytes=512).collect()
+    by_path = {}
+    for r in rows:
+        by_path.setdefault(r.path, []).append(r)
+    assert [r.decode_ok for r in by_path["ok.wav"]] == [True, True]
+    assert [(r.decode_ok, r.chunk_idx) for r in by_path["empty.wav"]] == [(False, None)]
+    assert [(r.decode_ok, r.chunk_idx) for r in by_path["null.wav"]] == [(False, None)]

@@ -212,8 +212,10 @@ def sq_dist_sq(
 ):
     """‖dequant(codes) − q‖² as one expression: dequant_i = lo_i +
     (code_i + 0.5)·range_i/255 (bin midpoint). All constants fold into a
-    literal struct array; left-fold aggregate matches the oracle's
-    ``list_reduce``."""
+    literal struct array. The per-dim diff binds ONCE (zip_with emits the
+    diff, the fold squares its bound variable), so the dequant arithmetic
+    evaluates once per dimension regardless of subexpression elimination;
+    left-fold accumulation matches the oracle's ``list_reduce``."""
     structs = F.array(
         *[
             F.struct(
@@ -230,13 +232,9 @@ def sq_dist_sq(
         lambda c, s: (
             s["lo"] + (c.cast("double") + F.lit(0.5)) * s["rng"] / F.lit(255.0)
             - s["q"]
-        )
-        * (
-            s["lo"] + (c.cast("double") + F.lit(0.5)) * s["rng"] / F.lit(255.0)
-            - s["q"]
         ),
     )
-    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, d: acc + d * d)
 
 
 def pq_adc_rerank_topk(

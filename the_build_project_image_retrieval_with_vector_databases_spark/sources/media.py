@@ -131,24 +131,50 @@ def audio_chunks(df: DataFrame, chunk_bytes: int = 512) -> DataFrame:
     """Fixed-window audio chunking: (path, chunk_idx, offset, n_bytes,
     chunk_hash) per window — the feature-extraction batch layout for an
     audio frontend (the real body decodes PCM and emits spectrogram
-    windows)."""
+    windows).
+
+    F2 error tolerance like the other media maps: a null or empty payload
+    yields one ``decode_ok = false`` row instead of failing the job or
+    silently vanishing."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = []
             for path, content in zip(pdf["path"], pdf["content"]):
-                payload = bytes(content)
-                for ci, off in enumerate(range(0, len(payload), chunk_bytes)):
-                    chunk = payload[off : off + chunk_bytes]
-                    out.append(
-                        (path, ci, off, len(chunk), _hex_prefix_long(chunk.hex()))
-                    )
+                try:
+                    payload = bytes(content)
+                    if not payload:
+                        raise ValueError("empty payload")
+                    for ci, off in enumerate(range(0, len(payload), chunk_bytes)):
+                        chunk = payload[off : off + chunk_bytes]
+                        out.append(
+                            (
+                                path,
+                                ci,
+                                off,
+                                len(chunk),
+                                _hex_prefix_long(chunk.hex()),
+                                True,
+                            )
+                        )
+                except Exception:
+                    out.append((path, None, None, None, None, False))
             yield pd.DataFrame(
                 out,
-                columns=["path", "chunk_idx", "offset", "n_bytes", "chunk_hash"],
+                columns=[
+                    "path",
+                    "chunk_idx",
+                    "offset",
+                    "n_bytes",
+                    "chunk_hash",
+                    "decode_ok",
+                ],
             )
 
     return df.mapInPandas(
         batches,
-        schema="path string, chunk_idx int, offset long, n_bytes int, chunk_hash long",
+        schema=(
+            "path string, chunk_idx int, offset long, n_bytes int, "
+            "chunk_hash long, decode_ok boolean"
+        ),
     )
