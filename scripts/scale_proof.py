@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Empirical scale spot-proof (round-3 VERDICT item 10).
+
+Runs the three headline dedup queries at bench scale (sf0.1, 5k docs)
+and at 10× (50k docs) and reports the time ratios. The 10× table is
+DERIVED from the sf0.1 fixture — 10 replicas with every token suffixed
+per-replica, so replicas share no shingles and the corpus's internal
+near-dup structure repeats exactly 10× (pair volume and component
+structure scale linearly, the honest load for a dedup engine; naive
+replication would instead make every doc a 10-way dup and square the
+pair graph).
+
+Usage: python scripts/scale_proof.py  → one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from the_build_project_image_retrieval_with_vector_databases_spark.session import (
+    get_spark,
+)
+from the_build_project_image_retrieval_with_vector_databases_spark import queries as Q
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+QUERIES = ["ngram_jaccard_dedup", "minhash_lsh_dedup", "dedup_components"]
+REPLICAS = 10
+
+
+def build_scaled(spark, out_dir: str) -> None:
+    docs = spark.read.parquet(os.path.join(BASE, "documents.parquet"))
+    n = docs.count()
+    parts = []
+    for r in range(REPLICAS):
+        d = docs.withColumn("doc_id", F.col("doc_id") + F.lit(r * n))
+        if r > 0:
+            # suffix every token: replicas share no shingles/terms,
+            # within-replica similarity structure is untouched
+            d = d.withColumn(
+                "text", F.regexp_replace("text", r"(\S+)", f"$1x{r}")
+            )
+        parts.append(d)
+    scaled = parts[0]
+    for p in parts[1:]:
+        scaled = scaled.unionAll(p)
+    scaled.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "documents.parquet")
+    )
+
+
+def timed(spark, fn, runs: int = 2) -> float:
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        fn().write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+        spark.catalog.clearCache()
+    return round(best, 2)
+
+
+def main() -> None:
+    spark = get_spark(app_name="scale-proof")
+    scaled_dir = os.path.join(tempfile.gettempdir(), "spark_graft_scale10x")
+    if not os.path.exists(
+        os.path.join(scaled_dir, "documents.parquet", "_SUCCESS")
+    ):
+        build_scaled(spark, scaled_dir)
+
+    out = {}
+    for name in QUERIES:
+        fn = Q.QUERIES[name]
+        base_s = timed(spark, lambda: fn(spark, BASE))
+        scaled_s = timed(spark, lambda: fn(spark, scaled_dir))
+        out[name] = {
+            "sf0.1_s": base_s,
+            "10x_s": scaled_s,
+            "ratio": round(scaled_s / base_s, 2),
+        }
+    print(json.dumps({"replicas": REPLICAS, "queries": out}))
+
+
+if __name__ == "__main__":
+    main()

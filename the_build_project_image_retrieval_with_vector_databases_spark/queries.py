@@ -632,7 +632,8 @@ _CHECK_FIRST: list[str] = [
     "customers_without_orders",
     "supplier_rollup",
     "asof_join",
-    # re-implemented in round 3 → re-verify:
+    # new/re-implemented in round 3 → verify first:
+    "image_decode_real",  # dependency-free PPM decode, pixel-level oracle
     "cosine_dedup",       # radius_join gains LSH-bucket blocking
     "dedup_components",   # large-star/small-star connected components
     "ivf_topk",           # content-addressed materialized layout

@@ -115,6 +115,102 @@ FROM b
 """
 
 
+PPM_ROOT = os.path.join(_FIXTURES, "images_ppm")
+
+
+def q_image_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decode at the query surface, oracle-checked end-to-end: the
+    fixture PPMs (fixed 17-byte ``P6\\n{w:04d} {h:04d}\\n255\\n`` header +
+    raw raster) decode through the dependency-free numpy parser
+    (``sources.images.decode_pixels``) — true dimensions AND the
+    top-left pixel's actual RGB bytes — while the DuckDB oracle parses
+    the same header fields and raster bytes straight out of the blob.
+    Cross-engine agreement on genuine pixel math, no stub anywhere; a
+    truncated raster surfaces as a ``decode_ok = false`` row (F2)."""
+    from .sources.images import decode_pixels, scan_image_folder
+
+    scanned = scan_image_folder(spark, PPM_ROOT, glob="*.ppm")
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            out = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    arr = decode_pixels(content)
+                    h, w, c = arr.shape
+                    r0, g0, b0 = (int(x) for x in arr[0, 0])
+                    out.append((path, w, h, c, r0, g0, b0, True))
+                except Exception:
+                    out.append((path, None, None, None, None, None, None, False))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "path", "width", "height", "n_channels",
+                    "r0", "g0", "b0", "decode_ok",
+                ],
+            )
+
+    decoded = scanned.mapInPandas(
+        batches,
+        schema=(
+            "path string, width int, height int, n_channels int, "
+            "r0 int, g0 int, b0 int, decode_ok boolean"
+        ),
+    )
+    return decoded.select(
+        F.element_at(F.split("path", "/"), -1).alias("basename"),
+        F.element_at(F.split("path", "/"), -2).alias("category"),
+        "width", "height", "n_channels", "r0", "g0", "b0", "decode_ok",
+    )
+
+
+def _hx_byte(pos: int) -> str:
+    """Byte at 1-based offset ``pos`` of the blob, as INT, read out of
+    the full-blob hex string ``hx`` (UTF8-safe on arbitrary raster
+    bytes — DuckDB blobs don't slice, but their hex encodings do)."""
+    a, b = 2 * pos - 1, 2 * pos
+    return (
+        f"(CAST(strpos('0123456789abcdef', substr(hx, {a}, 1)) - 1 AS INT) * 16"
+        f" + CAST(strpos('0123456789abcdef', substr(hx, {b}, 1)) - 1 AS INT))"
+    )
+
+
+def _hx_digits(first_byte: int, n: int) -> str:
+    """Fixed-width ASCII decimal at bytes [first_byte, first_byte+n) →
+    INT: each digit byte 0x3X contributes its low hex nibble."""
+    chars = " || ".join(
+        f"substr(hx, {2 * (first_byte + i)}, 1)" for i in range(n)
+    )
+    return f"CAST(({chars}) AS INT)"
+
+
+ORACLE_IMAGE_DECODE_REAL = f"""
+WITH b AS (
+  SELECT filename, lower(hex(content)) AS hx, octet_length(content) AS n
+  FROM read_blob('{PPM_ROOT}/*/*.ppm')
+),
+hdr AS (
+  SELECT filename, hx, n,
+         {_hx_digits(4, 4)} AS w,
+         {_hx_digits(9, 4)} AS h
+  FROM b
+),
+ok AS (SELECT *, n >= 17 + w * h * 3 AS good FROM hdr)
+SELECT list_extract(string_split(filename, '/'), -1) AS basename,
+       list_extract(string_split(filename, '/'), -2) AS category,
+       CASE WHEN good THEN w END AS width,
+       CASE WHEN good THEN h END AS height,
+       CASE WHEN good THEN 3 END AS n_channels,
+       CASE WHEN good THEN {_hx_byte(18)} END AS r0,
+       CASE WHEN good THEN {_hx_byte(19)} END AS g0,
+       CASE WHEN good THEN {_hx_byte(20)} END AS b0,
+       good AS decode_ok
+FROM ok
+"""
+
+
 # ---------------------------------------------------------------------------
 # Video frame sampling (multimodal breadth: 1 row → k frame rows)
 # ---------------------------------------------------------------------------
@@ -343,6 +439,7 @@ FROM ranked WHERE rank <= 10
 PIPELINE_QUERIES = {
     "manifest_scan": q_manifest_scan,
     "image_decode": q_image_decode,
+    "image_decode_real": q_image_decode_real,
     "frame_sample": q_frame_sample,
     "jsonl_ingest": q_jsonl_ingest,
     "train_metrics": q_train_metrics,
@@ -352,6 +449,7 @@ PIPELINE_QUERIES = {
 PIPELINE_ORACLES = {
     "manifest_scan": ORACLE_MANIFEST_SCAN,
     "image_decode": ORACLE_IMAGE_DECODE,
+    "image_decode_real": ORACLE_IMAGE_DECODE_REAL,
     "frame_sample": _oracle_frame_sample(),
     "jsonl_ingest": _oracle_jsonl_ingest(),
     "train_metrics": ORACLE_TRAIN_METRICS,
