@@ -174,3 +174,38 @@ def test_serve_loop_matches_batch_knn(spark, tmp_path):
     )
     assert sorted(map(tuple, results)) == sorted(map(tuple, want))
     assert len(results) == 15  # 5 queries × k=3
+
+
+def test_serve_loop_rate_latency_and_self_hit(spark):
+    """Continuous serving on the rate source: batches score under load,
+    per-batch end-to-end latency is recorded and bounded, and every
+    query's rank-1 neighbor is itself (exclude_self=False ⇒ distance 0)."""
+    import time
+
+    from the_build_project_image_retrieval_with_vector_databases_spark.streaming.queries import (
+        serve_loop_rate,
+    )
+
+    corpus = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    latencies: list = []
+    results: list = []
+    q = serve_loop_rate(
+        spark,
+        corpus,
+        k=3,
+        rows_per_second=40,
+        latencies=latencies,
+        sink=lambda df, epoch: results.extend(
+            df.filter(F.col("rank") == 1).select("query_id", "vec_id").collect()
+        ),
+        trigger_ms=250,
+    )
+    try:
+        deadline = time.time() + 30
+        while len(latencies) < 3 and time.time() < deadline:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert len(latencies) >= 3, "stream produced too few scored batches"
+    assert all(lt < 20 for lt in latencies), latencies
+    assert results and all(r.query_id == r.vec_id for r in results)
