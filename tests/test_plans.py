@@ -194,3 +194,16 @@ def test_dedup_queries_release_cached_blocks(spark):
         rows = entrymod.queries()[name](spark, SF_SMOKE).collect()
         assert rows, name
         assert jsc.getPersistentRDDs().size() == before, f"{name} leaked cache"
+
+
+def test_ivf_topk_batch_shares_one_pruned_scan(spark):
+    """The batched IVF join must amortize ONE partition-pruned scan
+    across the whole query batch: centroid INSET filter at the scan,
+    two-phase WindowGroupLimit for per-query top-k, and exactly one
+    hash exchange (the rank window) — no per-query scan jobs."""
+    df = entrymod.queries()["ivf_topk_batch"](spark, SF_SMOKE)
+    plan = _physical(df)
+    assert re.search(r"PartitionFilters: \[.*centroid.* INSET ", plan)
+    assert "WindowGroupLimit" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan

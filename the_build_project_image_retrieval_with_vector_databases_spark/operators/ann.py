@@ -157,6 +157,63 @@ def ivf_search(
     )
 
 
+def ivf_search_batch(
+    layout: DataFrame,
+    centroids: list[list[float]],
+    queries: list[tuple[int, list[float]]],
+    k: int = 5,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Batched IVF kNN join — the serving-at-scale shape: Q queries share
+    ONE pruned scan instead of Q probe jobs.
+
+    Probe selection runs driver-side per query (numpy over the tiny
+    centroid table, same as FAISS's coarse quantizer); the scan filter is
+    the UNION of all probe sets, so parquet partition pruning reads
+    ``|∪probes|/k_cents`` of the corpus once. Each query then keeps only
+    its own probes via a broadcast join + ``array_contains``, distances
+    fuse into the scan stage, and the per-query top-k plans as the
+    two-phase ``WindowGroupLimit`` (≤k rows per query per map partition
+    cross the one shuffle). At 100 TB: scan bytes amortize across the
+    whole query batch and nothing but Q×k×P rows ever moves.
+    """
+    from pyspark.sql import Window
+
+    probe_sets = {
+        int(qid): nearest_centroids(centroids, qvec, nprobe)
+        for qid, qvec in queries
+    }
+    union_probes = sorted({c for ps in probe_sets.values() for c in ps})
+
+    spark = layout.sparkSession
+    qdf = spark.createDataFrame(
+        [
+            (int(qid), [float(x) for x in qvec], probe_sets[int(qid)])
+            for qid, qvec in queries
+        ],
+        "query_id long, __qvec array<double>, __probes array<int>",
+    )
+    scored = (
+        layout.filter(F.col("centroid").isin(union_probes))
+        .crossJoin(F.broadcast(qdf))
+        .filter(F.array_contains("__probes", F.col("centroid").cast("int")))
+        .withColumn("dist", l2_dist(F.col(vec_col), F.col("__qvec")))
+    )
+    if exclude_self:
+        scored = scored.filter(F.col(id_col) != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("__qvec", "__probes")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Random-hyperplane LSH (cosine)
 # ---------------------------------------------------------------------------

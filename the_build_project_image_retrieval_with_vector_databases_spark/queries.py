@@ -638,6 +638,7 @@ _CHECK_FIRST: list[str] = [
     "cosine_dedup",       # radius_join gains LSH-bucket blocking
     "dedup_components",   # large-star/small-star connected components
     "ivf_topk",           # content-addressed materialized layout
+    "ivf_topk_batch",     # new: batched IVF kNN join, one pruned scan
     "sq_topk",            # single-binding dequant distance expression
 ]
 
@@ -662,6 +663,8 @@ _ROTATE_OUT: list[str] = [
                               # covered in-window by cosine_dedup
     "cosine_topk",            # cosine metric covered by cosine_dedup +
                               # image_knn_pipeline; L2 top-k by knn_l2_topk
+    "manifest_scan",          # r02-green (was the 50th checked key);
+                              # F4/F6 semantics shared with label joins
 ]
 
 

@@ -183,6 +183,71 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched IVF kNN join over the materialized layout: 8 query
+    vectors (rows vec_id < 8) share ONE partition-pruned scan (union of
+    their per-query nprobe=4 probe sets), each keeping its own probes
+    via broadcast + ``array_contains``; per-query top-3 through the
+    two-phase ``WindowGroupLimit``. The serving-at-scale shape — scan
+    bytes amortize across the whole batch. Oracle re-derives per-query
+    probes, assignment, and ranks in SQL."""
+    from .operators.ann import ivf_search_batch
+
+    path, centroids = _ivf_layout(spark, sf_dir)
+    queries = [(i, centroids[i]) for i in range(8)]  # vec_id<8 ⊂ training rows
+    layout = spark.read.parquet(path)
+    out = ivf_search_batch(layout, centroids, queries, k=3, nprobe=4)
+    return out.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        "label",
+        F.col("centroid").cast("int").alias("centroid"),
+        F.round("dist", 6).alias("dist"),
+        "rank",
+    )
+
+
+ORACLE_IVF_TOPK_BATCH = f"""
+WITH cents AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16),
+qs AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+probes AS (
+  SELECT query_id, cid FROM (
+    SELECT q.query_id, c.cid,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {_dk_l2('c.ce', 'q.qe')} ASC, c.cid ASC) AS pr
+    FROM qs q CROSS JOIN cents c
+  ) WHERE pr <= 4
+),
+scored AS (
+  SELECT e.vec_id, e.label, e.embedding, c.cid,
+         {_dk_l2('e.embedding', 'c.ce')} AS cdist
+  FROM embeddings e CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, label, embedding, cid AS centroid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cdist ASC, cid ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+ranked AS (
+  SELECT q.query_id, a.vec_id AS neighbor_id, a.label,
+         CAST(a.centroid AS INT) AS centroid,
+         {_dk_l2('a.embedding', 'q.qe')} AS d,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY {_dk_l2('a.embedding', 'q.qe')} ASC,
+                                     a.vec_id ASC) AS rank
+  FROM assigned a
+  JOIN probes p ON a.centroid = p.cid
+  JOIN qs q ON q.query_id = p.query_id
+  WHERE a.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, label, centroid, round(d, 6) AS dist,
+       CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
 ORACLE_IVF_TOPK = f"""
 WITH cents AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16),
 q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
@@ -683,6 +748,7 @@ FROM tagged GROUP BY side
 
 ANN_QUERIES = {
     "ivf_topk": q_ivf_topk,
+    "ivf_topk_batch": q_ivf_topk_batch,
     "pq_topk": q_pq_topk,
     "ivfpq_topk": q_ivfpq_topk,
     "sq_topk": q_sq_topk,
@@ -696,6 +762,7 @@ ANN_QUERIES = {
 
 ANN_ORACLES = {
     "ivf_topk": ORACLE_IVF_TOPK,
+    "ivf_topk_batch": ORACLE_IVF_TOPK_BATCH,
     "pq_topk": _oracle_pq_topk(),
     "ivfpq_topk": _oracle_ivfpq_topk(),
     "sq_topk": _oracle_sq_topk(),
