@@ -639,6 +639,7 @@ _CHECK_FIRST: list[str] = [
     "dedup_components",   # large-star/small-star connected components
     "ivf_topk",           # content-addressed materialized layout
     "ivf_topk_batch",     # new: batched IVF kNN join, one pruned scan
+    "pq_rerank_topk",     # new: ADC shortlist -> exact re-rank
     "sq_topk",            # single-binding dequant distance expression
 ]
 
@@ -665,6 +666,8 @@ _ROTATE_OUT: list[str] = [
                               # image_knn_pipeline; L2 top-k by knn_l2_topk
     "manifest_scan",          # r02-green (was the 50th checked key);
                               # F4/F6 semantics shared with label joins
+    "json_extract_agg",       # r02-green; JSON parse + agg covered
+                              # in-window by jsonl_ingest
 ]
 
 

@@ -455,6 +455,63 @@ LIMIT {k}
 """
 
 
+def q_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production PQ shape as a registry query: ADC shortlist of
+    k·overfetch = 30 candidates from the 8-byte codes, exact full-float
+    L2 re-rank on the shortlist only (``operators.pq.pq_adc_rerank_topk``
+    — the shortlist broadcasts into a semi-join against the raw table).
+    Recall comes from the cheap scan, exactness of the reported distances
+    from the 30-row re-rank. Oracle re-derives codes, ADC order, the
+    shortlist cut, and the exact re-rank in SQL."""
+    from .operators.pq import pq_adc_rerank_topk
+
+    path, codebooks, qvec = _pq_layout(spark, sf_dir)
+    codes = spark.read.parquet(path).filter(F.col("vec_id") != 0)
+    raw = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    out = pq_adc_rerank_topk(
+        codes, raw, codebooks, qvec, k=10, overfetch=3
+    )
+    return out.select("vec_id", "label", F.round("dist", 6).alias("dist"))
+
+
+def _oracle_pq_rerank_topk(
+    m: int = PQ_M, dim: int = EMB_DIM, k: int = 10, overfetch: int = 3
+) -> str:
+    dsub = dim // m
+    code_exprs = ",\n         ".join(
+        f"min({{'d': {_dk_l2sq_slice('e.embedding', 't.embedding', j, dsub)}, "
+        f"'c': t.vec_id}}).c AS code_{j}"
+        for j in range(m)
+    )
+    lut_joins = "\n".join(
+        f"JOIN train t{j} ON t{j}.vec_id = c.code_{j}" for j in range(m)
+    )
+    adc = " + ".join(
+        f"({_dk_l2sq_slice('q.qe', f't{j}.embedding', j, dsub)})" for j in range(m)
+    )
+    return f"""
+WITH train AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 16),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+codes AS (
+  SELECT e.vec_id AS vid, e.label,
+         {code_exprs}
+  FROM embeddings e CROSS JOIN train t
+  WHERE e.vec_id <> 0
+  GROUP BY e.vec_id, e.label
+),
+shortlist AS (
+  SELECT c.vid FROM codes c CROSS JOIN q
+  {lut_joins}
+  ORDER BY ({adc}) ASC, c.vid ASC
+  LIMIT {k * overfetch}
+)
+SELECT e.vec_id, e.label, round({_dk_l2('e.embedding', 'q.qe')}, 6) AS dist
+FROM embeddings e JOIN shortlist s ON e.vec_id = s.vid CROSS JOIN q
+ORDER BY {_dk_l2('e.embedding', 'q.qe')} ASC, e.vec_id ASC
+LIMIT {k}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Scalar quantization (int8) — the 4th FAISS-family tier (Flat/IVF/PQ/SQ)
 # ---------------------------------------------------------------------------
@@ -750,6 +807,7 @@ ANN_QUERIES = {
     "ivf_topk": q_ivf_topk,
     "ivf_topk_batch": q_ivf_topk_batch,
     "pq_topk": q_pq_topk,
+    "pq_rerank_topk": q_pq_rerank_topk,
     "ivfpq_topk": q_ivfpq_topk,
     "sq_topk": q_sq_topk,
     "lsh_bucket_counts": q_lsh_bucket_counts,
@@ -764,6 +822,7 @@ ANN_ORACLES = {
     "ivf_topk": ORACLE_IVF_TOPK,
     "ivf_topk_batch": ORACLE_IVF_TOPK_BATCH,
     "pq_topk": _oracle_pq_topk(),
+    "pq_rerank_topk": _oracle_pq_rerank_topk(),
     "ivfpq_topk": _oracle_ivfpq_topk(),
     "sq_topk": _oracle_sq_topk(),
     "lsh_bucket_counts": _oracle_lsh_buckets(),
