@@ -164,6 +164,71 @@ def quality_exprs(txt, toks):
     return alpha_ratio, mean_tok_len, stop_ratio, score
 
 
+def repetition_exprs(txt, toks):
+    """Gopher-style repetition/noise signals (Rae et al. 2021 §A1.1, the
+    published web-corpus quality rules) as pure Catalyst expressions over
+    a text column + its token array:
+
+    - ``top_word_frac``: occurrences of the most frequent token / tokens
+      (per-row HOF: count each distinct token via filter, take the max —
+      O(distinct × tokens) per row, bounded by document length);
+    - ``dup_2gram_frac``: 1 − distinct 2-grams / total 2-grams;
+    - ``symbol_ratio``: non-alphanumeric-non-space chars / chars.
+    """
+    n_tok = F.greatest(F.size(toks), F.lit(1)).cast("double")
+    n_chars = F.greatest(F.length(txt), F.lit(1)).cast("double")
+    top_count = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda d: F.size(F.filter(toks, lambda t: t == d)),
+        )
+    )
+    top_word_frac = F.coalesce(
+        top_count.cast("double") / n_tok, F.lit(0.0)
+    )
+    grams = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    n_grams = F.size(grams)
+    dup_2gram_frac = F.when(
+        n_grams >= 1,
+        F.lit(1.0)
+        - F.size(F.array_distinct(grams)).cast("double")
+        / n_grams.cast("double"),
+    ).otherwise(F.lit(0.0))
+    symbol_ratio = (
+        F.length(F.regexp_replace(txt, "[a-zA-Z0-9\\s]", "")).cast("double")
+        / n_chars
+    )
+    return top_word_frac, dup_2gram_frac, symbol_ratio
+
+
+def gopher_quality(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Gopher-rule repetition gate: the three signals of
+    :func:`repetition_exprs` plus the published-threshold flag
+    (top-word > 0.2, duplicated 2-grams > 0.4, or symbols > 0.3 ⇒
+    ``flagged``) — the repetition companion to :func:`quality_score`'s
+    composition signals. One scan, no shuffle, no UDF."""
+    toks = tokens(text_col)
+    top_word_frac, dup_2gram_frac, symbol_ratio = repetition_exprs(
+        F.col(text_col), toks
+    )
+    flagged = (
+        (top_word_frac > 0.2) | (dup_2gram_frac > 0.4) | (symbol_ratio > 0.3)
+    )
+    return df.select(
+        F.col(id_col),
+        F.round(top_word_frac, 6).alias("top_word_frac"),
+        F.round(dup_2gram_frac, 6).alias("dup_2gram_frac"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        flagged.alias("flagged"),
+    )
+
+
 def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Heuristic document quality: alpha-char ratio, mean token length
     band, stopword presence — composite in [0, 1] (rounded, portable)."""

@@ -640,6 +640,7 @@ _CHECK_FIRST: list[str] = [
     "ivf_topk",           # content-addressed materialized layout
     "ivf_topk_batch",     # new: batched IVF kNN join, one pruned scan
     "pq_rerank_topk",     # new: ADC shortlist -> exact re-rank
+    "gopher_quality",     # new: Gopher repetition gate
     "sq_topk",            # single-binding dequant distance expression
 ]
 
@@ -668,6 +669,8 @@ _ROTATE_OUT: list[str] = [
                               # F4/F6 semantics shared with label joins
     "json_extract_agg",       # r02-green; JSON parse + agg covered
                               # in-window by jsonl_ingest
+    "top_terms",              # r02-green; same tokenize+term-count scan
+                              # as salted_term_counts (in-window, benched)
 ]
 
 

@@ -179,6 +179,44 @@ FROM m
 """
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule repetition gate (Rae et al. 2021 §A1.1): top-word
+    fraction, duplicated-2-gram fraction, symbol ratio, and the
+    published-threshold flag per document — the repetition companion to
+    ``quality_score``. One scan, zero shuffles, pure expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.gopher_quality(docs)
+
+
+def _oracle_gopher_quality() -> str:
+    return f"""
+WITH t AS (SELECT doc_id, text, {_dk_toks()} AS toks FROM documents),
+m AS (
+  SELECT doc_id,
+    coalesce(
+      list_max(list_transform(list_distinct(toks),
+                              d -> len(list_filter(toks, x -> x = d))))::DOUBLE
+        / greatest(len(toks), 1), 0.0) AS top_word_frac,
+    (CASE WHEN len(toks) >= 2 THEN
+       1.0 - len(list_distinct(list_transform(
+                list_zip(list_slice(toks, 1, len(toks) - 1),
+                         list_slice(toks, 2, len(toks))),
+                s -> s[1] || ' ' || s[2])))::DOUBLE / (len(toks) - 1)
+     ELSE 0.0 END) AS dup_2gram_frac,
+    length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))::DOUBLE
+      / greatest(length(text), 1) AS symbol_ratio
+  FROM t
+)
+SELECT doc_id,
+       round(top_word_frac, 6) AS top_word_frac,
+       round(dup_2gram_frac, 6) AS dup_2gram_frac,
+       round(symbol_ratio, 6) AS symbol_ratio,
+       (top_word_frac > 0.2 OR dup_2gram_frac > 0.4 OR symbol_ratio > 0.3)
+         AS flagged
+FROM m
+"""
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return T.fingerprint(docs)
@@ -669,6 +707,7 @@ TEXT_QUERIES = {
     "tf_idf": q_tf_idf,
     "language_id": q_language_id,
     "quality_score": q_quality_score,
+    "gopher_quality": q_gopher_quality,
     "doc_fingerprint": q_fingerprint,
     "exact_dedup": q_exact_dedup,
     "ngram_jaccard_dedup": q_ngram_jaccard,
@@ -689,6 +728,7 @@ TEXT_ORACLES = {
     "tf_idf": ORACLE_TF_IDF,
     "language_id": _oracle_language_id(),
     "quality_score": _oracle_quality(),
+    "gopher_quality": _oracle_gopher_quality(),
     "doc_fingerprint": ORACLE_FINGERPRINT,
     "exact_dedup": ORACLE_EXACT_DEDUP,
     "ngram_jaccard_dedup": _oracle_jaccard_capped(0.8, 0.01, 10),
