@@ -641,6 +641,8 @@ _CHECK_FIRST: list[str] = [
     "ivf_topk_batch",     # new: batched IVF kNN join, one pruned scan
     "pq_rerank_topk",     # new: ADC shortlist -> exact re-rank
     "gopher_quality",     # new: Gopher repetition gate
+    "funnel_conversion",  # new: ordered-funnel window cascade
+    "split_counts",       # r01-red -> r02-green; keep its row streak
     "sq_topk",            # single-binding dequant distance expression
 ]
 
@@ -671,6 +673,8 @@ _ROTATE_OUT: list[str] = [
                               # in-window by jsonl_ingest
     "top_terms",              # r02-green; same tokenize+term-count scan
                               # as salted_term_counts (in-window, benched)
+    "lsh_near_dup",           # r02-green; LSH-bucket blocking + cosine
+                              # verify covered in-window by cosine_dedup
 ]
 
 

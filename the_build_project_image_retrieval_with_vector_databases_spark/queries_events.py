@@ -273,8 +273,114 @@ GROUP BY event_type
 """
 
 
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis (view → click → purchase): per user, the
+    earliest view, the earliest click AT-OR-AFTER that view, the earliest
+    purchase at-or-after that click — then users-per-stage with
+    conversion rates.
+
+    Physical shape: the three stage timestamps are cascaded MIN window
+    functions over the SAME ``partitionBy(user_id)`` — Catalyst plans one
+    hash exchange for all three window passes (each stage's predicate
+    references the previous stage's result, which a single groupBy could
+    not express) — then a tiny global aggregate + 3-row explode. Two
+    shuffles total regardless of event volume; no self-joins of the
+    events table (the naive per-stage join would scan it 3×)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    t1 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    with_t1 = ev.withColumn("t1", t1)
+    t2 = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts") >= F.col("t1")),
+            F.col("ts"),
+        )
+    ).over(w)
+    with_t2 = with_t1.withColumn("t2", t2)
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") >= F.col("t2")),
+            F.col("ts"),
+        )
+    ).over(w)
+    staged = (
+        with_t2.withColumn("t3", t3)
+        .groupBy("user_id")
+        .agg(F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3"))
+    )
+    counts = staged.agg(
+        F.count("*").alias("n_users"),
+        F.count("t1").alias("viewed"),
+        F.count("t2").alias("clicked"),
+        F.count("t3").alias("purchased"),
+    )
+    stages = counts.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit(1).alias("stage"), F.lit("view").alias("name"),
+                         F.col("viewed").alias("users"),
+                         F.col("n_users").alias("base")),
+                F.struct(F.lit(2).alias("stage"), F.lit("click").alias("name"),
+                         F.col("clicked").alias("users"),
+                         F.col("viewed").alias("base")),
+                F.struct(F.lit(3).alias("stage"), F.lit("purchase").alias("name"),
+                         F.col("purchased").alias("users"),
+                         F.col("clicked").alias("base")),
+            )
+        ).alias("s")
+    )
+    return stages.select(
+        F.col("s.stage").alias("stage"),
+        F.col("s.name").alias("stage_name"),
+        F.col("s.users").alias("users"),
+        F.round(
+            F.col("s.users").cast("double")
+            / F.greatest(F.col("s.base"), F.lit(1)).cast("double"),
+            6,
+        ).alias("conversion"),
+    )
+
+
+ORACLE_FUNNEL = """
+WITH s1 AS (
+  SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)
+              OVER (PARTITION BY user_id) AS t1
+  FROM events
+),
+s2 AS (
+  SELECT *, min(CASE WHEN event_type = 'click' AND ts >= t1 THEN ts END)
+              OVER (PARTITION BY user_id) AS t2
+  FROM s1
+),
+s3 AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts >= t2 THEN ts END)
+              OVER (PARTITION BY user_id) AS t3
+  FROM s2
+),
+staged AS (
+  SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3
+  FROM s3 GROUP BY user_id
+),
+c AS (
+  SELECT count(*) AS n_users, count(t1) AS viewed,
+         count(t2) AS clicked, count(t3) AS purchased
+  FROM staged
+)
+SELECT stage, stage_name, users,
+       round(users::DOUBLE / greatest(base, 1), 6) AS conversion
+FROM (
+  SELECT 1 AS stage, 'view' AS stage_name, viewed AS users, n_users AS base FROM c
+  UNION ALL
+  SELECT 2, 'click', clicked, viewed FROM c
+  UNION ALL
+  SELECT 3, 'purchase', purchased, clicked FROM c
+)
+"""
+
+
 EVENT_QUERIES = {
     "tumbling_window": q_tumbling_window,
+    "funnel_conversion": q_funnel_conversion,
     "sliding_window": q_sliding_window,
     "sessionize": q_sessionize,
     "streaming_dedup_batch": q_streaming_dedup_batch,
@@ -286,6 +392,7 @@ EVENT_QUERIES = {
 
 EVENT_ORACLES = {
     "tumbling_window": ORACLE_TUMBLING,
+    "funnel_conversion": ORACLE_FUNNEL,
     "sliding_window": ORACLE_SLIDING,
     "sessionize": ORACLE_SESSIONIZE,
     "streaming_dedup_batch": ORACLE_STREAM_DEDUP,
