@@ -70,6 +70,12 @@ BENCH_QUERIES = [
     "streaming_dedup_batch",
     "order_priority_semi",
     "customers_without_orders",
+    # round-3 new operators
+    "ivf_topk_batch",
+    "pq_rerank_topk",
+    "gopher_quality",
+    "funnel_conversion",
+    "image_knn_pipeline",
 ]
 
 
