@@ -170,22 +170,33 @@ def repetition_exprs(txt, toks):
     a text column + its token array:
 
     - ``top_word_frac``: occurrences of the most frequent token / tokens
-      (per-row HOF: count each distinct token via filter, take the max —
-      O(distinct × tokens) per row, bounded by document length);
+      — computed as the max run length over the SORTED token array via a
+      single struct fold (O(n log n + n) per row; the obvious
+      count-each-distinct nested HOF is O(distinct × tokens) and
+      measured 3× slower at sf0.1);
     - ``dup_2gram_frac``: 1 − distinct 2-grams / total 2-grams;
     - ``symbol_ratio``: non-alphanumeric-non-space chars / chars.
     """
     n_tok = F.greatest(F.size(toks), F.lit(1)).cast("double")
     n_chars = F.greatest(F.length(txt), F.lit(1)).cast("double")
-    top_count = F.array_max(
-        F.transform(
-            F.array_distinct(toks),
-            lambda d: F.size(F.filter(toks, lambda t: t == d)),
+
+    def step(acc, t):
+        run = F.when(t == acc["prev"], acc["run"] + F.lit(1)).otherwise(F.lit(1))
+        return F.struct(
+            t.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
         )
+
+    top_count = F.aggregate(
+        F.array_sort(toks),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        step,
+        lambda acc: acc["best"],
     )
-    top_word_frac = F.coalesce(
-        top_count.cast("double") / n_tok, F.lit(0.0)
-    )
+    top_word_frac = top_count.cast("double") / n_tok
     grams = F.zip_with(
         F.slice(toks, 1, F.size(toks) - 1),
         F.slice(toks, 2, F.size(toks) - 1),
