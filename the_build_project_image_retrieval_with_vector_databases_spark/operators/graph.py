@@ -42,7 +42,7 @@ from __future__ import annotations
 import os
 import shutil
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from .spill import spill_dir as _spill_dir
@@ -76,19 +76,25 @@ def connected_components(
     sym = sym.unionAll(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
     sym = sym.persist()
 
-    def _checksum(lb: DataFrame) -> int:
+    def _write_with_checksum(df: DataFrame, path: str) -> int:
         # labels only ever DECREASE elementwise, so the label sum is
         # strictly monotone until the fixpoint — an unchanged sum IS
-        # convergence. One tiny aggregate per round instead of a
-        # join-diff-count.
-        return lb.agg(F.sum("comp")).first()[0]
+        # convergence. The sum rides the write job itself via observe()
+        # (one job per round, not write + separate aggregate).
+        obs = Observation()
+        df.observe(obs, F.sum("comp").alias("s")).write.mode(
+            "overwrite"
+        ).parquet(path)
+        return obs.get["s"]
 
     try:
-        sym.select(F.col("a").alias("node")).distinct().withColumn(
-            "comp", F.col("node")
-        ).write.mode("overwrite").parquet(_slot(0))
+        init = (
+            sym.select(F.col("a").alias("node"))
+            .distinct()
+            .withColumn("comp", F.col("node"))
+        )
+        prev_sum = _write_with_checksum(init, _slot(0))
         labels = spark.read.parquet(_slot(0))
-        prev_sum = _checksum(labels)
         for rnd in range(max_iter):
             # (1) propagate: min label over the neighborhood (keyed join
             #     on node id + map-side-partial min aggregate)
@@ -115,9 +121,8 @@ def connected_components(
             # round r+1 writes a FRESH dir (never the one this round's
             # plan reads), then the dir two rounds back is deleted —
             # disk stays bounded at two label generations
-            out.write.mode("overwrite").parquet(_slot(rnd + 1))  # lineage cut
+            new_sum = _write_with_checksum(out, _slot(rnd + 1))  # lineage cut
             labels = spark.read.parquet(_slot(rnd + 1))
-            new_sum = _checksum(labels)
             if rnd >= 1:
                 shutil.rmtree(_slot(rnd - 1), ignore_errors=True)
             if new_sum == prev_sum:
