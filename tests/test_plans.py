@@ -207,3 +207,13 @@ def test_ivf_topk_batch_shares_one_pruned_scan(spark):
     assert "WindowGroupLimit" in plan
     assert plan.count("Exchange hashpartitioning") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_bucketed_revenue_join_needs_no_exchange(spark):
+    """The bucketed fact⋈fact registry query: the join must consume the
+    bucketed layout directly — the ONLY hash exchange in the plan is the
+    final tiny per-priority aggregate, never a join-side repartition."""
+    df = entrymod.queries()["bucketed_revenue"](spark, SF_SMOKE)
+    plan = _physical(df)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan

@@ -17,7 +17,52 @@ merge phase needs no per-task sort either.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def ensure_bucketed_table(
+    spark: SparkSession,
+    df: DataFrame,
+    name: str,
+    path: str,
+    bucket_col: str,
+    n_buckets: int = 8,
+) -> str:
+    """Idempotent bucketed-table materialization for query-time use:
+
+    - table already in this session's catalog → reuse;
+    - bucketed files already on disk (``_SUCCESS``) → RE-REGISTER them
+      with ``CREATE TABLE … CLUSTERED BY … LOCATION`` DDL (a fresh
+      process pays only the DDL, never the shuffle+write);
+    - otherwise → one-time ``bucketBy().sortBy().saveAsTable()`` write
+      (the same shuffle the first join would have paid).
+
+    Callers pass a content-addressed ``path``/``name`` so regenerated
+    source data can never serve a stale bucket layout.
+    """
+    if spark.catalog.tableExists(name):
+        return name
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        schema_ddl = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+        )
+        spark.sql(
+            f"CREATE TABLE {name} ({schema_ddl}) USING PARQUET "
+            f"CLUSTERED BY ({bucket_col}) SORTED BY ({bucket_col}) "
+            f"INTO {n_buckets} BUCKETS LOCATION '{path}'"
+        )
+    else:
+        (
+            df.write.format("parquet")
+            .mode("overwrite")
+            .bucketBy(n_buckets, bucket_col)
+            .sortBy(bucket_col)
+            .option("path", path)
+            .saveAsTable(name)
+        )
+    return name
 
 
 def write_bucketed(

@@ -643,6 +643,8 @@ _CHECK_FIRST: list[str] = [
     "gopher_quality",     # new: Gopher repetition gate
     "funnel_conversion",  # new: ordered-funnel window cascade
     "split_counts",       # r01-red -> r02-green; keep its row streak
+    "order_count_distribution",  # new: Q13-shape left join + double agg
+    "bucketed_revenue",   # new: zero-exchange bucketed fact join
     "sq_topk",            # single-binding dequant distance expression
 ]
 
@@ -675,6 +677,10 @@ _ROTATE_OUT: list[str] = [
                               # as salted_term_counts (in-window, benched)
     "lsh_near_dup",           # r02-green; LSH-bucket blocking + cosine
                               # verify covered in-window by cosine_dedup
+    "token_stats",            # r02-green; tokenize + per-doc counts
+                              # covered in-window by gopher/quality_score
+    "doc_fingerprint",        # r02-green; md5 hashing covered in-window
+                              # by exact_dedup's content-hash key
 ]
 
 

@@ -12,6 +12,8 @@ one shuffle on the entity key, no range cross-product.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -259,6 +261,92 @@ GROUP BY c_mktsegment
 """
 
 
+def q_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by how many
+    non-special orders they placed — LEFT OUTER join (zero-order
+    customers must appear as count 0) feeding a second-level aggregate
+    (histogram over the per-customer counts). Two shuffles: custkey for
+    the per-customer count (map-side partial), then the tiny histogram
+    key. The left join keeps the dim side broadcast-free on purpose —
+    customer is the PROBE side and survives unmatched."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+ORACLE_ORDER_COUNT_DIST = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_bucketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The zero-Exchange fact ⋈ fact path as a registry query: lineitem
+    and orders materialized ``bucketBy(8, orderkey)``+sorted (one-time,
+    content-addressed — a fresh process re-registers the existing files
+    with DDL and pays no shuffle), then the repeated join plans a
+    sort-merge with NO Exchange on either side; the only shuffle in the
+    whole query is the tiny per-priority aggregate (pinned in
+    ``test_plans.py``). This is the 100 TB answer to 'we join these two
+    facts every run'."""
+    from .plans.bucketing import ensure_bucketed_table
+    from .queries_ann import _LAYOUT_ROOT, _table_fingerprint
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    pairs = []
+    for tbl, df, key in (
+        ("lineitem", li, "l_orderkey"),
+        ("orders", orders, "o_orderkey"),
+    ):
+        fp = _table_fingerprint(sf_dir, f"{tbl}.parquet")
+        name = f"bkt_{tbl}_{fp}"
+        path = os.path.join(_LAYOUT_ROOT, name)
+        pairs.append(ensure_bucketed_table(spark, df, name, path, key))
+    li_b, ord_b = (spark.table(n) for n in pairs)
+    revenue = (
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * (F.lit(1).cast("decimal(2,0)") - F.col("l_discount").cast("decimal(7,4)"))
+    )
+    return (
+        li_b.join(ord_b, li_b.l_orderkey == ord_b.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.sum(revenue), 2).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+ORACLE_BUCKETED_REVENUE = """
+SELECT o_orderpriority,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                (CAST(1 AS DECIMAL(2,0)) - CAST(l_discount AS DECIMAL(7,4)))), 2)
+            AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 # ---------------------------------------------------------------------------
 # Rollup (grouping sets) over the region→nation hierarchy
 # ---------------------------------------------------------------------------
@@ -448,6 +536,8 @@ RELATIONAL_QUERIES = {
     "running_revenue": q_running_revenue,
     "order_priority_semi": q_order_priority_semi,
     "customers_without_orders": q_customers_without_orders,
+    "order_count_distribution": q_order_count_distribution,
+    "bucketed_revenue": q_bucketed_revenue,
     "supplier_rollup": q_supplier_rollup,
     "set_ops": q_set_ops,
     "asof_join": q_asof_join,
@@ -460,6 +550,8 @@ RELATIONAL_ORACLES = {
     "running_revenue": ORACLE_RUNNING_REVENUE,
     "order_priority_semi": ORACLE_ORDER_PRIORITY,
     "customers_without_orders": ORACLE_CUSTOMERS_NO_ORDERS,
+    "order_count_distribution": ORACLE_ORDER_COUNT_DIST,
+    "bucketed_revenue": ORACLE_BUCKETED_REVENUE,
     "supplier_rollup": ORACLE_SUPPLIER_ROLLUP,
     "set_ops": ORACLE_SET_OPS,
     "asof_join": ORACLE_ASOF_JOIN,
