@@ -76,6 +76,8 @@ BENCH_QUERIES = [
     "gopher_quality",
     "funnel_conversion",
     "image_knn_pipeline",
+    "order_count_distribution",
+    "bucketed_revenue",
 ]
 
 
