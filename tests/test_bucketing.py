@@ -58,3 +58,43 @@ def test_bucketed_join_no_exchange(spark, tmp_path, no_broadcast):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
         spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_ensure_bucketed_table_reregisters_without_rewrite(spark, tmp_path):
+    """Fresh-process path of the bucketed layout: dropping the catalog
+    entry (what a new session sees) and calling ensure again must
+    re-register the EXISTING files via DDL — no rewrite — and the
+    re-registered table must still plan the zero-exchange join."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from the_build_project_image_retrieval_with_vector_databases_spark.plans.bucketing import (
+        ensure_bucketed_table,
+    )
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    path = str(tmp_path / "bkt")
+    name = "bkt_reregister_test"
+    ensure_bucketed_table(spark, df, name, path, "k", n_buckets=4)
+    stamp = os.path.getmtime(os.path.join(path, "_SUCCESS"))
+    rows1 = spark.table(name).count()
+
+    spark.sql(f"DROP TABLE {name}")  # simulate a fresh session's catalog
+    assert not spark.catalog.tableExists(name)
+    ensure_bucketed_table(spark, df, name, path, "k", n_buckets=4)
+    assert spark.catalog.tableExists(name)
+    assert os.path.getmtime(os.path.join(path, "_SUCCESS")) == stamp  # no rewrite
+    t = spark.table(name)
+    assert t.count() == rows1 == 1000
+    # bucket metadata survived the DDL re-registration: self-join on the
+    # bucket key plans with no hash exchange
+    plan = (
+        t.join(spark.table(name).withColumnRenamed("v", "v2"), "k")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange hashpartitioning" not in plan
+    spark.sql(f"DROP TABLE {name}")

@@ -91,3 +91,86 @@ def test_tokens_and_shingles_match_python(spark, text, n):
         if g not in want_sh:
             want_sh.append(g)
     assert sorted(row.sh) == sorted(want_sh)
+
+
+# ---------------------------------------------------------------------------
+# Pure-codec round trips (no Spark needed): encode with an independent
+# writer, decode with the engine's parsers, compare pixel-exact.
+# ---------------------------------------------------------------------------
+
+
+def _encode_ppm(arr: np.ndarray) -> bytes:
+    h, w, _ = arr.shape
+    return f"P6\n{w} {h}\n255\n".encode() + arr.tobytes()
+
+
+def _encode_bmp(arr: np.ndarray, top_down: bool = False) -> bytes:
+    import struct
+
+    h, w, _ = arr.shape
+    rows = arr if top_down else arr[::-1]
+    pad = b"\x00" * ((4 - (w * 3) % 4) % 4)
+    raster = b"".join(
+        rows[y, :, ::-1].tobytes() + pad for y in range(h)
+    )
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, -h if top_down else h, 1, 24, 0,
+        len(raster), 0, 0, 0, 0,
+    )
+    head = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(raster), 0, 0, 54)
+    return head + info + raster
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 24),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_ppm_roundtrip_pixel_exact(w, h, seed):
+    from the_build_project_image_retrieval_with_vector_databases_spark.sources.images import (
+        decode_pixels,
+    )
+
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert np.array_equal(decode_pixels(_encode_ppm(arr)), arr)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 24),
+    top_down=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_bmp_roundtrip_pixel_exact(w, h, top_down, seed):
+    """Covers every row-padding residue (w mod 4) and both storage
+    orientations (positive height = bottom-up, negative = top-down)."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.sources.images import (
+        decode_pixels,
+    )
+
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert np.array_equal(decode_pixels(_encode_bmp(arr, top_down)), arr)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w=st.integers(1, 16),
+    h=st.integers(1, 16),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_resize_nearest_identity_and_corners(w, h, seed):
+    from the_build_project_image_retrieval_with_vector_databases_spark.sources.images import (
+        resize_nearest,
+    )
+
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert np.array_equal(resize_nearest(arr, w, h), arr)  # identity
+    up = resize_nearest(arr, w * 3, h * 3)
+    assert up.shape == (h * 3, w * 3, 3)
+    assert np.array_equal(up[0, 0], arr[0, 0])  # top-left preserved
+    assert np.array_equal(up[-1, -1], arr[-1, -1])  # bottom-right preserved
