@@ -88,10 +88,17 @@ def connected_components(
         return obs.get["s"]
 
     try:
+        # init = one propagation round for free: label(v) = min(v, N(v)),
+        # computed by the same groupBy that enumerates the nodes. Valid
+        # starting point for the invariant (every label is a node id of
+        # the same component, ≤ v); saves a full join+jump+write round.
         init = (
-            sym.select(F.col("a").alias("node"))
-            .distinct()
-            .withColumn("comp", F.col("node"))
+            sym.groupBy("a")
+            .agg(F.min("b").alias("__nbr_min"))
+            .select(
+                F.col("a").alias("node"),
+                F.least(F.col("a"), F.col("__nbr_min")).alias("comp"),
+            )
         )
         prev_sum = _write_with_checksum(init, _slot(0))
         labels = spark.read.parquet(_slot(0))
