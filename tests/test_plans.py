@@ -217,3 +217,30 @@ def test_bucketed_revenue_join_needs_no_exchange(spark):
     plan = _physical(df)
     assert plan.count("Exchange hashpartitioning") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_driver_window_ordering_contract():
+    """The registry's verification-window ordering is part of the driver
+    contract (round-2's only material miss was silent dict-order drift):
+    every name in the priority/rotation lists must exist, every
+    priority entry must land inside the first 50 dict slots, and only
+    deliberately-rotated entries may fall past the window."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries import (
+        _CHECK_FIRST,
+        _ROTATE_OUT,
+        QUERIES,
+        ORACLES,
+    )
+
+    names = list(QUERIES)
+    assert set(_CHECK_FIRST) <= set(names), "stale _CHECK_FIRST entry"
+    assert set(_ROTATE_OUT) <= set(names), "stale _ROTATE_OUT entry"
+    assert not set(_CHECK_FIRST) & set(_ROTATE_OUT)
+    front = set(names[:50])
+    assert set(_CHECK_FIRST) <= front, "priority query fell out of the window"
+    drifted = set(names[50:]) - set(_ROTATE_OUT)
+    assert not drifted, f"silent window drift (pin or rotate): {drifted}"
+    # oracles iterate in the same order and cover everything except the
+    # documented rows-only entries
+    assert list(ORACLES) == [n for n in names if n in ORACLES]
+    assert set(names) - set(ORACLES) == {"image_knn_pipeline"}
