@@ -88,8 +88,9 @@ def timed(spark, fn, runs: int = 2) -> float:
 def main() -> None:
     spark = get_spark(app_name="scale-proof")
     scaled_dir = os.path.join(tempfile.gettempdir(), "spark_graft_scale10x")
-    if not os.path.exists(
-        os.path.join(scaled_dir, "documents.parquet", "_SUCCESS")
+    if not all(
+        os.path.exists(os.path.join(scaled_dir, t, "_SUCCESS"))
+        for t in ("documents.parquet", "embeddings.parquet")
     ):
         build_scaled(spark, scaled_dir)
 
