@@ -117,3 +117,46 @@ def dedup_latest(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    within_s: int = 3600,
+) -> DataFrame:
+    """Event-time interval (range) join: pair each left row with the
+    right rows of the same ``key`` whose timestamp lands in
+    ``(left_ts, left_ts + within_s]`` — strictly after, within the
+    horizon.
+
+    Scale shape: a naive range join is a per-key cross product (a hot
+    user with V views × P purchases explodes V·P before filtering).
+    Here the range predicate is BLOCKED by time bucket first: with
+    bucket width = ``within_s``, a qualifying right row can only sit in
+    the left row's bucket or the next one, so the left side explodes to
+    exactly 2 bucket keys and the join is a pure EQUI-join on
+    (key, bucket) — hash-partitioned, AQE-skew-splittable, no
+    BroadcastNestedLoopJoin (pinned in tests/test_plans.py). Each true
+    pair matches exactly once (the right row's bucket is unique), so no
+    dedup pass is needed. This is also precisely the state layout the
+    streaming twin keeps: a stream-stream join with watermark
+    ``within_s`` buckets its state the same way.
+    """
+    l_ep = F.unix_timestamp(F.col(left_ts)).cast("long")
+    r_ep = F.unix_timestamp(F.col(right_ts)).cast("long")
+    lb = F.floor(l_ep / within_s).cast("long")
+    lx = left.withColumn("_l_ep", l_ep).withColumn(
+        "_b", F.explode(F.array(lb, lb + 1))
+    )
+    rx = right.withColumn("_r_ep", r_ep).withColumn(
+        "_b", F.floor(r_ep / within_s).cast("long")
+    )
+    joined = lx.join(rx, [key, "_b"]).filter(
+        (F.col("_r_ep") > F.col("_l_ep"))
+        & (F.col("_r_ep") <= F.col("_l_ep") + within_s)
+    )
+    return joined.drop("_b")

@@ -615,9 +615,48 @@ ORACLES: dict[str, str] = {
 # a sibling still inside the window covers.
 # ---------------------------------------------------------------------------
 
-# Never/least-recently driver-verified, or re-implemented this round.
-# ``set_ops`` leads: it failed r01 and its fix has no driver row yet.
+# Round-4 rotation: the 22 entries rotated past r03's window come back to
+# the FRONT (each was r02-green; a green r04 row completes full coverage of
+# the registry across r03+r04), followed by every query new this round.
 _CHECK_FIRST: list[str] = [
+    # rotated out of the r03 window (r02-green) → verify first in r04:
+    "suffix_join",
+    "knn_two_phase",
+    "minhash_signatures",
+    "simhash",
+    "lsh_bucket_counts",
+    "grouped_ids",
+    "distinct_labels",
+    "label_counts",
+    "vector_norms",
+    "path_normalize",
+    "sliding_window",
+    "label_category_join",
+    "stratified_sample",
+    "top_revenue_customers",
+    "radius_pairs",
+    "cosine_topk",
+    "manifest_scan",
+    "json_extract_agg",
+    "top_terms",
+    "lsh_near_dup",
+    "token_stats",
+    "doc_fingerprint",
+    # new in round 4 → never driver-checked → in-window:
+    "decontaminate",        # n-gram benchmark-overlap decontamination
+    "label_centroids",      # per-label mean embedding (IVF train step)
+    "interval_join",        # bucketed event-time range join
+    "important_stock",      # Q11 shape: agg + HAVING vs global scalar
+    "large_orders",         # Q18 shape: join + group + HAVING sum
+    "ship_mode_counts",     # Q12 shape: conditional aggregation
+    "revenue_growth",       # lag window: month-over-month deltas
+    "ntile_segments",       # ntile quartile segmentation
+    "token_histogram",      # corpus token-count distribution buckets
+]
+
+# r03-green entries rotated past the window THIS round only (every one has
+# a green CORRECTNESS_r03 row; rotate back as needed in later rounds).
+_ROTATE_OUT: list[str] = [
     "set_ops",
     "image_decode",
     "frame_sample",
@@ -631,56 +670,25 @@ _CHECK_FIRST: list[str] = [
     "order_priority_semi",
     "customers_without_orders",
     "supplier_rollup",
-    "asof_join",
-    # new/re-implemented in round 3 → verify first:
-    "image_decode_real",  # dependency-free PPM decode, pixel-level oracle
-    "image_knn_pipeline",  # flagship flow end-to-end, real pixels (rows-only)
-    "cosine_dedup",       # radius_join gains LSH-bucket blocking
-    "dedup_components",   # large-star/small-star connected components
-    "ivf_topk",           # content-addressed materialized layout
-    "ivf_topk_batch",     # new: batched IVF kNN join, one pruned scan
-    "pq_rerank_topk",     # new: ADC shortlist -> exact re-rank
-    "gopher_quality",     # new: Gopher repetition gate
-    "funnel_conversion",  # new: ordered-funnel window cascade
-    "split_counts",       # r01-red -> r02-green; keep its row streak
-    "order_count_distribution",  # new: Q13-shape left join + double agg
-    "bucketed_revenue",   # new: zero-exchange bucketed fact join
-    "sq_topk",            # single-binding dequant distance expression
-]
-
-# r02-green entries rotated past the window THIS round only; each has an
-# in-window sibling exercising the same operator family (rotate back in r04).
-_ROTATE_OUT: list[str] = [
-    "suffix_join",            # sibling: suffix_join_equi (identical results proven)
-    "knn_two_phase",          # sibling: knn_join_topk
-    "minhash_signatures",     # composed inside minhash_lsh_dedup
-    "simhash",                # composed inside simhash_near_dup
-    "lsh_bucket_counts",      # sibling: lsh_near_dup
-    "grouped_ids",            # A1 group→lists; trivial, r02-green
-    "distinct_labels",        # A3; r02-green
-    "label_counts",           # A2; r02-green
-    "vector_norms",           # P3/P4; r02-green
-    "path_normalize",         # P5-P7; r02-green
-    "sliding_window",         # sibling: tumbling_window
-    "label_category_join",    # J4 broadcast dim; r02-green
-    "stratified_sample",      # SA1; r02-green
-    "top_revenue_customers",  # 3-way join agg; r02-green
-    "radius_pairs",           # brute-force radius default; blocked mode
-                              # covered in-window by cosine_dedup
-    "cosine_topk",            # cosine metric covered by cosine_dedup +
-                              # image_knn_pipeline; L2 top-k by knn_l2_topk
-    "manifest_scan",          # r02-green (was the 50th checked key);
-                              # F4/F6 semantics shared with label joins
-    "json_extract_agg",       # r02-green; JSON parse + agg covered
-                              # in-window by jsonl_ingest
-    "top_terms",              # r02-green; same tokenize+term-count scan
-                              # as salted_term_counts (in-window, benched)
-    "lsh_near_dup",           # r02-green; LSH-bucket blocking + cosine
-                              # verify covered in-window by cosine_dedup
-    "token_stats",            # r02-green; tokenize + per-doc counts
-                              # covered in-window by gopher/quality_score
-    "doc_fingerprint",        # r02-green; md5 hashing covered in-window
-                              # by exact_dedup's content-hash key
+    "asof_join",            # time-range family covered in-window by interval_join
+    "image_decode_real",
+    "image_knn_pipeline",
+    "gopher_quality",
+    "funnel_conversion",
+    "split_counts",
+    "order_count_distribution",
+    "bucketed_revenue",
+    "sq_topk",
+    "suffix_join_equi",     # sibling suffix_join rotates back in
+    "language_id",
+    "quality_score",
+    "salted_term_counts",   # sibling top_terms rotates back in
+    "bpe_token_counts",
+    "top_docs_per_lang",
+    "views_before_purchase",
+    "pq_topk",              # pq_rerank covered ADC+rerank in r03; family kept
+                            # in-window via ivf_topk/ivf_topk_batch/knn checks
+    "ivfpq_topk",
 ]
 
 

@@ -803,6 +803,80 @@ FROM tagged GROUP BY side
 """
 
 
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding, L2-renormalized — the relational form of
+    IVF centroid *training* (the k-means 'update' step; the probe side is
+    ``ivf_topk``'s layout). Reference analogue: the per-class structure of
+    ``utils/precompute_features.py:147-159`` applied to the vector column.
+
+    100 TB plan: ``posexplode`` fans each row into D (dim, value) pairs,
+    but the ONLY shuffle is keyed (label, dim) with map-side partial sums
+    — what crosses the wire is one partial per (label × dim × map task),
+    not the data. The re-collect to arrays handles labels × D rows
+    (trivial), and the fold-based norm runs over a sorted array so both
+    engines accumulate in the same order.
+
+    Cross-engine exactness: per-component values are quantized to integer
+    micro-units BEFORE the cross-row sum (float addition is not
+    associative; bigint addition is), then the mean/norm/normalize chain
+    is pure double arithmetic over identical inputs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "val")
+    )
+    qval = F.round(F.col("val").cast("double") * 1e6).cast("long")
+    per_dim = exploded.groupBy("label", "dim").agg(
+        F.sum(qval).alias("sum_q"), F.count("*").alias("n")
+    )
+    mean = F.col("sum_q").cast("double") / (F.col("n").cast("double") * 1e6)
+    arr = (
+        per_dim.select("label", "dim", mean.alias("m"), "n")
+        .groupBy("label")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"),
+            F.max("n").alias("n_vectors"),
+        )
+    )
+    cent = F.transform(F.col("dm"), lambda s: s["m"])
+    norm = F.sqrt(F.aggregate(cent, F.lit(0.0), lambda a, x: a + x * x))
+    unit = F.transform(cent, lambda x: F.round(x / norm, 9))
+    return arr.select("label", "n_vectors", unit.alias("centroid"))
+
+
+ORACLE_LABEL_CENTROIDS = """
+WITH ex0 AS (
+  SELECT label, unnest(range(1, len(embedding) + 1)) AS i, embedding
+  FROM embeddings
+),
+ex AS (
+  SELECT label, i - 1 AS dim,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS q
+  FROM ex0
+),
+per AS (
+  SELECT label, dim, sum(q) AS sum_q, count(*) AS n FROM ex GROUP BY 1, 2
+),
+dims AS (
+  SELECT label, dim,
+         CAST(sum_q AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0) AS m, n
+  FROM per
+),
+arr AS (
+  SELECT label, list(m ORDER BY dim) AS cent, max(n) AS n_vectors
+  FROM dims GROUP BY label
+),
+normed AS (
+  SELECT label, n_vectors, cent,
+         sqrt(list_reduce(list_transform(cent, x -> x * x),
+                          (a, b) -> a + b)) AS nrm
+  FROM arr
+)
+SELECT label, CAST(n_vectors AS BIGINT) AS n_vectors,
+       list_transform(cent, x -> round(x / nrm, 9)) AS centroid
+FROM normed
+"""
+
+
 ANN_QUERIES = {
     "ivf_topk": q_ivf_topk,
     "ivf_topk_batch": q_ivf_topk_batch,
@@ -816,6 +890,7 @@ ANN_QUERIES = {
     "knn_two_phase": q_knn_two_phase,
     "grouped_ids": q_grouped_ids,
     "split_counts": q_split_counts,
+    "label_centroids": q_label_centroids,
 }
 
 ANN_ORACLES = {
@@ -831,4 +906,5 @@ ANN_ORACLES = {
     "knn_two_phase": ORACLE_KNN_TWO_PHASE,
     "grouped_ids": ORACLE_GROUPED_IDS,
     "split_counts": ORACLE_SPLIT_COUNTS,
+    "label_centroids": ORACLE_LABEL_CENTROIDS,
 }

@@ -378,6 +378,51 @@ FROM (
 """
 
 
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time interval join: views paired with same-user purchases
+    within the following hour, aggregated per user. The range predicate
+    is time-bucket-blocked into an equi-join (operators/windows.py::
+    interval_join) — no per-key cross product, no nested-loop join; the
+    pair stream collapses into one per-user aggregate (map-side
+    partial). Complements ``asof_join`` (nearest-one) with the
+    all-pairs-in-horizon semantics streaming joins need."""
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    pairs = W.interval_join(
+        views, purchases, key="user_id", left_ts="ts", right_ts="p_ts",
+        within_s=3600,
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("view_id").alias("n_converted_views"),
+        F.countDistinct("purchase_id").alias("n_reached_purchases"),
+    )
+
+
+ORACLE_INTERVAL_JOIN = """
+WITH v AS (SELECT user_id, event_id AS view_id,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS v_ep
+           FROM events WHERE event_type = 'view'),
+p AS (SELECT user_id, event_id AS purchase_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS p_ep
+      FROM events WHERE event_type = 'purchase'),
+pairs AS (
+  SELECT v.user_id, view_id, purchase_id
+  FROM v JOIN p ON v.user_id = p.user_id
+   AND p.p_ep > v.v_ep AND p.p_ep <= v.v_ep + 3600
+)
+SELECT user_id, count(*) AS n_pairs,
+       count(DISTINCT view_id) AS n_converted_views,
+       count(DISTINCT purchase_id) AS n_reached_purchases
+FROM pairs GROUP BY user_id
+"""
+
+
 EVENT_QUERIES = {
     "tumbling_window": q_tumbling_window,
     "funnel_conversion": q_funnel_conversion,
@@ -388,6 +433,7 @@ EVENT_QUERIES = {
     "views_before_purchase": q_views_before_purchase,
     "kmv_distinct_sketch": q_kmv_distinct,
     "value_quantiles": q_value_quantiles,
+    "interval_join": q_interval_join,
 }
 
 EVENT_ORACLES = {
@@ -400,4 +446,5 @@ EVENT_ORACLES = {
     "views_before_purchase": ORACLE_VIEWS_BEFORE_PURCHASE,
     "kmv_distinct_sketch": _oracle_kmv(64),
     "value_quantiles": ORACLE_VALUE_QUANTILES,
+    "interval_join": ORACLE_INTERVAL_JOIN,
 }

@@ -529,6 +529,257 @@ FROM resolved
 """
 
 
+# ---------------------------------------------------------------------------
+# TPC-H Q11 shape: group aggregate filtered against a global scalar
+# ---------------------------------------------------------------------------
+
+
+def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11-shape 'important stock': per-part inventory value kept only
+    where it exceeds 0.0008 of the global value (the top ~1% of parts in the fixture) (HAVING vs a scalar
+    subquery). The fixture has no partsupp, so lineitem quantity×price
+    stands in for stock value (reference has no relational surface at
+    all; this is the generalized-engine family, SURVEY §2.4 note).
+
+    100 TB plan: ONE scan feeds both aggregates (per-part partial-agg
+    shuffle on l_partkey; the global total is a tiny all-to-one partial
+    sum), then the 1-row scalar broadcasts into the HAVING filter — no
+    second pass over the fact table, no correlated re-execution. All
+    money math in exact decimals so the threshold comparison is
+    engine-portable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    value = F.col("l_quantity").cast("decimal(12,2)") * F.col(
+        "l_extendedprice"
+    ).cast("decimal(12,2)")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(value).alias("part_value_d"),
+        F.count("*").alias("n_items"),
+    )
+    total = li.agg(F.sum(value).alias("total_value_d"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(
+            F.col("part_value_d")
+            > F.col("total_value_d") * F.lit("0.0008").cast("decimal(5,4)")
+        )
+        .select(
+            "l_partkey",
+            F.round(F.col("part_value_d"), 2).cast("double").alias("part_value"),
+            "n_items",
+        )
+    )
+
+
+ORACLE_IMPORTANT_STOCK = """
+WITH per_part AS (
+  SELECT l_partkey,
+         sum(CAST(l_quantity AS DECIMAL(12,2)) *
+             CAST(l_extendedprice AS DECIMAL(12,2))) AS part_value_d,
+         count(*) AS n_items
+  FROM lineitem GROUP BY l_partkey
+),
+total AS (
+  SELECT sum(CAST(l_quantity AS DECIMAL(12,2)) *
+             CAST(l_extendedprice AS DECIMAL(12,2))) AS total_value_d
+  FROM lineitem
+)
+SELECT l_partkey,
+       CAST(round(part_value_d, 2) AS DOUBLE) AS part_value,
+       n_items
+FROM per_part, total
+WHERE part_value_d > total_value_d * CAST(0.0008 AS DECIMAL(5,4))
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 shape: large-volume orders (join + group + HAVING sum)
+# ---------------------------------------------------------------------------
+
+
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18-shape large orders: orders whose total lineitem quantity
+    exceeds a threshold, with the owning customer. The HAVING side
+    aggregates the big fact FIRST (shuffle on l_orderkey, map-side
+    partial), so only qualifying orderkeys — a tiny set — reach the
+    joins; orders joins on the already-reduced side and customer
+    broadcasts. No fact-sized row survives past the first aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("qty_d"))
+        .filter(F.col("qty_d") > F.lit("300").cast("decimal(12,2)"))
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_totalprice"),
+            F.col("qty_d").cast("double").alias("total_qty"),
+        )
+    )
+
+
+ORACLE_LARGE_ORDERS = """
+SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+       CAST(qty_d AS DOUBLE) AS total_qty
+FROM (
+  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(12,2))) AS qty_d
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > CAST(300 AS DECIMAL(12,2))
+) big
+JOIN orders   ON big.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q12 shape: conditional aggregation (CASE inside SUM)
+# ---------------------------------------------------------------------------
+
+
+def q_ship_mode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12-shape conditional aggregation: per lineitem status, how many
+    items belong to high- vs low-priority orders (CASE folded into the
+    aggregate — one pass, no per-branch scans). The fact⋈fact join
+    shuffles both sides on orderkey once; the CASE arithmetic rides the
+    map-side partial aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_priority_items"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_priority_items"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+ORACLE_SHIP_MODE_COUNTS = """
+SELECT l_linestatus,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_priority_items,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS low_priority_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Lag window: month-over-month revenue growth
+# ---------------------------------------------------------------------------
+
+
+def q_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue deltas via LAG: monthly rollup (exact
+    decimal sums), then the previous month's revenue and a basis-point
+    growth rate. The windowed part runs over the ALREADY-AGGREGATED
+    monthly table — cardinality = number of months, so the global-order
+    window is a one-task no-op regardless of fact size; the only real
+    shuffle is the month rollup (map-side partial). Growth is computed
+    in IEEE doubles from exact decimal inputs and floored to integer
+    basis points, so both engines see bit-identical values."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = (
+        orders.groupBy(
+            F.year("o_orderdate").alias("o_year"),
+            F.month("o_orderdate").alias("o_month"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("rev_d"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+    w = Window.orderBy("o_year", "o_month")
+    rev = F.col("rev_d").cast("double")
+    prev = F.lag(rev).over(w)
+    return monthly.select(
+        "o_year",
+        "o_month",
+        F.round(F.col("rev_d"), 2).cast("double").alias("revenue"),
+        "n_orders",
+        F.floor((rev / prev - 1.0) * 10000).cast("long").alias("growth_bp"),
+    )
+
+
+ORACLE_REVENUE_GROWTH = """
+WITH monthly AS (
+  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+         CAST(month(o_orderdate) AS INT) AS o_month,
+         sum(CAST(o_totalprice AS DECIMAL(14,2))) AS rev_d,
+         count(*) AS n_orders
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_year, o_month,
+       CAST(round(rev_d, 2) AS DOUBLE) AS revenue,
+       n_orders,
+       CAST(floor((CAST(rev_d AS DOUBLE) /
+                   lag(CAST(rev_d AS DOUBLE)) OVER (ORDER BY o_year, o_month)
+                   - 1.0) * 10000) AS BIGINT) AS growth_bp
+FROM monthly
+"""
+
+
+# ---------------------------------------------------------------------------
+# NTILE segmentation: per-segment account-balance quartiles
+# ---------------------------------------------------------------------------
+
+
+def q_ntile_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer quartiles by account balance WITHIN each market segment
+    (ntile window partitioned by segment — the partition-parallel form;
+    a global ntile would force a single-task sort, so the engine's
+    contract is: segment first, then rank). Output is the quartile
+    profile: population, balance bounds, exact-decimal total."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    return (
+        cust.select(
+            "c_mktsegment",
+            "c_acctbal",
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .groupBy("c_mktsegment", "quartile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(14,2)")), 2)
+            .cast("double")
+            .alias("total_bal"),
+        )
+    )
+
+
+ORACLE_NTILE_SEGMENTS = """
+SELECT c_mktsegment, quartile,
+       count(*) AS n_customers,
+       min(c_acctbal) AS min_bal,
+       max(c_acctbal) AS max_bal,
+       CAST(round(sum(CAST(c_acctbal AS DECIMAL(14,2))), 2) AS DOUBLE)
+         AS total_bal
+FROM (
+  SELECT c_mktsegment, c_acctbal, c_custkey,
+         CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+                             ORDER BY c_acctbal ASC, c_custkey ASC) AS INT)
+           AS quartile
+  FROM customer
+)
+GROUP BY c_mktsegment, quartile
+"""
+
+
 RELATIONAL_QUERIES = {
     "regional_volume": q_regional_volume,
     "part_profit": q_part_profit,
@@ -541,6 +792,11 @@ RELATIONAL_QUERIES = {
     "supplier_rollup": q_supplier_rollup,
     "set_ops": q_set_ops,
     "asof_join": q_asof_join,
+    "important_stock": q_important_stock,
+    "large_orders": q_large_orders,
+    "ship_mode_counts": q_ship_mode_counts,
+    "revenue_growth": q_revenue_growth,
+    "ntile_segments": q_ntile_segments,
 }
 
 RELATIONAL_ORACLES = {
@@ -555,4 +811,9 @@ RELATIONAL_ORACLES = {
     "supplier_rollup": ORACLE_SUPPLIER_ROLLUP,
     "set_ops": ORACLE_SET_OPS,
     "asof_join": ORACLE_ASOF_JOIN,
+    "important_stock": ORACLE_IMPORTANT_STOCK,
+    "large_orders": ORACLE_LARGE_ORDERS,
+    "ship_mode_counts": ORACLE_SHIP_MODE_COUNTS,
+    "revenue_growth": ORACLE_REVENUE_GROWTH,
+    "ntile_segments": ORACLE_NTILE_SEGMENTS,
 }

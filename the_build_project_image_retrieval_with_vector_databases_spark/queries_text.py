@@ -701,6 +701,76 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs (doc_id ≥ 20) sharing word
+    4-grams with the 'benchmark' slice (doc_id < 20). The benchmark gram
+    set broadcasts; the corpus never shuffles — the only exchange is the
+    per-doc hit aggregate (operators/decontam.py for the 100 TB audit)."""
+    from .operators.decontam import ngram_overlap
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") >= 20)
+    bench = docs.filter(F.col("doc_id") < 20)
+    return ngram_overlap(corpus, bench, n=4, min_hits=1, severe_frac=0.2)
+
+
+def _oracle_decontaminate(n: int = 4, severe_frac: float = 0.2) -> str:
+    """Mirror: shingles → 60-bit md5-prefix ints (same hash, same
+    collisions), benchmark grams distinct, per-corpus-doc hit stats."""
+    return f"""
+WITH t AS (SELECT doc_id, {_dk_toks()} AS toks FROM documents),
+sh AS (SELECT doc_id, unnest({_dk_shingles('toks', n)}) AS shingle FROM t),
+hx AS (SELECT doc_id, {_dk_hex15_to_long('md5(shingle)')} AS h FROM sh),
+bench AS (SELECT DISTINCT doc_id AS bench_id, h FROM hx WHERE doc_id < 20),
+corpus AS (SELECT doc_id, h FROM hx WHERE doc_id >= 20),
+sizes AS (SELECT doc_id, count(*) AS n_grams FROM corpus GROUP BY 1),
+hits AS (
+  SELECT c.doc_id,
+         count(DISTINCT c.h) AS n_shared,
+         count(DISTINCT b.bench_id) AS n_bench_docs
+  FROM corpus c JOIN bench b USING (h)
+  GROUP BY 1
+)
+SELECT h.doc_id, s.n_grams, h.n_shared, h.n_bench_docs,
+       round(h.n_shared::DOUBLE / s.n_grams::DOUBLE, 6) AS overlap_frac,
+       round(h.n_shared::DOUBLE / s.n_grams::DOUBLE, 6) >= {severe_frac}
+         AS severe
+FROM hits h JOIN sizes s USING (doc_id)
+"""
+
+
+def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token-count distribution: docs bucketed by tokens-per-doc
+    (width 10). The length profile every pipeline run reports before and
+    after filtering; one scan, one tiny-key aggregate (map-side partial
+    does all the work — at 100 TB the shuffle carries ~dozens of rows per
+    map task)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(tokens(F.col("text")))
+    bucket = (F.floor(n_tok / F.lit(10)) * 10).cast("int")
+    return (
+        docs.select(n_tok.alias("n_tokens"), bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_tokens").cast("long").alias("min_tokens"),
+            F.max("n_tokens").cast("long").alias("max_tokens"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+    )
+
+
+ORACLE_TOKEN_HISTOGRAM = f"""
+WITH t AS (SELECT len({_dk_toks()}) AS n_tokens FROM documents)
+SELECT CAST(floor(n_tokens / 10) * 10 AS INT) AS bucket,
+       count(*) AS n_docs,
+       CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+       CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM t GROUP BY 1
+"""
+
+
 TEXT_QUERIES = {
     "token_stats": q_token_stats,
     "top_terms": q_top_terms,
@@ -720,6 +790,8 @@ TEXT_QUERIES = {
     "dedup_components": q_dedup_components,
     "bpe_token_counts": q_bpe_token_counts,
     "top_docs_per_lang": q_top_docs_per_lang,
+    "decontaminate": q_decontaminate,
+    "token_histogram": q_token_histogram,
 }
 
 TEXT_ORACLES = {
@@ -741,4 +813,6 @@ TEXT_ORACLES = {
     "dedup_components": _oracle_dedup_components(),
     "bpe_token_counts": ORACLE_BPE_TOKEN_COUNTS,
     "top_docs_per_lang": _oracle_top_docs_per_lang(),
+    "decontaminate": _oracle_decontaminate(4, 0.2),
+    "token_histogram": ORACLE_TOKEN_HISTOGRAM,
 }
