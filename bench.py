@@ -78,6 +78,15 @@ BENCH_QUERIES = [
     "image_knn_pipeline",
     "order_count_distribution",
     "bucketed_revenue",
+    "decontaminate",
+    "label_centroids",
+    "interval_join",
+    "important_stock",
+    "large_orders",
+    "ship_mode_counts",
+    "revenue_growth",
+    "ntile_segments",
+    "token_histogram",
 ]
 
 

@@ -1,0 +1,80 @@
+"""Unit tests for the decontamination operator and the label-centroid
+query (round-4 additions to the LLM-pipeline family)."""
+
+from __future__ import annotations
+
+import collections
+
+import numpy as np
+
+import __spark_entry__ as entrymod
+from the_build_project_image_retrieval_with_vector_databases_spark.operators.decontam import (
+    ngram_overlap,
+)
+
+from .conftest import SF_SMOKE
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_verbatim_leak_flagged_severe(spark):
+    bench = _docs(spark, [(0, "the quick brown fox jumps over the lazy dog")])
+    corpus = _docs(
+        spark,
+        [
+            (10, "the quick brown fox jumps over the lazy dog"),
+            (11, "completely different words here nothing shared at all okay"),
+        ],
+    )
+    out = {r.doc_id: r for r in ngram_overlap(corpus, bench, n=4).collect()}
+    assert set(out) == {10}, "only the verbatim copy may be flagged"
+    assert out[10].overlap_frac == 1.0
+    assert out[10].severe
+
+
+def test_partial_overlap_counts_one_gram(spark):
+    bench = _docs(spark, [(0, "a b c d e")])
+    # exactly one shared 4-gram ("a b c d") among 7 distinct corpus grams
+    corpus = _docs(spark, [(10, "x x x a b c d y z w")])
+    rows = ngram_overlap(corpus, bench, n=4).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.n_grams, r.n_shared, r.n_bench_docs) == (7, 1, 1)
+    assert not r.severe
+
+
+def test_shuffle_mode_matches_broadcast_mode(spark):
+    """broadcast_bench=False (benchmark too big to broadcast) must give
+    identical results through the hash-partitioned join path."""
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    bench = docs.filter("doc_id < 20")
+    corpus = docs.filter("doc_id >= 20")
+    a = sorted(
+        map(tuple, ngram_overlap(corpus, bench, n=4, broadcast_bench=True).collect())
+    )
+    b = sorted(
+        map(tuple, ngram_overlap(corpus, bench, n=4, broadcast_bench=False).collect())
+    )
+    assert a == b and a
+
+
+def test_label_centroids_numpy_parity(spark):
+    """The quantized-sum centroid must match a NumPy reimplementation and
+    come out unit-norm after the renormalize step."""
+    rows = entrymod.queries()["label_centroids"](spark, SF_SMOKE).collect()
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").collect()
+    by_label = collections.defaultdict(list)
+    for r in emb:
+        by_label[r.label].append(np.array(r.embedding, dtype=np.float64))
+    assert {r.label for r in rows} == set(by_label)
+    for r in rows:
+        X = np.stack(by_label[r.label])
+        q = np.round(X * 1e6)  # banker's vs half-up ties absorbed by atol
+        m = q.sum(axis=0) / (len(X) * 1e6)
+        u = m / np.sqrt((m * m).sum())
+        got = np.array(r.centroid, dtype=np.float64)
+        assert r.n_vectors == len(X)
+        assert np.allclose(got, u, atol=1e-6)
+        assert abs(np.linalg.norm(got) - 1.0) < 1e-6

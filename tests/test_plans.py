@@ -244,3 +244,25 @@ def test_driver_window_ordering_contract():
     # documented rows-only entries
     assert list(ORACLES) == [n for n in names if n in ORACLES]
     assert set(names) - set(ORACLES) == {"image_knn_pipeline"}
+
+
+def test_interval_join_is_equi_not_nested_loop(spark):
+    """Round-4 contract: the event-time interval join blocks the range
+    predicate by time bucket, so the join is a hash EQUI-join on
+    (user_id, bucket) — a naive range join would plan a
+    BroadcastNestedLoopJoin and explode per-key at scale."""
+    df = entrymod.queries()["interval_join"](spark, SF_SMOKE)
+    plan = _physical(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "_b" in plan, "bucket key missing from the join"
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark):
+    """The benchmark n-gram set is tiny by construction (eval sets are
+    MBs); it must broadcast so the 100 TB corpus side never shuffles for
+    the join — the only hash exchange is the per-doc hit aggregate."""
+    df = entrymod.queries()["decontaminate"](spark, SF_SMOKE)
+    plan = _physical(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

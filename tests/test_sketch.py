@@ -83,3 +83,48 @@ def test_hll_within_error(events):
     )
     for r in rows:
         assert abs(r.approx - r.n) / r.n < 0.15, (r.event_type, r.approx, r.n)
+
+
+def test_cms_one_sided_error_and_exactness(spark, events):
+    """CMS point estimates: never an undercount; with width ≥ #keys × a
+    margin the estimate is exact for most keys, and total over-count is
+    bounded by depth-min over independent rows."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.sketch import (
+        cms_estimate,
+        cms_sketch,
+    )
+
+    sketch = cms_sketch(events, "user_id", depth=4, width=64)
+    # grid never exceeds depth × width cells
+    assert sketch.count() <= 4 * 64
+    exact = events.groupBy("user_id").agg(F.count("*").alias("n"))
+    est = cms_estimate(sketch, exact.select("user_id"), "user_id",
+                       depth=4, width=64)
+    rows = exact.join(est, "user_id").collect()
+    assert rows
+    assert all(r.cms_est >= r.n for r in rows), "CMS undercounted"
+    # sketch total mass equals depth × stream length
+    total_cells = sum(r.cell for r in sketch.collect())
+    stream_len = events.count()
+    assert total_cells == 4 * stream_len
+
+
+def test_weighted_sample_probes_and_proportionality(spark):
+    """Every probe resolves to exactly one document, and with many probes
+    the empirical pick distribution tracks the weights (chi-square-ish
+    loose bound)."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.sample import (
+        weighted_multinomial_sample,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    out = weighted_multinomial_sample(
+        docs, id_col="doc_id", weight_col="n_chars", n_probes=200
+    ).collect()
+    assert len(out) == 200, "each probe must land in exactly one interval"
+    assert len({r.probe for r in out}) == 200
+    # heavier docs should be picked more often in aggregate: correlation
+    # between weight mass of picked docs and uniform is positive
+    picked_w = sum(r.weight for r in out) / 200.0
+    avg_w = docs.agg(F.avg("n_chars")).first()[0]
+    assert picked_w > avg_w, "weighted picks must skew above uniform mean"

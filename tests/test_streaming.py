@@ -34,6 +34,8 @@ def _load_events(spark, path):
     df = spark.read.parquet(path)
     if dict(df.dtypes).get("ts") == "bigint":  # TIMESTAMP(NANOS) fixture
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dict(df.dtypes).get("ts") == "timestamp_ntz":  # micros fixture
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
@@ -42,6 +44,8 @@ def _stream_events(spark, path):
     s = spark.readStream.schema(batch.schema).parquet(path)
     if dict(s.dtypes).get("ts") == "bigint":
         s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dict(s.dtypes).get("ts") == "timestamp_ntz":
+        s = s.withColumn("ts", F.col("ts").cast("timestamp"))
     return s
 
 

@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.text import md5_long
+
 HASH_MULT = 2654435761  # Knuth multiplicative hash
 HASH_MOD = 2147483647  # 2^31 - 1
 
@@ -68,3 +70,75 @@ def deterministic_split(
     left = df.filter(key < F.lit(int(frac * 100)))
     right = df.filter(key >= F.lit(int(frac * 100)))
     return left, right
+
+
+def weighted_multinomial_sample(
+    df: DataFrame,
+    *,
+    id_col: str,
+    weight_col: str,
+    n_probes: int = 8,
+    salt: str = "ws",
+    bucket_size: int = 100,
+) -> DataFrame:
+    """Deterministic weighted (multinomial, with-replacement) sampling by
+    integer inverse-CDF: probe j lands at ``md5(salt‖j) mod total_weight``
+    and selects the row whose cumulative-weight interval contains it —
+    rows are drawn with probability ∝ weight, reproducibly on any engine
+    (all arithmetic is bigint; no RNG, no libm).
+
+    Scale shape: the global running sum is built TWO-PHASE, not with a
+    single-partition window — per-bucket subtotals (tiny) get prefix
+    offsets, then the within-bucket cumsum windows are partitioned by
+    bucket and run in parallel. The probes (n_probes rows) broadcast
+    against the cumulative table; matching is a broadcast range probe,
+    never a shuffle. This is the exact-sampling analogue of SA1/SA2 for
+    weight-proportional corpus subsetting (e.g. sampling documents ∝
+    token count for a training mix)."""
+    w = F.col(weight_col).cast("long")
+    bucket = F.floor(F.col(id_col) / bucket_size).cast("long")
+    base = df.select(F.col(id_col), w.alias("_w"), bucket.alias("_bkt"))
+
+    offsets = (
+        base.groupBy("_bkt")
+        .agg(F.sum("_w").alias("_bw"))
+        .withColumn(
+            "_off",
+            F.sum("_bw").over(
+                Window.orderBy("_bkt").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+        )
+        .select("_bkt", F.coalesce("_off", F.lit(0)).alias("_off"))
+    )
+    cum = (
+        base.join(F.broadcast(offsets), "_bkt")
+        .withColumn(
+            "_hi",
+            F.col("_off")
+            + F.sum("_w").over(
+                Window.partitionBy("_bkt")
+                .orderBy(id_col)
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .select(id_col, "_w", (F.col("_hi") - F.col("_w")).alias("_lo"), "_hi")
+    )
+    total = base.agg(F.sum("_w").alias("_total"))
+    probes = (
+        df.sparkSession.range(n_probes)
+        .select(F.col("id").alias("probe"))
+        .join(F.broadcast(total))
+        .select(
+            "probe",
+            (md5_long(F.col("probe").cast("string"), salt=salt) % F.col("_total")).alias("_u"),
+        )
+    )
+    return (
+        cum.join(
+            F.broadcast(probes),
+            (F.col("_u") >= F.col("_lo")) & (F.col("_u") < F.col("_hi")),
+        )
+        .select("probe", id_col, F.col("_w").alias("weight"))
+    )

@@ -56,3 +56,78 @@ def kmv_distinct(
         F.col("n_seen"),
         F.round(est, 6).alias("kmv_est"),
     )
+
+
+def cms_sketch(
+    df: DataFrame,
+    key_col: str,
+    *,
+    depth: int = 4,
+    width: int = 64,
+    salt: str = "cms",
+) -> DataFrame:
+    """Count-min sketch of a key stream: a fixed ``depth × width`` grid of
+    counters — the O(1)-size frequency summary (Cormode & Muthukrishnan
+    2005) that answers point queries with one-sided error (estimate ≥
+    truth, over-count bounded by 2n/width w.h.p. per row).
+
+    Scale shape: each input row fans out to ``depth`` (row, col) cells,
+    but the cell aggregate is map-side partial — every map task emits at
+    most depth × width partial counters into the shuffle no matter how
+    many rows it scanned. The merged sketch is
+    depth × width counters TOTAL regardless of input size or key
+    cardinality — the whole point at 100 TB: a frequency summary you
+    can broadcast, diff across days, or serve lookups from, without
+    materializing the full key dictionary.
+
+    Hashing is md5-prefix integer arithmetic (portable), so a DuckDB
+    oracle rebuilds the identical grid."""
+    c = F.col(key_col).cast("string")
+    cells = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("r"),
+                        (md5_long(c, salt=f"{salt}{i}") % width).alias("c"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("rc")
+    ).select("rc.r", "rc.c")
+    return cells.groupBy("r", "c").agg(F.count("*").alias("cell"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    *,
+    depth: int = 4,
+    width: int = 64,
+    salt: str = "cms",
+) -> DataFrame:
+    """Point-estimate counts for ``keys`` from a CMS grid: min over the
+    key's ``depth`` cells. The sketch side is depth × width rows —
+    always broadcast."""
+    c = F.col(key_col).cast("string")
+    probed = keys.select(
+        key_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("r"),
+                        (md5_long(c, salt=f"{salt}{i}") % width).alias("c"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("rc"),
+    ).select(key_col, "rc.r", "rc.c")
+    return (
+        probed.join(F.broadcast(sketch), ["r", "c"])
+        .groupBy(key_col)
+        .agg(F.min("cell").alias("cms_est"))
+    )

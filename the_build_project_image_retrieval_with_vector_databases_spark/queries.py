@@ -652,12 +652,16 @@ _CHECK_FIRST: list[str] = [
     "revenue_growth",       # lag window: month-over-month deltas
     "ntile_segments",       # ntile quartile segmentation
     "token_histogram",      # corpus token-count distribution buckets
+    "cms_heavy_hitters",    # count-min sketch vs exact counts
+    "weighted_sample",      # integer inverse-CDF multinomial sampling
 ]
 
 # r03-green entries rotated past the window THIS round only (every one has
 # a green CORRECTNESS_r03 row; rotate back as needed in later rounds).
 _ROTATE_OUT: list[str] = [
     "set_ops",
+    "tumbling_window",      # sibling sliding_window rotates back in
+    "sessionize",
     "image_decode",
     "frame_sample",
     "jsonl_ingest",

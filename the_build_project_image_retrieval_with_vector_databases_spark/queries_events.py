@@ -423,6 +423,63 @@ FROM pairs GROUP BY user_id
 """
 
 
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimates for the busiest users, laid
+    beside exact counts. The 4×64 grid intentionally under-sizes the 150
+    distinct users so hash collisions are visible — the one-sided error
+    contract (estimate ≥ truth) is part of the output. The oracle
+    rebuilds the identical grid (md5 integer hashing), verifying the
+    sketch's arithmetic cross-engine, not just its bound."""
+    from .operators.sketch import cms_estimate, cms_sketch
+
+    ev = load_table(spark, sf_dir, "events")
+    sketch = cms_sketch(ev, "user_id", depth=4, width=64)
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("n_exact"))
+        .filter(F.col("n_exact") >= 70)
+    )
+    est = cms_estimate(
+        sketch, exact.select("user_id"), "user_id", depth=4, width=64
+    )
+    return exact.join(est, "user_id").select(
+        "user_id",
+        "n_exact",
+        "cms_est",
+        (F.col("cms_est") >= F.col("n_exact")).alias("no_undercount"),
+    )
+
+
+def _oracle_cms(depth: int = 4, width: int = 64, min_n: int = 70) -> str:
+    def h(expr: str) -> str:
+        from .queries_text import _dk_hex2long
+
+        return _dk_hex2long(f"md5('cms' || CAST({expr}.r AS VARCHAR) || CAST(user_id AS VARCHAR))")
+
+    return f"""
+WITH cells AS (
+  SELECT t.r, ({h('t')}) % {width} AS c
+  FROM events, range({depth}) t(r)
+),
+sketch AS (SELECT r, c, count(*) AS cell FROM cells GROUP BY 1, 2),
+exact AS (
+  SELECT user_id, count(*) AS n_exact FROM events
+  GROUP BY 1 HAVING count(*) >= {min_n}
+),
+probe AS (
+  SELECT e.user_id, t.r, ({h('t')}) % {width} AS c
+  FROM exact e, range({depth}) t(r)
+),
+est AS (
+  SELECT user_id, min(cell) AS cms_est
+  FROM probe JOIN sketch USING (r, c) GROUP BY 1
+)
+SELECT e.user_id, e.n_exact, s.cms_est,
+       s.cms_est >= e.n_exact AS no_undercount
+FROM exact e JOIN est s USING (user_id)
+"""
+
+
 EVENT_QUERIES = {
     "tumbling_window": q_tumbling_window,
     "funnel_conversion": q_funnel_conversion,
@@ -434,6 +491,7 @@ EVENT_QUERIES = {
     "kmv_distinct_sketch": q_kmv_distinct,
     "value_quantiles": q_value_quantiles,
     "interval_join": q_interval_join,
+    "cms_heavy_hitters": q_cms_heavy_hitters,
 }
 
 EVENT_ORACLES = {
@@ -447,4 +505,5 @@ EVENT_ORACLES = {
     "kmv_distinct_sketch": _oracle_kmv(64),
     "value_quantiles": ORACLE_VALUE_QUANTILES,
     "interval_join": ORACLE_INTERVAL_JOIN,
+    "cms_heavy_hitters": _oracle_cms(4, 64, 70),
 }

@@ -771,6 +771,35 @@ FROM t GROUP BY 1
 """
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weight-proportional (multinomial) document sampling
+    — 8 probes drawn ∝ n_chars by integer inverse-CDF (operators/
+    sample.py::weighted_multinomial_sample). The running sum is built
+    two-phase (bucket subtotals + partitioned windows), never a
+    single-task global window; probes broadcast. The training-mix
+    sampling primitive (sample docs ∝ token budget)."""
+    from .operators.sample import weighted_multinomial_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_multinomial_sample(
+        docs, id_col="doc_id", weight_col="n_chars", n_probes=8
+    )
+
+
+ORACLE_WEIGHTED_SAMPLE = f"""
+WITH w AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS wt FROM documents),
+cum AS (SELECT doc_id, wt, sum(wt) OVER (ORDER BY doc_id) AS hi FROM w),
+tot AS (SELECT sum(wt) AS total FROM w),
+probes AS (
+  SELECT t.j AS probe,
+         ({_dk_hex2long("md5('ws' || CAST(t.j AS VARCHAR))")}) % total AS u
+  FROM range(8) t(j), tot
+)
+SELECT p.probe, c.doc_id, c.wt AS weight
+FROM cum c JOIN probes p ON p.u >= c.hi - c.wt AND p.u < c.hi
+"""
+
+
 TEXT_QUERIES = {
     "token_stats": q_token_stats,
     "top_terms": q_top_terms,
@@ -792,6 +821,7 @@ TEXT_QUERIES = {
     "top_docs_per_lang": q_top_docs_per_lang,
     "decontaminate": q_decontaminate,
     "token_histogram": q_token_histogram,
+    "weighted_sample": q_weighted_sample,
 }
 
 TEXT_ORACLES = {
@@ -815,4 +845,5 @@ TEXT_ORACLES = {
     "top_docs_per_lang": _oracle_top_docs_per_lang(),
     "decontaminate": _oracle_decontaminate(4, 0.2),
     "token_histogram": ORACLE_TOKEN_HISTOGRAM,
+    "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
 }
