@@ -87,6 +87,8 @@ BENCH_QUERIES = [
     "revenue_growth",
     "ntile_segments",
     "token_histogram",
+    "cms_heavy_hitters",
+    "weighted_sample",
 ]
 
 

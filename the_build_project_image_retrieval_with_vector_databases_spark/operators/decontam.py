@@ -66,7 +66,13 @@ def ngram_overlap(
     )
     if broadcast_bench:
         bench = F.broadcast(bench)
-    sizes = corp.groupBy("_id").agg(F.count("*").alias("n_grams"))
+    # per-doc gram count as a SCAN EXPRESSION (size of the distinct-shingle
+    # array) — tokenizing the corpus a second time through explode + groupBy
+    # would double the dominant cost; this is one cheap pass, no shuffle
+    sizes = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.size(token_shingles(tokens(F.col(text_col)), n=n)).alias("n_grams"),
+    )
     hits = (
         corp.join(bench, "h")
         .groupBy("_id")

@@ -431,9 +431,12 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     rebuilds the identical grid (md5 integer hashing), verifying the
     sketch's arithmetic cross-engine, not just its bound."""
     from .operators.sketch import cms_estimate, cms_sketch
+    from .sources.tables import spread
 
     ev = load_table(spark, sf_dir, "events")
-    sketch = cms_sketch(ev, "user_id", depth=4, width=64)
+    # one parquet split at fixture scale — spread so the 4-way cell
+    # explosion + hashing uses all cores (no-op on real inputs)
+    sketch = cms_sketch(spread(ev), "user_id", depth=4, width=64)
     exact = (
         ev.groupBy("user_id")
         .agg(F.count("*").alias("n_exact"))

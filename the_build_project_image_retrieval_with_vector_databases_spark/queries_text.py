@@ -185,7 +185,7 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     published-threshold flag per document — the repetition companion to
     ``quality_score``. One scan, zero shuffles, pure expressions."""
     docs = load_table(spark, sf_dir, "documents")
-    return T.gopher_quality(docs)
+    return T.gopher_quality(spread(docs))
 
 
 def _oracle_gopher_quality() -> str:
@@ -709,7 +709,9 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.decontam import ngram_overlap
 
     docs = load_table(spark, sf_dir, "documents")
-    corpus = docs.filter(F.col("doc_id") >= 20)
+    # spread: the fixture is one parquet split — without it the whole
+    # shingle+hash pass serializes onto one core (no-op on real inputs)
+    corpus = spread(docs).filter(F.col("doc_id") >= 20)
     bench = docs.filter(F.col("doc_id") < 20)
     return ngram_overlap(corpus, bench, n=4, min_hits=1, severe_frac=0.2)
 
