@@ -31,10 +31,14 @@ from the_build_project_image_retrieval_with_vector_databases_spark.session impor
 from the_build_project_image_retrieval_with_vector_databases_spark import queries as Q
 
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-QUERIES = ["ngram_jaccard_dedup", "minhash_lsh_dedup", "dedup_components"]
+QUERIES = ["ngram_jaccard_dedup", "minhash_lsh_dedup", "dedup_components",
+           "decontaminate"]
 # ANN probes over the 10× embeddings table: partition pruning bounds the
 # scan to the probed cells, so growth should be well below data growth
-ANN_QUERIES = ["ivf_topk", "ivf_topk_batch"]
+ANN_QUERIES = ["ivf_topk", "ivf_topk_batch", "label_centroids"]
+# event-time ops over the 10x events table (disjoint users per replica:
+# interval-join pair volume and CMS stream length scale linearly)
+EVENT_QUERIES = ["interval_join", "cms_heavy_hitters"]
 REPLICAS = 10
 
 
@@ -73,6 +77,22 @@ def build_scaled(spark, out_dir: str) -> None:
     scaled_e.repartition(32).write.mode("overwrite").parquet(
         os.path.join(out_dir, "embeddings.parquet")
     )
+    # events at 10x: per-replica user_id/event_id offsets keep replicas
+    # disjoint, so per-user pair volume is unchanged and total volume
+    # scales linearly — the honest load for the bucketed interval join
+    ev = spark.read.parquet(os.path.join(BASE, "events.parquet"))
+    k = ev.count()
+    vparts = [
+        ev.withColumn("event_id", F.col("event_id") + F.lit(r * k))
+        .withColumn("user_id", F.col("user_id") + F.lit(r * 100000))
+        for r in range(REPLICAS)
+    ]
+    scaled_v = vparts[0]
+    for p_ in vparts[1:]:
+        scaled_v = scaled_v.unionAll(p_)
+    scaled_v.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "events.parquet")
+    )
 
 
 def timed(spark, fn, runs: int = 2) -> float:
@@ -90,12 +110,12 @@ def main() -> None:
     scaled_dir = os.path.join(tempfile.gettempdir(), "spark_graft_scale10x")
     if not all(
         os.path.exists(os.path.join(scaled_dir, t, "_SUCCESS"))
-        for t in ("documents.parquet", "embeddings.parquet")
+        for t in ("documents.parquet", "embeddings.parquet", "events.parquet")
     ):
         build_scaled(spark, scaled_dir)
 
     out = {}
-    for name in QUERIES + ANN_QUERIES:
+    for name in QUERIES + ANN_QUERIES + EVENT_QUERIES:
         fn = Q.QUERIES[name]
         # warm any one-time index build OUTSIDE the timed runs (the
         # steady state at scale is the probe, not the build)

@@ -654,12 +654,14 @@ _CHECK_FIRST: list[str] = [
     "token_histogram",      # corpus token-count distribution buckets
     "cms_heavy_hitters",    # count-min sketch vs exact counts
     "weighted_sample",      # integer inverse-CDF multinomial sampling
+    "gopher_quality",       # re-verified: scan now spread across cores
 ]
 
 # r03-green entries rotated past the window THIS round only (every one has
 # a green CORRECTNESS_r03 row; rotate back as needed in later rounds).
 _ROTATE_OUT: list[str] = [
     "set_ops",
+    "kmv_distinct_sketch",  # r03-green; sketch family in-window via CMS
     "tumbling_window",      # sibling sliding_window rotates back in
     "sessionize",
     "image_decode",
@@ -677,7 +679,6 @@ _ROTATE_OUT: list[str] = [
     "asof_join",            # time-range family covered in-window by interval_join
     "image_decode_real",
     "image_knn_pipeline",
-    "gopher_quality",
     "funnel_conversion",
     "split_counts",
     "order_count_distribution",
