@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "token_histogram",
     "cms_heavy_hitters",
     "weighted_sample",
+    "zorder_keys",
 ]
 
 

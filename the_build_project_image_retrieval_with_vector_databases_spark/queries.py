@@ -655,6 +655,7 @@ _CHECK_FIRST: list[str] = [
     "cms_heavy_hitters",    # count-min sketch vs exact counts
     "weighted_sample",      # integer inverse-CDF multinomial sampling
     "gopher_quality",       # re-verified: scan now spread across cores
+    "zorder_keys",          # Morton clustering key (layout surface)
 ]
 
 # r03-green entries rotated past the window THIS round only (every one has
@@ -662,6 +663,7 @@ _CHECK_FIRST: list[str] = [
 _ROTATE_OUT: list[str] = [
     "set_ops",
     "kmv_distinct_sketch",  # r03-green; sketch family in-window via CMS
+    "value_quantiles",      # r03-green; percentile parity stable since r1
     "tumbling_window",      # sibling sliding_window rotates back in
     "sessionize",
     "image_decode",

@@ -780,6 +780,40 @@ GROUP BY c_mktsegment, quartile
 """
 
 
+# ---------------------------------------------------------------------------
+# Z-order clustering key (layout surface)
+# ---------------------------------------------------------------------------
+
+
+def q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (z-order) keys over (l_partkey, l_suppkey) — the clustering
+    key ``plans/zorder.py::write_zordered`` range-sorts by so files carry
+    tight min/max rectangles over BOTH columns (two-sided predicates then
+    prune row groups; the empirical bbox-shrink is pinned in
+    tests/test_zorder.py). Pure shift/mask/or bigint arithmetic —
+    engine-portable, so even the layout key is oracle-checked."""
+    from .plans.zorder import z_interleave
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        z_interleave("l_partkey", "l_suppkey", bits=16).alias("zval"),
+    )
+
+
+def _oracle_zorder_keys() -> str:
+    from .plans.zorder import duckdb_z_interleave
+
+    return f"""
+SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       {duckdb_z_interleave('l_partkey', 'l_suppkey', 16)} AS zval
+FROM lineitem WHERE l_orderkey < 100
+"""
+
+
 RELATIONAL_QUERIES = {
     "regional_volume": q_regional_volume,
     "part_profit": q_part_profit,
@@ -797,6 +831,7 @@ RELATIONAL_QUERIES = {
     "ship_mode_counts": q_ship_mode_counts,
     "revenue_growth": q_revenue_growth,
     "ntile_segments": q_ntile_segments,
+    "zorder_keys": q_zorder_keys,
 }
 
 RELATIONAL_ORACLES = {
@@ -816,4 +851,5 @@ RELATIONAL_ORACLES = {
     "ship_mode_counts": ORACLE_SHIP_MODE_COUNTS,
     "revenue_growth": ORACLE_REVENUE_GROWTH,
     "ntile_segments": ORACLE_NTILE_SEGMENTS,
+    "zorder_keys": _oracle_zorder_keys(),
 }
