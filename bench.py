@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "cms_heavy_hitters",
     "weighted_sample",
     "zorder_keys",
+    "passage_dedup",
 ]
 
 

@@ -14,6 +14,14 @@ from the_build_project_image_retrieval_with_vector_databases_spark.operators.dec
 
 from .conftest import SF_SMOKE
 
+import pytest
+
+
+@pytest.fixture(scope="session")
+def spark_global(spark):
+    return spark
+
+
 
 def _docs(spark, rows):
     return spark.createDataFrame(rows, "doc_id long, text string")
@@ -78,3 +86,53 @@ def test_label_centroids_numpy_parity(spark):
         assert r.n_vectors == len(X)
         assert np.allclose(got, u, atol=1e-6)
         assert abs(np.linalg.norm(got) - 1.0) < 1e-6
+
+
+from datetime import datetime, timezone
+
+from hypothesis import given, settings, strategies as st
+
+from the_build_project_image_retrieval_with_vector_databases_spark.operators.windows import (
+    interval_join,
+)
+
+_event = st.tuples(
+    st.integers(min_value=0, max_value=3),      # user
+    st.integers(min_value=0, max_value=7200),   # epoch offset (2 bucket widths)
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    views=st.lists(_event, min_size=0, max_size=12),
+    purchases=st.lists(_event, min_size=0, max_size=12),
+)
+def test_interval_join_matches_bruteforce(spark_global, views, purchases):
+    """Bucket-blocked interval join ≡ O(n²) brute force on random event
+    sets — pairs strictly-after within 3600 s, each counted exactly once."""
+    spark = spark_global
+    base = 1_600_000_000
+
+    def mk(rows, idc):
+        data = [
+            (i, u, datetime.fromtimestamp(base + ep, tz=timezone.utc).replace(tzinfo=None))
+            for i, (u, ep) in enumerate(rows)
+        ]
+        return spark.createDataFrame(data, f"{idc} long, user_id long, ts timestamp")
+
+    vdf = mk(views, "view_id").withColumnRenamed("ts", "v_ts")
+    pdf = mk(purchases, "purchase_id").withColumnRenamed("ts", "p_ts")
+    got = sorted(
+        (r.view_id, r.purchase_id)
+        for r in interval_join(
+            vdf, pdf, key="user_id", left_ts="v_ts", right_ts="p_ts",
+            within_s=3600,
+        ).collect()
+    )
+    want = sorted(
+        (vi, pi)
+        for vi, (vu, vep) in enumerate(views)
+        for pi, (pu, pep) in enumerate(purchases)
+        if vu == pu and pep > vep and pep <= vep + 3600
+    )
+    assert got == want

@@ -656,6 +656,7 @@ _CHECK_FIRST: list[str] = [
     "weighted_sample",      # integer inverse-CDF multinomial sampling
     "gopher_quality",       # re-verified: scan now spread across cores
     "zorder_keys",          # Morton clustering key (layout surface)
+    "passage_dedup",        # repeated-span removal (C4-style)
 ]
 
 # r03-green entries rotated past the window THIS round only (every one has
@@ -664,6 +665,7 @@ _ROTATE_OUT: list[str] = [
     "set_ops",
     "kmv_distinct_sketch",  # r03-green; sketch family in-window via CMS
     "value_quantiles",      # r03-green; percentile parity stable since r1
+    "streaming_dedup_batch",  # r03-green; dedup family well covered in-window
     "tumbling_window",      # sibling sliding_window rotates back in
     "sessionize",
     "image_decode",

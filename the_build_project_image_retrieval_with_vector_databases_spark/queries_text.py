@@ -802,6 +802,53 @@ FROM cum c JOIN probes p ON p.u >= c.hi - c.wt AND p.u < c.hi
 """
 
 
+def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level exact dedup (C4-style repeated-span removal):
+    documents chunk into non-overlapping 20-token passages, passages
+    repeated anywhere in the corpus are reported with occurrence counts
+    and the keeper doc. Catches boilerplate and partial copies that
+    whole-document hashing misses.
+
+    Scale shape: chunking is a per-row expression (sequence + slice —
+    no UDF); the single shuffle is keyed by the 60-bit passage hash
+    (uniform by construction, map-side partial agg), so the wire carries
+    (hash, partial-count) pairs, never passage text."""
+    from .functions.text import md5_long
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = tokens(F.col("text"))
+    starts = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(20))
+    passage = F.explode(
+        F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, 20)))
+    )
+    p = docs.select("doc_id", passage.alias("passage"))
+    return (
+        p.select("doc_id", md5_long(F.col("passage"), digits=15).alias("passage_h"))
+        .groupBy("passage_h")
+        .agg(
+            F.count("*").alias("n_occ"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("keep_id"),
+        )
+        .filter(F.col("n_occ") > 1)
+    )
+
+
+ORACLE_PASSAGE_DEDUP = f"""
+WITH t AS (SELECT doc_id, {_dk_toks()} AS toks FROM documents),
+p AS (
+  SELECT doc_id,
+         array_to_string(list_slice(toks, i, i + 19), ' ') AS passage
+  FROM t, unnest(range(1, greatest(len(toks), 1) + 1, 20)) AS u(i)
+),
+h AS (SELECT doc_id, {_dk_hex15_to_long('md5(passage)')} AS passage_h FROM p)
+SELECT passage_h, count(*) AS n_occ,
+       count(DISTINCT doc_id) AS n_docs,
+       min(doc_id) AS keep_id
+FROM h GROUP BY 1 HAVING count(*) > 1
+"""
+
+
 TEXT_QUERIES = {
     "token_stats": q_token_stats,
     "top_terms": q_top_terms,
@@ -824,6 +871,7 @@ TEXT_QUERIES = {
     "decontaminate": q_decontaminate,
     "token_histogram": q_token_histogram,
     "weighted_sample": q_weighted_sample,
+    "passage_dedup": q_passage_dedup,
 }
 
 TEXT_ORACLES = {
@@ -848,4 +896,5 @@ TEXT_ORACLES = {
     "decontaminate": _oracle_decontaminate(4, 0.2),
     "token_histogram": ORACLE_TOKEN_HISTOGRAM,
     "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
+    "passage_dedup": ORACLE_PASSAGE_DEDUP,
 }
