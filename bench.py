@@ -91,6 +91,8 @@ BENCH_QUERIES = [
     "weighted_sample",
     "zorder_keys",
     "passage_dedup",
+    "waiting_suppliers",
+    "idle_customers",
 ]
 
 

@@ -657,6 +657,8 @@ _CHECK_FIRST: list[str] = [
     "gopher_quality",       # re-verified: scan now spread across cores
     "zorder_keys",          # Morton clustering key (layout surface)
     "passage_dedup",        # repeated-span removal (C4-style)
+    "waiting_suppliers",    # Q21 decorrelated EXISTS/NOT-EXISTS
+    "idle_customers",       # Q22 scalar-avg subquery + anti join
 ]
 
 # r03-green entries rotated past the window THIS round only (every one has
@@ -666,6 +668,8 @@ _ROTATE_OUT: list[str] = [
     "kmv_distinct_sketch",  # r03-green; sketch family in-window via CMS
     "value_quantiles",      # r03-green; percentile parity stable since r1
     "streaming_dedup_batch",  # r03-green; dedup family well covered in-window
+    "knn_join_topk",        # r03-green; knn family in-window via knn_l2_topk
+    "pq_rerank_topk",       # r03-green; ANN family in-window via ivf checks
     "tumbling_window",      # sibling sliding_window rotates back in
     "sessionize",
     "image_decode",

@@ -781,6 +781,118 @@ GROUP BY c_mktsegment, quartile
 
 
 # ---------------------------------------------------------------------------
+# TPC-H Q21 shape: correlated EXISTS / NOT-EXISTS pair, decorrelated
+# ---------------------------------------------------------------------------
+
+
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21-shape 'sole blocking supplier': suppliers with a returned
+    ('R') lineitem in a multi-supplier order where NO other supplier's
+    line was returned — the canonical correlated EXISTS + NOT-EXISTS
+    pair. The oracle states it with the correlated subqueries; the Spark
+    plan DECORRELATES them into per-order counts (distinct suppliers,
+    distinct returned suppliers) — two column-pruned scans feeding
+    orderkey-keyed aggregates, then one equi-join; NO per-row subquery
+    re-execution anywhere, supplier dim broadcast. The at-scale answer
+    to 'EXISTS in a 100 TB fact'."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+    )
+    late_pairs = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    sole = (
+        late_pairs.join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+    )
+    return (
+        sole.groupBy("l_suppkey")
+        .agg(F.count("*").alias("numwait"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "numwait")
+    )
+
+
+ORACLE_WAITING_SUPPLIERS = """
+SELECT s_suppkey, s_name, count(*) AS numwait
+FROM supplier, (SELECT DISTINCT l_orderkey, l_suppkey
+                FROM lineitem WHERE l_returnflag = 'R') l1
+WHERE s_suppkey = l1.l_suppkey
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_suppkey, s_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22 shape: scalar-average subquery + anti join
+# ---------------------------------------------------------------------------
+
+
+def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22-shape 'promising idle customers': above-average-balance
+    customers with no RECENT order (none since 2000), profiled per
+    market segment (unfiltered, every fixture customer has ordered —
+    same guard as ``customers_without_orders``). The
+    average-balance comparison is kept INTEGER-EXACT by cross-
+    multiplying (bal × n > total) instead of dividing — decimal division
+    scale rules differ across engines, decimal multiplication doesn't.
+    One broadcast 1-row scalar, one anti join (orders side reduced to
+    distinct custkeys first), zero correlated re-execution."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    bal = F.col("c_acctbal").cast("decimal(14,2)")
+    stats = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(bal).alias("total_bal"),
+        F.count("*").alias("n_pos"),
+    )
+    buyers = (
+        orders.filter(F.col("o_orderdate") >= "2000-01-01")
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        cust.join(F.broadcast(stats))
+        .filter(bal * F.col("n_pos") > F.col("total_bal"))
+        .join(buyers, cust.c_custkey == buyers.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum(bal), 2).cast("double").alias("total_acctbal"),
+        )
+    )
+
+
+ORACLE_IDLE_CUSTOMERS = """
+WITH stats AS (
+  SELECT sum(CAST(c_acctbal AS DECIMAL(14,2))) AS total_bal,
+         count(*) AS n_pos
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_mktsegment, count(*) AS n_customers,
+       CAST(round(sum(CAST(c_acctbal AS DECIMAL(14,2))), 2) AS DOUBLE)
+         AS total_acctbal
+FROM customer, stats
+WHERE CAST(c_acctbal AS DECIMAL(14,2)) * n_pos > total_bal
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
 # Z-order clustering key (layout surface)
 # ---------------------------------------------------------------------------
 
@@ -832,6 +944,8 @@ RELATIONAL_QUERIES = {
     "revenue_growth": q_revenue_growth,
     "ntile_segments": q_ntile_segments,
     "zorder_keys": q_zorder_keys,
+    "waiting_suppliers": q_waiting_suppliers,
+    "idle_customers": q_idle_customers,
 }
 
 RELATIONAL_ORACLES = {
@@ -852,4 +966,6 @@ RELATIONAL_ORACLES = {
     "revenue_growth": ORACLE_REVENUE_GROWTH,
     "ntile_segments": ORACLE_NTILE_SEGMENTS,
     "zorder_keys": _oracle_zorder_keys(),
+    "waiting_suppliers": ORACLE_WAITING_SUPPLIERS,
+    "idle_customers": ORACLE_IDLE_CUSTOMERS,
 }
