@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "passage_dedup",
     "waiting_suppliers",
     "idle_customers",
+    "incremental_dedup",
 ]
 
 

@@ -457,3 +457,85 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("left_id", "right_id", F.col("hamming").cast("int").alias("hamming"))
     )
+
+
+def minhash_lsh_incremental(
+    corpus: DataFrame,
+    batch: DataFrame,
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cache_handles: list | None = None,
+) -> DataFrame:
+    """Incremental near-dup: a NEW ingest batch checked against the
+    EXISTING corpus — the daily-pipeline shape, where corpus × corpus
+    work must never re-run. Band-bucket join of batch signatures against
+    corpus signatures only; exact-Jaccard verify on candidates.
+
+    At 100 TB the corpus side of this join is a PRE-BUILT banded
+    signature index (materialize `(band, k*) → doc_id` once, append each
+    ingest's bands — the same build-once/append lifecycle as
+    ``append_to_ivf_index``); batch-side work and candidate volume scale
+    with the batch, not the corpus. Here both sides derive in-plan
+    (fixture scale); the join/verify shapes are identical either way.
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+
+    def prep(df):
+        shs = doc_shingles(df, n, text_col, id_col).persist()
+        sigs = minhash_signatures(
+            df, n, num_hashes, text_col, id_col, shingles=shs
+        )
+        if cache_handles is not None:
+            cache_handles.append(shs)
+        band_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    *[
+                        F.col(f"mh{b * rows_per_band + r}").alias(f"k{r}")
+                        for r in range(rows_per_band)
+                    ],
+                )
+                for b in range(bands)
+            ]
+        )
+        return shs, sigs.select(F.col(id_col), F.inline_outer(band_structs))
+
+    key_cols = ["band"] + [f"k{r}" for r in range(rows_per_band)]
+    c_shs, c_banded = prep(corpus)
+    b_shs, b_banded = prep(batch)
+    candidates = (
+        c_banded.select(F.col(id_col).alias("corpus_id"), *key_cols)
+        .join(
+            b_banded.select(F.col(id_col).alias("batch_id"), *key_cols),
+            key_cols,
+        )
+        .select("corpus_id", "batch_id")
+        .distinct()
+    )
+    verified = (
+        candidates.join(
+            c_shs.select(F.col(id_col).alias("corpus_id"), F.col("sh").alias("sh_l")),
+            "corpus_id",
+        )
+        .join(
+            b_shs.select(F.col(id_col).alias("batch_id"), F.col("sh").alias("sh_r")),
+            "batch_id",
+        )
+        .withColumn("n_inter", F.size(F.array_intersect("sh_l", "sh_r")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.size("sh_l") + F.size("sh_r") - F.col("n_inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select("corpus_id", "batch_id", "jaccard")

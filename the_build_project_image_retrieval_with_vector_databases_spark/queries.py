@@ -659,6 +659,7 @@ _CHECK_FIRST: list[str] = [
     "passage_dedup",        # repeated-span removal (C4-style)
     "waiting_suppliers",    # Q21 decorrelated EXISTS/NOT-EXISTS
     "idle_customers",       # Q22 scalar-avg subquery + anti join
+    "incremental_dedup",    # batch-vs-corpus MinHash-LSH (ingest shape)
 ]
 
 # r03-green entries rotated past the window THIS round only (every one has
@@ -670,6 +671,7 @@ _ROTATE_OUT: list[str] = [
     "streaming_dedup_batch",  # r03-green; dedup family well covered in-window
     "knn_join_topk",        # r03-green; knn family in-window via knn_l2_topk
     "pq_rerank_topk",       # r03-green; ANN family in-window via ivf checks
+    "exact_dedup",          # r03-green; dedup family amply in-window
     "tumbling_window",      # sibling sliding_window rotates back in
     "sessionize",
     "image_decode",

@@ -849,6 +849,38 @@ FROM h GROUP BY 1 HAVING count(*) > 1
 """
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-ingest near-dup check: the 'new batch' (doc_id ≥ 450)
+    against the existing corpus (doc_id < 450) via incremental
+    MinHash-LSH — batch × corpus band join only, never corpus × corpus
+    (operators/dedup.py::minhash_lsh_incremental). The index-maintenance
+    story for dedup, mirroring ``append_to_ivf_index`` on the ANN side.
+    Spill-and-release per the dedup cache contract."""
+    from .operators.spill import materialize_and_release
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 450)
+    batch = docs.filter(F.col("doc_id") >= 450)
+    handles: list = []
+    out = D.minhash_lsh_incremental(
+        corpus, batch, n=3, num_hashes=8, bands=4, threshold=0.5,
+        cache_handles=handles,
+    )
+    return materialize_and_release(out, handles, "incr-dedup-")
+
+
+def _oracle_incremental_dedup(threshold: float = 0.5) -> str:
+    """The full-pairs LSH oracle restricted to cross-boundary pairs:
+    corpus ids all sort below batch ids, so (left < 450 ≤ right) selects
+    exactly the corpus × batch candidate set the incremental join sees."""
+    inner = _oracle_jaccard(threshold, lsh=True)
+    return f"""
+SELECT left_id AS corpus_id, right_id AS batch_id, jaccard
+FROM ({inner})
+WHERE left_id < 450 AND right_id >= 450
+"""
+
+
 TEXT_QUERIES = {
     "token_stats": q_token_stats,
     "top_terms": q_top_terms,
@@ -872,6 +904,7 @@ TEXT_QUERIES = {
     "token_histogram": q_token_histogram,
     "weighted_sample": q_weighted_sample,
     "passage_dedup": q_passage_dedup,
+    "incremental_dedup": q_incremental_dedup,
 }
 
 TEXT_ORACLES = {
@@ -897,4 +930,5 @@ TEXT_ORACLES = {
     "token_histogram": ORACLE_TOKEN_HISTOGRAM,
     "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
     "passage_dedup": ORACLE_PASSAGE_DEDUP,
+    "incremental_dedup": _oracle_incremental_dedup(0.5),
 }
