@@ -128,3 +128,21 @@ def test_weighted_sample_probes_and_proportionality(spark):
     picked_w = sum(r.weight for r in out) / 200.0
     avg_w = docs.agg(F.avg("n_chars")).first()[0]
     assert picked_w > avg_w, "weighted picks must skew above uniform mean"
+
+
+def test_cms_sketches_merge_linearly(spark, events):
+    """CMS grids are mergeable by cell-wise addition — the property that
+    lets shards/days build sketches independently and combine them
+    (sketch(A ∪ B) = sketch(A) + sketch(B), exactly)."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.sketch import (
+        cms_sketch,
+    )
+
+    a = events.filter(F.col("event_id") % 2 == 0)
+    b = events.filter(F.col("event_id") % 2 == 1)
+    whole = {(r.r, r.c): r.cell for r in cms_sketch(events, "user_id").collect()}
+    merged: dict = {}
+    for part in (a, b):
+        for r in cms_sketch(part, "user_id").collect():
+            merged[(r.r, r.c)] = merged.get((r.r, r.c), 0) + r.cell
+    assert merged == whole
