@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "waiting_suppliers",
     "idle_customers",
     "incremental_dedup",
+    "mixture_sample",
 ]
 
 

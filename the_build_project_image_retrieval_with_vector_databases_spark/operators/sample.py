@@ -142,3 +142,46 @@ def weighted_multinomial_sample(
         )
         .select("probe", id_col, F.col("_w").alias("weight"))
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    mix: dict[str, float],
+    budget: int,
+    *,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Training-mix assembly: draw a deterministic sample with per-source
+    quotas ``k_s = round(budget × share_s)`` — the 'data mixing' step of
+    corpus construction (e.g. 50% web / 30% books / 20% code), here with
+    the same engine-portable surrogate order as SA1 (multiplicative hash
+    of the row id; no RNG, identical rank on any engine/partitioning).
+
+    Scale shape: one shuffle on the source key for the per-source rank
+    window; sources with share 0 are filtered at the scan (pushed
+    predicate), so unmixed data is never read. Exact-k per source, like
+    the reference's per-class sampler (SURVEY SA1), not
+    expected-fraction."""
+    quotas = {s: int(round(budget * share)) for s, share in mix.items()}
+    quota_col = F.coalesce(
+        *[
+            F.when(F.col(source_col) == s, F.lit(k))
+            for s, k in sorted(quotas.items())
+        ],
+        F.lit(0),
+    )
+    w = Window.partitionBy(source_col).orderBy(
+        shuffle_key(id_col, seed).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.filter(F.col(source_col).isin(list(quotas)))
+        .withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= quota_col)
+        .select(
+            F.col(source_col),
+            F.col(id_col),
+            F.col("__rank").alias("mix_rank"),
+        )
+    )

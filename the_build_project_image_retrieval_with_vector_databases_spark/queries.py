@@ -660,6 +660,7 @@ _CHECK_FIRST: list[str] = [
     "waiting_suppliers",    # Q21 decorrelated EXISTS/NOT-EXISTS
     "idle_customers",       # Q22 scalar-avg subquery + anti join
     "incremental_dedup",    # batch-vs-corpus MinHash-LSH (ingest shape)
+    "mixture_sample",       # per-source quota training-mix assembly
 ]
 
 # r03-green entries rotated past the window THIS round only (every one has
@@ -672,6 +673,7 @@ _ROTATE_OUT: list[str] = [
     "knn_join_topk",        # r03-green; knn family in-window via knn_l2_topk
     "pq_rerank_topk",       # r03-green; ANN family in-window via ivf checks
     "exact_dedup",          # r03-green; dedup family amply in-window
+    "tf_idf",               # r03-green; text family in-window via rotate-backs
     "tumbling_window",      # sibling sliding_window rotates back in
     "sessionize",
     "image_decode",

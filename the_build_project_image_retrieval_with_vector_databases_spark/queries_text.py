@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from .operators import dedup as D
 from .operators import textops as T
 from .operators.dedup import MINHASH_COEFFS, MINHASH_PRIME
+from .operators.sample import HASH_MOD as HASH_MOD_TXT, HASH_MULT as HASH_MULT_TXT
 from .operators.textops import LANG_STOPWORDS
 from .functions.text import tokens
 from .sources.tables import load_table, spread
@@ -881,6 +882,36 @@ WHERE left_id < 450 AND right_id >= 450
 """
 
 
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix assembly: a 60-doc budget split 50/30/20 across three
+    sources, drawn in the engine's deterministic surrogate order
+    (operators/sample.py::mixture_sample). Share-0 sources are filtered
+    at the scan; one source-keyed window shuffle."""
+    from .operators.sample import mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture_sample(
+        docs, {"src0": 0.5, "src1": 0.3, "src2": 0.2}, budget=60
+    )
+
+
+ORACLE_MIXTURE_SAMPLE = f"""
+WITH ranked AS (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY ((doc_id + 42) * {HASH_MULT_TXT}) % {HASH_MOD_TXT} ASC,
+                    doc_id ASC) AS mix_rank,
+         CASE source WHEN 'src0' THEN 30 WHEN 'src1' THEN 18
+                     WHEN 'src2' THEN 12 ELSE 0 END AS quota
+  FROM documents
+  WHERE source IN ('src0', 'src1', 'src2')
+)
+SELECT source, doc_id, CAST(mix_rank AS INT) AS mix_rank
+FROM ranked WHERE mix_rank <= quota
+"""
+
+
 TEXT_QUERIES = {
     "token_stats": q_token_stats,
     "top_terms": q_top_terms,
@@ -905,6 +936,7 @@ TEXT_QUERIES = {
     "weighted_sample": q_weighted_sample,
     "passage_dedup": q_passage_dedup,
     "incremental_dedup": q_incremental_dedup,
+    "mixture_sample": q_mixture_sample,
 }
 
 TEXT_ORACLES = {
@@ -931,4 +963,5 @@ TEXT_ORACLES = {
     "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
     "passage_dedup": ORACLE_PASSAGE_DEDUP,
     "incremental_dedup": _oracle_incremental_dedup(0.5),
+    "mixture_sample": ORACLE_MIXTURE_SAMPLE,
 }
