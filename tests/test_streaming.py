@@ -213,3 +213,42 @@ def test_serve_loop_rate_latency_and_self_hit(spark):
     assert len(latencies) >= 3, "stream produced too few scored batches"
     assert all(lt < 20 for lt in latencies), latencies
     assert results and all(r.query_id == r.vec_id for r in results)
+
+
+def test_streaming_cms_accumulates_to_batch_sketch(spark, events_dir, tmp_path):
+    """CMS under streaming: each microbatch builds its own grid inside
+    foreachBatch and merges cell-wise into a running accumulator; after
+    the stream drains, the accumulated grid equals the one-shot batch
+    sketch (mergeability is what makes the sketch production-usable —
+    per-day/per-shard grids combine without reprocessing)."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.sketch import (
+        cms_sketch,
+    )
+
+    # second file arrives "later" — two microbatches exercise the merge
+    import shutil as _sh
+
+    _sh.copy(f"{SF_SMOKE}/events.parquet", tmp_path / "later.parquet")
+
+    acc: dict = {}
+
+    def merge_batch(df, _epoch):
+        for r in cms_sketch(df, "user_id").collect():
+            acc[(r.r, r.c)] = acc.get((r.r, r.c), 0) + r.cell
+
+    stream = _stream_events(spark, events_dir)
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt_cms"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _sh.copy(tmp_path / "later.parquet", f"{events_dir}/part-001.parquet")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    both = _load_events(spark, events_dir)
+    want = {(r.r, r.c): r.cell for r in cms_sketch(both, "user_id").collect()}
+    assert acc == want
