@@ -32,7 +32,7 @@ from the_build_project_image_retrieval_with_vector_databases_spark import querie
 
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 QUERIES = ["ngram_jaccard_dedup", "minhash_lsh_dedup", "dedup_components",
-           "decontaminate"]
+           "decontaminate", "passage_dedup", "incremental_dedup"]
 # ANN probes over the 10× embeddings table: partition pruning bounds the
 # scan to the probed cells, so growth should be well below data growth
 ANN_QUERIES = ["ivf_topk", "ivf_topk_batch", "label_centroids"]
