@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "idle_customers",
     "incremental_dedup",
     "mixture_sample",
+    "embedding_stats",
 ]
 
 

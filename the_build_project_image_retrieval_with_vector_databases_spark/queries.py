@@ -661,6 +661,7 @@ _CHECK_FIRST: list[str] = [
     "idle_customers",       # Q22 scalar-avg subquery + anti join
     "incremental_dedup",    # batch-vs-corpus MinHash-LSH (ingest shape)
     "mixture_sample",       # per-source quota training-mix assembly
+    "embedding_stats",      # per-dim drift profile (exact integer sums)
 ]
 
 # r03-green entries rotated past the window THIS round only (every one has
@@ -674,6 +675,7 @@ _ROTATE_OUT: list[str] = [
     "pq_rerank_topk",       # r03-green; ANN family in-window via ivf checks
     "exact_dedup",          # r03-green; dedup family amply in-window
     "tf_idf",               # r03-green; text family in-window via rotate-backs
+    "cosine_dedup",         # r03-green; cosine family in-window via rotate-backs
     "tumbling_window",      # sibling sliding_window rotates back in
     "sessionize",
     "image_decode",

@@ -877,6 +877,68 @@ FROM normed
 """
 
 
+def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension corpus statistics (mean, variance, min, max) — the
+    drift-monitoring surface for an embedding pipeline: compare this
+    profile across corpus versions / model versions to catch
+    normalization bugs and collapsed dimensions before they poison an
+    index. Same shape as ``label_centroids``: posexplode fans rows to
+    (dim, value) pairs, the only shuffle is dim-keyed with map-side
+    partial sums, and cross-row sums are integer-quantized (micro-units
+    and squared micro-units in bigint — exact in any order; the squared
+    sums stay < 2^53 per partial for any realistic partition count).
+    Mean/variance derive from the exact integer sums in doubles."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(F.posexplode("embedding").alias("dim", "val"))
+    q = F.round(F.col("val").cast("double") * 1e6).cast("long")
+    per_dim = exploded.groupBy("dim").agg(
+        F.sum(q).alias("s1"),
+        F.sum(q * q).alias("s2"),
+        F.count("*").alias("n"),
+        F.min(F.col("val").cast("double")).alias("min_val"),
+        F.max(F.col("val").cast("double")).alias("max_val"),
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("s1").cast("double") / (n * 1e6)
+    var = (F.col("s2").cast("double") / (n * 1e12)) - mean * mean
+    return per_dim.select(
+        "dim",
+        "n",
+        F.round(mean, 9).alias("mean"),
+        F.round(var, 9).alias("variance"),
+        F.round("min_val", 6).alias("min_val"),
+        F.round("max_val", 6).alias("max_val"),
+    )
+
+
+ORACLE_EMBEDDING_STATS = """
+WITH ex0 AS (
+  SELECT unnest(range(1, len(embedding) + 1)) AS i, embedding
+  FROM embeddings
+),
+ex AS (
+  SELECT i - 1 AS dim,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS q,
+         CAST(embedding[i] AS DOUBLE) AS v
+  FROM ex0
+),
+per AS (
+  SELECT dim, sum(q) AS s1, sum(q * q) AS s2, count(*) AS n,
+         min(v) AS min_val, max(v) AS max_val
+  FROM ex GROUP BY 1
+)
+SELECT dim, n,
+       round(CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0), 9) AS mean,
+       round(CAST(s2 AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000000000.0)
+             - (CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0))
+             * (CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)), 9)
+         AS variance,
+       round(min_val, 6) AS min_val,
+       round(max_val, 6) AS max_val
+FROM per
+"""
+
+
 ANN_QUERIES = {
     "ivf_topk": q_ivf_topk,
     "ivf_topk_batch": q_ivf_topk_batch,
@@ -891,6 +953,7 @@ ANN_QUERIES = {
     "grouped_ids": q_grouped_ids,
     "split_counts": q_split_counts,
     "label_centroids": q_label_centroids,
+    "embedding_stats": q_embedding_stats,
 }
 
 ANN_ORACLES = {
@@ -907,4 +970,5 @@ ANN_ORACLES = {
     "grouped_ids": ORACLE_GROUPED_IDS,
     "split_counts": ORACLE_SPLIT_COUNTS,
     "label_centroids": ORACLE_LABEL_CENTROIDS,
+    "embedding_stats": ORACLE_EMBEDDING_STATS,
 }
