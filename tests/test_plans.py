@@ -162,6 +162,25 @@ def test_registry_wide_plan_hygiene(spark):
         assert "CartesianProduct" not in plan, f"{name}: shuffled cartesian"
 
 
+def test_no_array_columns_in_oracle_checked_outputs(spark):
+    """Round-4 lesson (`label_centroids` red row): the driver canonicalizes
+    results through pandas ``sort_values``, which dies on list cells — so
+    no oracle-checked query may emit ArrayType/MapType/StructType output
+    columns. Rows-only queries (no oracle entry) are exempt: the driver
+    only counts them."""
+    from pyspark.sql import types as T
+
+    oracles = entrymod.oracle_sql()
+    for name, fn in sorted(entrymod.queries().items()):
+        if name not in oracles:
+            continue
+        schema = fn(spark, SF_SMOKE).schema
+        for field in schema.fields:
+            assert not isinstance(
+                field.dataType, (T.ArrayType, T.MapType, T.StructType)
+            ), f"{name}.{field.name}: {field.dataType} is driver-unhashable"
+
+
 def test_cosine_dedup_is_bucket_keyed_not_nested_loop(spark):
     """Round-3 contract: cosine_dedup routes through the LSH-banded
     radius_join — the candidate step is a hash equi-join on the band

@@ -840,7 +840,14 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = F.transform(F.col("dm"), lambda s: s["m"])
     norm = F.sqrt(F.aggregate(cent, F.lit(0.0), lambda a, x: a + x * x))
     unit = F.transform(cent, lambda x: F.round(x / norm, 9))
-    return arr.select("label", "n_vectors", unit.alias("centroid"))
+    # Exploded relational output (label, n_vectors, dim, centroid_val):
+    # scalar columns only, so any downstream pandas canonicalization can
+    # sort/hash the result. Cardinality = labels x D — trivial.
+    return arr.select(
+        "label",
+        "n_vectors",
+        F.posexplode(unit).alias("dim", "centroid_val"),
+    )
 
 
 ORACLE_LABEL_CENTROIDS = """
@@ -870,10 +877,16 @@ normed AS (
          sqrt(list_reduce(list_transform(cent, x -> x * x),
                           (a, b) -> a + b)) AS nrm
   FROM arr
+),
+fanned AS (
+  SELECT label, n_vectors, cent, nrm,
+         unnest(range(1, len(cent) + 1)) AS i
+  FROM normed
 )
 SELECT label, CAST(n_vectors AS BIGINT) AS n_vectors,
-       list_transform(cent, x -> round(x / nrm, 9)) AS centroid
-FROM normed
+       CAST(i - 1 AS INTEGER) AS dim,
+       round(cent[i] / nrm, 9) AS centroid_val
+FROM fanned
 """
 
 

@@ -664,10 +664,10 @@ def q_ship_mode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_SHIP_MODE_COUNTS = """
 SELECT l_linestatus,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_priority_items,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 0 ELSE 1 END) AS low_priority_items
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_priority_items,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_priority_items
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY l_linestatus
 ORDER BY l_linestatus
