@@ -615,68 +615,23 @@ ORACLES: dict[str, str] = {
 # a sibling still inside the window covers.
 # ---------------------------------------------------------------------------
 
-# Round-4 rotation: the 22 entries rotated past r03's window come back to
-# the FRONT (each was r02-green; a green r04 row completes full coverage of
-# the registry across r03+r04), followed by every query new this round.
+# Round-5 rotation: the 40 entries rotated past r04's window come back to
+# the FRONT (each is r03-green; a green r05 row keeps the "no entry
+# unverified two rounds running" invariant), followed by the two queries
+# whose code/oracle changed this round (the r04 red rows) and any query
+# new this round.
 _CHECK_FIRST: list[str] = [
-    # rotated out of the r03 window (r02-green) → verify first in r04:
-    "suffix_join",
-    "knn_two_phase",
-    "minhash_signatures",
-    "simhash",
-    "lsh_bucket_counts",
-    "grouped_ids",
-    "distinct_labels",
-    "label_counts",
-    "vector_norms",
-    "path_normalize",
-    "sliding_window",
-    "label_category_join",
-    "stratified_sample",
-    "top_revenue_customers",
-    "radius_pairs",
-    "cosine_topk",
-    "manifest_scan",
-    "json_extract_agg",
-    "top_terms",
-    "lsh_near_dup",
-    "token_stats",
-    "doc_fingerprint",
-    # new in round 4 → never driver-checked → in-window:
-    "decontaminate",        # n-gram benchmark-overlap decontamination
-    "label_centroids",      # per-label mean embedding (IVF train step)
-    "interval_join",        # bucketed event-time range join
-    "important_stock",      # Q11 shape: agg + HAVING vs global scalar
-    "large_orders",         # Q18 shape: join + group + HAVING sum
-    "ship_mode_counts",     # Q12 shape: conditional aggregation
-    "revenue_growth",       # lag window: month-over-month deltas
-    "ntile_segments",       # ntile quartile segmentation
-    "token_histogram",      # corpus token-count distribution buckets
-    "cms_heavy_hitters",    # count-min sketch vs exact counts
-    "weighted_sample",      # integer inverse-CDF multinomial sampling
-    "gopher_quality",       # re-verified: scan now spread across cores
-    "zorder_keys",          # Morton clustering key (layout surface)
-    "passage_dedup",        # repeated-span removal (C4-style)
-    "waiting_suppliers",    # Q21 decorrelated EXISTS/NOT-EXISTS
-    "idle_customers",       # Q22 scalar-avg subquery + anti join
-    "incremental_dedup",    # batch-vs-corpus MinHash-LSH (ingest shape)
-    "mixture_sample",       # per-source quota training-mix assembly
-    "embedding_stats",      # per-dim drift profile (exact integer sums)
-]
-
-# r03-green entries rotated past the window THIS round only (every one has
-# a green CORRECTNESS_r03 row; rotate back as needed in later rounds).
-_ROTATE_OUT: list[str] = [
+    # rotated out of the r04 window (r03-green) → verify first in r05:
     "set_ops",
-    "kmv_distinct_sketch",  # r03-green; sketch family in-window via CMS
-    "value_quantiles",      # r03-green; percentile parity stable since r1
-    "streaming_dedup_batch",  # r03-green; dedup family well covered in-window
-    "knn_join_topk",        # r03-green; knn family in-window via knn_l2_topk
-    "pq_rerank_topk",       # r03-green; ANN family in-window via ivf checks
-    "exact_dedup",          # r03-green; dedup family amply in-window
-    "tf_idf",               # r03-green; text family in-window via rotate-backs
-    "cosine_dedup",         # r03-green; cosine family in-window via rotate-backs
-    "tumbling_window",      # sibling sliding_window rotates back in
+    "kmv_distinct_sketch",
+    "value_quantiles",
+    "streaming_dedup_batch",
+    "knn_join_topk",
+    "pq_rerank_topk",
+    "exact_dedup",
+    "tf_idf",
+    "cosine_dedup",
+    "tumbling_window",
     "sessionize",
     "image_decode",
     "frame_sample",
@@ -690,7 +645,7 @@ _ROTATE_OUT: list[str] = [
     "order_priority_semi",
     "customers_without_orders",
     "supplier_rollup",
-    "asof_join",            # time-range family covered in-window by interval_join
+    "asof_join",
     "image_decode_real",
     "image_knn_pipeline",
     "funnel_conversion",
@@ -698,16 +653,67 @@ _ROTATE_OUT: list[str] = [
     "order_count_distribution",
     "bucketed_revenue",
     "sq_topk",
-    "suffix_join_equi",     # sibling suffix_join rotates back in
+    "suffix_join_equi",
     "language_id",
     "quality_score",
-    "salted_term_counts",   # sibling top_terms rotates back in
+    "salted_term_counts",
     "bpe_token_counts",
     "top_docs_per_lang",
     "views_before_purchase",
-    "pq_topk",              # pq_rerank covered ADC+rerank in r03; family kept
-                            # in-window via ivf_topk/ivf_topk_batch/knn checks
+    "pq_topk",
     "ivfpq_topk",
+    # changed in round 5 (the two r04 red rows — oracle CAST fix and the
+    # exploded centroid shape) → must re-verify in-window:
+    "ship_mode_counts",
+    "label_centroids",
+]
+
+# r04-green entries rotated past the window THIS round only (every one has
+# a green CORRECTNESS_r04 row; rotate back in r6). The 8 r04-green entries
+# NOT listed here stay in the window's mid section because round-5 code
+# touches their machinery (dedup.py unpersist ownership, sketch.py probe
+# semantics, decontaminate profiling) or they anchor the flagship path.
+_ROTATE_OUT: list[str] = [
+    "clean_corpus",
+    "cosine_topk",
+    "dedup_components",
+    "distinct_labels",
+    "doc_fingerprint",
+    "gopher_quality",
+    "grouped_ids",
+    "idle_customers",
+    "important_stock",
+    "interval_join",
+    "ivf_topk_batch",       # sibling ivf_topk stays in-window
+    "json_extract_agg",
+    "knn_two_phase",
+    "label_category_join",
+    "label_counts",
+    "large_orders",
+    "lsh_bucket_counts",
+    "lsh_near_dup",
+    "manifest_scan",
+    "minhash_signatures",   # sibling minhash_lsh_dedup stays in-window
+    "mixture_sample",
+    "ntile_segments",
+    "passage_dedup",
+    "path_normalize",
+    "pricing_summary",
+    "radius_pairs",
+    "revenue_growth",
+    "simhash",
+    "simhash_near_dup",
+    "sliding_window",
+    "stratified_sample",
+    "suffix_join",
+    "token_histogram",
+    "token_stats",
+    "top_revenue_customers",
+    "top_terms",
+    "vector_norms",
+    "waiting_suppliers",
+    "weighted_sample",
+    "zorder_keys",
 ]
 
 
