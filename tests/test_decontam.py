@@ -76,14 +76,21 @@ def test_label_centroids_numpy_parity(spark):
     by_label = collections.defaultdict(list)
     for r in emb:
         by_label[r.label].append(np.array(r.embedding, dtype=np.float64))
-    assert {r.label for r in rows} == set(by_label)
+    # exploded (label, n_vectors, dim, centroid_val) rows — reassemble
+    got_by_label: dict = collections.defaultdict(dict)
+    n_by_label: dict = {}
     for r in rows:
-        X = np.stack(by_label[r.label])
+        got_by_label[r.label][r.dim] = r.centroid_val
+        n_by_label[r.label] = r.n_vectors
+    assert set(got_by_label) == set(by_label)
+    for label, dims in got_by_label.items():
+        X = np.stack(by_label[label])
         q = np.round(X * 1e6)  # banker's vs half-up ties absorbed by atol
         m = q.sum(axis=0) / (len(X) * 1e6)
         u = m / np.sqrt((m * m).sum())
-        got = np.array(r.centroid, dtype=np.float64)
-        assert r.n_vectors == len(X)
+        assert sorted(dims) == list(range(X.shape[1])), "dims must be dense"
+        got = np.array([dims[d] for d in range(X.shape[1])], dtype=np.float64)
+        assert n_by_label[label] == len(X)
         assert np.allclose(got, u, atol=1e-6)
         assert abs(np.linalg.norm(got) - 1.0) < 1e-6
 

@@ -109,6 +109,31 @@ def test_cms_one_sided_error_and_exactness(spark, events):
     assert total_cells == 4 * stream_len
 
 
+def test_cms_unseen_key_estimates_zero(spark, events):
+    """A key that never appeared in the sketched stream must estimate 0:
+    at least one of its depth cells is absent from the sparse grid (true
+    count 0), and the left-join + coalesce keeps that cell in the min.
+    (Round-4 ADVICE: the old inner join dropped absent cells, inflating
+    or losing unseen keys.)"""
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.sketch import (
+        cms_estimate,
+        cms_sketch,
+    )
+
+    few = events.limit(1).select("user_id")  # sparse stream: <=4 occupied cells
+    sketch = cms_sketch(few, "user_id", depth=4, width=64)
+    assert sketch.count() <= 4
+    probes = spark.range(1_000_000, 1_000_050).select(
+        F.col("id").alias("user_id")
+    )
+    est = {r.user_id: r.cms_est for r in
+           cms_estimate(sketch, probes, "user_id", depth=4, width=64).collect()}
+    assert len(est) == 50, "every probed key must get an estimate row"
+    # with 4/256 cells occupied an unseen key collides on ALL 4 of its
+    # cells with probability (4/64)^4 ~ 1.5e-5 — all 50 estimate 0
+    assert set(est.values()) == {0}, f"unseen keys over-counted: {est}"
+
+
 def test_weighted_sample_probes_and_proportionality(spark):
     """Every probe resolves to exactly one document, and with many probes
     the empirical pick distribution tracks the weights (chi-square-ish

@@ -40,6 +40,19 @@ MINHASH_COEFFS: list[tuple[int, int]] = [
 ]
 
 
+def _opt_persist(df: DataFrame, cache_handles: list | None) -> DataFrame:
+    """Persist a multiply-consumed intermediate ONLY when the caller owns
+    cleanup (passes a ``cache_handles`` list to ``unpersist()`` after the
+    result materializes). With no handle list the DataFrame is returned
+    un-persisted: the plan recomputes per consumer, but a long-lived
+    session never accumulates orphaned storage blocks."""
+    if cache_handles is None:
+        return df
+    out = df.persist()
+    cache_handles.append(out)
+    return out
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact duplicate groups by content hash: representative (min id),
     group size. Hash-partitioned single shuffle; at 100 TB the md5 key
@@ -262,11 +275,11 @@ def minhash_lsh_pairs(
     LSH candidate pairs, not N².
 
     Caching contract: two intermediates (shingle sets, signatures) are
-    persisted because each is consumed by multiple joins. Pass
-    ``cache_handles`` (a list) to receive them and ``unpersist()`` after
-    the returned plan is materialized; without it the cached blocks live
-    until session GC — fine for one-shot jobs, a leak in long-lived
-    sessions."""
+    each consumed by multiple joins. Pass ``cache_handles`` (a list) to
+    persist them — the list receives the handles and the caller
+    ``unpersist()``s after the returned plan is materialized. Without a
+    handle list nothing is persisted (each consumer recomputes; no
+    storage ever leaks in long-lived sessions)."""
     assert num_hashes % bands == 0, (
         f"num_hashes ({num_hashes}) must divide evenly into bands ({bands}); "
         "trailing signature hashes would be silently ignored"
@@ -277,15 +290,14 @@ def minhash_lsh_pairs(
     # both sides of the verify join (at 100 TB this halves the dominant
     # scan+tokenize cost; the persisted set is corpus-sized and
     # MEMORY_AND_DISK spills safely).
-    shs = doc_shingles(df, n, text_col, id_col).persist()
+    shs = _opt_persist(doc_shingles(df, n, text_col, id_col), cache_handles)
     # The signature table is referenced by both sides of the bucket
     # self-join; persist so the shingle→md5→aggregate pipeline runs once.
     # It is 8 longs + id per document — gigabytes at 100 TB corpus scale.
-    sigs = minhash_signatures(
-        df, n, num_hashes, text_col, id_col, shingles=shs
-    ).persist()
-    if cache_handles is not None:
-        cache_handles.extend([shs, sigs])
+    sigs = _opt_persist(
+        minhash_signatures(df, n, num_hashes, text_col, id_col, shingles=shs),
+        cache_handles,
+    )
     # one pass over the signatures: inline_outer an array of band structs
     # instead of a bands-way union (single projection, no re-scan); band
     # keys stay INTEGER columns — joining on (band, k0..k_{r-1}) avoids
@@ -424,9 +436,7 @@ def simhash_near_dup_pairs(
         "pigeonhole gives >= 1 equal band only when d < bands"
     )
     band_bits = bits // bands
-    s = simhash(df, bits, text_col, id_col).persist()
-    if cache_handles is not None:
-        cache_handles.append(s)
+    s = _opt_persist(simhash(df, bits, text_col, id_col), cache_handles)
     band_structs = F.array(
         *[
             F.struct(
@@ -486,12 +496,10 @@ def minhash_lsh_incremental(
     rows_per_band = num_hashes // bands
 
     def prep(df):
-        shs = doc_shingles(df, n, text_col, id_col).persist()
+        shs = _opt_persist(doc_shingles(df, n, text_col, id_col), cache_handles)
         sigs = minhash_signatures(
             df, n, num_hashes, text_col, id_col, shingles=shs
         )
-        if cache_handles is not None:
-            cache_handles.append(shs)
         band_structs = F.array(
             *[
                 F.struct(

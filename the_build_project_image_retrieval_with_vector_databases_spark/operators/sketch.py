@@ -110,7 +110,11 @@ def cms_estimate(
 ) -> DataFrame:
     """Point-estimate counts for ``keys`` from a CMS grid: min over the
     key's ``depth`` cells. The sketch side is depth × width rows —
-    always broadcast."""
+    always broadcast. The sketch stores only cells some stream element
+    hashed into, so a probe cell absent from it has true count 0: the
+    join is a LEFT join with missing cells coalesced to 0, making a
+    never-seen key correctly estimate 0 instead of min-ing over only its
+    populated (inflated) cells."""
     c = F.col(key_col).cast("string")
     probed = keys.select(
         key_col,
@@ -127,7 +131,8 @@ def cms_estimate(
         ).alias("rc"),
     ).select(key_col, "rc.r", "rc.c")
     return (
-        probed.join(F.broadcast(sketch), ["r", "c"])
+        probed.join(F.broadcast(sketch), ["r", "c"], "left")
+        .withColumn("cell", F.coalesce(F.col("cell"), F.lit(0).cast("long")))
         .groupBy(key_col)
         .agg(F.min("cell").alias("cms_est"))
     )
