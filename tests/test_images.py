@@ -181,6 +181,155 @@ def test_pure_decode_pixel_values():
     assert np.array_equal(up[:2, :2], np.broadcast_to([255, 0, 0], (2, 2, 3)))
 
 
+def _png_bytes(arr, colortype=2, filters=None, palette=None, bitdepth=8,
+               interlace=0):
+    """Minimal PNG writer over stdlib zlib: per-row filter choice (0–4,
+    applied FORWARD so the decoder must invert them), any color type.
+    ``arr`` is (h, w, channels) uint8."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, ch = arr.shape
+    bpp = ch
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int32)
+    for y in range(h):
+        line = arr[y].reshape(-1).astype(np.int32)
+        f = filters[y % len(filters)] if filters else 0
+        if f == 0:
+            enc = line.copy()
+        elif f == 1:  # Sub
+            enc = line.copy()
+            enc[bpp:] = (line[bpp:] - line[:-bpp]) & 0xFF
+        elif f == 2:  # Up
+            enc = (line - prev) & 0xFF
+        elif f == 3:  # Average
+            left = np.concatenate([np.zeros(bpp, dtype=np.int32), line[:-bpp]])
+            enc = (line - ((left + prev) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            left = np.concatenate([np.zeros(bpp, dtype=np.int32), line[:-bpp]])
+            upleft = np.concatenate([np.zeros(bpp, dtype=np.int32), prev[:-bpp]])
+            p = left + prev - upleft
+            pa, pb, pc = abs(p - left), abs(p - prev), abs(p - upleft)
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, prev, upleft))
+            enc = (line - pred) & 0xFF
+        raw += bytes([f]) + bytes(enc.astype(np.uint8))
+        prev = line
+
+    def chunk(ctype, data):
+        c = ctype + data
+        return struct.pack(">I", len(data)) + c + struct.pack(
+            ">I", zlib.crc32(c) & 0xFFFFFFFF
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, bitdepth, colortype, 0, 0, interlace)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += chunk(b"PLTE", bytes(palette.reshape(-1)))
+    out += chunk(b"IDAT", zlib.compress(bytes(raw)))
+    return out + chunk(b"IEND", b"")
+
+
+def test_png_decode_pixel_exact_all_filters():
+    """PNG unfilter correctness: an image round-trips bit-exactly through
+    every filter type (0 none, 1 sub, 2 up, 3 average, 4 paeth) — the
+    encoder applies the filter forward, the decoder must invert it."""
+    import numpy as np
+
+    from the_build_project_image_retrieval_with_vector_databases_spark.sources.images import (
+        decode_pixels,
+    )
+
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 256, size=(12, 9, 3), dtype=np.uint8)
+    for f in range(5):
+        got = decode_pixels(_png_bytes(arr, filters=[f]))
+        assert np.array_equal(got, arr), f"filter {f} round-trip"
+    # mixed filters per row — the realistic encoder output
+    got = decode_pixels(_png_bytes(arr, filters=[4, 1, 3, 0, 2]))
+    assert np.array_equal(got, arr)
+
+
+def test_png_decode_color_types():
+    """Color-type normalization matches PIL convert('RGB'): gray
+    replicates, alpha drops, palette looks up."""
+    import numpy as np
+
+    from the_build_project_image_retrieval_with_vector_databases_spark.sources.images import (
+        decode_pixels,
+    )
+
+    rng = np.random.default_rng(11)
+    # type 0: grayscale
+    g = rng.integers(0, 256, size=(5, 4, 1), dtype=np.uint8)
+    got = decode_pixels(_png_bytes(g, colortype=0, filters=[2]))
+    assert np.array_equal(got, np.repeat(g, 3, axis=2))
+    # type 6: RGBA → alpha dropped
+    rgba = rng.integers(0, 256, size=(5, 4, 4), dtype=np.uint8)
+    got = decode_pixels(_png_bytes(rgba, colortype=6, filters=[1, 4]))
+    assert np.array_equal(got, rgba[:, :, :3])
+    # type 4: gray+alpha → gray replicated
+    ga = rng.integers(0, 256, size=(3, 6, 2), dtype=np.uint8)
+    got = decode_pixels(_png_bytes(ga, colortype=4, filters=[3]))
+    assert np.array_equal(got, np.repeat(ga[:, :, :1], 3, axis=2))
+    # type 3: palette
+    pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, size=(7, 5, 1), dtype=np.uint8)
+    got = decode_pixels(_png_bytes(idx, colortype=3, filters=[0], palette=pal))
+    assert np.array_equal(got, pal[idx[:, :, 0]])
+
+
+def test_png_decode_rejects_unsupported():
+    """Interlaced / 16-bit / truncated PNGs raise (→ decode_ok=false rows
+    through the error-tolerant map), never return wrong pixels."""
+    import numpy as np
+    import pytest as _pytest
+
+    from the_build_project_image_retrieval_with_vector_databases_spark.sources.images import (
+        decode_pixels,
+    )
+
+    arr = np.zeros((4, 4, 3), dtype=np.uint8)
+    with _pytest.raises(ValueError, match="interlaced"):
+        decode_pixels(_png_bytes(arr, interlace=1))
+    with _pytest.raises(ValueError, match="16-bit"):
+        decode_pixels(_png_bytes(arr, bitdepth=16))
+    with _pytest.raises(ValueError):
+        decode_pixels(_png_bytes(arr)[:-30])  # truncated IDAT
+
+
+def test_decode_images_auto_handles_png(spark, tmp_path):
+    """S3 end-to-end over the Spark plumbing: PNG files scanned from a
+    folder decode to their true dimensions alongside PPM/BMP — the
+    reference's accepted-format set (app.py:78) minus JPEG now decodes
+    for real in-container."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    root = tmp_path / "real" / "birds"
+    root.mkdir(parents=True)
+    (root / "a.png").write_bytes(
+        _png_bytes(rng.integers(0, 256, (30, 40, 3), dtype=np.uint8),
+                   filters=[4, 2, 1])
+    )
+    (root / "b.ppm").write_bytes(_ppm_bytes(64, 48))
+    (root / "bad.png").write_bytes(b"\x89PNG\r\n\x1a\njunk")
+    scanned = scan_image_folder(spark, str(tmp_path / "real"),
+                                glob="*.{png,ppm}")
+    got = {
+        r.path.rsplit("/", 1)[-1]: (r.width, r.height, r.n_channels, r.decode_ok)
+        for r in decode_images(scanned, decoder="auto").collect()
+    }
+    assert got == {
+        "a.png": (40, 30, 3, True),
+        "b.ppm": (64, 48, 3, True),
+        "bad.png": (None, None, None, False),
+    }
+
+
 def test_embed_images_pure_real_pixels(spark, tmp_path):
     """Real pixel math end-to-end without torch/PIL: decode → resize →
     pool → projection → L2 norm. Distinct images embed distinctly, the

@@ -11,12 +11,13 @@ reference's ``@st.cache_resource`` model caching (``app.py:30``).
 The compressed-image libraries (PIL/torch) are NOT in this container, so
 ``decode_images`` defaults to a clearly-marked deterministic stub for
 oracle-reproducible runs — but the REAL decode path is executable here
-too: dependency-free pure-numpy codecs for PPM/PGM and 24-bit BMP
-(``decoder="auto"`` → built-in parsers, then PIL for compressed formats
-when importable), plus :func:`embed_images_pure` running decode → resize
-→ pool → projection → L2-normalize on actual pixels. ``decode_images(
-decoder="pil")`` and :func:`embed_images_torch` carry the reference's
-PIL/torch bodies when those libraries are importable.
+too: dependency-free pure-numpy codecs for PPM/PGM, 24-bit BMP, and
+8-bit PNG — one of the reference's two accepted upload formats,
+``app.py:78`` — (``decoder="auto"`` → built-in parsers, then PIL for
+JPEG when importable), plus :func:`embed_images_pure` running decode →
+resize → pool → projection → L2-normalize on actual pixels.
+``decode_images(decoder="pil")`` and :func:`embed_images_torch` carry
+the reference's PIL/torch bodies when those libraries are importable.
 """
 
 from __future__ import annotations
@@ -96,11 +97,11 @@ def _pil_decode(payload: bytes) -> tuple[int, int, int]:
 
 
 # ---------------------------------------------------------------------------
-# Dependency-free REAL codecs: PPM (P5/P6) and BMP (24-bit BI_RGB).
-# These parse actual headers and pixel rasters with numpy — no PIL — so the
-# real-decode code path (header parse → raster validate → RGB array) is
-# executable and tested in this container, not only behind a skipif gate.
-# Compressed formats (JPEG/PNG) still require PIL.
+# Dependency-free REAL codecs: PPM (P5/P6), BMP (24-bit BI_RGB), and PNG
+# (8-bit, stdlib zlib + per-scanline unfilter). These parse actual headers
+# and pixel rasters with numpy — no PIL — so the real-decode code path
+# (header parse → raster validate → RGB array) is executable and tested in
+# this container, not only behind a skipif gate. JPEG still requires PIL.
 # ---------------------------------------------------------------------------
 
 
@@ -179,19 +180,142 @@ def _parse_bmp(payload: bytes):
     return np.ascontiguousarray(arr)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _parse_png(payload: bytes):
+    """PNG (one of the reference's two accepted upload formats,
+    ``app.py:78``) → (h, w, 3) uint8 RGB array, dependency-free: chunk
+    walk, zlib-inflate the IDAT stream, per-scanline unfilter (filter
+    types 0–4), then color-type normalization to RGB exactly as PIL's
+    ``convert("RGB")`` would (gray replicated, alpha dropped, palette
+    looked up).
+
+    Supported: 8-bit depth, color types 0 (gray), 2 (RGB), 3 (palette),
+    4 (gray+alpha), 6 (RGBA), non-interlaced — i.e. what encoders emit
+    for photographic/screenshot content. 16-bit, sub-byte depths, and
+    Adam7 interlace raise (→ ``decode_ok = false`` rows); JPEG is the
+    one reference format that genuinely needs PIL.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    width = height = bitdepth = colortype = interlace = None
+    palette = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) < length:
+            raise ValueError("truncated PNG chunk")
+        pos += 12 + length  # chunk header + data + CRC
+        if ctype == b"IHDR":
+            width, height, bitdepth, colortype, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if interlace != 0:
+        raise ValueError("interlaced PNG unsupported")
+    if bitdepth != 8:
+        raise ValueError(f"{bitdepth}-bit PNG unsupported")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(colortype)
+    if channels is None:
+        raise ValueError(f"bad PNG color type {colortype}")
+    if width == 0 or height == 0:
+        raise ValueError("bad PNG dimensions")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
+    stride = width * channels
+    need = (stride + 1) * height
+    if len(raw) < need:
+        raise ValueError("truncated PNG raster")
+    scan = np.frombuffer(raw, dtype=np.uint8, count=need).reshape(
+        height, stride + 1
+    )
+    # Per-scanline unfilter. Rows depend on the fully reconstructed row
+    # above, so the row loop is sequential; filters 1/3/4 additionally
+    # recurse on the pixel to the left, so those run per-byte. int32
+    # working copies keep the sums exact before the mod-256 fold.
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    bpp = channels
+    for y in range(height):
+        f = scan[y, 0]
+        cur = scan[y, 1:].astype(np.int32)
+        if f == 0:  # None
+            rec = cur
+        elif f == 1:  # Sub
+            rec = cur
+            for x in range(bpp, stride):
+                rec[x] = (rec[x] + rec[x - bpp]) & 0xFF
+        elif f == 2:  # Up
+            rec = (cur + prev) & 0xFF
+        elif f == 3:  # Average
+            rec = cur
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                rec[x] = (rec[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            rec = cur
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (rec[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        rec &= 0xFF
+        out[y] = rec
+        prev = rec
+    arr = out.reshape(height, width, channels)
+    if colortype == 3:
+        if palette is None:
+            raise ValueError("palette PNG missing PLTE")
+        if int(arr.max(initial=0)) >= len(palette):
+            raise ValueError("palette index out of range")
+        arr = palette[arr[:, :, 0]]
+    elif colortype == 0:
+        arr = np.repeat(arr, 3, axis=2)
+    elif colortype == 4:
+        arr = np.repeat(arr[:, :, :1], 3, axis=2)
+    elif colortype == 6:
+        arr = arr[:, :, :3]
+    return np.ascontiguousarray(arr)
+
+
 def decode_pixels(payload: bytes):
     """Decode a payload to an (h, w, 3) uint8 RGB array.
 
-    Dispatches on magic bytes: PPM/PGM and 24-bit BMP decode with the
-    built-in pure-numpy parsers (no dependencies); anything else falls
-    through to PIL when importable, else raises (callers' per-row error
-    tolerance turns that into a ``decode_ok = false`` row).
+    Dispatches on magic bytes: PPM/PGM, 24-bit BMP, and 8-bit PNG decode
+    with the built-in pure-numpy parsers (no dependencies); anything else
+    falls through to PIL when importable, else raises (callers' per-row
+    error tolerance turns that into a ``decode_ok = false`` row).
     """
     payload = bytes(payload)
     if payload[:2] in (b"P6", b"P5"):
         return _parse_ppm(payload)
     if payload[:2] == b"BM":
         return _parse_bmp(payload)
+    if payload[:8] == _PNG_SIG:
+        return _parse_png(payload)
     if _HAVE_PIL:
         import io
 
@@ -226,8 +350,8 @@ def decode_images(df: DataFrame, decoder: str = "stub") -> DataFrame:
 
     ``decoder``: ``"stub"`` (default — deterministic, oracle-checkable),
     ``"pil"`` (PIL only, requires PIL), or ``"auto"`` (real-codec chain:
-    built-in pure-numpy PPM/BMP parsers, then PIL for compressed formats
-    when importable; unsupported payloads become ``decode_ok = false``
+    built-in pure-numpy PPM/BMP/PNG parsers, then PIL for JPEG when
+    importable; unsupported payloads become ``decode_ok = false``
     rows). The stub stays the default so correctness runs are
     reproducible on any container; flipping one argument carries the real
     codecs through the identical distributed plumbing (schema, Arrow
