@@ -314,3 +314,58 @@ def test_ivf_recall_monotone_in_nprobe_on_benched_layout(spark, emb, emb_np):
     assert recalls == sorted(recalls), f"recall not monotone: {recalls}"
     assert recalls[-1] == 1.0, f"full probe must equal exact: {recalls}"
     assert recalls[0] > 0.0  # the nearest cell carries at least one true hit
+
+
+# ---------------------------------------------------------------------------
+# Unified search() facade
+# ---------------------------------------------------------------------------
+
+
+def test_search_facade_tiers_consistent(emb, emb_np):
+    """All four tiers through the ONE facade: same output contract
+    (corpus cols + dist, best-first, k rows), and every approximate
+    tier's top-k overlaps heavily with the exact flat answer on this
+    easy fixture."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.search import search
+
+    ids, mat = emb_np
+    qvec = [float(x) for x in mat[ids.tolist().index(0)]]
+    flat = search(emb, qvec, k=10, index="flat", exclude_id=0).collect()
+    assert len(flat) == 10 and "dist" in flat[0].asDict()
+    assert [r.dist for r in flat] == sorted(r.dist for r in flat)
+    exact_ids = {r.vec_id for r in flat}
+
+    for kind, kwargs in [
+        ("ivf", dict(nprobe=16)),          # full probe ⇒ exact
+        ("pq", dict(rerank=5)),            # ADC shortlist + exact re-rank
+        ("sq", {}),
+    ]:
+        got = search(emb, qvec, k=10, index=kind, exclude_id=0, **kwargs)
+        rows = got.collect()
+        assert len(rows) == 10, kind
+        assert "dist" in rows[0].asDict(), kind
+        overlap = len({r.vec_id for r in rows} & exact_ids)
+        assert overlap >= 7, f"{kind}: only {overlap}/10 overlap with exact"
+
+
+def test_search_facade_flat_metrics(emb, emb_np):
+    """metric= is explicit on the facade: cosine ranks descending,
+    l2 ascending, and the two agree on unit-norm vectors."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.search import search
+
+    ids, mat = emb_np
+    qvec = [float(x) for x in mat[ids.tolist().index(0)]]
+    l2 = [r.vec_id for r in search(emb, qvec, k=5, index="flat",
+                                   metric="l2", exclude_id=0).collect()]
+    cos = [r.vec_id for r in search(emb, qvec, k=5, index="flat",
+                                    metric="cosine", exclude_id=0).collect()]
+    assert l2 == cos  # unit vectors: argmin L2 == argmax cosine
+
+
+def test_search_facade_rejects_bad_args(emb):
+    from the_build_project_image_retrieval_with_vector_databases_spark.search import search
+
+    with pytest.raises(ValueError, match="unknown index"):
+        search(emb, [0.0] * 64, index="hnsw")
+    with pytest.raises(ValueError, match="L2-metric"):
+        search(emb, [0.0] * 64, index="ivf", metric="cosine")

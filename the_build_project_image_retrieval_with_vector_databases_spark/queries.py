@@ -666,6 +666,8 @@ _CHECK_FIRST: list[str] = [
     # exploded centroid shape) → must re-verify in-window:
     "ship_mode_counts",
     "label_centroids",
+    # new in round 5 → never driver-checked → in-window:
+    "ann_search",           # unified search() facade routed over IVF
 ]
 
 # r04-green entries rotated past the window THIS round only (every one has
@@ -714,6 +716,8 @@ _ROTATE_OUT: list[str] = [
     "waiting_suppliers",
     "weighted_sample",
     "zorder_keys",
+    "embedding_stats",      # r04-green, untouched; sibling label_centroids
+                            # re-verifies the quantized-sum machinery in-window
 ]
 
 

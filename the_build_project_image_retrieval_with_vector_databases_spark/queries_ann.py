@@ -276,6 +276,61 @@ LIMIT 5
 """
 
 
+def q_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unified :func:`..search.search` facade (SURVEY §7.4.4) routed
+    over the materialized IVF layout — the one-call user surface of the
+    ANN ladder (reference ``index.search``, ``utils/faiss_utils.py:19-22``).
+    Deliberately distinct parameters from ``ivf_topk`` (query row 3,
+    nprobe=5, k=7) so this row verifies the facade's own routing, not a
+    cached twin. Same plan as ivf_search: partition-pruned scan, exact
+    L2 top-k, zero shuffle."""
+    from .search import search
+
+    path, centroids = _ivf_layout(spark, sf_dir)
+    layout = spark.read.parquet(path)
+    out = search(
+        layout,
+        centroids[3],
+        k=7,
+        index="ivf",
+        train_vectors=centroids,
+        nprobe=5,
+        exclude_id=3,
+    )
+    return out.select(
+        "vec_id", "label", F.col("centroid").cast("int").alias("centroid"),
+        F.round("dist", 6).alias("dist"),
+    )
+
+
+ORACLE_ANN_SEARCH = f"""
+WITH cents AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 3),
+scored AS (
+  SELECT e.vec_id, e.label, e.embedding, c.cid,
+         {_dk_l2('e.embedding', 'c.ce')} AS cdist
+  FROM embeddings e CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, label, embedding, cid AS centroid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cdist ASC, cid ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT c.cid FROM cents c, q
+  ORDER BY {_dk_l2('c.ce', 'q.qe')} ASC, c.cid ASC LIMIT 5
+)
+SELECT a.vec_id, a.label, CAST(a.centroid AS INT) AS centroid,
+       round({_dk_l2('a.embedding', 'q.qe')}, 6) AS dist
+FROM assigned a, q
+WHERE a.centroid IN (SELECT cid FROM probes) AND a.vec_id <> 3
+ORDER BY {_dk_l2('a.embedding', 'q.qe')} ASC, a.vec_id ASC
+LIMIT 7
+"""
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (ADC search over the encoded table)
 # ---------------------------------------------------------------------------
@@ -954,6 +1009,7 @@ FROM per
 
 ANN_QUERIES = {
     "ivf_topk": q_ivf_topk,
+    "ann_search": q_ann_search,
     "ivf_topk_batch": q_ivf_topk_batch,
     "pq_topk": q_pq_topk,
     "pq_rerank_topk": q_pq_rerank_topk,
@@ -971,6 +1027,7 @@ ANN_QUERIES = {
 
 ANN_ORACLES = {
     "ivf_topk": ORACLE_IVF_TOPK,
+    "ann_search": ORACLE_ANN_SEARCH,
     "ivf_topk_batch": ORACLE_IVF_TOPK_BATCH,
     "pq_topk": _oracle_pq_topk(),
     "pq_rerank_topk": _oracle_pq_rerank_topk(),

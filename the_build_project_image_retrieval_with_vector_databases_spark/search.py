@@ -1,0 +1,152 @@
+"""Unified ANN search facade (SURVEY §7.4.4).
+
+The engine implements the full FAISS-tier ladder — flat exact scan, IVF
+partition probing, PQ asymmetric-distance codes (with optional exact
+re-rank), int8 scalar quantization — as separate operators in
+``operators/knn.py``, ``operators/ann.py``, ``operators/pq.py``. A real
+user of the reference calls ONE thing (``index.search(q, k)``,
+``utils/faiss_utils.py:19-22``); this facade is that single entry point,
+with the index tier and the similarity metric as explicit parameters:
+
+    search(corpus, qvec, k=10, index="flat", metric="cosine")
+    search(layout, qvec, k=5,  index="ivf",  train_vectors=cents, nprobe=4)
+    search(corpus, qvec, k=10, index="pq",   train_vectors=cents, rerank=5)
+    search(corpus, qvec, k=10, index="sq",   train_vectors=cents)
+
+Every tier returns the same shape — the corpus row columns plus a
+``dist`` column, best-first — so swapping ``index=`` is a one-word
+change, exactly like swapping FAISS index factories.
+
+Scale notes per tier (each inherits its operator's audited plan):
+``flat`` = zero-shuffle TakeOrderedAndProject over the corpus scan;
+``ivf`` = centroid IN-filter → parquet partition pruning (nprobe/k of
+the corpus read); ``pq`` = same zero-shuffle top-k over 32×-smaller
+code columns; ``sq`` = ditto over int8 codes. Training artifacts
+(centroids / codebooks / calibration bounds) are tiny driver-side
+lists — pass ``train_vectors`` explicitly for reproducible builds, or
+let the facade take the lowest-``n_train`` ids as the deterministic
+default (one O(n_train)-row collect, documented).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .operators.ann import ivf_search
+from .operators.knn import knn_single
+from .operators.pq import (
+    pq_adc_topk,
+    pq_encode,
+    slice_codebooks,
+    sq_dist_sq,
+    sq_encode,
+    sq_train_bounds,
+)
+
+INDEX_KINDS = ("flat", "ivf", "pq", "sq")
+
+
+def _default_train_vectors(
+    corpus: DataFrame, n_train: int, vec_col: str, id_col: str
+) -> list[list[float]]:
+    """Deterministic training sample: the ``n_train`` lowest-id rows.
+    Driver-side collect of n_train × dim floats — O(small), the same
+    build-time pattern as queries_ann._training_vectors."""
+    rows = sorted(
+        corpus.filter(F.col(id_col) < n_train)
+        .select(id_col, vec_col)
+        .collect(),
+        key=lambda r: r[0],
+    )
+    if not rows:
+        raise ValueError(f"no rows with {id_col} < {n_train} to train on")
+    return [[float(x) for x in r[1]] for r in rows]
+
+
+def search(
+    corpus: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    *,
+    index: str = "flat",
+    metric: str = "l2",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    train_vectors: list[list[float]] | None = None,
+    n_train: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    rerank: int = 0,
+    exclude_id=None,
+) -> DataFrame:
+    """Top-k search over ``corpus`` for one query vector via the chosen
+    index tier. Returns corpus columns + ``dist`` (rounded raw metric
+    value for flat; squared/approximate distances dequantized per tier),
+    best-first, ties broken by ascending id.
+
+    ``metric`` ("l2" | "cosine" | "dot") applies to the ``flat`` tier;
+    the quantized tiers are L2-metric structures (same constraint as
+    FAISS's IVF/PQ defaults) and raise on anything else rather than
+    silently mis-ranking.
+
+    ``train_vectors`` supplies the quantizer training set (IVF
+    centroids / PQ codebook source / SQ calibration); omit it to train
+    on the lowest-``n_train`` ids deterministically.
+    """
+    if index not in INDEX_KINDS:
+        raise ValueError(f"unknown index {index!r}; one of {INDEX_KINDS}")
+    if index != "flat" and metric != "l2":
+        raise ValueError(
+            f"index={index!r} is an L2-metric structure; "
+            "use index='flat' for cosine/dot"
+        )
+
+    out = corpus
+    if exclude_id is not None:
+        out = out.filter(F.col(id_col) != F.lit(exclude_id))
+
+    if index == "flat":
+        qlit = F.array(*[F.lit(float(x)) for x in query_vec]).cast(
+            "array<double>"
+        )
+        return knn_single(
+            out, qlit, k=k, metric=metric, vec_col=vec_col, id_col=id_col
+        )
+
+    if train_vectors is None:
+        train_vectors = _default_train_vectors(corpus, n_train, vec_col, id_col)
+    q = [float(x) for x in query_vec]
+
+    if index == "ivf":
+        return ivf_search(
+            out, train_vectors, q, k=k, nprobe=nprobe,
+            vec_col=vec_col, id_col=id_col,
+        )
+
+    if index == "pq":
+        codebooks = slice_codebooks(train_vectors, m)
+        encoded = out
+        if f"code_{m - 1}" not in encoded.columns:
+            encoded = pq_encode(encoded, codebooks, vec_col)
+        if rerank > 0:
+            from .operators.pq import pq_adc_rerank_topk
+
+            return pq_adc_rerank_topk(
+                encoded, out, codebooks, q, k=k, overfetch=rerank,
+                id_col=id_col, vec_col=vec_col,
+            )
+        return pq_adc_topk(
+            encoded, codebooks, q, k=k, id_col=id_col
+        ).withColumnRenamed("adc_dist", "dist")
+
+    # index == "sq"
+    bounds = sq_train_bounds(train_vectors)
+    encoded = out
+    if "sq_codes" not in encoded.columns:
+        encoded = sq_encode(encoded, bounds, vec_col)
+    return (
+        encoded.withColumn("dist", sq_dist_sq(bounds, q))
+        .orderBy(F.col("dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
