@@ -58,7 +58,19 @@ def ngram_overlap(
     flags documents above ``severe_frac`` (likely verbatim leaks rather
     than incidental collisions).
     """
-    corp = _gram_hashes(corpus, id_col, text_col, n)
+    # ONE tokenize+shingle pass over the corpus: the per-doc gram count
+    # rides the same projection as the exploded hashes (8 extra bytes per
+    # row, constant within a doc), so no second scan computes sizes and
+    # no corpus-wide sizes⋈hits shuffle exists — the gram count comes
+    # back out of the per-doc aggregate via first(). Round-4 scale-proof
+    # follow-up: the old two-pass shape tokenized the corpus twice and
+    # shuffled an N-row sizes table into the (small) hit set.
+    grams = token_shingles(tokens(F.col(text_col)), n=n)
+    corp = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.size(grams).alias("n_grams"),
+        F.explode(grams).alias("_g"),
+    ).select("_id", "n_grams", md5_long(F.col("_g"), digits=15).alias("h"))
     bench = (
         _gram_hashes(benchmark, id_col, text_col, n)
         .select(F.col("_id").alias("_bench_id"), "h")
@@ -66,17 +78,11 @@ def ngram_overlap(
     )
     if broadcast_bench:
         bench = F.broadcast(bench)
-    # per-doc gram count as a SCAN EXPRESSION (size of the distinct-shingle
-    # array) — tokenizing the corpus a second time through explode + groupBy
-    # would double the dominant cost; this is one cheap pass, no shuffle
-    sizes = corpus.select(
-        F.col(id_col).alias("_id"),
-        F.size(token_shingles(tokens(F.col(text_col)), n=n)).alias("n_grams"),
-    )
     hits = (
         corp.join(bench, "h")
         .groupBy("_id")
         .agg(
+            F.first("n_grams").alias("n_grams"),
             F.countDistinct("h").alias("n_shared"),
             F.countDistinct("_bench_id").alias("n_bench_docs"),
         )
@@ -85,14 +91,11 @@ def ngram_overlap(
     frac: Column = F.round(
         F.col("n_shared").cast("double") / F.col("n_grams").cast("double"), 6
     )
-    return (
-        hits.join(sizes, "_id")
-        .select(
-            F.col("_id").alias(id_col),
-            "n_grams",
-            "n_shared",
-            "n_bench_docs",
-            frac.alias("overlap_frac"),
-            (frac >= F.lit(severe_frac)).alias("severe"),
-        )
+    return hits.select(
+        F.col("_id").alias(id_col),
+        "n_grams",
+        "n_shared",
+        "n_bench_docs",
+        frac.alias("overlap_frac"),
+        (frac >= F.lit(severe_frac)).alias("severe"),
     )
