@@ -283,5 +283,11 @@ def test_decontaminate_broadcasts_benchmark_grams(spark):
     the join — the only hash exchange is the per-doc hit aggregate."""
     df = entrymod.queries()["decontaminate"](spark, SF_SMOKE)
     plan = _physical(df)
-    assert "BroadcastHashJoin" in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # bench grams AND hit-ids
     assert "CartesianProduct" not in plan
+    # round-5 profiled contract: the gram-count projection must NOT fold
+    # size(grams) into the explode projection (codegen blowup, ~13x) —
+    # the n_grams size() runs on the hit-doc join output, so exactly two
+    # shingle Generates exist (corpus explode + bench explode), never a
+    # third for a corpus-wide sizes pass
+    assert plan.count("Generate explode") == 2

@@ -58,19 +58,12 @@ def ngram_overlap(
     flags documents above ``severe_frac`` (likely verbatim leaks rather
     than incidental collisions).
     """
-    # ONE tokenize+shingle pass over the corpus: the per-doc gram count
-    # rides the same projection as the exploded hashes (8 extra bytes per
-    # row, constant within a doc), so no second scan computes sizes and
-    # no corpus-wide sizes⋈hits shuffle exists — the gram count comes
-    # back out of the per-doc aggregate via first(). Round-4 scale-proof
-    # follow-up: the old two-pass shape tokenized the corpus twice and
-    # shuffled an N-row sizes table into the (small) hit set.
-    grams = token_shingles(tokens(F.col(text_col)), n=n)
-    corp = corpus.select(
-        F.col(id_col).alias("_id"),
-        F.size(grams).alias("n_grams"),
-        F.explode(grams).alias("_g"),
-    ).select("_id", "n_grams", md5_long(F.col("_g"), digits=15).alias("h"))
+    # ONE full tokenize+shingle pass over the corpus (the dominant cost;
+    # profiled round 5: folding size(grams) into the same projection as
+    # explode(grams) doubles the generated code for the shingle
+    # expression past the codegen limit and runs ~13x slower interpreted
+    # — the gram count must NOT ride the explode projection).
+    corp = _gram_hashes(corpus, id_col, text_col, n)
     bench = (
         _gram_hashes(benchmark, id_col, text_col, n)
         .select(F.col("_id").alias("_bench_id"), "h")
@@ -82,20 +75,39 @@ def ngram_overlap(
         corp.join(bench, "h")
         .groupBy("_id")
         .agg(
-            F.first("n_grams").alias("n_grams"),
             F.countDistinct("h").alias("n_shared"),
             F.countDistinct("_bench_id").alias("n_bench_docs"),
         )
         .filter(F.col("n_shared") >= min_hits)
     )
+    # Per-doc gram counts are needed ONLY for flagged docs (contamination
+    # is rare by construction — benchmark ≪ corpus), so join the small
+    # hit set back to the corpus FIRST and tokenize just the survivors:
+    # the second shingle evaluation touches hit docs, not the corpus.
+    # Round-4 scale-proof follow-up — the old shape ran a second
+    # corpus-wide tokenize pass and shuffled an N-row sizes table.
+    # With broadcast_bench=False (huge benchmark ⇒ possibly huge hit
+    # set) fall back to a shuffle equi-join on the id instead.
+    grams = token_shingles(tokens(F.col(text_col)), n=n)
+    hit_side = F.broadcast(hits) if broadcast_bench else hits
     frac: Column = F.round(
         F.col("n_shared").cast("double") / F.col("n_grams").cast("double"), 6
     )
-    return hits.select(
-        F.col("_id").alias(id_col),
-        "n_grams",
-        "n_shared",
-        "n_bench_docs",
-        frac.alias("overlap_frac"),
-        (frac >= F.lit(severe_frac)).alias("severe"),
+    return (
+        corpus.select(F.col(id_col).alias("_id"), F.col(text_col))
+        .join(hit_side, "_id")
+        .select(
+            F.col("_id").alias(id_col),
+            F.size(grams).alias("n_grams"),
+            "n_shared",
+            "n_bench_docs",
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_shared",
+            "n_bench_docs",
+            frac.alias("overlap_frac"),
+            (frac >= F.lit(severe_frac)).alias("severe"),
+        )
     )
