@@ -20,7 +20,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .sample import shuffle_key
@@ -69,3 +69,61 @@ def fixed_batches(
             yield emit(pd.concat(buf, ignore_index=True), emitted)
 
     return df.mapInPandas(chunk, schema=out_schema)
+
+
+def pack_sequences(
+    df: DataFrame,
+    n_tokens_col,
+    window: int = 512,
+    id_col: str = "doc_id",
+    bucket_size: int = 100,
+) -> DataFrame:
+    """Concat-and-chunk context-window packing (the GPT-style training
+    layout): documents concatenate in ``id_col`` order into one token
+    stream chunked every ``window`` tokens; each document is assigned the
+    chunk containing its FIRST token. Returns one row per input row:
+    ``(id, n_tokens, start_offset, bin)``.
+
+    The global running offset is built TWO-PHASE exactly like
+    ``sample.weighted_multinomial_sample``: per-bucket subtotals (tiny,
+    one row per ``bucket_size`` ids) get prefix offsets through one
+    ordered window over #buckets rows, then within-bucket cumsums run
+    partition-parallel. No single-task global window ever sees the
+    corpus — the only corpus-wide exchange is the bucket hash join.
+    """
+    n = n_tokens_col.cast("long")
+    bucket = F.floor(F.col(id_col) / bucket_size).cast("long")
+    base = df.select(F.col(id_col), n.alias("_n"), bucket.alias("_bkt"))
+    offsets = (
+        base.groupBy("_bkt")
+        .agg(F.sum("_n").alias("_bn"))
+        .withColumn(
+            "_off",
+            F.sum("_bn").over(
+                Window.orderBy("_bkt").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+        )
+        .select("_bkt", F.coalesce("_off", F.lit(0)).alias("_off"))
+    )
+    return (
+        base.join(F.broadcast(offsets), "_bkt")
+        .withColumn(
+            "_cum",
+            F.col("_off")
+            + F.sum("_n").over(
+                Window.partitionBy("_bkt")
+                .orderBy(id_col)
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .select(
+            id_col,
+            F.col("_n").alias("n_tokens"),
+            (F.col("_cum") - F.col("_n")).alias("start_offset"),
+            F.floor((F.col("_cum") - F.col("_n")) / window)
+            .cast("long")
+            .alias("bin"),
+        )
+    )

@@ -668,6 +668,11 @@ _CHECK_FIRST: list[str] = [
     "label_centroids",
     # new in round 5 → never driver-checked → in-window:
     "ann_search",           # unified search() facade routed over IVF
+    "seq_packing",          # context-window packing profile (2-phase cumsum)
+    "vocab_filter",         # vocabulary-pruned corpus rewrite (md5-checked)
+    "retention_cohorts",    # weekly retention cohort matrix
+    "min_cost_order",       # Q2-shape correlated-min decorrelation
+    "dominant_suppliers",   # Q20-flavor nested-aggregate semi-join
 ]
 
 # r04-green entries rotated past the window THIS round only (every one has
@@ -718,6 +723,16 @@ _ROTATE_OUT: list[str] = [
     "zorder_keys",
     "embedding_stats",      # r04-green, untouched; sibling label_centroids
                             # re-verifies the quantized-sum machinery in-window
+    # r04-green entries whose registry behavior is unchanged in round 5
+    # (the dedup wrappers all pass cache_handles, so _opt_persist left
+    # their plans identical; knn_l2_topk additionally smoke-runs every
+    # round via entry(); ivf_topk's probe machinery is re-verified
+    # in-window by the new ann_search route):
+    "knn_l2_topk",
+    "ivf_topk",
+    "incremental_dedup",
+    "minhash_lsh_dedup",
+    "ngram_jaccard_dedup",
 ]
 
 

@@ -483,6 +483,44 @@ FROM exact e JOIN est s USING (user_id)
 """
 
 
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts — the product-analytics staple: users
+    cohorted by their first-activity week, then distinct-active-user
+    counts per (cohort_week, weeks-since-cohort) cell. Two keyed
+    shuffles, both map-side-partial: the per-user min(ts) aggregate, and
+    the (cohort, offset) distinct-user count — the join of activity back
+    to cohorts is keyed by the SAME user_id as the first aggregate, so
+    at scale the exchange reuses the user partitioning. Epoch-week
+    integer arithmetic is engine-portable."""
+    ev = load_table(spark, sf_dir, "events")
+    week = (F.floor(F.unix_timestamp(F.col("ts")) / 604800)).cast("long")
+    cohorts = ev.groupBy("user_id").agg(F.min(week).alias("cohort_week"))
+    activity = ev.select("user_id", week.alias("week")).distinct()
+    return (
+        activity.join(cohorts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).cast("int").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+ORACLE_RETENTION_COHORTS = """
+WITH w AS (
+  SELECT user_id, CAST(floor(epoch(ts) / 604800) AS BIGINT) AS week
+  FROM events
+),
+cohorts AS (SELECT user_id, min(week) AS cohort_week FROM w GROUP BY 1),
+activity AS (SELECT DISTINCT user_id, week FROM w)
+SELECT c.cohort_week,
+       CAST(a.week - c.cohort_week AS INT) AS week_offset,
+       count(DISTINCT a.user_id) AS n_users
+FROM activity a JOIN cohorts c USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 EVENT_QUERIES = {
     "tumbling_window": q_tumbling_window,
     "funnel_conversion": q_funnel_conversion,
@@ -495,6 +533,7 @@ EVENT_QUERIES = {
     "value_quantiles": q_value_quantiles,
     "interval_join": q_interval_join,
     "cms_heavy_hitters": q_cms_heavy_hitters,
+    "retention_cohorts": q_retention_cohorts,
 }
 
 EVENT_ORACLES = {
@@ -509,4 +548,5 @@ EVENT_ORACLES = {
     "value_quantiles": ORACLE_VALUE_QUANTILES,
     "interval_join": ORACLE_INTERVAL_JOIN,
     "cms_heavy_hitters": _oracle_cms(4, 64, 70),
+    "retention_cohorts": ORACLE_RETENTION_COHORTS,
 }

@@ -926,6 +926,108 @@ FROM lineitem WHERE l_orderkey < 100
 """
 
 
+def q_min_cost_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2-shape correlated-min decorrelation: for each part, the lineitem
+    achieving the minimum unit price (extendedprice / quantity). The
+    naive form is a correlated subquery re-running min() per outer row;
+    here it is ONE window rank per part — which Spark plans as the
+    two-phase WindowGroupLimit (per-map-partition top-1 before the
+    exchange, final after), so only one candidate row per (partition,
+    part) ever shuffles. Ties break deterministically by (orderkey,
+    linenumber). Unit price divides two doubles identically in both
+    engines; the output rounds for display only."""
+    li = load_table(spark, sf_dir, "lineitem")
+    unit = F.col("l_extendedprice") / F.col("l_quantity")
+    w = Window.partitionBy("l_partkey").orderBy(
+        unit.asc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_partkey",
+            F.col("l_orderkey").alias("cheapest_orderkey"),
+            F.col("l_suppkey").alias("cheapest_suppkey"),
+            F.round(unit, 6).alias("min_unit_price"),
+        )
+    )
+
+
+ORACLE_MIN_COST_ORDER = """
+SELECT l_partkey, l_orderkey AS cheapest_orderkey,
+       l_suppkey AS cheapest_suppkey,
+       round(l_extendedprice / l_quantity, 6) AS min_unit_price
+FROM (
+  SELECT *, row_number() OVER (
+           PARTITION BY l_partkey
+           ORDER BY l_extendedprice / l_quantity ASC,
+                    l_orderkey ASC, l_linenumber ASC) AS rn
+  FROM lineitem
+) WHERE rn = 1
+"""
+
+
+def q_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20-flavored nested-aggregate semi-join: suppliers shipping more
+    than 2× their fair share of some part (qty·n_suppliers > 2·total —
+    the single-source supply-risk screen, stable at any supplier fan-out
+    unlike an absolute share threshold), with how many parts each
+    dominates and the supplier's nation. Shape: one (part, supplier)
+    aggregate; per-part total and supplier count come from a window over
+    that ALREADY-AGGREGATED table (cardinality = part×supplier pairs,
+    not lineitems — the window exchange is keyed by part and
+    partition-parallel); the dominance filter then aggregates per
+    supplier and broadcast-joins the dim tables. Quantities sum as
+    decimal(12,2) and the comparison is decimal·bigint — integer-exact,
+    no float threshold ambiguity."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(F.sum(qty).alias("ps_qty"))
+    w = Window.partitionBy("l_partkey")
+    dom = (
+        ps.withColumn("p_total", F.sum("ps_qty").over(w))
+        .withColumn("n_supp", F.count("*").over(w))
+        .filter(F.col("ps_qty") * F.col("n_supp") > F.col("p_total") * 2)
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("n_parts_dominated"))
+    )
+    return (
+        dom.join(F.broadcast(sup), dom.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .select(
+            "s_suppkey", "s_name",
+            F.col("n_name").alias("nation"),
+            "n_parts_dominated",
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+ORACLE_DOMINANT_SUPPLIERS = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         sum(CAST(l_quantity AS DECIMAL(12,2))) AS ps_qty
+  FROM lineitem GROUP BY 1, 2
+),
+tot AS (
+  SELECT *, sum(ps_qty) OVER (PARTITION BY l_partkey) AS p_total,
+         count(*) OVER (PARTITION BY l_partkey) AS n_supp
+  FROM ps
+),
+dom AS (
+  SELECT l_suppkey, count(*) AS n_parts_dominated
+  FROM tot WHERE ps_qty * n_supp > p_total * 2 GROUP BY 1
+)
+SELECT s_suppkey, s_name, n_name AS nation, n_parts_dominated
+FROM dom
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+ORDER BY s_suppkey
+"""
+
+
 RELATIONAL_QUERIES = {
     "regional_volume": q_regional_volume,
     "part_profit": q_part_profit,
@@ -946,6 +1048,8 @@ RELATIONAL_QUERIES = {
     "zorder_keys": q_zorder_keys,
     "waiting_suppliers": q_waiting_suppliers,
     "idle_customers": q_idle_customers,
+    "min_cost_order": q_min_cost_order,
+    "dominant_suppliers": q_dominant_suppliers,
 }
 
 RELATIONAL_ORACLES = {
@@ -968,4 +1072,6 @@ RELATIONAL_ORACLES = {
     "zorder_keys": _oracle_zorder_keys(),
     "waiting_suppliers": ORACLE_WAITING_SUPPLIERS,
     "idle_customers": ORACLE_IDLE_CUSTOMERS,
+    "min_cost_order": ORACLE_MIN_COST_ORDER,
+    "dominant_suppliers": ORACLE_DOMINANT_SUPPLIERS,
 }

@@ -912,6 +912,123 @@ FROM ranked WHERE mix_rank <= quota
 """
 
 
+def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing profile: documents concatenate in doc_id
+    order into one token stream chunked every 512 tokens (the GPT-style
+    training layout); per chunk, how many documents start there and how
+    many tokens they contribute. The running offset is the TWO-PHASE
+    bucketed cumsum (`operators/batching.py::pack_sequences`) — bucket
+    subtotals through a #buckets-row window, within-bucket cumsums
+    partition-parallel; no global single-task window at any corpus size."""
+    from .operators.batching import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(tokens(F.col("text")))
+    packed = pack_sequences(docs, n_tok, window=512, id_col="doc_id")
+    return packed.groupBy("bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.min("start_offset").alias("first_offset"),
+    )
+
+
+ORACLE_SEQ_PACKING = f"""
+WITH t AS (
+  SELECT doc_id, CAST(len({_dk_toks()}) AS BIGINT) AS n FROM documents
+),
+c AS (
+  SELECT doc_id, n,
+         sum(n) OVER (ORDER BY doc_id
+                      ROWS UNBOUNDED PRECEDING) - n AS start_offset
+  FROM t
+)
+SELECT CAST(floor(start_offset / 512) AS BIGINT) AS bin,
+       count(*) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS n_tokens,
+       CAST(min(start_offset) AS BIGINT) AS first_offset
+FROM c GROUP BY 1
+"""
+
+
+def q_vocab_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-pruned corpus rewrite — the classic preprocessing pass:
+    drop tokens that are near-stopwords (document frequency > 50% of the
+    corpus) or too rare (df < 3 docs), keep every survivor in original
+    position order, and fingerprint the cleaned text with md5 so the
+    rewrite is value-checked, not just counted.
+
+    Scale shape: df counts aggregate over DISTINCT (doc, token) pairs
+    (map-side partial); the kept-vocabulary table is tiny (vocab-sized)
+    and broadcasts into the positional token join; reassembly is ONE
+    shuffle keyed by doc_id with the order carried by the position
+    column. No UDFs anywhere — sort_array over (pos, token) structs
+    restores order inside the aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
+    )
+    n_docs_df = docs.agg(F.count("*").alias("_nd"))
+    vocab = (
+        toks.select("doc_id", "tok")
+        .distinct()
+        .groupBy("tok")
+        .agg(F.count("*").alias("df"))
+        .join(F.broadcast(n_docs_df))
+        .filter((F.col("df") >= 3) & (F.col("df") * 2 <= F.col("_nd")))
+        .select("tok")
+    )
+    kept = toks.join(F.broadcast(vocab), "tok")
+    assembled = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            )
+        ).alias("kept_hash"),
+    )
+    sizes = docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).alias("n_tokens")
+    )
+    return sizes.join(assembled, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce("kept_hash", F.md5(F.lit(""))).alias("kept_hash"),
+    )
+
+
+ORACLE_VOCAB_FILTER = f"""
+WITH t AS (SELECT doc_id, {_dk_toks()} AS toks FROM documents),
+fan AS (
+  SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos, toks
+  FROM t
+),
+tok AS (SELECT doc_id, pos, toks[pos] AS tok FROM fan),
+df AS (
+  SELECT tok, count(*) AS df
+  FROM (SELECT DISTINCT doc_id, tok FROM tok) GROUP BY tok
+),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+vocab AS (
+  SELECT tok FROM df, nd WHERE df >= 3 AND df * 2 <= n_docs
+),
+kept AS (
+  SELECT k.doc_id, count(*) AS n_kept,
+         md5(string_agg(k.tok, ' ' ORDER BY k.pos)) AS kept_hash
+  FROM tok k JOIN vocab v USING (tok)
+  GROUP BY k.doc_id
+)
+SELECT t.doc_id, CAST(len(t.toks) AS INT) AS n_tokens,
+       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+       coalesce(k.kept_hash, md5('')) AS kept_hash
+FROM t LEFT JOIN kept k USING (doc_id)
+"""
+
+
 TEXT_QUERIES = {
     "token_stats": q_token_stats,
     "top_terms": q_top_terms,
@@ -937,6 +1054,8 @@ TEXT_QUERIES = {
     "passage_dedup": q_passage_dedup,
     "incremental_dedup": q_incremental_dedup,
     "mixture_sample": q_mixture_sample,
+    "seq_packing": q_seq_packing,
+    "vocab_filter": q_vocab_filter,
 }
 
 TEXT_ORACLES = {
@@ -964,4 +1083,6 @@ TEXT_ORACLES = {
     "passage_dedup": ORACLE_PASSAGE_DEDUP,
     "incremental_dedup": _oracle_incremental_dedup(0.5),
     "mixture_sample": ORACLE_MIXTURE_SAMPLE,
+    "seq_packing": ORACLE_SEQ_PACKING,
+    "vocab_filter": ORACLE_VOCAB_FILTER,
 }
