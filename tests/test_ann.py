@@ -369,3 +369,19 @@ def test_search_facade_rejects_bad_args(emb):
         search(emb, [0.0] * 64, index="hnsw")
     with pytest.raises(ValueError, match="L2-metric"):
         search(emb, [0.0] * 64, index="ivf", metric="cosine")
+
+
+def test_search_facade_pq_rerank_converges_to_exact(emb, emb_np):
+    """With a large enough ADC overfetch the PQ rerank tier must return
+    EXACTLY the flat answer (the shortlist certainly contains the true
+    top-k, and the re-rank scores with full floats)."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.search import search
+
+    ids, mat = emb_np
+    qvec = [float(x) for x in mat[ids.tolist().index(0)]]
+    flat = [(r.vec_id, round(r.dist, 6))
+            for r in search(emb, qvec, k=5, index="flat", exclude_id=0).collect()]
+    pq = [(r.vec_id, round(r.dist, 6))
+          for r in search(emb, qvec, k=5, index="pq", rerank=100,
+                          exclude_id=0).collect()]
+    assert pq == flat

@@ -174,3 +174,68 @@ def test_resize_nearest_identity_and_corners(w, h, seed):
     assert up.shape == (h * 3, w * 3, 3)
     assert np.array_equal(up[0, 0], arr[0, 0])  # top-left preserved
     assert np.array_equal(up[-1, -1], arr[-1, -1])  # bottom-right preserved
+
+
+def test_vocab_filter_reconstruction_round_trips(spark):
+    """The kept_hash really is the fingerprint of a reconstructable
+    document: materializing the pruned corpus (kept tokens in position
+    order) and re-tokenizing it reproduces exactly the reported per-doc
+    counts and md5 — i.e. the query's fingerprint pins a concrete
+    rewritten text, not an artifact of aggregation order."""
+    import __spark_entry__ as entrymod
+    from .conftest import SF_SMOKE
+
+    first = entrymod.queries()["vocab_filter"](spark, SF_SMOKE)
+    kept1 = {r.doc_id: (r.n_kept, r.kept_hash) for r in first.collect()}
+
+    # reconstruct the pruned corpus, then re-run the same pipeline on it
+    from pyspark.sql import functions as F
+    from the_build_project_image_retrieval_with_vector_databases_spark.functions.text import (
+        tokens,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    toks = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
+    )
+    nd = docs.agg(F.count("*").alias("_nd"))
+    vocab = (
+        toks.select("doc_id", "tok").distinct().groupBy("tok")
+        .agg(F.count("*").alias("df"))
+        .join(F.broadcast(nd))
+        .filter((F.col("df") >= 3) & (F.col("df") * 2 <= F.col("_nd")))
+        .select("tok")
+    )
+    pruned = (
+        toks.join(F.broadcast(vocab), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            ).alias("text")
+        )
+    )
+    toks2 = pruned.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
+    )
+    kept2 = {
+        r.doc_id: (r.n_kept, r.kept_hash)
+        for r in toks2.groupBy("doc_id").agg(
+            F.count("*").alias("n_kept"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                        lambda s: s["tok"],
+                    ),
+                )
+            ).alias("kept_hash"),
+        ).collect()
+    }
+    nonempty1 = {k: v for k, v in kept1.items() if v[0] > 0}
+    assert nonempty1 == kept2
