@@ -65,6 +65,8 @@ def _canon_cell(v):
         if math.isnan(f):
             return "<NULL>"
         return ("f", repr(f))
+    if v is pd.NaT:
+        return "<NULL>"
     if isinstance(v, pd.Timestamp):
         if v.time() == datetime.time(0, 0):
             return ("d", v.date().isoformat())
@@ -129,7 +131,7 @@ def compare(spark_df, oracle_sql: str, sf_dir: str, name: str = "?"):
     try:
         _, s_rows = _canon_frame(s_pdf, name, "spark")
         o_names, o_rows = _canon_frame(o_pdf, name, "oracle")
-    except TypeError as e:
+    except (TypeError, ValueError) as e:
         return False, f"{name}: driver-canonicalization failure: {e}"
 
     bad = []

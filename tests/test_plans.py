@@ -283,8 +283,10 @@ def test_decontaminate_broadcasts_benchmark_grams(spark):
     the join — the only hash exchange is the per-doc hit aggregate."""
     df = entrymod.queries()["decontaminate"](spark, SF_SMOKE)
     plan = _physical(df)
-    assert plan.count("BroadcastHashJoin") >= 2  # bench grams AND hit-ids
+    assert "BroadcastHashJoin" in plan  # bench grams always broadcast
     assert "CartesianProduct" not in plan
+    # the hit-ids join deliberately carries NO broadcast hint — its size
+    # tracks contamination rate, so AQE decides from runtime stats
     # round-5 profiled contract: the gram-count projection must NOT fold
     # size(grams) into the explode projection (codegen blowup, ~13x) —
     # the n_grams size() runs on the hit-doc join output, so exactly two

@@ -76,7 +76,7 @@ def pack_sequences(
     n_tokens_col,
     window: int = 512,
     id_col: str = "doc_id",
-    bucket_size: int = 100,
+    bucket_size: int = 10_000,
 ) -> DataFrame:
     """Concat-and-chunk context-window packing (the GPT-style training
     layout): documents concatenate in ``id_col`` order into one token
@@ -85,11 +85,16 @@ def pack_sequences(
     ``(id, n_tokens, start_offset, bin)``.
 
     The global running offset is built TWO-PHASE exactly like
-    ``sample.weighted_multinomial_sample``: per-bucket subtotals (tiny,
-    one row per ``bucket_size`` ids) get prefix offsets through one
-    ordered window over #buckets rows, then within-bucket cumsums run
+    ``sample.weighted_multinomial_sample``: per-bucket subtotals (one
+    row per ``bucket_size`` ids) get prefix offsets through one ordered
+    window over #buckets rows, then within-bucket cumsums run
     partition-parallel. No single-task global window ever sees the
     corpus — the only corpus-wide exchange is the bucket hash join.
+
+    ``bucket_size`` sets the phase-1 table to N/bucket_size rows — that
+    table IS broadcast and prefix-summed in one task, so size it ~√N:
+    the 10k default keeps it ≤100k rows up to a 10⁹-doc corpus. Results
+    are invariant to the choice (bucketing only restructures the sum).
     """
     n = n_tokens_col.cast("long")
     bucket = F.floor(F.col(id_col) / bucket_size).cast("long")

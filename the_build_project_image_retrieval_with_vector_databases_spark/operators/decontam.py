@@ -81,21 +81,23 @@ def ngram_overlap(
         .filter(F.col("n_shared") >= min_hits)
     )
     # Per-doc gram counts are needed ONLY for flagged docs (contamination
-    # is rare by construction — benchmark ≪ corpus), so join the small
-    # hit set back to the corpus FIRST and tokenize just the survivors:
-    # the second shingle evaluation touches hit docs, not the corpus.
+    # is rare by construction — benchmark ≪ corpus), so join the hit set
+    # back to the corpus FIRST and tokenize just the survivors: the
+    # second shingle evaluation touches hit docs, not the corpus.
     # Round-4 scale-proof follow-up — the old shape ran a second
     # corpus-wide tokenize pass and shuffled an N-row sizes table.
-    # With broadcast_bench=False (huge benchmark ⇒ possibly huge hit
-    # set) fall back to a shuffle equi-join on the id instead.
+    # The hit-set side is NOT broadcast-hinted: its size tracks the
+    # CONTAMINATION RATE, not the benchmark size (a tiny benchmark
+    # leaked corpus-wide yields corpus-sized hits), so the runtime
+    # decision belongs to AQE — it broadcasts small hit sets from actual
+    # stats and falls back to a shuffled hash join when they are not.
     grams = token_shingles(tokens(F.col(text_col)), n=n)
-    hit_side = F.broadcast(hits) if broadcast_bench else hits
     frac: Column = F.round(
         F.col("n_shared").cast("double") / F.col("n_grams").cast("double"), 6
     )
     return (
         corpus.select(F.col(id_col).alias("_id"), F.col(text_col))
-        .join(hit_side, "_id")
+        .join(hits, "_id")
         .select(
             F.col("_id").alias(id_col),
             F.size(grams).alias("n_grams"),

@@ -78,6 +78,7 @@ def search(
     nprobe: int = 4,
     m: int = 8,
     rerank: int = 0,
+    reuse_codes: bool = False,
     exclude_id=None,
 ) -> DataFrame:
     """Top-k search over ``corpus`` for one query vector via the chosen
@@ -93,6 +94,15 @@ def search(
     ``train_vectors`` supplies the quantizer training set (IVF
     centroids / PQ codebook source / SQ calibration); omit it to train
     on the lowest-``n_train`` ids deterministically.
+
+    ``reuse_codes=True`` lets the pq/sq tiers score pre-existing
+    ``code_*``/``sq_codes`` columns instead of re-encoding in-plan.
+    Codes are only meaningful against the codebooks/bounds that produced
+    them, and that provenance is unverifiable from the DataFrame — so
+    reuse is an explicit caller assertion, never inferred from column
+    presence (looking a foreign code up in this call's LUT would return
+    confidently wrong neighbors). The default re-encode is a cheap
+    codegen'd projection fused into the scan.
     """
     if index not in INDEX_KINDS:
         raise ValueError(f"unknown index {index!r}; one of {INDEX_KINDS}")
@@ -127,7 +137,7 @@ def search(
     if index == "pq":
         codebooks = slice_codebooks(train_vectors, m)
         encoded = out
-        if f"code_{m - 1}" not in encoded.columns:
+        if not (reuse_codes and f"code_{m - 1}" in encoded.columns):
             encoded = pq_encode(encoded, codebooks, vec_col)
         if rerank > 0:
             from .operators.pq import pq_adc_rerank_topk
@@ -143,7 +153,7 @@ def search(
     # index == "sq"
     bounds = sq_train_bounds(train_vectors)
     encoded = out
-    if "sq_codes" not in encoded.columns:
+    if not (reuse_codes and "sq_codes" in encoded.columns):
         encoded = sq_encode(encoded, bounds, vec_col)
     return (
         encoded.withColumn("dist", sq_dist_sq(bounds, q))
