@@ -1,0 +1,98 @@
+"""Round-5 staged operators (registry entries planned for the next
+rotation window): time-series gap-fill resample and matryoshka
+dimension truncation."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from the_build_project_image_retrieval_with_vector_databases_spark.functions.vector import (
+    truncate_renormalize,
+)
+from the_build_project_image_retrieval_with_vector_databases_spark.operators.windows import (
+    gap_fill,
+)
+from .conftest import SF_SMOKE
+
+
+def test_gap_fill_matches_python_reference(spark):
+    """Grid completeness + forward-fill semantics against a single-threaded
+    reference over the real events fixture."""
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    step = 3600  # hourly grid keeps the expansion reviewable
+    got = {
+        (r.user_id, r.slot): (r.value, r.observed)
+        for r in gap_fill(ev, step_s=step).collect()
+    }
+
+    rows = ev.select("user_id", F.unix_timestamp("ts").alias("ep"), "value").collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append((r.ep, r.value))
+    expect_n = 0
+    for uid, obs in by_user.items():
+        slots: dict = {}
+        for ep, v in sorted(obs):
+            s = (ep // step) * step
+            # same tie rule as the operator: latest ep, then largest value
+            cur = slots.get(s)
+            cand = (ep, v)
+            if cur is None or cand > cur:
+                slots[s] = cand
+        lo, hi = min(slots), max(slots)
+        last = None
+        for s in range(lo, hi + step, step):
+            expect_n += 1
+            if s in slots:
+                last = slots[s][1]
+                assert got[(uid, s)] == (last, True), (uid, s)
+            else:
+                assert got[(uid, s)] == (last, False), (uid, s)
+            assert got[(uid, s)][0] is not None, "fill must be total"
+    assert len(got) == expect_n, "grid must be exactly min..max per key"
+
+
+def test_truncate_renormalize_recall_and_norm(spark):
+    """Truncated-and-renormalized vectors are unit-norm and bit-agree
+    with the numpy reference. The recall check is a NEGATIVE control:
+    the fixture's vectors are random (not matryoshka-trained), so
+    half-dimension ranking is distance-concentration noise and recall@10
+    collapses — exactly why the operator's docstring restricts the knob
+    to front-loaded (MRL) embeddings. A future MRL-shaped fixture flips
+    this into a positive recall bound."""
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    half = emb.select(
+        "vec_id", truncate_renormalize("embedding", 32).alias("t")
+    )
+    norms = half.select(
+        F.sqrt(F.aggregate("t", F.lit(0.0), lambda a, x: a + x * x)).alias("n")
+    ).collect()
+    assert all(abs(r.n - 1.0) < 1e-9 for r in norms)
+
+    rows = sorted(emb.collect(), key=lambda r: r.vec_id)
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    ids = np.array([r.vec_id for r in rows])
+    q = 0
+
+    def topk(m, k=10):
+        d = ((m - m[q]) ** 2).sum(axis=1)
+        d[q] = np.inf
+        return set(ids[np.argsort(d, kind="stable")[:k]])
+
+    full = topk(mat)
+    t = mat[:, :32]
+    t = t / np.linalg.norm(t, axis=1, keepdims=True)
+    trunc = topk(t)
+    # spark-side truncation must agree with the numpy reference exactly
+    got = {r.vec_id: np.array(r.t) for r in half.collect()}
+    for i, vid in enumerate(ids[:20]):
+        assert np.allclose(got[vid], t[i], atol=1e-9)
+    # negative control: random vectors concentrate distances, so the
+    # half-space ranking shares (almost) nothing with the full ranking —
+    # deterministic on the fixed fixture
+    overlap = len(full & trunc)
+    assert overlap <= 3, (
+        f"unexpected recall {overlap}/10 from random vectors — "
+        "fixture no longer random?"
+    )

@@ -78,3 +78,21 @@ def cosine_sim(a: Column | str, b: Column | str) -> Column:
     """
     denom = l2_norm(a) * l2_norm(b)
     return dot(a, b) / F.greatest(denom, F.lit(1e-12))
+
+
+def truncate_renormalize(v: Column | str, dims: int) -> Column:
+    """Matryoshka-style dimension truncation: keep the first ``dims``
+    components and L2-renormalize. ONLY meaningful on embeddings trained
+    front-loaded (matryoshka representation learning) — on ordinary
+    embeddings the truncated ranking is distance-concentration noise
+    (pinned as a negative control in tests). On MRL embeddings it trades
+    bounded recall for a dims/D cut in scan bytes and FLOPs — the
+    cheapest ANN speed knob of all, applied BEFORE any index tier.
+    Pure expression (slice + the same fold as :func:`l2_normalize`), so
+    it composes with every search plan and stays codegen'd.
+
+    Staged round 5 (pytest recall property); a registry query is planned
+    for the next rotation window.
+    """
+    t = F.slice(to_double_array(v), 1, dims)
+    return l2_normalize(t)

@@ -160,3 +160,69 @@ def interval_join(
         & (F.col("_r_ep") <= F.col("_l_ep") + within_s)
     )
     return joined.drop("_b")
+
+
+def gap_fill(
+    events: DataFrame,
+    step_s: int = 60,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Regular-grid resample with forward fill — the time-series staple:
+    for every key, one row per ``step_s``-second slot between the key's
+    first and last observation, carrying the most recent observed value
+    (``last(..., ignorenulls)`` over the per-key timeline).
+
+    Scale shape: the per-key (min, max) aggregate is one map-side-partial
+    shuffle; ``sequence()`` explodes the grid key-locally (rows bounded
+    by horizon/step per key, never a cross join); the observation join
+    and the forward-fill window are both keyed by ``key_col`` — one
+    partitioning serves join AND window. Slots before a key's first
+    observation cannot exist by construction (the grid starts at the
+    key's min), so the fill is total.
+
+    Staged round 5 (pytest-verified); registry entry + DuckDB oracle
+    (generate_series + window) planned for the next rotation window.
+    """
+    ep = F.unix_timestamp(F.col(ts_col)).cast("long")
+    slot = (F.floor(ep / step_s) * step_s).cast("long")
+    span = events.groupBy(key_col).agg(
+        F.min(slot).alias("_lo"), F.max(slot).alias("_hi")
+    )
+    grid = span.select(
+        key_col,
+        F.explode(
+            F.sequence(F.col("_lo"), F.col("_hi"), F.lit(step_s))
+        ).alias("slot"),
+    )
+    # last observation per (key, slot): ties inside a slot resolve to the
+    # latest timestamp (then largest value for full determinism)
+    obs = (
+        events.select(
+            F.col(key_col),
+            slot.alias("slot"),
+            ep.alias("_ep"),
+            F.col(value_col).alias("_v"),
+        )
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(key_col, "slot").orderBy(
+                    F.col("_ep").desc(), F.col("_v").desc()
+                )
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .select(key_col, "slot", F.col("_v").alias("_obs"))
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("slot")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(obs, [key_col, "slot"], "left")
+        .withColumn("value", F.last("_obs", ignorenulls=True).over(w))
+        .select(key_col, "slot", "value", F.col("_obs").isNotNull().alias("observed"))
+    )
