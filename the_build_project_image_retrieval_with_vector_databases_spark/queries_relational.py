@@ -935,7 +935,11 @@ def q_min_cost_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange, final after), so only one candidate row per (partition,
     part) ever shuffles. Ties break deterministically by (orderkey,
     linenumber). Unit price divides two doubles identically in both
-    engines; the output rounds for display only."""
+    engines and is emitted RAW: it is a single IEEE division (not an
+    accumulated sum), so the doubles are bit-identical cross-engine,
+    while rounding would re-introduce divergence on exact .5 ties
+    (Spark rounds half-up, DuckDB half-even — caught by the sf0.1
+    parity sweep on 4 parts with unit prices like 133.7415625)."""
     li = load_table(spark, sf_dir, "lineitem")
     unit = F.col("l_extendedprice") / F.col("l_quantity")
     w = Window.partitionBy("l_partkey").orderBy(
@@ -948,7 +952,7 @@ def q_min_cost_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_partkey",
             F.col("l_orderkey").alias("cheapest_orderkey"),
             F.col("l_suppkey").alias("cheapest_suppkey"),
-            F.round(unit, 6).alias("min_unit_price"),
+            unit.alias("min_unit_price"),
         )
     )
 
@@ -956,7 +960,7 @@ def q_min_cost_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_MIN_COST_ORDER = """
 SELECT l_partkey, l_orderkey AS cheapest_orderkey,
        l_suppkey AS cheapest_suppkey,
-       round(l_extendedprice / l_quantity, 6) AS min_unit_price
+       l_extendedprice / l_quantity AS min_unit_price
 FROM (
   SELECT *, row_number() OVER (
            PARTITION BY l_partkey
