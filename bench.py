@@ -1,10 +1,25 @@
 #!/usr/bin/env python
 """Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
-local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
-{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+local[$SPARK_GRAFT_CPUS].
 
 Each query is fully materialized through the noop sink (no driver
 collect skew); a warmup pass loads file footers + JIT before timing.
+
+Output contract (round-6 fix for the BENCH_r05 truncation): the driver
+captures only the LAST ~2000 chars of stdout, and a single JSON line
+with all 96+ per-query timings is ~2.4 KB — it can never fit. So:
+
+1. each query prints its own one-line JSON record as it finishes
+   (progress + partial evidence in any captured window);
+2. the COMPLETE result set is written to ``BENCH_FULL.json`` at the
+   repo root (the durable artifact — the driver's end-of-round commit
+   picks it up);
+3. the final stdout line is the driver-contract summary
+   ``{"metric", "value", "unit", "queries", "sf", ...}`` kept under
+   1900 bytes by listing the SLOWEST queries first and truncating the
+   tail of fast ones (every omitted query is <= the smallest listed
+   time; ``queries_omitted`` counts them, ``full`` points at the
+   complete artifact).
 """
 
 from __future__ import annotations
@@ -62,19 +77,48 @@ def main() -> None:
     for name in BENCH_QUERIES:
         fn = Q.QUERIES[name]
         times[name] = round(timed_best_of(spark, lambda: fn(spark, SF_DIR)), 3)
+        # deliberately NOT a JSON line: the driver must only ever parse
+        # the final summary line, never a per-query progress record
+        print(f"# bench {name} = {times[name]}s", flush=True)
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "sum_query_seconds_sf" + str(sf),
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-            }
-        )
-    )
+    full = {
+        "metric": "sum_query_seconds_sf" + str(sf),
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "n_queries": len(times),
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_FULL.json"), "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+
+    # Final line: slowest-first, hard-capped under the driver's ~2000-char
+    # stdout tail so it always parses whole.
+    budget = 1900
+    slowest = sorted(times, key=lambda n: (-times[n], n))
+    summary = {
+        "metric": full["metric"],
+        "value": total,
+        "unit": "sec",
+        "queries": {},
+        "sf": sf,
+        "n_queries": len(times),
+        "queries_omitted": len(times),
+        "full": "BENCH_FULL.json",
+    }
+    line = ""
+    for i, name in enumerate(slowest):
+        summary["queries"][name] = times[name]
+        summary["queries_omitted"] = len(times) - i - 1
+        candidate = json.dumps(summary, separators=(",", ":"))
+        if len(candidate) > budget:
+            del summary["queries"][name]
+            summary["queries_omitted"] = len(times) - i
+            break
+        line = candidate
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

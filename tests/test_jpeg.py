@@ -1,0 +1,309 @@
+"""Baseline-JPEG decoder (sources/images._parse_jpeg) — block-exact
+verification against an INDEPENDENT textbook reconstruction.
+
+A JPEG decode is only "pixel-exact" relative to a pinned arithmetic
+spec (libjpeg's integer IDCT, PIL's fancy upsampling etc. each differ
+by ±1 LSB); the decoder pins float64 IDCT → round-half-even → clip,
+sample-replication upsampling, CCIR-601 color matrix. This module
+encodes images with its OWN minimal encoder (custom canonical Huffman
+tables, byte stuffing, restart markers), keeps the true quantized
+coefficients, reconstructs the expected pixels via the DIRECT O(n⁴)
+IDCT formula (a different evaluation than the decoder's separable
+matrix product), and requires exact uint8 equality — so Huffman
+decode, predictors, zigzag, dequant, restart handling, upsampling and
+color transform are all verified end-to-end.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from the_build_project_image_retrieval_with_vector_databases_spark.sources.images import (
+    _ZIGZAG,
+    _parse_jpeg,
+    decode_pixels,
+)
+
+# --- minimal encoder ------------------------------------------------------
+
+QT_LUMA = np.array(
+    [16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+     14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+     18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+     49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99],
+    dtype=np.int32,
+)  # Annex K.1 luminance table, in natural (row-major) order
+QT_CHROMA = np.full(64, 24, dtype=np.int32)
+
+# one shared canonical Huffman shape: every symbol gets an 8-bit code
+DC_SYMBOLS = list(range(12))
+AC_SYMBOLS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+
+
+def _huff_codes(symbols):
+    return {sym: (8, i) for i, sym in enumerate(symbols)}
+
+
+DC_CODES = _huff_codes(DC_SYMBOLS)
+AC_CODES = _huff_codes(AC_SYMBOLS)
+
+
+def _dht_segment(tc, th, symbols):
+    counts = [0] * 16
+    counts[7] = len(symbols)
+    return bytes([(tc << 4) | th] + counts + symbols)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value, nbits):
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def flush(self):
+        if self.n:
+            self.write((1 << (8 - self.n)) - 1, 8 - self.n)  # pad with 1s
+
+
+def _fwd_basis():
+    u, x = np.meshgrid(np.arange(8), np.arange(8), indexing="ij")
+    m = np.cos((2 * x + 1) * u * np.pi / 16.0) / 2.0
+    m[0, :] /= np.sqrt(2.0)
+    return m
+
+
+def _size_cat(v):
+    return 0 if v == 0 else int(abs(v)).bit_length()
+
+
+def _emit_coef(bw, codes, sym, v, s):
+    length, code = codes[sym]
+    bw.write(code, length)
+    if s:
+        bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+
+
+def encode_jpeg(rgb, subsample=False, restart_interval=0):
+    """Encode uint8 RGB (h, w, 3) as baseline JFIF JPEG.
+
+    Returns (jpeg_bytes, coef_planes) where coef_planes[ci] is the
+    integer quantized-coefficient array of shape (blocks_y, blocks_x,
+    64) in ZIGZAG order — the ground truth the decoder must invert.
+    """
+    h, w = rgb.shape[:2]
+    r = rgb[:, :, 0].astype(np.float64)
+    g = rgb[:, :, 1].astype(np.float64)
+    b = rgb[:, :, 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+
+    if subsample:  # 4:2:0 — box-mean chroma over 2×2 (pad to even first)
+        ph, pw = (h + 1) // 2 * 2, (w + 1) // 2 * 2
+        sampling = [(2, 2), (1, 1), (1, 1)]
+
+        def down(p):
+            q = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+            return (q[0::2, 0::2] + q[0::2, 1::2] + q[1::2, 0::2] + q[1::2, 1::2]) / 4.0
+
+        planes = [y, down(cb), down(cr)]
+    else:
+        sampling = [(1, 1), (1, 1), (1, 1)]
+        planes = [y, cb, cr]
+
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    fwd = _fwd_basis()
+    qts = [QT_LUMA, QT_CHROMA, QT_CHROMA]
+    coef_planes = []
+    for ci, (hi, vi) in enumerate(sampling):
+        p = planes[ci]
+        bh, bw_ = mcuy * vi * 8, mcux * hi * 8
+        padded = np.pad(
+            p, ((0, bh - p.shape[0]), (0, bw_ - p.shape[1])), mode="edge"
+        )
+        nby, nbx = bh // 8, bw_ // 8
+        coefs = np.zeros((nby, nbx, 64), dtype=np.int64)
+        qnat = qts[ci].reshape(8, 8)  # tables are stored natural-order here
+        for byi in range(nby):
+            for bxi in range(nbx):
+                blk = padded[byi * 8 : byi * 8 + 8, bxi * 8 : bxi * 8 + 8] - 128.0
+                fc = fwd @ blk @ fwd.T
+                qc = np.round(fc / qnat).astype(np.int64)
+                coefs[byi, bxi] = qc.flatten()[_ZIGZAG]  # natural → zigzag
+        coef_planes.append(coefs)
+
+    # entropy-code the MCU stream
+    bw = _BitWriter()
+    preds = [0, 0, 0]
+    mcu_count = 0
+    segments = [bytes(bw.out)]
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                bw.flush()
+                segments.append(bytes(bw.out))
+                bw = _BitWriter()
+                preds = [0, 0, 0]
+            mcu_count += 1
+            for ci, (hi, vi) in enumerate(sampling):
+                for by in range(vi):
+                    for bx in range(hi):
+                        zz = coef_planes[ci][my * vi + by, mx * hi + bx]
+                        diff = int(zz[0]) - preds[ci]
+                        preds[ci] = int(zz[0])
+                        s = _size_cat(diff)
+                        _emit_coef(bw, DC_CODES, s, diff, s)
+                        run = 0
+                        last = 63
+                        while last > 0 and zz[last] == 0:
+                            last -= 1
+                        for k in range(1, last + 1):
+                            v = int(zz[k])
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                _emit_coef(bw, AC_CODES, 0xF0, 0, 0)
+                                run -= 16
+                            s = _size_cat(v)
+                            _emit_coef(bw, AC_CODES, (run << 4) | s, v, s)
+                            run = 0
+                        if last < 63:
+                            _emit_coef(bw, AC_CODES, 0x00, 0, 0)
+    bw.flush()
+    segments.append(bytes(bw.out))
+    chunks = segments[1:]  # segments[0] is the empty pre-scan capture
+    entropy = b""
+    for i, chunk in enumerate(chunks):
+        entropy += chunk
+        if i < len(chunks) - 1:
+            entropy += b"\xff" + bytes([0xD0 + i % 8])
+
+    def seg(marker, body):
+        return b"\xff" + bytes([marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    out = b"\xff\xd8"
+    out += seg(0xDB, bytes([0x00]) + bytes(QT_LUMA[_ZIGZAG].tolist()))
+    out += seg(0xDB, bytes([0x01]) + bytes(QT_CHROMA[_ZIGZAG].tolist()))
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([3])
+    for ci, (hi, vi) in enumerate(sampling):
+        sof += bytes([ci + 1, (hi << 4) | vi, 0 if ci == 0 else 1])
+    out += seg(0xC0, sof)
+    out += seg(0xC4, _dht_segment(0, 0, DC_SYMBOLS))
+    out += seg(0xC4, _dht_segment(1, 0, AC_SYMBOLS))
+    if restart_interval:
+        out += seg(0xDD, restart_interval.to_bytes(2, "big"))
+    sos = bytes([3]) + b"".join(bytes([ci + 1, 0x00]) for ci in range(3))
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += entropy
+    out += b"\xff\xd9"
+    return out, coef_planes, sampling
+
+
+# --- independent reference reconstruction ---------------------------------
+
+_COS = np.cos((2 * np.arange(8)[:, None] + 1) * np.arange(8)[None, :] * np.pi / 16.0)
+_CU = np.array([1.0 / np.sqrt(2.0)] + [1.0] * 7)
+
+
+def _reconstruct(coef_planes, sampling, h, w):
+    qts = [QT_LUMA, QT_CHROMA, QT_CHROMA]
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    outs = []
+    for ci, (hi, vi) in enumerate(sampling):
+        nby, nbx, _ = coef_planes[ci].shape
+        plane = np.zeros((nby * 8, nbx * 8))
+        qzz = qts[ci][_ZIGZAG]  # natural-order table → zigzag order
+        for byi in range(nby):
+            for bxi in range(nbx):
+                dq = coef_planes[ci][byi, bxi].astype(np.float64) * qzz
+                nat = np.zeros(64)
+                nat[_ZIGZAG] = dq
+                F = nat.reshape(8, 8)
+                blk = 0.25 * np.einsum("u,v,uv,xu,yv->xy", _CU, _CU, F, _COS, _COS)
+                plane[byi * 8 : byi * 8 + 8, bxi * 8 : bxi * 8 + 8] = blk
+        plane = np.repeat(np.repeat(plane, vmax // vi, axis=0), hmax // hi, axis=1)
+        outs.append(plane[:h, :w] + 128.0)
+    y, cb, cr = outs[0], outs[1] - 128.0, outs[2] - 128.0
+    rgb = np.stack(
+        [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
+        axis=2,
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# --- tests ----------------------------------------------------------------
+
+
+def _roundtrip(rgb, **kw):
+    jpeg, coefs, sampling = encode_jpeg(rgb, **kw)
+    got = _parse_jpeg(jpeg)
+    want = _reconstruct(coefs, sampling, rgb.shape[0], rgb.shape[1])
+    assert got.shape == want.shape == rgb.shape
+    assert np.array_equal(got, want), (
+        f"decoder disagrees with direct-IDCT reference: "
+        f"maxdiff={np.abs(got.astype(int) - want.astype(int)).max()}"
+    )
+    return got
+
+
+def test_solid_color_dc_only():
+    rgb = np.zeros((16, 8, 3), dtype=np.uint8)
+    rgb[:, :, 0] = 200
+    rgb[:, :, 1] = 100
+    rgb[:, :, 2] = 50
+    got = _roundtrip(rgb)
+    # solid input → every block is DC-only; the decode must be one flat
+    # color within quantization error of the original
+    assert np.all(got == got[0, 0]), "solid image must decode flat"
+    assert np.abs(got[0, 0].astype(int) - [200, 100, 50]).max() <= 12
+
+
+def test_noise_444_odd_dims():
+    rng = np.random.RandomState(7)
+    rgb = rng.randint(0, 256, (17, 24, 3), dtype=np.uint8)
+    _roundtrip(rgb)
+
+
+def test_noise_420_subsampled():
+    rng = np.random.RandomState(11)
+    rgb = rng.randint(0, 256, (24, 33, 3), dtype=np.uint8)
+    _roundtrip(rgb, subsample=True)
+
+
+def test_gradient_with_restart_markers():
+    gx = np.tile(np.arange(40, dtype=np.uint8) * 6, (32, 1))
+    rgb = np.stack([gx, gx[:, ::-1], gx // 2], axis=2)
+    _roundtrip(rgb, restart_interval=2)
+
+
+def test_dispatch_and_errors():
+    rgb = np.full((8, 8, 3), 77, dtype=np.uint8)
+    jpeg, _, _ = encode_jpeg(rgb)
+    assert decode_pixels(jpeg).shape == (8, 8, 3)
+    with pytest.raises(ValueError, match="progressive"):
+        bad = jpeg.replace(b"\xff\xc0", b"\xff\xc2", 1)
+        _parse_jpeg(bad)
+    with pytest.raises(ValueError):
+        _parse_jpeg(jpeg[:40])  # truncated mid-header
+    with pytest.raises(ValueError):
+        _parse_jpeg(b"\x00\x01not a jpeg")

@@ -92,9 +92,9 @@ def ngram_overlap(
     # decision belongs to AQE — it broadcasts small hit sets from actual
     # stats and falls back to a shuffled hash join when they are not.
     grams = token_shingles(tokens(F.col(text_col)), n=n)
-    frac: Column = F.round(
-        F.col("n_shared").cast("double") / F.col("n_grams").cast("double"), 6
-    )
+    # raw integer-ratio double: bit-exact cross-engine; rounding is the
+    # .5-tie hazard (min_cost_order class, CHANGES_r05)
+    frac: Column = F.col("n_shared").cast("double") / F.col("n_grams").cast("double")
     return (
         corpus.select(F.col(id_col).alias("_id"), F.col(text_col))
         .join(hits, "_id")

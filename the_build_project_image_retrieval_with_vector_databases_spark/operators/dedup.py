@@ -198,12 +198,11 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count("*").alias("n_inter"))
         .withColumn(
+            # raw integer-ratio double: bit-exact cross-engine; rounding
+            # is the .5-tie hazard (min_cost_order class, CHANGES_r05)
             "jaccard",
-            F.round(
-                F.col("n_inter").cast("double")
-                / (F.col("n_left") + F.col("n_right") - F.col("n_inter")).cast("double"),
-                6,
-            ),
+            F.col("n_inter").cast("double")
+            / (F.col("n_left") + F.col("n_right") - F.col("n_inter")).cast("double"),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("left_id", "right_id", "jaccard")
@@ -335,12 +334,10 @@ def minhash_lsh_pairs(
         )
         .withColumn("n_inter", F.size(F.array_intersect("sh_l", "sh_r")))
         .withColumn(
+            # raw integer-ratio double (see ngram_jaccard_pairs)
             "jaccard",
-            F.round(
-                F.col("n_inter").cast("double")
-                / (F.size("sh_l") + F.size("sh_r") - F.col("n_inter")).cast("double"),
-                6,
-            ),
+            F.col("n_inter").cast("double")
+            / (F.size("sh_l") + F.size("sh_r") - F.col("n_inter")).cast("double"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
@@ -537,12 +534,10 @@ def minhash_lsh_incremental(
         )
         .withColumn("n_inter", F.size(F.array_intersect("sh_l", "sh_r")))
         .withColumn(
+            # raw integer-ratio double (see ngram_jaccard_pairs)
             "jaccard",
-            F.round(
-                F.col("n_inter").cast("double")
-                / (F.size("sh_l") + F.size("sh_r") - F.col("n_inter")).cast("double"),
-                6,
-            ),
+            F.col("n_inter").cast("double")
+            / (F.size("sh_l") + F.size("sh_r") - F.col("n_inter")).cast("double"),
         )
         .filter(F.col("jaccard") >= threshold)
     )

@@ -54,7 +54,10 @@ def kmv_distinct(
     return sk.select(
         F.col(group_col),
         F.col("n_seen"),
-        F.round(est, 6).alias("kmv_est"),
+        # raw double: (k-1)/(hk/HASH_SPACE) is two IEEE divisions of
+        # exact integers — bit-identical cross-engine; rounding is the
+        # .5-tie hazard (min_cost_order class, CHANGES_r05)
+        est.alias("kmv_est"),
     )
 
 

@@ -42,9 +42,13 @@ def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         F.col(id_col),
         n.alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
-        F.round(
-            total_len.cast("double") / F.greatest(n, F.lit(1)).cast("double"), 6
-        ).alias("mean_token_len"),
+        # raw double: a single IEEE division of two exact integers is
+        # bit-identical cross-engine, while round(ratio, 6) diverges on
+        # exact .5 ties (Spark HALF_UP vs DuckDB's multiply/rint path —
+        # the min_cost_order divergence class, CHANGES_r05)
+        (total_len.cast("double") / F.greatest(n, F.lit(1)).cast("double")).alias(
+            "mean_token_len"
+        ),
     )
 
 
@@ -135,7 +139,9 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return spread(df).select(
         F.col(id_col),
         pred.alias("pred_lang"),
-        F.round(best, 6).alias("lang_score"),
+        # raw stopword-hit ratio (ints ÷ ints — bit-exact cross-engine;
+        # rounding is the .5-tie hazard, see token_stats)
+        best.alias("lang_score"),
     )
 
 
@@ -158,9 +164,10 @@ def quality_exprs(txt, toks):
     ).cast("double")
     stop_ratio = stop_hits / n_tok
     stop_band = F.when(stop_ratio > 0.05, 1.0).otherwise(0.6)
-    score = F.round(
-        (alpha_ratio * 0.4 + len_band * 0.3 + stop_band * 0.3), 6
-    )
+    # raw composite: exact-integer ratios × short decimal literals,
+    # summed left-to-right — the oracle mirrors the operand order, so
+    # every intermediate is the same IEEE double (no rounding, no ties)
+    score = alpha_ratio * 0.4 + len_band * 0.3 + stop_band * 0.3
     return alpha_ratio, mean_tok_len, stop_ratio, score
 
 
@@ -233,24 +240,27 @@ def gopher_quality(
     )
     return df.select(
         F.col(id_col),
-        F.round(top_word_frac, 6).alias("top_word_frac"),
-        F.round(dup_2gram_frac, 6).alias("dup_2gram_frac"),
-        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        # raw integer-ratio doubles (bit-exact cross-engine; rounding is
+        # the .5-tie hazard — see token_stats)
+        top_word_frac.alias("top_word_frac"),
+        dup_2gram_frac.alias("dup_2gram_frac"),
+        symbol_ratio.alias("symbol_ratio"),
         flagged.alias("flagged"),
     )
 
 
 def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Heuristic document quality: alpha-char ratio, mean token length
-    band, stopword presence — composite in [0, 1] (rounded, portable)."""
+    band, stopword presence — composite in [0, 1] (raw doubles, portable)."""
     alpha_ratio, mean_tok_len, stop_ratio, score = quality_exprs(
         F.col(text_col), tokens(text_col)
     )
     return spread(df).select(
         F.col(id_col),
-        F.round(alpha_ratio, 6).alias("alpha_ratio"),
-        F.round(mean_tok_len, 6).alias("mean_tok_len"),
-        F.round(stop_ratio, 6).alias("stop_ratio"),
+        # raw integer-ratio doubles (see token_stats for the tie rationale)
+        alpha_ratio.alias("alpha_ratio"),
+        mean_tok_len.alias("mean_tok_len"),
+        stop_ratio.alias("stop_ratio"),
         score.alias("quality"),
     )
 
@@ -269,7 +279,7 @@ def bpe_token_counts(
     """Per-document token counts under BOTH tokenizers: whitespace words
     and the BPE-ish regex (`BPE_PATTERN`) — the cost-estimation numbers
     an LLM-pipeline owner asks for ('how many tokens is this corpus?').
-    Pure codegen'd expressions; ratio rounded for cross-engine hashing."""
+    Pure codegen'd expressions; raw ratio doubles hash cross-engine."""
     lowered = F.lower(F.col(text_col))
     ws = tokens(text_col)
     bpe = F.regexp_extract_all(lowered, F.lit(BPE_PATTERN), 0)
@@ -279,9 +289,10 @@ def bpe_token_counts(
         F.col(id_col),
         n_ws.alias("n_words"),
         n_bpe.alias("n_bpe_tokens"),
-        F.round(
-            n_bpe.cast("double") / F.greatest(n_ws, F.lit(1)).cast("double"), 6
-        ).alias("tokens_per_word"),
+        # raw integer-ratio double (see token_stats for the tie rationale)
+        (n_bpe.cast("double") / F.greatest(n_ws, F.lit(1)).cast("double")).alias(
+            "tokens_per_word"
+        ),
     )
 
 

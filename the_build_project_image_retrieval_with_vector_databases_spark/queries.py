@@ -615,72 +615,11 @@ ORACLES: dict[str, str] = {
 # a sibling still inside the window covers.
 # ---------------------------------------------------------------------------
 
-# Round-5 rotation: the 40 entries rotated past r04's window come back to
-# the FRONT (each is r03-green; a green r05 row keeps the "no entry
-# unverified two rounds running" invariant), followed by the two queries
-# whose code/oracle changed this round (the r04 red rows) and any query
-# new this round.
+# Round-6 rotation (VERDICT r5 #4): the 46 entries rotated past r05's
+# window come back to the FRONT (each is r4-green; a green r06 row keeps
+# the "no entry unverified two rounds running" invariant), followed by
+# the two queries registered this round (the staged r5 operators).
 _CHECK_FIRST: list[str] = [
-    # rotated out of the r04 window (r03-green) → verify first in r05:
-    "set_ops",
-    "kmv_distinct_sketch",
-    "value_quantiles",
-    "streaming_dedup_batch",
-    "knn_join_topk",
-    "pq_rerank_topk",
-    "exact_dedup",
-    "tf_idf",
-    "cosine_dedup",
-    "tumbling_window",
-    "sessionize",
-    "image_decode",
-    "frame_sample",
-    "jsonl_ingest",
-    "train_metrics",
-    "knn_display",
-    "regional_volume",
-    "part_profit",
-    "forecast_revenue",
-    "running_revenue",
-    "order_priority_semi",
-    "customers_without_orders",
-    "supplier_rollup",
-    "asof_join",
-    "image_decode_real",
-    "image_knn_pipeline",
-    "funnel_conversion",
-    "split_counts",
-    "order_count_distribution",
-    "bucketed_revenue",
-    "sq_topk",
-    "suffix_join_equi",
-    "language_id",
-    "quality_score",
-    "salted_term_counts",
-    "bpe_token_counts",
-    "top_docs_per_lang",
-    "views_before_purchase",
-    "pq_topk",
-    "ivfpq_topk",
-    # changed in round 5 (the two r04 red rows — oracle CAST fix and the
-    # exploded centroid shape) → must re-verify in-window:
-    "ship_mode_counts",
-    "label_centroids",
-    # new in round 5 → never driver-checked → in-window:
-    "ann_search",           # unified search() facade routed over IVF
-    "seq_packing",          # context-window packing profile (2-phase cumsum)
-    "vocab_filter",         # vocabulary-pruned corpus rewrite (md5-checked)
-    "retention_cohorts",    # weekly retention cohort matrix
-    "min_cost_order",       # Q2-shape correlated-min decorrelation
-    "dominant_suppliers",   # Q20-flavor nested-aggregate semi-join
-]
-
-# r04-green entries rotated past the window THIS round only (every one has
-# a green CORRECTNESS_r04 row; rotate back in r6). The 8 r04-green entries
-# NOT listed here stay in the window's mid section because round-5 code
-# touches their machinery (dedup.py unpersist ownership, sketch.py probe
-# semantics, decontaminate profiling) or they anchor the flagship path.
-_ROTATE_OUT: list[str] = [
     "clean_corpus",
     "cosine_topk",
     "dedup_components",
@@ -691,7 +630,7 @@ _ROTATE_OUT: list[str] = [
     "idle_customers",
     "important_stock",
     "interval_join",
-    "ivf_topk_batch",       # sibling ivf_topk stays in-window
+    "ivf_topk_batch",
     "json_extract_agg",
     "knn_two_phase",
     "label_category_join",
@@ -700,7 +639,7 @@ _ROTATE_OUT: list[str] = [
     "lsh_bucket_counts",
     "lsh_near_dup",
     "manifest_scan",
-    "minhash_signatures",   # sibling minhash_lsh_dedup stays in-window
+    "minhash_signatures",
     "mixture_sample",
     "ntile_segments",
     "passage_dedup",
@@ -721,18 +660,79 @@ _ROTATE_OUT: list[str] = [
     "waiting_suppliers",
     "weighted_sample",
     "zorder_keys",
-    "embedding_stats",      # r04-green, untouched; sibling label_centroids
-                            # re-verifies the quantized-sum machinery in-window
-    # r04-green entries whose registry behavior is unchanged in round 5
-    # (the dedup wrappers all pass cache_handles, so _opt_persist left
-    # their plans identical; knn_l2_topk additionally smoke-runs every
-    # round via entry(); ivf_topk's probe machinery is re-verified
-    # in-window by the new ann_search route):
+    "embedding_stats",
     "knn_l2_topk",
     "ivf_topk",
     "incremental_dedup",
     "minhash_lsh_dedup",
     "ngram_jaccard_dedup",
+    # new in round 6 → never driver-checked → in-window:
+    "gap_fill",          # regular-grid resample + forward fill (6h grid)
+    "matryoshka_topk",   # 32-dim truncate+renormalize exact top-10
+    "image_decode_jpeg", # dependency-free baseline-JPEG decode, pixel-exact
+]
+
+# The 50 r5-checked entries rotate out this round (every one carries a
+# green CORRECTNESS_r05 row). quality_score — the most-changed entry of
+# this round's .5-tie hardening sweep (4 raw-double ratio outputs,
+# CHANGES_r06) — is deliberately placed first so it lands at dict
+# position 50, INSIDE the driver's window, and re-verifies immediately.
+# The other tie-hardened entries (train_metrics next in line,
+# language_id, bpe_token_counts, decontaminate, kmv_distinct_sketch,
+# funnel_conversion + the five hardened entries already rotating in
+# above) carry local sf0.01 + sf0.1 parity evidence and re-verify on
+# the r7 rotation.
+_ROTATE_OUT: list[str] = [
+    "quality_score",
+    "train_metrics",
+    "set_ops",
+    "kmv_distinct_sketch",
+    "value_quantiles",
+    "streaming_dedup_batch",
+    "knn_join_topk",
+    "pq_rerank_topk",
+    "exact_dedup",
+    "tf_idf",
+    "cosine_dedup",
+    "tumbling_window",
+    "sessionize",
+    "image_decode",
+    "frame_sample",
+    "jsonl_ingest",
+    "knn_display",
+    "regional_volume",
+    "part_profit",
+    "forecast_revenue",
+    "running_revenue",
+    "order_priority_semi",
+    "customers_without_orders",
+    "supplier_rollup",
+    "asof_join",
+    "image_decode_real",
+    "image_knn_pipeline",
+    "funnel_conversion",
+    "split_counts",
+    "order_count_distribution",
+    "bucketed_revenue",
+    "sq_topk",
+    "suffix_join_equi",
+    "language_id",
+    "salted_term_counts",
+    "bpe_token_counts",
+    "top_docs_per_lang",
+    "views_before_purchase",
+    "pq_topk",
+    "ivfpq_topk",
+    "ship_mode_counts",
+    "label_centroids",
+    "ann_search",
+    "seq_packing",
+    "vocab_filter",
+    "retention_cohorts",
+    "min_cost_order",
+    "dominant_suppliers",
+    "decontaminate",
+    "cms_heavy_hitters",
 ]
 
 

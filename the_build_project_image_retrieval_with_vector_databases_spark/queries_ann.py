@@ -30,6 +30,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .functions.vector import l2_dist, truncate_renormalize
 from .operators.ann import hyperplanes, ivf_search, lsh_bucket, write_ivf_index
 from .operators.knn import knn_join_two_phase, radius_join
 from .operators.sample import HASH_MOD, HASH_MULT, deterministic_split
@@ -181,6 +182,59 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label", F.col("centroid").cast("int").alias("centroid"),
         F.round("dist", 6).alias("dist"),
     )
+
+
+def q_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncated exact top-10: keep the first 32 of 64 dims,
+    L2-renormalize (``functions.vector.truncate_renormalize``), and rank
+    by L2 distance from row vec_id=0's truncated vector (self excluded).
+
+    The scale story: truncation halves scan bytes and FLOPs BEFORE any
+    index tier — on MRL-trained embeddings it's the cheapest ANN speed
+    knob (negative-control recall property pinned in
+    tests/test_staged_ops.py). The plan is the flagship shape: broadcast
+    1-row query → codegen'd fold → zero-shuffle TakeOrderedAndProject.
+    Oracle mirrors slice → cast → left-fold norm → renormalize exactly
+    (list_reduce ↔ F.aggregate, both sequential left folds).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    t = emb.select(
+        "vec_id", "label", truncate_renormalize("embedding", 32).alias("t")
+    )
+    q = t.filter(F.col("vec_id") == 0).select(F.col("t").alias("qt"))
+    scored = (
+        t.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "label", l2_dist("t", "qt").alias("d"))
+    )
+    return (
+        scored.orderBy(F.col("d").asc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id", "label", F.round("d", 6).alias("dist"))
+    )
+
+
+ORACLE_MATRYOSHKA_TOPK = """
+WITH s AS (
+  SELECT vec_id, label,
+         list_transform(embedding[1:32], x -> CAST(x AS DOUBLE)) AS sl
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, label, sl,
+         greatest(sqrt(list_reduce(list_transform(sl, x -> x * x),
+                                   (a, b) -> a + b)), 1e-12) AS nrm
+  FROM s
+),
+t AS (
+  SELECT vec_id, label, list_transform(sl, x -> x / nrm) AS t FROM n
+),
+q AS (SELECT t AS qt FROM t WHERE vec_id = 0)
+SELECT vec_id, label, round(d, 6) AS dist FROM (
+  SELECT c.vec_id, c.label, {d_expr} AS d
+  FROM t c, q WHERE c.vec_id <> 0
+) ORDER BY d ASC, vec_id ASC LIMIT 10
+""".format(d_expr=_dk_l2("c.t", "q.qt"))
 
 
 def q_ivf_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1010,6 +1064,7 @@ FROM per
 ANN_QUERIES = {
     "ivf_topk": q_ivf_topk,
     "ann_search": q_ann_search,
+    "matryoshka_topk": q_matryoshka_topk,
     "ivf_topk_batch": q_ivf_topk_batch,
     "pq_topk": q_pq_topk,
     "pq_rerank_topk": q_pq_rerank_topk,
@@ -1028,6 +1083,7 @@ ANN_QUERIES = {
 ANN_ORACLES = {
     "ivf_topk": ORACLE_IVF_TOPK,
     "ann_search": ORACLE_ANN_SEARCH,
+    "matryoshka_topk": ORACLE_MATRYOSHKA_TOPK,
     "ivf_topk_batch": ORACLE_IVF_TOPK_BATCH,
     "pq_topk": _oracle_pq_topk(),
     "pq_rerank_topk": _oracle_pq_rerank_topk(),

@@ -239,9 +239,9 @@ exact AS (
   GROUP BY event_type
 )
 SELECT s.event_type, e.n_exact, s.n_seen,
-       round(CASE WHEN s.n_seen < {k} THEN CAST(s.n_seen AS DOUBLE)
-                  ELSE {float(k - 1)} / (CAST(s.hk AS DOUBLE) / 1152921504606846976.0)
-             END, 6) AS kmv_est
+       CASE WHEN s.n_seen < {k} THEN CAST(s.n_seen AS DOUBLE)
+            ELSE {float(k - 1)} / (CAST(s.hk AS DOUBLE) / 1152921504606846976.0)
+       END AS kmv_est
 FROM sk s JOIN exact e USING (event_type)
 """
 
@@ -333,10 +333,11 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.stage").alias("stage"),
         F.col("s.name").alias("stage_name"),
         F.col("s.users").alias("users"),
-        F.round(
+        # raw integer-ratio double (bit-exact cross-engine; rounding is
+        # the .5-tie hazard — min_cost_order class, CHANGES_r05)
+        (
             F.col("s.users").cast("double")
-            / F.greatest(F.col("s.base"), F.lit(1)).cast("double"),
-            6,
+            / F.greatest(F.col("s.base"), F.lit(1)).cast("double")
         ).alias("conversion"),
     )
 
@@ -367,7 +368,7 @@ c AS (
   FROM staged
 )
 SELECT stage, stage_name, users,
-       round(users::DOUBLE / greatest(base, 1), 6) AS conversion
+       users::DOUBLE / greatest(base, 1) AS conversion
 FROM (
   SELECT 1 AS stage, 'view' AS stage_name, viewed AS users, n_users AS base FROM c
   UNION ALL
@@ -521,6 +522,56 @@ GROUP BY 1, 2
 """
 
 
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-grid resample with forward fill (operators/windows.gap_fill)
+    on a 6-hour grid: one row per (user, 6h slot) between the user's first
+    and last event, carrying the latest observed ``value``.
+
+    Oracle parity notes: the filled value is an exact COPY of a stored
+    double (no arithmetic), so raw emission hash-matches; slot keys are
+    pure integer arithmetic on epoch seconds; ``observed`` is cast to int
+    (driver's pandas canonicalizer bool handling differs per engine).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    out = W.gap_fill(ev, step_s=21600)
+    return out.select(
+        "user_id",
+        "slot",
+        "value",
+        F.col("observed").cast("int").alias("observed"),
+    )
+
+
+ORACLE_GAP_FILL = """
+WITH obs AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT) AS slot,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+         value
+  FROM events
+),
+best AS (
+  SELECT user_id, slot, value FROM (
+    SELECT user_id, slot, value,
+           row_number() OVER (PARTITION BY user_id, slot
+                              ORDER BY ep DESC, value DESC) AS rn
+    FROM obs
+  ) WHERE rn = 1
+),
+span AS (SELECT user_id, min(slot) AS lo, max(slot) AS hi FROM obs GROUP BY 1),
+grid AS (
+  SELECT user_id, CAST(unnest(range(lo, hi + 21600, 21600)) AS BIGINT) AS slot
+  FROM span
+)
+SELECT g.user_id, g.slot,
+       last_value(b.value IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.slot
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+       CAST(CASE WHEN b.value IS NOT NULL THEN 1 ELSE 0 END AS INT) AS observed
+FROM grid g LEFT JOIN best b ON g.user_id = b.user_id AND g.slot = b.slot
+"""
+
+
 EVENT_QUERIES = {
     "tumbling_window": q_tumbling_window,
     "funnel_conversion": q_funnel_conversion,
@@ -534,6 +585,7 @@ EVENT_QUERIES = {
     "interval_join": q_interval_join,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "retention_cohorts": q_retention_cohorts,
+    "gap_fill": q_gap_fill,
 }
 
 EVENT_ORACLES = {
@@ -549,4 +601,5 @@ EVENT_ORACLES = {
     "interval_join": ORACLE_INTERVAL_JOIN,
     "cms_heavy_hitters": _oracle_cms(4, 64, 70),
     "retention_cohorts": ORACLE_RETENTION_COHORTS,
+    "gap_fill": ORACLE_GAP_FILL,
 }

@@ -211,6 +211,112 @@ FROM ok
 """
 
 
+JPEG_ROOT = os.path.join(_FIXTURES, "images_jpeg")
+
+
+def q_image_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode at the query surface — the reference's
+    primary corpus format (uploads accept jpg/jpeg, ``app.py:78``;
+    Caltech101 is ``.jpg``, ``README.md:24-36``), decoded end-to-end by
+    the dependency-free ``sources.images._parse_jpeg`` (Huffman + IDCT +
+    color transform) through the same Arrow ``mapInPandas`` seam as
+    every other codec.
+
+    Oracle: image dimensions are parsed straight out of the blob's SOF0
+    marker bytes in SQL (independent of any Python); the pixel truths
+    (corner RGB + full-raster md5) come from the committed
+    ``expected.csv`` sidecar, generated by the test-side DIRECT-IDCT
+    reference reconstruction (scripts/make_jpeg_fixtures.py) — never by
+    the engine's own decoder. The progressive-coded fixture exercises
+    the ``decode_ok = false`` error-tolerance row (F2)."""
+    from .sources.images import decode_pixels, scan_image_folder
+
+    scanned = scan_image_folder(spark, JPEG_ROOT, glob="*.jpg")
+
+    def batches(it):
+        import hashlib as _hl
+
+        import pandas as pd
+
+        for pdf in it:
+            out = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    arr = decode_pixels(content)
+                    h, w, c = arr.shape
+                    r0, g0, b0 = (int(x) for x in arr[0, 0])
+                    out.append((
+                        path, w, h, c, r0, g0, b0,
+                        _hl.md5(arr.tobytes()).hexdigest(), True,
+                    ))
+                except Exception:
+                    out.append(
+                        (path, None, None, None, None, None, None, None, False)
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "path", "width", "height", "n_channels",
+                    "r0", "g0", "b0", "pixel_md5", "decode_ok",
+                ],
+            )
+
+    decoded = scanned.mapInPandas(
+        batches,
+        schema=(
+            "path string, width int, height int, n_channels int, "
+            "r0 int, g0 int, b0 int, pixel_md5 string, decode_ok boolean"
+        ),
+    )
+    return decoded.select(
+        F.element_at(F.split("path", "/"), -1).alias("basename"),
+        F.element_at(F.split("path", "/"), -2).alias("category"),
+        "width", "height", "n_channels",
+        "r0", "g0", "b0", "pixel_md5", "decode_ok",
+    )
+
+
+def _hx_pair_at(off_expr: str) -> str:
+    """Hex pair at dynamic 1-based char offset ``off_expr`` of ``hx`` → INT."""
+    return (
+        f"(CAST(strpos('0123456789abcdef', substr(hx, {off_expr}, 1)) - 1 AS INT) * 16"
+        f" + CAST(strpos('0123456789abcdef', substr(hx, ({off_expr}) + 1, 1)) - 1 AS INT))"
+    )
+
+
+# SOF0 layout after the byte-aligned ffc0 marker (hex char position p):
+# length(2B) precision(1B) height(2B) width(2B) → height at chars p+10,
+# width at chars p+14 (each 2 bytes big-endian).
+ORACLE_IMAGE_DECODE_JPEG = f"""
+WITH b AS (
+  SELECT filename, lower(hex(content)) AS hx
+  FROM read_blob('{JPEG_ROOT}/*/*.jpg')
+),
+sof AS (SELECT filename, hx, strpos(hx, 'ffc0') AS p FROM b),
+dims AS (
+  SELECT list_extract(string_split(filename, '/'), -1) AS basename,
+         list_extract(string_split(filename, '/'), -2) AS category,
+         CASE WHEN p > 0
+              THEN {_hx_pair_at('p + 10')} * 256 + {_hx_pair_at('p + 12')}
+         END AS height,
+         CASE WHEN p > 0
+              THEN {_hx_pair_at('p + 14')} * 256 + {_hx_pair_at('p + 16')}
+         END AS width
+  FROM sof
+),
+exp AS (
+  SELECT * FROM read_csv('{JPEG_ROOT}/expected.csv', header = true)
+)
+SELECT d.basename, d.category, d.width, d.height,
+       CASE WHEN e.decode_ok THEN 3 END AS n_channels,
+       CAST(e.r0 AS INT) AS r0, CAST(e.g0 AS INT) AS g0,
+       CAST(e.b0 AS INT) AS b0,
+       nullif(e.pixel_md5, '') AS pixel_md5,
+       e.decode_ok
+FROM dims d JOIN exp e USING (basename)
+"""
+
+
 def q_image_knn_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's ENTIRE flagship flow end-to-end with real pixel
     math and zero stubs: image-folder scan → dependency-free decode →
@@ -390,15 +496,15 @@ def q_train_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         sim.groupBy("epoch")
         .agg(
-            F.round(F.sum("loss_x1000") / F.count("*") / 1000.0, 6).alias("avg_loss"),
-            # operand order matches the oracle's sum*100.0/count exactly —
-            # (sum/count)*100.0 can differ in the last ulp and straddle the
-            # round(...,4) boundary
-            F.round(
+            # raw doubles: divisions/products of exact integer sums are
+            # bit-identical cross-engine when the operand order matches
+            # the oracle (sum/count/1000.0; sum*100.0/count); rounding is
+            # the .5-tie hazard (min_cost_order class, CHANGES_r05)
+            (F.sum("loss_x1000") / F.count("*") / 1000.0).alias("avg_loss"),
+            (
                 F.sum(F.when(F.col("pred") == F.col("label"), 1).otherwise(0))
                 * 100.0
-                / F.count("*"),
-                4,
+                / F.count("*")
             ).alias("accuracy_pct"),
             F.count("*").alias("n_samples"),
         )
@@ -415,8 +521,8 @@ WITH sim AS (
   FROM embeddings
 )
 SELECT epoch,
-       round(sum(loss_x1000) / count(*) / 1000.0, 6) AS avg_loss,
-       round(sum(CASE WHEN pred = label THEN 1 ELSE 0 END) * 100.0 / count(*), 4)
+       sum(loss_x1000) / count(*) / 1000.0 AS avg_loss,
+       sum(CASE WHEN pred = label THEN 1 ELSE 0 END) * 100.0 / count(*)
          AS accuracy_pct,
        count(*) AS n_samples
 FROM sim GROUP BY epoch ORDER BY epoch
@@ -482,6 +588,7 @@ PIPELINE_QUERIES = {
     "manifest_scan": q_manifest_scan,
     "image_decode": q_image_decode,
     "image_decode_real": q_image_decode_real,
+    "image_decode_jpeg": q_image_decode_jpeg,
     "image_knn_pipeline": q_image_knn_pipeline,
     "frame_sample": q_frame_sample,
     "jsonl_ingest": q_jsonl_ingest,
@@ -493,6 +600,7 @@ PIPELINE_ORACLES = {
     "manifest_scan": ORACLE_MANIFEST_SCAN,
     "image_decode": ORACLE_IMAGE_DECODE,
     "image_decode_real": ORACLE_IMAGE_DECODE_REAL,
+    "image_decode_jpeg": ORACLE_IMAGE_DECODE_JPEG,
     "frame_sample": _oracle_frame_sample(),
     "jsonl_ingest": _oracle_jsonl_ingest(),
     "train_metrics": ORACLE_TRAIN_METRICS,

@@ -83,9 +83,9 @@ WITH t AS (SELECT doc_id, {_dk_toks()} AS toks FROM documents)
 SELECT doc_id,
        len(toks) AS n_tokens,
        len(list_distinct(toks)) AS n_distinct_tokens,
-       round((CASE WHEN len(toks) = 0 THEN 0
-              ELSE list_reduce(list_transform(toks, t -> length(t)), (a,b) -> a+b)
-              END)::DOUBLE / greatest(len(toks), 1), 6) AS mean_token_len
+       (CASE WHEN len(toks) = 0 THEN 0
+        ELSE list_reduce(list_transform(toks, t -> length(t)), (a,b) -> a+b)
+        END)::DOUBLE / greatest(len(toks), 1) AS mean_token_len
 FROM t
 """
 
@@ -144,7 +144,7 @@ s AS (SELECT doc_id,
 b AS (SELECT *, {best} AS best FROM s)
 SELECT doc_id,
        CASE WHEN best <= 0 THEN 'und' {case} ELSE 'und' END AS pred_lang,
-       round(best, 6) AS lang_score
+       best AS lang_score
 FROM b
 """
 
@@ -168,13 +168,11 @@ m AS (
     {stop}::DOUBLE / greatest(len(toks), 1) AS stop_ratio
   FROM t
 )
-SELECT doc_id, round(alpha_ratio, 6) AS alpha_ratio,
-       round(mean_tok_len, 6) AS mean_tok_len,
-       round(stop_ratio, 6) AS stop_ratio,
-       round(alpha_ratio * 0.4 +
-             (CASE WHEN mean_tok_len >= 3.0 AND mean_tok_len <= 10.0
-                   THEN 1.0 ELSE 0.5 END) * 0.3 +
-             (CASE WHEN stop_ratio > 0.05 THEN 1.0 ELSE 0.6 END) * 0.3, 6)
+SELECT doc_id, alpha_ratio, mean_tok_len, stop_ratio,
+       alpha_ratio * 0.4 +
+       (CASE WHEN mean_tok_len >= 3.0 AND mean_tok_len <= 10.0
+             THEN 1.0 ELSE 0.5 END) * 0.3 +
+       (CASE WHEN stop_ratio > 0.05 THEN 1.0 ELSE 0.6 END) * 0.3
          AS quality
 FROM m
 """
@@ -209,9 +207,7 @@ m AS (
   FROM t
 )
 SELECT doc_id,
-       round(top_word_frac, 6) AS top_word_frac,
-       round(dup_2gram_frac, 6) AS dup_2gram_frac,
-       round(symbol_ratio, 6) AS symbol_ratio,
+       top_word_frac, dup_2gram_frac, symbol_ratio,
        (top_word_frac > 0.2 OR dup_2gram_frac > 0.4 OR symbol_ratio > 0.3)
          AS flagged
 FROM m
@@ -279,8 +275,8 @@ inter AS (
 ),
 jac AS (
   SELECT left_id, right_id,
-         round(n_inter::DOUBLE /
-               (sa.n_sh + sb.n_sh - n_inter)::DOUBLE, 6) AS jaccard
+         n_inter::DOUBLE /
+               (sa.n_sh + sb.n_sh - n_inter)::DOUBLE AS jaccard
   FROM inter
   JOIN sizes sa ON sa.doc_id = left_id
   JOIN sizes sb ON sb.doc_id = right_id
@@ -305,8 +301,8 @@ inter AS (
 ),
 jac AS (
   SELECT left_id, right_id,
-         round(n_inter::DOUBLE /
-               (sa.n_sh + sb.n_sh - n_inter)::DOUBLE, 6) AS jaccard
+         n_inter::DOUBLE /
+               (sa.n_sh + sb.n_sh - n_inter)::DOUBLE AS jaccard
   FROM inter
   JOIN sizes sa ON sa.doc_id = left_id
   JOIN sizes sb ON sb.doc_id = right_id
@@ -482,10 +478,10 @@ m AS (
 ),
 qual AS (
   SELECT doc_id,
-         round(alpha_ratio * 0.4 +
+         alpha_ratio * 0.4 +
                (CASE WHEN mean_tok_len >= 3.0 AND mean_tok_len <= 10.0
                      THEN 1.0 ELSE 0.5 END) * 0.3 +
-               (CASE WHEN stop_ratio > 0.05 THEN 1.0 ELSE 0.6 END) * 0.3, 6)
+               (CASE WHEN stop_ratio > 0.05 THEN 1.0 ELSE 0.6 END) * 0.3
            AS quality
   FROM m
 ),
@@ -618,8 +614,8 @@ WITH t AS (
 )
 SELECT doc_id, CAST(n_words AS INT) AS n_words,
        CAST(n_bpe_tokens AS INT) AS n_bpe_tokens,
-       round(CAST(n_bpe_tokens AS DOUBLE) /
-             CAST(greatest(n_words, 1) AS DOUBLE), 6) AS tokens_per_word
+       CAST(n_bpe_tokens AS DOUBLE) /
+             CAST(greatest(n_words, 1) AS DOUBLE) AS tokens_per_word
 FROM t
 """
 
@@ -735,8 +731,8 @@ hits AS (
   GROUP BY 1
 )
 SELECT h.doc_id, s.n_grams, h.n_shared, h.n_bench_docs,
-       round(h.n_shared::DOUBLE / s.n_grams::DOUBLE, 6) AS overlap_frac,
-       round(h.n_shared::DOUBLE / s.n_grams::DOUBLE, 6) >= {severe_frac}
+       h.n_shared::DOUBLE / s.n_grams::DOUBLE AS overlap_frac,
+       h.n_shared::DOUBLE / s.n_grams::DOUBLE >= {severe_frac}
          AS severe
 FROM hits h JOIN sizes s USING (doc_id)
 """

@@ -301,13 +301,289 @@ def _parse_png(payload: bytes):
     return np.ascontiguousarray(arr)
 
 
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+_IDCT_BASIS = None  # lazily-built 8×8 separable DCT-III basis matrix
+
+
+def _idct_basis():
+    global _IDCT_BASIS
+    if _IDCT_BASIS is None:
+        import numpy as np
+
+        u, x = np.meshgrid(np.arange(8), np.arange(8), indexing="ij")
+        m = np.cos((2 * x + 1) * u * np.pi / 16.0) / 2.0
+        m[0, :] /= np.sqrt(2.0)
+        _IDCT_BASIS = m
+    return _IDCT_BASIS
+
+
+class _JpegBits:
+    """MSB-first bit reader over the entropy-coded segment with 0xFF00
+    byte-unstuffing; stops (raises StopIteration) at any real marker."""
+
+    __slots__ = ("data", "pos", "buf", "n")
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.buf = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt != 0x00:  # a real marker terminates the segment
+                raise StopIteration
+            self.pos += 2
+        else:
+            self.pos += 1
+        self.buf = b
+        self.n = 8
+
+    def bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.buf >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align(self) -> None:
+        self.n = 0
+
+
+def _huff_table(counts, symbols):
+    """Canonical JPEG Huffman table → {(length, code): symbol}."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode(br: _JpegBits, table) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    """JPEG F.12 sign extension of an s-bit magnitude."""
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _parse_jpeg(payload: bytes):
+    """Baseline JFIF JPEG → (h, w, 3) uint8 RGB array, dependency-free —
+    the reference's PRIMARY corpus format (uploads accept jpg/jpeg,
+    reference ``app.py:78``; the Caltech101 corpus is ``.jpg``,
+    ``README.md:24-36``). Closes the r5 boundary where JPEG was the one
+    reference format that still required PIL.
+
+    Supported: baseline/extended sequential Huffman DCT (SOF0/SOF1),
+    8-bit samples, 1 or 3 components, any sampling factors (4:4:4,
+    4:2:2, 4:2:0, ...), restart markers (DRI/RSTn). Progressive (SOF2)
+    and arithmetic coding raise (→ ``decode_ok = false`` rows).
+
+    Pinned arithmetic, verified block-exactly in tests/test_jpeg.py
+    against an independent textbook reconstruction: dequantized
+    coefficients → separable float64 IDCT (basis
+    c(u)/2·cos((2x+1)uπ/16)) → +128 → round-half-even → clip 0..255;
+    chroma upsampling is sample replication; color transform is the
+    JFIF/CCIR-601 matrix, rounded then clipped. (libjpeg's integer
+    "islow" IDCT and fancy upsampling differ by ±1 LSB on some samples;
+    this decoder pins the mathematically-defined float inverse instead —
+    the contract a from-scratch engine can actually test.)
+
+    At 100 TB the cluster decode path is a native codec behind the same
+    ``mapInPandas`` seam (``decode_images(decoder="pil")``); this pure
+    path is the CI/fallback codec, exact and dependency-free.
+    """
+    import struct
+
+    import numpy as np
+
+    data = bytes(payload)
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart_interval = 0
+    scan = None
+    pos = 2
+    while pos + 2 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack_from(">H", data, pos)
+        seg = data[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT (one or more tables, zigzag order)
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 15
+                i += 1
+                if pq == 0:
+                    tbl = np.frombuffer(seg, np.uint8, 64, i).astype(np.int32)
+                    i += 64
+                else:
+                    tbl = np.frombuffer(seg, ">u2", 64, i).astype(np.int32)
+                    i += 128
+                qt[tq] = tbl
+        elif marker in (0xC0, 0xC1):  # SOF0/SOF1
+            precision, h, w, ncomp = seg[0], (seg[1] << 8) | seg[2], (
+                seg[3] << 8
+            ) | seg[4], seg[5]
+            if precision != 8:
+                raise ValueError(f"{precision}-bit JPEG unsupported")
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 15, tq))
+            frame = (h, w, comps)
+        elif marker == 0xC2:
+            raise ValueError("progressive JPEG unsupported")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("non-baseline JPEG coding unsupported")
+        elif marker == 0xC4:  # DHT (one or more tables)
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 15
+                counts = list(seg[i + 1 : i + 17])
+                nsym = sum(counts)
+                symbols = list(seg[i + 17 : i + 17 + nsym])
+                huff[(tc, th)] = _huff_table(counts, symbols)
+                i += 17 + nsym
+        elif marker == 0xDD:  # DRI
+            restart_interval = (seg[0] << 8) | seg[1]
+        elif marker == 0xDA:  # SOS — entropy-coded data follows
+            ns = seg[0]
+            scan = [(seg[1 + 2 * c], seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 15)
+                    for c in range(ns)]
+            pos += seglen
+            break
+        pos += seglen
+    if frame is None or scan is None:
+        raise ValueError("JPEG missing SOF/SOS")
+    h, w, comps = frame
+    if h == 0 or w == 0:
+        raise ValueError("bad JPEG dimensions")
+    by_id = {cid: (hi, vi, tq) for cid, hi, vi, tq in comps}
+    order = []  # (hi, vi, qtbl, dc_table, ac_table) per scan component
+    for cid, dc_id, ac_id in scan:
+        hi, vi, tq = by_id[cid]
+        order.append((hi, vi, qt[tq], huff[(0, dc_id)], huff[(1, ac_id)]))
+    hmax = max(c[0] for c in order)
+    vmax = max(c[1] for c in order)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = [
+        np.zeros((mcuy * vi * 8, mcux * hi * 8), dtype=np.float64)
+        for hi, vi, _, _, _ in order
+    ]
+    basis = _idct_basis()
+    br = _JpegBits(data, pos)
+    preds = [0] * len(order)
+    coef = np.zeros(64, dtype=np.int64)
+    mcu_count = 0
+    try:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and mcu_count and (
+                    mcu_count % restart_interval == 0
+                ):
+                    br.align()
+                    if not (
+                        br.data[br.pos] == 0xFF
+                        and 0xD0 <= br.data[br.pos + 1] <= 0xD7
+                    ):
+                        raise ValueError("missing JPEG restart marker")
+                    br.pos += 2
+                    preds = [0] * len(order)
+                mcu_count += 1
+                for ci, (hi, vi, q, dct, act) in enumerate(order):
+                    for by in range(vi):
+                        for bx in range(hi):
+                            coef[:] = 0
+                            s = _huff_decode(br, dct)
+                            diff = _extend(br.bits(s), s) if s else 0
+                            preds[ci] += diff
+                            coef[0] = preds[ci]
+                            k = 1
+                            while k < 64:
+                                rs = _huff_decode(br, act)
+                                r, s = rs >> 4, rs & 15
+                                if s == 0:
+                                    if r == 15:
+                                        k += 16
+                                        continue
+                                    break  # EOB
+                                k += r
+                                if k > 63:
+                                    raise ValueError("JPEG AC index overflow")
+                                coef[k] = _extend(br.bits(s), s)
+                                k += 1
+                            block = np.zeros(64, dtype=np.float64)
+                            block[_ZIGZAG] = coef * q
+                            spatial = basis.T @ block.reshape(8, 8) @ basis
+                            y0 = (my * vi + by) * 8
+                            x0 = (mx * hi + bx) * 8
+                            planes[ci][y0 : y0 + 8, x0 : x0 + 8] = spatial
+    except StopIteration:
+        raise ValueError("truncated JPEG entropy stream") from None
+    # upsample to full resolution (sample replication), crop, level-shift
+    out = []
+    for ci, (hi, vi, _, _, _) in enumerate(order):
+        p = planes[ci]
+        p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
+        out.append(p[:h, :w] + 128.0)
+    if len(out) == 1:
+        gray = np.clip(np.round(out[0]), 0, 255).astype(np.uint8)
+        return np.ascontiguousarray(np.repeat(gray[:, :, None], 3, axis=2))
+    if len(out) != 3:
+        raise ValueError(f"unsupported JPEG component count {len(out)}")
+    y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=2)
+    return np.ascontiguousarray(
+        np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    )
+
+
 def decode_pixels(payload: bytes):
     """Decode a payload to an (h, w, 3) uint8 RGB array.
 
-    Dispatches on magic bytes: PPM/PGM, 24-bit BMP, and 8-bit PNG decode
-    with the built-in pure-numpy parsers (no dependencies); anything else
-    falls through to PIL when importable, else raises (callers' per-row
-    error tolerance turns that into a ``decode_ok = false`` row).
+    Dispatches on magic bytes: PPM/PGM, 24-bit BMP, 8-bit PNG, and
+    baseline JPEG decode with the built-in pure-numpy parsers (no
+    dependencies); anything else falls through to PIL when importable,
+    else raises (callers' per-row error tolerance turns that into a
+    ``decode_ok = false`` row).
     """
     payload = bytes(payload)
     if payload[:2] in (b"P6", b"P5"):
@@ -316,6 +592,8 @@ def decode_pixels(payload: bytes):
         return _parse_bmp(payload)
     if payload[:8] == _PNG_SIG:
         return _parse_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        return _parse_jpeg(payload)
     if _HAVE_PIL:
         import io
 
