@@ -252,3 +252,38 @@ def test_streaming_cms_accumulates_to_batch_sketch(spark, events_dir, tmp_path):
     both = _load_events(spark, events_dir)
     want = {(r.r, r.c): r.cell for r in cms_sketch(both, "user_id").collect()}
     assert acc == want
+
+
+def test_streaming_gap_fill_matches_batch(spark, events_dir, tmp_path):
+    """Streaming gap-fill equivalence: the watermarked tumbling-window
+    max_by (streaming_slot_latest) drains through a real memory sink,
+    the shared grid+forward-fill finisher runs over the sink table, and
+    the result equals the batch gap_fill operator row-for-row — the
+    oracle-checked registry query `gap_fill` pins the same semantics
+    against DuckDB."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.windows import (
+        fill_slot_gaps,
+        gap_fill,
+    )
+    from the_build_project_image_retrieval_with_vector_databases_spark.streaming.queries import (
+        streaming_slot_latest,
+    )
+
+    stream = _stream_events(spark, events_dir)
+    q = (
+        streaming_slot_latest(stream, step_s=21600)
+        .writeStream.format("memory")
+        .queryName("t_slots")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_slots"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        obs = spark.sql("SELECT * FROM t_slots")
+        got = fill_slot_gaps(obs, step_s=21600).collect()
+    finally:
+        q.stop()
+    want = gap_fill(_load_events(spark, events_dir), step_s=21600).collect()
+    assert len(got) == len(want) > 0
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))

@@ -187,15 +187,6 @@ def gap_fill(
     """
     ep = F.unix_timestamp(F.col(ts_col)).cast("long")
     slot = (F.floor(ep / step_s) * step_s).cast("long")
-    span = events.groupBy(key_col).agg(
-        F.min(slot).alias("_lo"), F.max(slot).alias("_hi")
-    )
-    grid = span.select(
-        key_col,
-        F.explode(
-            F.sequence(F.col("_lo"), F.col("_hi"), F.lit(step_s))
-        ).alias("slot"),
-    )
     # last observation per (key, slot): ties inside a slot resolve to the
     # latest timestamp (then largest value for full determinism)
     obs = (
@@ -216,13 +207,42 @@ def gap_fill(
         .filter(F.col("_rn") == 1)
         .select(key_col, "slot", F.col("_v").alias("_obs"))
     )
+    return fill_slot_gaps(obs, step_s=step_s, key_col=key_col)
+
+
+def fill_slot_gaps(
+    obs: DataFrame, step_s: int = 60, key_col: str = "user_id"
+) -> DataFrame:
+    """Grid + forward-fill finisher over slot-grained latest observations
+    ``(key, slot, _obs)`` — shared by batch :func:`gap_fill` and the
+    streaming twin (``streaming.queries.streaming_slot_latest`` feeds the
+    same shape from a watermarked tumbling-window ``max_by``)."""
+    # grid descends from obs, so the join is a self-join: give the grid
+    # side fresh column NAMES (not just plan aliases) to disambiguate
+    span = obs.groupBy(F.col(key_col).alias("_k")).agg(
+        F.min("slot").alias("_lo"), F.max("slot").alias("_hi")
+    )
+    grid = span.select(
+        "_k",
+        F.explode(
+            F.sequence(F.col("_lo"), F.col("_hi"), F.lit(step_s))
+        ).alias("_slot"),
+    )
     w = (
         Window.partitionBy(key_col)
         .orderBy("slot")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    joined = grid.join(
+        obs,
+        (grid["_k"] == obs[key_col]) & (grid["_slot"] == obs["slot"]),
+        "left",
+    ).select(  # post-join names are unique: _k/_slot (grid), _obs (obs)
+        F.col("_k").alias(key_col),
+        F.col("_slot").alias("slot"),
+        "_obs",
+    )
     return (
-        grid.join(obs, [key_col, "slot"], "left")
-        .withColumn("value", F.last("_obs", ignorenulls=True).over(w))
+        joined.withColumn("value", F.last("_obs", ignorenulls=True).over(w))
         .select(key_col, "slot", "value", F.col("_obs").isNotNull().alias("observed"))
     )

@@ -80,6 +80,42 @@ def streaming_dedup(
     )
 
 
+def streaming_slot_latest(
+    stream: DataFrame,
+    step_s: int = 21600,
+    watermark_s: int = 86400,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming half of ``operators.windows.gap_fill``: per (key, slot)
+    the LATEST observation — a watermarked tumbling-window ``max_by``
+    over struct(ep, value), the same tie rule as the batch operator
+    (latest epoch, then largest value). State per key is one struct per
+    open slot, expired by the watermark; the dense-grid + forward-fill
+    finisher stays a batch window over the (tiny, slot-grained) sink —
+    at 100 TB the observation stream is the big side, the filled grid is
+    output-sized. tests/test_streaming.py pins stream ≡ batch."""
+    ep = F.unix_timestamp(F.col(ts_col)).cast("long")
+    return (
+        stream.withWatermark(ts_col, f"{watermark_s} seconds")
+        .groupBy(
+            F.window(F.col(ts_col), f"{step_s} seconds").alias("w"),
+            F.col(key_col),
+        )
+        .agg(
+            F.max(F.struct(ep.alias("ep"), F.col(value_col).alias("v"))).alias(
+                "last"
+            )
+        )
+        .select(
+            key_col,
+            F.unix_timestamp(F.col("w.start")).cast("long").alias("slot"),
+            F.col("last.v").alias("_obs"),
+        )
+    )
+
+
 def interval_join(
     purchases: DataFrame,
     views: DataFrame,
