@@ -39,6 +39,17 @@ ANN_QUERIES = ["ivf_topk", "ivf_topk_batch", "label_centroids"]
 # event-time ops over the 10x events table (disjoint users per replica:
 # interval-join pair volume and CMS stream length scale linearly)
 EVENT_QUERIES = ["interval_join", "cms_heavy_hitters"]
+# round-6 additions (VERDICT r5 #5): the r5/r6 newcomers — the two-phase
+# bucketed cumsum (seq_packing), md5-checked corpus rewrite
+# (vocab_filter), cohort matrix (retention_cohorts), the decorrelated
+# Q2/Q20 shapes over 10x lineitem (min_cost_order, dominant_suppliers),
+# the search() facade (ann_search), the gap-fill grid (gap_fill), and
+# the truncated-embedding top-k (matryoshka_topk)
+NEW_QUERIES = [
+    "seq_packing", "vocab_filter", "retention_cohorts",
+    "min_cost_order", "dominant_suppliers", "ann_search",
+    "gap_fill", "matryoshka_topk",
+]
 REPLICAS = 10
 
 
@@ -93,6 +104,29 @@ def build_scaled(spark, out_dir: str) -> None:
     scaled_v.repartition(32).write.mode("overwrite").parquet(
         os.path.join(out_dir, "events.parquet")
     )
+    # lineitem at 10x: per-replica order/part offsets keep replicas
+    # disjoint (group count scales linearly); suppliers stay shared —
+    # 10x rows per supplier is the honest "more orders, same catalog"
+    # load for the Q20-shape window
+    li = spark.read.parquet(os.path.join(BASE, "lineitem.parquet"))
+    ok_max = li.agg(F.max("l_orderkey")).first()[0] + 1
+    pk_max = li.agg(F.max("l_partkey")).first()[0] + 1
+    lparts = [
+        li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(r * ok_max))
+        .withColumn("l_partkey", F.col("l_partkey") + F.lit(r * pk_max))
+        for r in range(REPLICAS)
+    ]
+    scaled_l = lparts[0]
+    for p_ in lparts[1:]:
+        scaled_l = scaled_l.unionAll(p_)
+    scaled_l.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "lineitem.parquet")
+    )
+    # dimension tables pass through unchanged
+    for dim in ("supplier", "nation"):
+        spark.read.parquet(os.path.join(BASE, f"{dim}.parquet")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, f"{dim}.parquet"))
 
 
 def timed(spark, fn, runs: int = 2) -> float:
@@ -115,7 +149,7 @@ def main() -> None:
         build_scaled(spark, scaled_dir)
 
     out = {}
-    for name in QUERIES + ANN_QUERIES + EVENT_QUERIES:
+    for name in QUERIES + ANN_QUERIES + EVENT_QUERIES + NEW_QUERIES:
         fn = Q.QUERIES[name]
         # warm any one-time index build OUTSIDE the timed runs (the
         # steady state at scale is the probe, not the build)

@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""Scan the REMAINING rounded registry outputs for .5-tie exposure.
+
+Round 6 switched every rational-ratio output (integer ÷ integer) to raw
+doubles — those were the real tie hazard (Spark BigDecimal-HALF_UP vs
+DuckDB multiply/rint diverge when the double's shortest repr terminates
+in '5' exactly at the rounding digit). The outputs that stay rounded
+are sqrt/log/interpolation-derived; their shortest reprs carry ~17
+significant digits, so a terminating '5' at digit 7 is a measure-zero
+event — this script makes that claim EMPIRICAL at sf0.1: it recomputes
+the pre-round values of every still-rounded column class and counts
+values whose shortest repr terminates with '5' at or before the
+rounding digit. Expected output: zero hits everywhere.
+
+Usage: python scripts/tie_scan.py  → one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from the_build_project_image_retrieval_with_vector_databases_spark.session import (
+    get_spark,
+)
+from the_build_project_image_retrieval_with_vector_databases_spark.functions.vector import (
+    l2_dist,
+    truncate_renormalize,
+)
+from the_build_project_image_retrieval_with_vector_databases_spark.functions.text import (
+    tokens,
+)
+from the_build_project_image_retrieval_with_vector_databases_spark.sources.tables import (
+    load_table,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def boundary_hits(values, digits: int) -> int:
+    """Count doubles whose shortest repr terminates with '5' exactly at
+    the rounding digit — the only class where HALF_UP vs rint differ."""
+    pat = re.compile(r"^-?\d+\.\d{%d}5$" % (digits - 1))
+    return sum(1 for v in values if v is not None and pat.match(repr(float(v))))
+
+
+def main() -> None:
+    spark = get_spark(app_name="tie-scan")
+    out = {}
+
+    # class 1: tf·ln ratios (tf_idf keeps round(...,6); ln output)
+    docs = load_table(spark, SF_DIR, "documents")
+    toks = docs.select(
+        F.col("doc_id"), F.explode_outer(tokens(F.col("text"))).alias("term")
+    ).filter(F.col("term").isNotNull())
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df")).filter(F.col("df") >= 2)
+    n_docs = docs.select(F.count("*").alias("n_docs"))
+    raw = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            (
+                F.col("tf").cast("double")
+                * F.log(
+                    (F.col("n_docs") + 1).cast("double")
+                    / (F.col("df") + 1).cast("double")
+                )
+            ).alias("v")
+        )
+    )
+    vals = [r.v for r in raw.collect()]
+    out["tf_idf_ln"] = {"n": len(vals), "hits6": boundary_hits(vals, 6)}
+
+    # class 2: sqrt distances (every knn/ann dist column keeps round 6)
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    d = (
+        emb.crossJoin(F.broadcast(q))
+        .select(l2_dist("embedding", "qe").alias("v"))
+    )
+    vals = [r.v for r in d.collect()]
+    t = emb.select(truncate_renormalize("embedding", 32).alias("t"))
+    qt = t.limit(1).select(F.col("t").alias("qt"))
+    vals += [r.v for r in t.crossJoin(F.broadcast(qt)).select(
+        l2_dist("t", "qt").alias("v")).collect()]
+    out["sqrt_dists"] = {"n": len(vals), "hits6": boundary_hits(vals, 6)}
+
+    # class 3: percentile interpolation (value_quantiles keeps round 6)
+    ev = load_table(spark, SF_DIR, "events")
+    qs = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("a"),
+        F.expr("percentile(value, 0.95)").alias("b"),
+        F.expr("percentile(value, 0.99)").alias("c"),
+    )
+    vals = []
+    for r in qs.collect():
+        vals += [r.a, r.b, r.c]
+    out["quantile_interp"] = {"n": len(vals), "hits6": boundary_hits(vals, 6)}
+
+    total = sum(v["hits6"] for v in out.values())
+    print(json.dumps({"sf_dir": SF_DIR, "classes": out, "total_hits": total}))
+    if total:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

@@ -307,3 +307,34 @@ def test_dispatch_and_errors():
         _parse_jpeg(jpeg[:40])  # truncated mid-header
     with pytest.raises(ValueError):
         _parse_jpeg(b"\x00\x01not a jpeg")
+
+
+def test_jpeg_feeds_embed_pipeline(spark):
+    """The reference's primary corpus format flows through the flagship
+    pipeline shape end-to-end with no image library: binaryFile scan →
+    baseline-JPEG decode → resize → pool → projection → L2-normalized
+    embedding; the unsupported progressive fixture degrades to a null
+    row, not a job failure."""
+    import os
+
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_pipeline import (
+        JPEG_ROOT,
+    )
+    from the_build_project_image_retrieval_with_vector_databases_spark.sources.images import (
+        embed_images_pure,
+        scan_image_folder,
+    )
+
+    assert os.path.isdir(JPEG_ROOT)
+    scanned = scan_image_folder(spark, JPEG_ROOT, glob="*.jpg")
+    out = {
+        r.path.rsplit("/", 1)[-1]: r
+        for r in embed_images_pure(scanned, dim=32).collect()
+    }
+    assert len(out) == 4
+    assert not out["progressive.jpg"].decode_ok
+    oks = [n for n in out if out[n].decode_ok]
+    assert sorted(oks) == ["f420.jpg", "f444.jpg", "gradient_rst.jpg"]
+    for n in oks:
+        s = sum(x * x for x in out[n].embedding)
+        assert abs(s - 1.0) < 1e-5

@@ -293,3 +293,28 @@ def test_decontaminate_broadcasts_benchmark_grams(spark):
     # shingle Generates exist (corpus explode + bench explode), never a
     # third for a corpus-wide sizes pass
     assert plan.count("Generate explode") == 2
+
+
+def test_matryoshka_topk_is_take_ordered_no_shuffle(spark):
+    """Truncated-embedding top-k keeps the flagship physical shape: the
+    1-row truncated query vector broadcasts, the fold stays codegen'd,
+    and the top-10 is a zero-shuffle TakeOrderedAndProject — truncation
+    must not cost the plan anything."""
+    df = entrymod.queries()["matryoshka_topk"](spark, SF_SMOKE)
+    plan = _explain(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_gap_fill_no_nested_loop_and_bounded_exchanges(spark):
+    """Gap-fill's grid join must stay a hash EQUI-join on (key, slot) —
+    a range/theta formulation would plan BroadcastNestedLoopJoin and
+    explode at scale. The whole operator needs at most 3 hash exchanges
+    (slot-dedup window, span aggregate, grid⋈obs + fill window share
+    the key partitioning)."""
+    df = entrymod.queries()["gap_fill"](spark, SF_SMOKE)
+    plan = _physical(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 3
