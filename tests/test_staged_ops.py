@@ -96,3 +96,58 @@ def test_truncate_renormalize_recall_and_norm(spark):
         f"unexpected recall {overlap}/10 from random vectors — "
         "fixture no longer random?"
     )
+
+
+def test_pii_scrub_matches_python_reference(spark):
+    """Round-6 staged PII redaction: placeholders + per-class hit counts
+    agree with a single-threaded re.sub reference over both synthetic
+    PII-dense rows and the real documents fixture; the scrub is
+    idempotent and the md5 fingerprints the clean text."""
+    import hashlib
+    import re as _re
+
+    from pyspark.sql import Row
+
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.textops import (
+        PII_PATTERNS,
+        pii_scrub,
+    )
+
+    synth = [
+        Row(doc_id=1000, text="mail me at jo.doe+x@example.co.uk or root@a.io now"),
+        Row(doc_id=1001, text="card 1234-5678-9012-3456 ssn 123-45-6789 ok"),
+        Row(doc_id=1002, text="call +1 (555) 123-4567 or 555-987-6543 today"),
+        Row(doc_id=1003, text="host 10.0.0.1 and 192.168.255.254 up"),
+        Row(doc_id=1004, text="no pii here, just words"),
+        Row(doc_id=1005, text="already <EMAIL> present plus bob@x.org"),
+    ]
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select("doc_id", "text")
+    df = docs.unionAll(spark.createDataFrame(synth))
+    got = {r.doc_id: r for r in pii_scrub(df).collect()}
+
+    for row in df.collect():
+        txt = row.text
+        counts = {}
+        for name, pat, token in PII_PATTERNS:
+            before = txt.count(token)
+            txt = _re.sub(pat, token, txt)
+            counts[f"n_{name}"] = txt.count(token) - before
+        g = got[row.doc_id]
+        assert g.clean_text == txt, row.doc_id
+        for k, v in counts.items():
+            assert getattr(g, k) == v, (row.doc_id, k)
+        assert g.clean_md5 == hashlib.md5(txt.encode()).hexdigest()
+
+    # the synthetic rows actually exercise every class
+    assert got[1000].n_email == 2 and got[1001].n_card == 1
+    assert got[1001].n_ssn == 1 and got[1002].n_phone == 2
+    assert got[1003].n_ipv4 == 2
+    assert got[1005].n_email == 1  # pre-existing placeholder not counted
+    # idempotence: scrubbing clean text is a no-op
+    clean = spark.createDataFrame(
+        [Row(doc_id=r.doc_id, text=r.clean_text) for r in got.values()]
+    )
+    again = {r.doc_id: r for r in pii_scrub(clean).collect()}
+    for did, r in again.items():
+        assert r.clean_text == got[did].clean_text
+        assert r.n_email == r.n_card == r.n_ssn == r.n_phone == r.n_ipv4 == 0
