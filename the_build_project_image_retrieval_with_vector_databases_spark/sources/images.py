@@ -11,11 +11,12 @@ reference's ``@st.cache_resource`` model caching (``app.py:30``).
 The compressed-image libraries (PIL/torch) are NOT in this container, so
 ``decode_images`` defaults to a clearly-marked deterministic stub for
 oracle-reproducible runs — but the REAL decode path is executable here
-too: dependency-free pure-numpy codecs for PPM/PGM, 24-bit BMP, and
-8-bit PNG — one of the reference's two accepted upload formats,
-``app.py:78`` — (``decoder="auto"`` → built-in parsers, then PIL for
-JPEG when importable), plus :func:`embed_images_pure` running decode →
-resize → pool → projection → L2-normalize on actual pixels.
+too: dependency-free pure-numpy codecs for PPM/PGM, 24-bit BMP, 8-bit
+PNG, and baseline JPEG — every upload format the reference accepts,
+``app.py:78`` — (``decoder="auto"`` → built-in parsers, then PIL only
+for formats outside that set, e.g. progressive JPEG), plus
+:func:`embed_images_pure` running decode → resize → pool → projection →
+L2-normalize on actual pixels.
 ``decode_images(decoder="pil")`` and :func:`embed_images_torch` carry
 the reference's PIL/torch bodies when those libraries are importable.
 """
