@@ -338,3 +338,36 @@ def test_jpeg_feeds_embed_pipeline(spark):
     for n in oks:
         s = sum(x * x for x in out[n].embedding)
         assert abs(s - 1.0) < 1e-5
+
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _HAVE_HYP = True
+except Exception:  # pragma: no cover
+    _HAVE_HYP = False
+
+
+if _HAVE_HYP:
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        h=st.integers(4, 21),
+        w=st.integers(4, 21),
+        seed=st.integers(0, 2**31 - 1),
+        subsample=st.booleans(),
+        rst=st.sampled_from([0, 1, 3]),
+    )
+    def test_jpeg_roundtrip_property(h, w, seed, subsample, rst):
+        """Property form of the block-exact contract: ANY image content,
+        dimensions (incl. non-multiples of 8/16), sampling mode, and
+        restart interval decodes to exactly the direct-IDCT
+        reconstruction of its own quantized coefficients."""
+        rng = np.random.RandomState(seed)
+        rgb = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        jpeg, coefs, sampling = encode_jpeg(
+            rgb, subsample=subsample, restart_interval=rst
+        )
+        got = _parse_jpeg(jpeg)
+        want = _reconstruct(coefs, sampling, h, w)
+        assert np.array_equal(got, want)

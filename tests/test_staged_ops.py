@@ -151,3 +151,19 @@ def test_pii_scrub_matches_python_reference(spark):
     for did, r in again.items():
         assert r.clean_text == got[did].clean_text
         assert r.n_email == r.n_card == r.n_ssn == r.n_phone == r.n_ipv4 == 0
+
+
+def test_pii_scrub_oracle_parity_staged(spark, sf_dir):
+    """The staged pii_scrub DuckDB oracle already passes the
+    driver-faithful comparison, so r7 registration is a 2-line diff.
+    Also pins Java-regex ≡ RE2 behavior on the PII patterns."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_text import (
+        _oracle_pii_scrub,
+        q_pii_scrub,
+    )
+    from .oracle_harness import compare
+
+    ok, msg = compare(
+        q_pii_scrub(spark, sf_dir), _oracle_pii_scrub(), sf_dir, "pii_scrub"
+    )
+    assert ok, msg

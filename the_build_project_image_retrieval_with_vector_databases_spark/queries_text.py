@@ -946,6 +946,52 @@ FROM c GROUP BY 1
 """
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction at the query surface (operators.textops.pii_scrub):
+    typed placeholders + per-class audit counts + clean-text md5 over
+    the documents table. STAGED for the r7 verification window — the
+    oracle below is already parity-tested (tests/test_staged_ops.py::
+    test_pii_scrub_oracle_parity_staged) so registration is a
+    2-line diff when a window slot opens."""
+    from .operators.textops import pii_scrub
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pii_scrub(docs)
+
+
+def _oracle_pii_scrub() -> str:
+    """Mirror of pii_scrub: the same patterns (Java regex ∩ RE2 —
+    portable character classes only), the same chained rewrite order,
+    the same placeholder-delta hit counting."""
+    from .operators.textops import PII_PATTERNS
+
+    ctes = ["s0 AS (SELECT doc_id, text AS t0 FROM documents)"]
+    count_cols = []
+    for i, (name, pat, token) in enumerate(PII_PATTERNS):
+        prev, cur = f"t{i}", f"t{i + 1}"
+        ctes.append(
+            f"s{i + 1} AS (SELECT *, "
+            f"regexp_replace({prev}, '{pat}', '{token}', 'g') AS {cur} "
+            f"FROM s{i})"
+        )
+        ph_prev = (
+            f"(length({prev}) - length(regexp_replace({prev}, '{token}', '', 'g')))"
+        )
+        ph_cur = (
+            f"(length({cur}) - length(regexp_replace({cur}, '{token}', '', 'g')))"
+        )
+        count_cols.append(
+            f"CAST(({ph_cur} - {ph_prev}) / {len(token)} AS INT) AS n_{name}"
+        )
+    last = f"t{len(PII_PATTERNS)}"
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        f"SELECT doc_id, {last} AS clean_text,\n       "
+        + ",\n       ".join(count_cols)
+        + f",\n       md5({last}) AS clean_md5\nFROM s{len(PII_PATTERNS)}"
+    )
+
+
 def q_vocab_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary-pruned corpus rewrite — the classic preprocessing pass:
     drop tokens that are near-stopwords (document frequency > 50% of the
