@@ -371,3 +371,29 @@ if _HAVE_HYP:
         got = _parse_jpeg(jpeg)
         want = _reconstruct(coefs, sampling, h, w)
         assert np.array_equal(got, want)
+
+
+def test_fuzz_never_hangs_or_allocates(spark=None):
+    """Adversarial inputs degrade to ValueError (→ decode_ok=false
+    rows), never to unbounded allocation: a 30-byte file claiming
+    65535x65535 must be rejected by the header cap, and random/truncated
+    byte soup must raise quickly."""
+    rgb = np.full((8, 8, 3), 10, dtype=np.uint8)
+    jpeg, _, _ = encode_jpeg(rgb)
+    # corrupt the SOF dims to 65535x65535
+    i = jpeg.index(b"\xff\xc0")
+    bomb = jpeg[: i + 5] + b"\xff\xff\xff\xff" + jpeg[i + 9 :]
+    with pytest.raises(ValueError, match="cap"):
+        _parse_jpeg(bomb)
+    rng = np.random.RandomState(3)
+    for n in (0, 1, 2, 5, 40, 400):
+        buf = b"\xff\xd8" + bytes(rng.randint(0, 256, n, dtype=np.uint8).tolist())
+        try:
+            _parse_jpeg(buf)
+        except Exception:
+            pass  # any exception is fine — callers map it to decode_ok=false
+    for cut in (10, 60, len(jpeg) - 3):
+        try:
+            _parse_jpeg(jpeg[:cut])
+        except Exception:
+            pass

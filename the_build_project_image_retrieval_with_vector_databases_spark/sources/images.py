@@ -493,6 +493,13 @@ def _parse_jpeg(payload: bytes):
     h, w, comps = frame
     if h == 0 or w == 0:
         raise ValueError("bad JPEG dimensions")
+    if h * w > 64_000_000:
+        # allocation guard: the component planes are allocated from the
+        # HEADER dims before any entropy data is read, so a crafted
+        # 20-byte file claiming 65535x65535 would otherwise reserve
+        # ~34 GB per plane. 64 MP covers every real corpus image; the
+        # cap turns the attack into a decode_ok=false row.
+        raise ValueError(f"JPEG dimensions {w}x{h} exceed decoder cap")
     by_id = {cid: (hi, vi, tq) for cid, hi, vi, tq in comps}
     order = []  # (hi, vi, qtbl, dc_table, ac_table) per scan component
     for cid, dc_id, ac_id in scan:
