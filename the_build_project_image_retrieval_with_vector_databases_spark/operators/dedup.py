@@ -366,8 +366,12 @@ def simhash(
     )
     xs = e.select(F.col(id_col), md5_long("tok").alias("x"))
     votes = [
+        # shiftright ≡ floor-divide-by-2^j for the nonnegative md5 ints
+        # (the oracle keeps // arithmetic — identical results), but runs
+        # as one native long op instead of a double divide + floor +
+        # cast per (row × bit)
         F.sum(
-            F.when((F.floor(F.col("x") / (1 << j)).cast("long") % 2) == 1, 1).otherwise(
+            F.when(F.shiftright(F.col("x"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
                 -1
             )
         ).alias(f"v{j}")
