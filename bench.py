@@ -9,8 +9,9 @@ Output contract (round-6 fix for the BENCH_r05 truncation): the driver
 captures only the LAST ~2000 chars of stdout, and a single JSON line
 with all 96+ per-query timings is ~2.4 KB — it can never fit. So:
 
-1. each query prints its own one-line JSON record as it finishes
-   (progress + partial evidence in any captured window);
+1. each query prints a one-line ``# bench <name> = <t>s`` progress
+   comment as it finishes (deliberately NOT JSON — the driver must only
+   ever parse the final summary line);
 2. the COMPLETE result set is written to ``BENCH_FULL.json`` at the
    repo root (the durable artifact — the driver's end-of-round commit
    picks it up);

@@ -142,9 +142,15 @@ def timed(spark, fn, runs: int = 2) -> float:
 def main() -> None:
     spark = get_spark(app_name="scale-proof")
     scaled_dir = os.path.join(tempfile.gettempdir(), "spark_graft_scale10x")
+    # staleness check must cover EVERY table build_scaled writes: a
+    # cached dir from a round that wrote fewer tables would otherwise
+    # skip the build and crash the first query that needs the new one
     if not all(
         os.path.exists(os.path.join(scaled_dir, t, "_SUCCESS"))
-        for t in ("documents.parquet", "embeddings.parquet", "events.parquet")
+        for t in (
+            "documents.parquet", "embeddings.parquet", "events.parquet",
+            "lineitem.parquet", "supplier.parquet", "nation.parquet",
+        )
     ):
         build_scaled(spark, scaled_dir)
 

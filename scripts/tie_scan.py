@@ -44,13 +44,27 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def boundary_hits(values, digits: int) -> int:
-    """Count doubles whose shortest repr terminates with '5' exactly at
-    the rounding digit — the only class where HALF_UP vs rint differ."""
-    pat = re.compile(r"^-?\d+\.\d{%d}5$" % (digits - 1))
+    """Count doubles whose shortest repr is an exact round-to-``digits``
+    tie — i.e. exactly ``digits``+1 fractional digits ending in '5'
+    (value = k·10^-digits + 5·10^-(digits+1) exactly) — the only class
+    where Spark's BigDecimal HALF_UP and DuckDB's multiply/rint differ.
+    Longer reprs passing through ...5000...1 or ...4999... round the
+    same way in both engines."""
+    pat = re.compile(r"^-?\d+\.\d{%d}5$" % digits)
     return sum(1 for v in values if v is not None and pat.match(repr(float(v))))
 
 
+def _selfcheck() -> None:
+    """The scan is only as good as its pattern — pin it on knowns."""
+    assert boundary_hits([0.0078125], 6) == 1          # true round-6 tie
+    assert boundary_hits([0.1234565], 6) == 1          # true round-6 tie
+    assert boundary_hits([0.123455], 6) == 0           # 6 decimals: not a tie
+    assert boundary_hits([0.12345650000000001], 6) == 0  # above-half, agrees
+    assert boundary_hits([1.4142135623730951], 6) == 0   # sqrt-class repr
+
+
 def main() -> None:
+    _selfcheck()
     spark = get_spark(app_name="tie-scan")
     out = {}
 
@@ -86,8 +100,9 @@ def main() -> None:
         .select(l2_dist("embedding", "qe").alias("v"))
     )
     vals = [r.v for r in d.collect()]
-    t = emb.select(truncate_renormalize("embedding", 32).alias("t"))
-    qt = t.limit(1).select(F.col("t").alias("qt"))
+    t = emb.select("vec_id", truncate_renormalize("embedding", 32).alias("t"))
+    qt = t.filter(F.col("vec_id") == 0).select(F.col("t").alias("qt"))
+    t = t.select("t")
     vals += [r.v for r in t.crossJoin(F.broadcast(qt)).select(
         l2_dist("t", "qt").alias("v")).collect()]
     out["sqrt_dists"] = {"n": len(vals), "hits6": boundary_hits(vals, 6)}

@@ -385,15 +385,16 @@ def test_fuzz_never_hangs_or_allocates(spark=None):
     bomb = jpeg[: i + 5] + b"\xff\xff\xff\xff" + jpeg[i + 9 :]
     with pytest.raises(ValueError, match="cap"):
         _parse_jpeg(bomb)
+    # decode_pixels contract: corrupt input raises ValueError ONLY —
+    # IndexError/KeyError/struct.error from malformed headers must be
+    # converted, so callers filtering on ValueError stay correct
     rng = np.random.RandomState(3)
     for n in (0, 1, 2, 5, 40, 400):
         buf = b"\xff\xd8" + bytes(rng.randint(0, 256, n, dtype=np.uint8).tolist())
         try:
             _parse_jpeg(buf)
-        except Exception:
-            pass  # any exception is fine — callers map it to decode_ok=false
-    for cut in (10, 60, len(jpeg) - 3):
-        try:
-            _parse_jpeg(jpeg[:cut])
-        except Exception:
+        except ValueError:
             pass
+    for cut in (10, 60, len(jpeg) // 2, len(jpeg) - 3):
+        with pytest.raises(ValueError):
+            _parse_jpeg(jpeg[:cut])

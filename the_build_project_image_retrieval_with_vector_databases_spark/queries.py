@@ -618,7 +618,9 @@ ORACLES: dict[str, str] = {
 # Round-6 rotation (VERDICT r5 #4): the 46 entries rotated past r05's
 # window come back to the FRONT (each is r4-green; a green r06 row keeps
 # the "no entry unverified two rounds running" invariant), followed by
-# the two queries registered this round (the staged r5 operators).
+# the THREE queries registered this round (the two staged r5 operators
+# + the new JPEG decode) — 49 front entries, so the first _ROTATE_OUT
+# entry lands at dict position 50, inside the driver's window.
 _CHECK_FIRST: list[str] = [
     "clean_corpus",
     "cosine_topk",

@@ -118,6 +118,62 @@ FROM b
 PPM_ROOT = os.path.join(_FIXTURES, "images_ppm")
 
 
+def _decode_rows_query(
+    spark: SparkSession, root: str, glob: str, with_md5: bool
+) -> DataFrame:
+    """Shared real-decode row shape for the PPM and JPEG registry
+    queries: binaryFile scan → Arrow ``mapInPandas`` through
+    ``decode_pixels`` → (basename, category, dims, corner RGB
+    [, raster md5], decode_ok); per-row failures become
+    ``decode_ok = false`` rows, never job failures (F2)."""
+    from .sources.images import decode_pixels, scan_image_folder
+
+    scanned = scan_image_folder(spark, root, glob=glob)
+    n_null = 7 if with_md5 else 6
+
+    def batches(it):
+        import hashlib as _hl
+
+        import pandas as pd
+
+        for pdf in it:
+            out = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    arr = decode_pixels(content)
+                    h, w, c = arr.shape
+                    row = [path, w, h, c] + [int(x) for x in arr[0, 0]]
+                    if with_md5:
+                        row.append(_hl.md5(arr.tobytes()).hexdigest())
+                    row.append(True)
+                except Exception:
+                    row = [path] + [None] * n_null + [False]
+                out.append(tuple(row))
+            cols = (
+                ["path", "width", "height", "n_channels", "r0", "g0", "b0"]
+                + (["pixel_md5"] if with_md5 else [])
+                + ["decode_ok"]
+            )
+            yield pd.DataFrame(out, columns=cols)
+
+    decoded = scanned.mapInPandas(
+        batches,
+        schema=(
+            "path string, width int, height int, n_channels int, "
+            "r0 int, g0 int, b0 int, "
+            + ("pixel_md5 string, " if with_md5 else "")
+            + "decode_ok boolean"
+        ),
+    )
+    return decoded.select(
+        F.element_at(F.split("path", "/"), -1).alias("basename"),
+        F.element_at(F.split("path", "/"), -2).alias("category"),
+        "width", "height", "n_channels", "r0", "g0", "b0",
+        *(["pixel_md5"] if with_md5 else []),
+        "decode_ok",
+    )
+
+
 def q_image_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL decode at the query surface, oracle-checked end-to-end: the
     fixture PPMs (fixed 17-byte ``P6\\n{w:04d} {h:04d}\\n255\\n`` header +
@@ -127,43 +183,7 @@ def q_image_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same header fields and raster bytes straight out of the blob.
     Cross-engine agreement on genuine pixel math, no stub anywhere; a
     truncated raster surfaces as a ``decode_ok = false`` row (F2)."""
-    from .sources.images import decode_pixels, scan_image_folder
-
-    scanned = scan_image_folder(spark, PPM_ROOT, glob="*.ppm")
-
-    def batches(it):
-        import pandas as pd
-
-        for pdf in it:
-            out = []
-            for path, content in zip(pdf["path"], pdf["content"]):
-                try:
-                    arr = decode_pixels(content)
-                    h, w, c = arr.shape
-                    r0, g0, b0 = (int(x) for x in arr[0, 0])
-                    out.append((path, w, h, c, r0, g0, b0, True))
-                except Exception:
-                    out.append((path, None, None, None, None, None, None, False))
-            yield pd.DataFrame(
-                out,
-                columns=[
-                    "path", "width", "height", "n_channels",
-                    "r0", "g0", "b0", "decode_ok",
-                ],
-            )
-
-    decoded = scanned.mapInPandas(
-        batches,
-        schema=(
-            "path string, width int, height int, n_channels int, "
-            "r0 int, g0 int, b0 int, decode_ok boolean"
-        ),
-    )
-    return decoded.select(
-        F.element_at(F.split("path", "/"), -1).alias("basename"),
-        F.element_at(F.split("path", "/"), -2).alias("category"),
-        "width", "height", "n_channels", "r0", "g0", "b0", "decode_ok",
-    )
+    return _decode_rows_query(spark, PPM_ROOT, "*.ppm", with_md5=False)
 
 
 def _hx_byte(pos: int) -> str:
@@ -229,51 +249,7 @@ def q_image_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference reconstruction (scripts/make_jpeg_fixtures.py) — never by
     the engine's own decoder. The progressive-coded fixture exercises
     the ``decode_ok = false`` error-tolerance row (F2)."""
-    from .sources.images import decode_pixels, scan_image_folder
-
-    scanned = scan_image_folder(spark, JPEG_ROOT, glob="*.jpg")
-
-    def batches(it):
-        import hashlib as _hl
-
-        import pandas as pd
-
-        for pdf in it:
-            out = []
-            for path, content in zip(pdf["path"], pdf["content"]):
-                try:
-                    arr = decode_pixels(content)
-                    h, w, c = arr.shape
-                    r0, g0, b0 = (int(x) for x in arr[0, 0])
-                    out.append((
-                        path, w, h, c, r0, g0, b0,
-                        _hl.md5(arr.tobytes()).hexdigest(), True,
-                    ))
-                except Exception:
-                    out.append(
-                        (path, None, None, None, None, None, None, None, False)
-                    )
-            yield pd.DataFrame(
-                out,
-                columns=[
-                    "path", "width", "height", "n_channels",
-                    "r0", "g0", "b0", "pixel_md5", "decode_ok",
-                ],
-            )
-
-    decoded = scanned.mapInPandas(
-        batches,
-        schema=(
-            "path string, width int, height int, n_channels int, "
-            "r0 int, g0 int, b0 int, pixel_md5 string, decode_ok boolean"
-        ),
-    )
-    return decoded.select(
-        F.element_at(F.split("path", "/"), -1).alias("basename"),
-        F.element_at(F.split("path", "/"), -2).alias("category"),
-        "width", "height", "n_channels",
-        "r0", "g0", "b0", "pixel_md5", "decode_ok",
-    )
+    return _decode_rows_query(spark, JPEG_ROOT, "*.jpg", with_md5=True)
 
 
 def _hx_pair_at(off_expr: str) -> str:
@@ -286,13 +262,25 @@ def _hx_pair_at(off_expr: str) -> str:
 
 # SOF0 layout after the byte-aligned ffc0 marker (hex char position p):
 # length(2B) precision(1B) height(2B) width(2B) → height at chars p+10,
-# width at chars p+14 (each 2 bytes big-endian).
+# width at chars p+14 (each 2 bytes big-endian). Alignment guard: a hex
+# substring match at an EVEN char position straddles two bytes (e.g.
+# ..5f ff c0.. matching one char early) — only odd p is a real marker;
+# a misaligned first match nulls the dims, which fails the row loudly
+# at fixture-generation time instead of parsing garbage. (Fixture
+# scope: baseline files from make_jpeg_fixtures.py with no APPn
+# segments, so the first aligned ffc0 IS the frame header; an
+# EXIF-thumbnail-bearing JPEG would need a real marker walk.)
 ORACLE_IMAGE_DECODE_JPEG = f"""
 WITH b AS (
   SELECT filename, lower(hex(content)) AS hx
   FROM read_blob('{JPEG_ROOT}/*/*.jpg')
 ),
-sof AS (SELECT filename, hx, strpos(hx, 'ffc0') AS p FROM b),
+sof AS (
+  SELECT filename, hx,
+         CASE WHEN strpos(hx, 'ffc0') % 2 = 1
+              THEN strpos(hx, 'ffc0') ELSE 0 END AS p
+  FROM b
+),
 dims AS (
   SELECT list_extract(string_split(filename, '/'), -1) AS basename,
          list_extract(string_split(filename, '/'), -2) AS category,

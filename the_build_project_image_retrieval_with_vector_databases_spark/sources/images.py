@@ -337,8 +337,12 @@ class _JpegBits:
         self.n = 0
 
     def _fill(self) -> None:
+        if self.pos >= len(self.data):  # truncated mid-entropy-data
+            raise StopIteration
         b = self.data[self.pos]
         if b == 0xFF:
+            if self.pos + 1 >= len(self.data):
+                raise StopIteration
             nxt = self.data[self.pos + 1]
             if nxt != 0x00:  # a real marker terminates the segment
                 raise StopIteration
@@ -394,6 +398,20 @@ def _extend(v: int, s: int) -> int:
 
 
 def _parse_jpeg(payload: bytes):
+    """ValueError-only wrapper around :func:`_parse_jpeg_inner` — the
+    decode_pixels contract is 'unsupported/corrupt input raises
+    ValueError', but malformed headers can surface as IndexError /
+    KeyError / struct.error from the marker walk (short segments,
+    dangling table ids). Callers map ValueError to decode_ok=false."""
+    import struct
+
+    try:
+        return _parse_jpeg_inner(payload)
+    except (IndexError, KeyError, struct.error) as e:
+        raise ValueError(f"malformed JPEG: {type(e).__name__}: {e}") from e
+
+
+def _parse_jpeg_inner(payload: bytes):
     """Baseline JFIF JPEG → (h, w, 3) uint8 RGB array, dependency-free —
     the reference's PRIMARY corpus format (uploads accept jpg/jpeg,
     reference ``app.py:78``; the Caltech101 corpus is ``.jpg``,
@@ -526,7 +544,8 @@ def _parse_jpeg(payload: bytes):
                 ):
                     br.align()
                     if not (
-                        br.data[br.pos] == 0xFF
+                        br.pos + 1 < len(br.data)
+                        and br.data[br.pos] == 0xFF
                         and 0xD0 <= br.data[br.pos + 1] <= 0xD7
                     ):
                         raise ValueError("missing JPEG restart marker")
