@@ -6,7 +6,14 @@ order-insensitive value-hash matches):
 
 - vector math: elementwise cast to double, **left-fold** accumulation
   (Spark ``aggregate`` ≡ DuckDB ``list_reduce``) → bit-identical sums;
-  outputs rounded to 6 decimals *after* ordering.
+  sqrt/log-derived outputs rounded to 6 decimals *after* ordering
+  (safe: ~17-sig-digit reprs never land on a .5 boundary — verified by
+  scripts/tie_scan.py).
+- integer-ratio outputs (counts ÷ counts): emitted as RAW doubles —
+  a single IEEE division of exact operands is bit-identical across
+  engines, while ``round(ratio, 6)`` diverges on exact .5 ties (Spark
+  BigDecimal HALF_UP vs DuckDB multiply/rint; round-6 sweep,
+  CHANGES_r06).
 - money/metric sums: cast each operand to a fixed ``decimal`` first
   (both engines round the same double), sum exactly in decimal, cast the
   final sum to double — immune to summation order.
