@@ -95,12 +95,19 @@ def main() -> None:
                            "BENCH_FULL.json"), "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)
 
-    # Final line: slowest-first, hard-capped under the driver's ~2000-char
-    # stdout tail so it always parses whole.
-    budget = 1900
+    print(build_summary_line(times, total, sf), flush=True)
+
+
+def build_summary_line(
+    times: dict[str, float], total: float, sf: float, budget: int = 1900
+) -> str:
+    """The driver-contract final line: slowest queries first, hard-capped
+    under the driver's ~2000-char stdout tail so it ALWAYS parses whole;
+    every omitted query is bounded above by the smallest listed time.
+    Factored out so tests can pin the size/ordering contract."""
     slowest = sorted(times, key=lambda n: (-times[n], n))
     summary = {
-        "metric": full["metric"],
+        "metric": "sum_query_seconds_sf" + str(sf),
         "value": total,
         "unit": "sec",
         "queries": {},
@@ -109,7 +116,7 @@ def main() -> None:
         "queries_omitted": len(times),
         "full": "BENCH_FULL.json",
     }
-    line = ""
+    line = json.dumps(summary, separators=(",", ":"))
     for i, name in enumerate(slowest):
         summary["queries"][name] = times[name]
         summary["queries_omitted"] = len(times) - i - 1
@@ -119,7 +126,7 @@ def main() -> None:
             summary["queries_omitted"] = len(times) - i
             break
         line = candidate
-    print(line, flush=True)
+    return line
 
 
 if __name__ == "__main__":
