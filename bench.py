@@ -84,7 +84,7 @@ def main() -> None:
 
     total = round(sum(times.values()), 3)
     full = {
-        "metric": "sum_query_seconds_sf" + str(sf),
+        "metric": _metric(sf),
         "value": total,
         "unit": "sec",
         "queries": times,
@@ -98,6 +98,12 @@ def main() -> None:
     print(build_summary_line(times, total, sf), flush=True)
 
 
+def _metric(sf: float) -> str:
+    """Single source of truth for the metric name — the stdout summary
+    and the BENCH_FULL.json artifact must never disagree."""
+    return "sum_query_seconds_sf" + str(sf)
+
+
 def build_summary_line(
     times: dict[str, float], total: float, sf: float, budget: int = 1900
 ) -> str:
@@ -107,7 +113,7 @@ def build_summary_line(
     Factored out so tests can pin the size/ordering contract."""
     slowest = sorted(times, key=lambda n: (-times[n], n))
     summary = {
-        "metric": "sum_query_seconds_sf" + str(sf),
+        "metric": _metric(sf),
         "value": total,
         "unit": "sec",
         "queries": {},

@@ -50,6 +50,19 @@ def main() -> None:
     for category, name, rgb, kw in fixtures:
         jpeg, coefs, sampling = encode_jpeg(rgb, **kw)
         want = _reconstruct(coefs, sampling, rgb.shape[0], rgb.shape[1])
+        # The registry oracle locates SOF0 with strpos(hex, 'ffc0') —
+        # first match, byte-alignment-guarded but NOT a marker walk. Pin
+        # the assumption at generation time: the first 'ffc0' in the hex
+        # stream must BE the real frame header (no earlier straddled or
+        # payload-embedded occurrence), else the oracle would parse
+        # garbage dims and the driver row would go red confusingly.
+        hx = jpeg.hex()
+        true_sof = hx.index("ffc0")
+        assert true_sof == 2 * jpeg.index(b"\xff\xc0"), (
+            f"{name}: first hex 'ffc0' at {true_sof} is not the SOF0 "
+            "marker — regenerate with different content or teach the "
+            "oracle a real marker walk"
+        )
         d = os.path.join(OUT, category)
         os.makedirs(d, exist_ok=True)
         with open(os.path.join(d, name), "wb") as f:

@@ -9,8 +9,8 @@ are sqrt/log/interpolation-derived; their shortest reprs carry ~17
 significant digits, so a terminating '5' at digit 7 is a measure-zero
 event — this script makes that claim EMPIRICAL at sf0.1: it recomputes
 the pre-round values of every still-rounded column class and counts
-values whose shortest repr terminates with '5' at or before the
-rounding digit. Expected output: zero hits everywhere.
+values whose shortest repr is an exact .5 tie at the rounding digit.
+Expected output: zero hits everywhere.
 
 Usage: python scripts/tie_scan.py  → one JSON line.
 """
@@ -19,7 +19,6 @@ from __future__ import annotations
 
 import json
 import os
-import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -44,21 +43,36 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def boundary_hits(values, digits: int) -> int:
-    """Count doubles whose shortest repr is an exact round-to-``digits``
-    tie — i.e. exactly ``digits``+1 fractional digits ending in '5'
-    (value = k·10^-digits + 5·10^-(digits+1) exactly) — the only class
-    where Spark's BigDecimal HALF_UP and DuckDB's multiply/rint differ.
-    Longer reprs passing through ...5000...1 or ...4999... round the
-    same way in both engines."""
-    pat = re.compile(r"^-?\d+\.\d{%d}5$" % digits)
-    return sum(1 for v in values if v is not None and pat.match(repr(float(v))))
+    """Count doubles whose SHORTEST REPR is an exact round-to-``digits``
+    tie — value = k·10^-digits ± 5·10^-(digits+1) exactly — the only
+    class where Spark's BigDecimal HALF_UP (which rounds the shortest
+    repr) and DuckDB's multiply/rint differ. Longer expansions passing
+    through ...5000...1 or ...4999... round the same way in both
+    engines. Decimal arithmetic, NOT a repr regex: Python repr switches
+    to scientific notation below 1e-4, which a digit-pattern silently
+    misses (round-6 review finding — 5e-07 IS a round-6 tie)."""
+    from decimal import Decimal
+
+    half = Decimal("0.5")
+    n = 0
+    for v in values:
+        if v is None:
+            continue
+        d = Decimal(repr(float(v))).scaleb(digits)
+        n += int(abs(d - d.to_integral_value()) == half)
+    return n
 
 
 def _selfcheck() -> None:
-    """The scan is only as good as its pattern — pin it on knowns."""
+    """The scan is only as good as its tie predicate — pin it on knowns."""
     assert boundary_hits([0.0078125], 6) == 1          # true round-6 tie
     assert boundary_hits([0.1234565], 6) == 1          # true round-6 tie
+    assert boundary_hits([5e-07], 6) == 1              # sci-notation tie
+    assert boundary_hits([6.45e-05], 6) == 1           # sci-notation tie
+    assert boundary_hits([-0.1234565], 6) == 1         # negative tie
     assert boundary_hits([0.123455], 6) == 0           # 6 decimals: not a tie
+    assert boundary_hits([5e-08], 6) == 0              # tie one digit deeper? no:
+    # 5e-08 scaled by 1e6 = 0.05 — not a half — rounds to 0 both engines
     assert boundary_hits([0.12345650000000001], 6) == 0  # above-half, agrees
     assert boundary_hits([1.4142135623730951], 6) == 0   # sqrt-class repr
 

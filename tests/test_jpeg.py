@@ -388,6 +388,15 @@ def test_fuzz_never_hangs_or_allocates(spark=None):
     # decode_pixels contract: corrupt input raises ValueError ONLY —
     # IndexError/KeyError/struct.error from malformed headers must be
     # converted, so callers filtering on ValueError stay correct
+    # zero sampling factor (hv byte 0x00) must be a ValueError, not a
+    # ZeroDivisionError escaping from the MCU geometry math
+    i = jpeg.index(b"\xff\xc0")
+    # marker(2) + length(2) + precision(1) + height(2) + width(2) +
+    # ncomp(1) + comp0 id(1) → comp0's h/v sampling byte
+    sof_comp0_hv = i + 11
+    zs = jpeg[:sof_comp0_hv] + b"\x00" + jpeg[sof_comp0_hv + 1 :]
+    with pytest.raises(ValueError, match="sampling"):
+        _parse_jpeg(zs)
     rng = np.random.RandomState(3)
     for n in (0, 1, 2, 5, 40, 400):
         buf = b"\xff\xd8" + bytes(rng.randint(0, 256, n, dtype=np.uint8).tolist())

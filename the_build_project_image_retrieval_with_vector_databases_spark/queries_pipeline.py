@@ -142,7 +142,12 @@ def _decode_rows_query(
                 try:
                     arr = decode_pixels(content)
                     h, w, c = arr.shape
-                    row = [path, w, h, c] + [int(x) for x in arr[0, 0]]
+                    # exact 3-unpack: a non-RGB decode (1 or 4 channels
+                    # from a future codec) must fail INSIDE the per-row
+                    # try and become a decode_ok=false row, not build a
+                    # wrong-length row that kills the whole batch
+                    r0, g0, b0 = (int(x) for x in arr[0, 0])
+                    row = [path, w, h, c, r0, g0, b0]
                     if with_md5:
                         row.append(_hl.md5(arr.tobytes()).hexdigest())
                     row.append(True)

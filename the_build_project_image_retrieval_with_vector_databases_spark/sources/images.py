@@ -407,7 +407,7 @@ def _parse_jpeg(payload: bytes):
 
     try:
         return _parse_jpeg_inner(payload)
-    except (IndexError, KeyError, struct.error) as e:
+    except (IndexError, KeyError, struct.error, ZeroDivisionError) as e:
         raise ValueError(f"malformed JPEG: {type(e).__name__}: {e}") from e
 
 
@@ -482,7 +482,10 @@ def _parse_jpeg_inner(payload: bytes):
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
-                comps.append((cid, hv >> 4, hv & 15, tq))
+                hi, vi = hv >> 4, hv & 15
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):  # T.81 B.2.2
+                    raise ValueError(f"bad JPEG sampling factors {hi}x{vi}")
+                comps.append((cid, hi, vi, tq))
             frame = (h, w, comps)
         elif marker == 0xC2:
             raise ValueError("progressive JPEG unsupported")
