@@ -382,3 +382,39 @@ def test_stub_embed_text_shape_and_norm(spark):
     a = {r.doc_id: r.embedding for r in out.collect()}
     b = {r.doc_id: r.embedding for r in stub_embed_text(docs, "text", dim=16).collect()}
     assert a == b
+
+
+def test_embed_images_int_matches_numpy_reference(spark, tmp_path):
+    """The oracle-exact integer embed: Spark output equals a direct
+    numpy recompute (decode → nearest-resize → block sums → shared
+    quantized weights) bit-for-bit, and the range audit holds."""
+    import numpy as np
+
+    from the_build_project_image_retrieval_with_vector_databases_spark.sources.images import (
+        decode_pixels,
+        embed_images_int,
+        int_projection_weights,
+        resize_nearest,
+        scan_image_folder,
+    )
+
+    root = tmp_path / "ints" / "cats"
+    root.mkdir(parents=True)
+    (root / "a.ppm").write_bytes(_ppm_bytes(50, 40))
+    (root / "b.ppm").write_bytes(_ppm_bytes(33, 77))
+    (root / "bad.ppm").write_bytes(b"P6 nope")
+    scanned = scan_image_folder(spark, str(tmp_path / "ints"), glob="*.ppm")
+    got = {
+        r.path.rsplit("/", 1)[-1]: r
+        for r in embed_images_int(scanned, dim=16).collect()
+    }
+    assert not got["bad.ppm"].decode_ok and got["bad.ppm"].embedding is None
+
+    wq = int_projection_weights(192, 16)
+    for name in ("a.ppm", "b.ppm"):
+        payload = (root / name).read_bytes()
+        arr = resize_nearest(decode_pixels(payload), 32, 32).astype(np.int64)
+        feats = arr.reshape(8, 4, 8, 4, 3).sum(axis=(1, 3)).ravel()
+        want = feats @ wq
+        assert list(want) == list(got[name].embedding), name
+        assert int(np.abs(want).max()) < 2**31  # far inside the audit bound

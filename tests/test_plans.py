@@ -259,10 +259,11 @@ def test_driver_window_ordering_contract():
     assert set(_CHECK_FIRST) <= front, "priority query fell out of the window"
     drifted = set(names[50:]) - set(_ROTATE_OUT)
     assert not drifted, f"silent window drift (pin or rotate): {drifted}"
-    # oracles iterate in the same order and cover everything except the
-    # documented rows-only entries
+    # oracles iterate in the same order and cover EVERY entry — round 6
+    # upgraded the last rows-only query (image_knn_pipeline) to a full
+    # oracle via the integer-exact projection embed
     assert list(ORACLES) == [n for n in names if n in ORACLES]
-    assert set(names) - set(ORACLES) == {"image_knn_pipeline"}
+    assert set(names) - set(ORACLES) == set()
 
 
 def test_interval_join_is_equi_not_nested_loop(spark):

@@ -80,6 +80,18 @@ def cosine_sim(a: Column | str, b: Column | str) -> Column:
     return dot(a, b) / F.greatest(denom, F.lit(1e-12))
 
 
+def int_dot(a: Column | str, b: Column | str) -> Column:
+    """Exact inner product of two ``array<long>`` columns — pure int64
+    fold, so the result is independent of evaluation order and a SQL
+    engine reproduces it bit-for-bit (unlike double folds, which are
+    only *same-order* deterministic). Caller owns the range audit:
+    per-term products and the running sum must fit int64."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    prods = F.zip_with(a, b, lambda x, y: x * y)
+    return F.aggregate(prods, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
 def truncate_renormalize(v: Column | str, dims: int) -> Column:
     """Matryoshka-style dimension truncation: keep the first ``dims``
     components and L2-renormalize. ONLY meaningful on embeddings trained

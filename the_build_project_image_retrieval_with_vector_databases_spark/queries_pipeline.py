@@ -313,23 +313,27 @@ FROM dims d JOIN exp e USING (basename)
 def q_image_knn_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's ENTIRE flagship flow end-to-end with real pixel
     math and zero stubs: image-folder scan → dependency-free decode →
-    resize → pool → projection embed → L2 normalize → kNN join among the
-    decoded images (``app.py:124-179`` condensed to one plan). Failed
-    decodes (the truncated fixture) drop out at the F2 gate exactly as
-    the reference's error-tolerant loader skips corrupt files.
+    resize → pool → projection embed → cosine kNN among the decoded
+    images (``app.py:124-179`` condensed to one plan). Failed decodes
+    (the truncated fixture) drop out at the F2 gate exactly as the
+    reference's error-tolerant loader skips corrupt files.
 
-    No SQL oracle — the embedding derives from decoded pixels through a
-    seeded projection the oracle engine cannot reproduce; the driver
-    records the rows-only check, and the pixel/embed math itself is
-    pinned by the unit tests (``tests/test_images.py``) plus the
-    oracle-checked ``image_decode_real``. Deterministic output: the
-    top-2 neighbors per image by cosine, ids = basenames."""
-    from .operators.knn import knn_join
-    from .sources.images import embed_images_pure, scan_image_folder
+    FULL DuckDB oracle since round 6 (previously the registry's one
+    rows-only entry): the embed uses ``embed_images_int`` — resize and
+    block-SUM pooling stay in uint8/int64, the projection is the shared
+    quantized-integer matrix (``int_projection_weights``, inlined into
+    the oracle as literals) — so every embedding coordinate is an EXACT
+    int64 both engines derive independently from the raster bytes, and
+    the cosine ranking is computed from exact int64 dots
+    (``functions.vector.int_dot`` ≡ BIGINT ``list_reduce``) with one
+    identical double division at the end. Pixel bytes → top-k ranks,
+    value-exact across engines."""
+    from .functions.vector import int_dot
+    from .sources.images import embed_images_int, scan_image_folder
 
     scanned = scan_image_folder(spark, PPM_ROOT, glob="*.ppm")
     embedded = (
-        embed_images_pure(scanned, dim=16)
+        embed_images_int(scanned, dim=16)
         .filter(F.col("decode_ok"))
         .select(
             F.concat_ws(
@@ -339,17 +343,111 @@ def q_image_knn_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding",
         )
     )
-    queries = embedded.select(F.col("img").alias("query_id"), "embedding")
-    out = knn_join(
-        embedded, queries, k=2, metric="cosine", id_col="img", exclude_self=True
+    q = embedded.select(
+        F.col("img").alias("query_id"), F.col("embedding").alias("qe")
     )
-    return out.select(
-        "query_id",
-        F.col("img").alias("neighbor"),
-        "category",
-        F.round("dist", 6).alias("cos_sim"),
-        "rank",
+    n = embedded.select(
+        F.col("img").alias("neighbor"), "category",
+        F.col("embedding").alias("ne"),
     )
+    cos = int_dot("qe", "ne").cast("double") / F.greatest(
+        F.sqrt(int_dot("qe", "qe").cast("double"))
+        * F.sqrt(int_dot("ne", "ne").cast("double")),
+        F.lit(1e-12),
+    )
+    pairs = (
+        q.join(F.broadcast(n), F.col("query_id") != F.col("neighbor"))
+        .withColumn("cos_sim", cos)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("cos_sim").desc(), F.col("neighbor").asc()
+                )
+            ),
+        )
+        .filter(F.col("rank") <= 2)
+    )
+    return pairs.select("query_id", "neighbor", "category", "cos_sim", "rank")
+
+
+def _oracle_image_knn_pipeline(dim: int = 16, size: int = 32, pool: int = 8) -> str:
+    """Mirror of the flagship pipeline, raster bytes to ranks: PPM
+    header + per-pixel hex parse → nearest-resize index arithmetic →
+    block sums → the SAME quantized weights as SQL literals → exact
+    BIGINT dots → one double division → rank."""
+    from .sources.images import int_projection_weights
+
+    block = size // pool
+    feat_dim = pool * pool * 3
+    wq = int_projection_weights(feat_dim, dim)
+    wvals = ",".join(
+        f"({fi},{j},{int(wq[fi, j])})"
+        for fi in range(feat_dim)
+        for j in range(dim)
+    )
+    # pixel byte offset (0-based): 17-byte header + row-major RGB raster;
+    # nearest-resize source index = min((y*h)//size, h-1) etc.
+    off0 = (
+        f"17 + (least((y.y * h) // {size}, h - 1) * w "
+        f"+ least((x.x * w) // {size}, w - 1)) * 3 + c.c"
+    )
+    pixval = (
+        f"(CAST(strpos('0123456789abcdef', substr(hx, 2 * ({off0}) + 1, 1)) - 1 AS BIGINT) * 16"
+        f" + CAST(strpos('0123456789abcdef', substr(hx, 2 * ({off0}) + 2, 1)) - 1 AS BIGINT))"
+    )
+    idot = (
+        "list_reduce(list_transform(list_zip({a}, {b}), "
+        "s -> s[1] * s[2]), (x, y) -> x + y)"
+    )
+    return f"""
+WITH b AS (
+  SELECT filename, lower(hex(content)) AS hx, octet_length(content) AS n
+  FROM read_blob('{PPM_ROOT}/*/*.ppm')
+),
+hdr AS (
+  SELECT filename, hx, n,
+         {_hx_digits(4, 4)} AS w,
+         {_hx_digits(9, 4)} AS h
+  FROM b
+),
+ok AS (SELECT filename, hx, w, h FROM hdr WHERE n >= 17 + w * h * 3),
+feats AS (
+  SELECT o.filename,
+         ((y.y // {block}) * {pool} + (x.x // {block})) * 3 + c.c AS fi,
+         CAST(SUM({pixval}) AS BIGINT) AS f
+  FROM ok o, range(0, {size}) y(y), range(0, {size}) x(x), range(0, 3) c(c)
+  GROUP BY 1, 2
+),
+wts(fi, j, wq) AS (VALUES {wvals}),
+emb AS (
+  SELECT f.filename, wt.j, CAST(SUM(f.f * wt.wq) AS BIGINT) AS e
+  FROM feats f JOIN wts wt USING (fi) GROUP BY 1, 2
+),
+vecs AS (
+  SELECT filename,
+         list_extract(string_split(filename, '/'), -2) || '/' ||
+           list_extract(string_split(filename, '/'), -1) AS img,
+         list_extract(string_split(filename, '/'), -2) AS cat,
+         list(e ORDER BY j ASC) AS v
+  FROM emb GROUP BY filename
+),
+pairs AS (
+  SELECT q.img AS query_id, nb.img AS neighbor, nb.cat AS category,
+         CAST({idot.format(a='q.v', b='nb.v')} AS DOUBLE) /
+           greatest(sqrt(CAST({idot.format(a='q.v', b='q.v')} AS DOUBLE)) *
+                    sqrt(CAST({idot.format(a='nb.v', b='nb.v')} AS DOUBLE)),
+                    1e-12) AS cos_sim
+  FROM vecs q JOIN vecs nb ON q.img <> nb.img
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor ASC) AS rank
+  FROM pairs
+)
+SELECT query_id, neighbor, category, cos_sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 2
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -594,6 +692,7 @@ PIPELINE_ORACLES = {
     "image_decode": ORACLE_IMAGE_DECODE,
     "image_decode_real": ORACLE_IMAGE_DECODE_REAL,
     "image_decode_jpeg": ORACLE_IMAGE_DECODE_JPEG,
+    "image_knn_pipeline": _oracle_image_knn_pipeline(),
     "frame_sample": _oracle_frame_sample(),
     "jsonl_ingest": _oracle_jsonl_ingest(),
     "train_metrics": ORACLE_TRAIN_METRICS,

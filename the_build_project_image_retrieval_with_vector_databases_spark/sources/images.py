@@ -811,6 +811,77 @@ def embed_images_pure(
     )
 
 
+def int_projection_weights(feat_dim: int, dim: int, scale: int = 64):
+    """Seeded integer projection matrix (feat_dim × dim): the float
+    Gaussian weights of :func:`embed_images_pure`'s family, quantized to
+    ``round(w·scale)`` and clipped to ±255. Shared by the Spark embed
+    (:func:`embed_images_int`) AND the DuckDB oracle (which inlines the
+    same ints as SQL literals), so the projection is reproducible by
+    construction."""
+    import numpy as np
+
+    w = np.random.default_rng(0xBEEF ^ dim).standard_normal((feat_dim, dim))
+    return np.clip(np.round(w * scale), -255, 255).astype(np.int64)
+
+
+def embed_images_int(
+    df: DataFrame,
+    dim: int = 16,
+    content_col: str = "content",
+    size: int = 32,
+    pool: int = 8,
+) -> DataFrame:
+    """ORACLE-EXACT variant of :func:`embed_images_pure`: decode →
+    nearest-resize to ``size``² → ``pool``×``pool`` block SUMS (uint8
+    ints, not float means) → quantized-integer projection → raw int64
+    embedding (``array<long>``, unnormalized).
+
+    Every step through the projection is EXACT integer arithmetic, so
+    summation order is irrelevant and a SQL engine reproduces the
+    embedding bit-for-bit from the raster bytes — this is what upgrades
+    the flagship ``image_knn_pipeline`` from a rows-only check to a
+    full DuckDB oracle. Range audit: block sums ≤ (size/pool)²·255,
+    |weights| ≤ 255 ⇒ |e_j| ≤ feat_dim·4080·255 ≈ 2.0e8; pairwise
+    products ≤ 4e16 and 192-term dots ≤ 6.4e17 — all inside int64.
+    Cosine/normalization happen downstream in fold-mirrored expressions
+    (``functions.vector``), not here. Failed decodes embed as null with
+    ``decode_ok = false`` (F2), same as the float path.
+    """
+    import numpy as np
+
+    feat_dim = pool * pool * 3
+    wq = int_projection_weights(feat_dim, dim)
+    bweights = df.sparkSession.sparkContext.broadcast(wq)
+    keep = [c for c, _ in df.dtypes if c != content_col]
+    block = size // pool
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        w = bweights.value
+        for pdf in it:
+            feats, oks = [], []
+            for payload in pdf[content_col]:
+                try:
+                    arr = resize_nearest(decode_pixels(payload), size, size)
+                    arr = arr.astype(np.int64)
+                    arr = arr.reshape(pool, block, pool, block, 3)
+                    feats.append(arr.sum(axis=(1, 3)).ravel())
+                    oks.append(True)
+                except Exception:
+                    feats.append(np.zeros(feat_dim, dtype=np.int64))
+                    oks.append(False)
+            mat = np.stack(feats) @ w  # exact int64 matmul
+            embs = [
+                [int(v) for v in row] if ok else None
+                for row, ok in zip(mat, oks)
+            ]
+            yield pdf[keep].assign(embedding=embs, decode_ok=oks)
+
+    fields = ", ".join(f"{c} {t}" for c, t in df.dtypes if c != content_col)
+    return df.mapInPandas(
+        batches, schema=f"{fields}, embedding array<long>, decode_ok boolean"
+    )
+
+
 def stub_embed_text(df: DataFrame, text_col: str, dim: int = 64) -> DataFrame:
     """P2 stand-in: deterministic pseudo-embedding, L2-normalized — lets
     the full index-build pipeline (sample → embed → normalize → write) run
