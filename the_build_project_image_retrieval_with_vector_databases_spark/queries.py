@@ -682,16 +682,18 @@ _CHECK_FIRST: list[str] = [
 ]
 
 # The 50 r5-checked entries rotate out this round (every one carries a
-# green CORRECTNESS_r05 row). quality_score — the most-changed entry of
-# this round's .5-tie hardening sweep (4 raw-double ratio outputs,
-# CHANGES_r06) — is deliberately placed first so it lands at dict
-# position 50, INSIDE the driver's window, and re-verifies immediately.
-# The other tie-hardened entries (train_metrics next in line,
-# language_id, bpe_token_counts, decontaminate, kmv_distinct_sketch,
-# funnel_conversion + the five hardened entries already rotating in
-# above) carry local sf0.01 + sf0.1 parity evidence and re-verify on
-# the r7 rotation.
+# green CORRECTNESS_r05 row). image_knn_pipeline — whose embed was
+# switched to the integer-exact path and whose brand-new FULL oracle
+# has never seen a driver row (its r5 row was the weaker rows-only
+# check) — is deliberately placed first so it lands at dict position
+# 50, INSIDE the driver's window, and verifies immediately. The
+# tie-hardened entries rotating out (quality_score and train_metrics
+# next in line, then language_id, bpe_token_counts, decontaminate,
+# kmv_distinct_sketch, funnel_conversion — plus the five hardened
+# entries already rotating in above) carry local sf0.001 + sf0.01 +
+# sf0.1 parity evidence and re-verify on the r7 rotation.
 _ROTATE_OUT: list[str] = [
+    "image_knn_pipeline",
     "quality_score",
     "train_metrics",
     "set_ops",
@@ -718,7 +720,6 @@ _ROTATE_OUT: list[str] = [
     "supplier_rollup",
     "asof_join",
     "image_decode_real",
-    "image_knn_pipeline",
     "funnel_conversion",
     "split_counts",
     "order_count_distribution",

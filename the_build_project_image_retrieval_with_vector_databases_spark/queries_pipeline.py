@@ -343,17 +343,23 @@ def q_image_knn_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding",
         )
     )
+    # NOTE: hand-rolled top-k rather than operators.knn.knn_join — the
+    # exact-integer cosine is not one of knn_join's (float-fold) metrics,
+    # and the whole point here is the int64 dot both engines reproduce
+    # bit-for-bit. Norms are computed ONCE per vector before the pair
+    # join (identical bits to recomputing per pair; O(N) not O(N²)).
     q = embedded.select(
-        F.col("img").alias("query_id"), F.col("embedding").alias("qe")
+        F.col("img").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.sqrt(int_dot("embedding", "embedding").cast("double")).alias("qn"),
     )
     n = embedded.select(
         F.col("img").alias("neighbor"), "category",
         F.col("embedding").alias("ne"),
+        F.sqrt(int_dot("embedding", "embedding").cast("double")).alias("nn"),
     )
     cos = int_dot("qe", "ne").cast("double") / F.greatest(
-        F.sqrt(int_dot("qe", "qe").cast("double"))
-        * F.sqrt(int_dot("ne", "ne").cast("double")),
-        F.lit(1e-12),
+        F.col("qn") * F.col("nn"), F.lit(1e-12)
     )
     pairs = (
         q.join(F.broadcast(n), F.col("query_id") != F.col("neighbor"))
@@ -432,13 +438,15 @@ vecs AS (
          list(e ORDER BY j ASC) AS v
   FROM emb GROUP BY filename
 ),
+normed AS (
+  SELECT *, sqrt(CAST({idot.format(a='v', b='v')} AS DOUBLE)) AS nrm
+  FROM vecs
+),
 pairs AS (
   SELECT q.img AS query_id, nb.img AS neighbor, nb.cat AS category,
          CAST({idot.format(a='q.v', b='nb.v')} AS DOUBLE) /
-           greatest(sqrt(CAST({idot.format(a='q.v', b='q.v')} AS DOUBLE)) *
-                    sqrt(CAST({idot.format(a='nb.v', b='nb.v')} AS DOUBLE)),
-                    1e-12) AS cos_sim
-  FROM vecs q JOIN vecs nb ON q.img <> nb.img
+           greatest(q.nrm * nb.nrm, 1e-12) AS cos_sim
+  FROM normed q JOIN normed nb ON q.img <> nb.img
 ),
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY query_id

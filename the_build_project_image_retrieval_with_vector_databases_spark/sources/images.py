@@ -842,7 +842,9 @@ def embed_images_int(
     the flagship ``image_knn_pipeline`` from a rows-only check to a
     full DuckDB oracle. Range audit: block sums ≤ (size/pool)²·255,
     |weights| ≤ 255 ⇒ |e_j| ≤ feat_dim·4080·255 ≈ 2.0e8; pairwise
-    products ≤ 4e16 and 192-term dots ≤ 6.4e17 — all inside int64.
+    products ≤ 4e16 and the dim-term (16) dots ≤ 6.4e17 — all inside
+    int64 (scaling ``dim`` up revisits this bound: 192 terms would reach
+    7.7e18, uncomfortably close to 2^63).
     Cosine/normalization happen downstream in fold-mirrored expressions
     (``functions.vector``), not here. Failed decodes embed as null with
     ``decode_ok = false`` (F2), same as the float path.
