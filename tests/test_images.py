@@ -418,3 +418,42 @@ def test_embed_images_int_matches_numpy_reference(spark, tmp_path):
         want = feats @ wq
         assert list(want) == list(got[name].embedding), name
         assert int(np.abs(want).max()) < 2**31  # far inside the audit bound
+
+
+def test_png_bomb_and_cap_guards():
+    """PNG symmetric hardening (JPEG got this in round 6): a crafted
+    header claiming 65535x65535 is rejected by the dimension cap before
+    any allocation, and a zip-bomb IDAT (tiny file inflating to far
+    more than the promised raster) is stopped at the bounded inflate."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from the_build_project_image_retrieval_with_vector_databases_spark.sources.images import (
+        _parse_png,
+    )
+
+    def chunk(ctype, data):
+        return (
+            len(data).to_bytes(4, "big") + ctype + data
+            + zlib.crc32(ctype + data).to_bytes(4, "big")
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr_bomb = struct.pack(">IIBBBBB", 65535, 65535, 8, 2, 0, 0, 0)
+    bomb = sig + chunk(b"IHDR", ihdr_bomb) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="cap"):
+        _parse_png(bomb)
+
+    # 4x4 RGB image whose IDAT inflates to 100 MB of zeros: the bounded
+    # inflate stops at the 52-byte raster; the scanlines are valid
+    # (filter 0) so the decode SUCCEEDS with the correct 4x4 output
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    raster = (b"\x00" + b"\x11" * 12) * 4  # 4 rows, filter 0, value 0x11
+    padded = raster + b"\x00" * (100 * 1024 * 1024)
+    png = sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(padded)) + chunk(b"IEND", b"")
+    assert len(png) < 200_000  # the bomb compresses tiny
+    arr = _parse_png(png)
+    assert arr.shape == (4, 4, 3) and np.all(arr == 0x11)

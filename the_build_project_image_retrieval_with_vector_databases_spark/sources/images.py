@@ -237,12 +237,18 @@ def _parse_png(payload: bytes):
         raise ValueError(f"bad PNG color type {colortype}")
     if width == 0 or height == 0:
         raise ValueError("bad PNG dimensions")
-    try:
-        raw = zlib.decompress(bytes(idat))
-    except zlib.error as e:
-        raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
+    if width * height > 64_000_000:
+        # allocation guard, same rationale as the JPEG cap: header dims
+        # drive the buffer sizes before any raster data is validated
+        raise ValueError(f"PNG dimensions {width}x{height} exceed decoder cap")
     stride = width * channels
     need = (stride + 1) * height
+    try:
+        # bounded inflate: a zip-bomb IDAT (tiny file → gigabytes of
+        # zeros) stops at exactly the raster size the header promises
+        raw = zlib.decompressobj().decompress(bytes(idat), need)
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
     if len(raw) < need:
         raise ValueError("truncated PNG raster")
     scan = np.frombuffer(raw, dtype=np.uint8, count=need).reshape(
