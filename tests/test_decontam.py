@@ -109,7 +109,7 @@ _event = st.tuples(
 )
 
 
-@settings(max_examples=25, deadline=None)
+@settings(max_examples=25, deadline=None, derandomize=True)
 @given(
     views=st.lists(_event, min_size=0, max_size=12),
     purchases=st.lists(_event, min_size=0, max_size=12),

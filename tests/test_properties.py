@@ -33,7 +33,7 @@ vec_pair = st.integers(min_value=1, max_value=24).flatmap(
 )
 
 
-@settings(max_examples=12, deadline=None)
+@settings(max_examples=12, deadline=None, derandomize=True)
 @given(vec_pair)
 def test_vector_exprs_match_numpy(spark, pair):
     a, b = pair
@@ -57,7 +57,7 @@ def test_vector_exprs_match_numpy(spark, pair):
     assert math.isclose(row.cos, float(na @ nb) / denom, rel_tol=1e-9, abs_tol=1e-9)
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=8, deadline=None, derandomize=True)
 @given(st.lists(finite_f32, min_size=1, max_size=24))
 def test_l2_normalize_unit_norm_or_zero(spark, v):
     df = spark.createDataFrame([(v,)], "v array<float>")
@@ -74,7 +74,7 @@ text_strategy = st.text(
 )
 
 
-@settings(max_examples=15, deadline=None)
+@settings(max_examples=15, deadline=None, derandomize=True)
 @given(text_strategy, st.integers(min_value=1, max_value=4))
 def test_tokens_and_shingles_match_python(spark, text, n):
     df = spark.createDataFrame([(text,)], "t string")
@@ -121,7 +121,7 @@ def _encode_bmp(arr: np.ndarray, top_down: bool = False) -> bytes:
     return head + info + raster
 
 
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=40, deadline=None, derandomize=True)
 @given(
     w=st.integers(1, 24),
     h=st.integers(1, 24),
@@ -137,7 +137,7 @@ def test_ppm_roundtrip_pixel_exact(w, h, seed):
     assert np.array_equal(decode_pixels(_encode_ppm(arr)), arr)
 
 
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=40, deadline=None, derandomize=True)
 @given(
     w=st.integers(1, 24),
     h=st.integers(1, 24),
@@ -156,7 +156,7 @@ def test_bmp_roundtrip_pixel_exact(w, h, top_down, seed):
     assert np.array_equal(decode_pixels(_encode_bmp(arr, top_down)), arr)
 
 
-@settings(max_examples=30, deadline=None)
+@settings(max_examples=30, deadline=None, derandomize=True)
 @given(
     w=st.integers(1, 16),
     h=st.integers(1, 16),
