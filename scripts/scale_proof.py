@@ -1,16 +1,40 @@
 #!/usr/bin/env python
-"""Empirical scale spot-proof (round-3 VERDICT item 10).
+"""Empirical scale proof — FULL-REGISTRY 10× sweep.
 
-Runs the three headline dedup queries at bench scale (sf0.1, 5k docs)
-and at 10× (50k docs) and reports the time ratios. The 10× table is
-DERIVED from the sf0.1 fixture — 10 replicas with every token suffixed
-per-replica, so replicas share no shingles and the corpus's internal
-near-dup structure repeats exactly 10× (pair volume and component
-structure scale linearly, the honest load for a dedup engine; naive
-replication would instead make every doc a 10-way dup and square the
-pair graph).
+Runs every registry query at bench scale (sf0.1) and at 10× derived
+data and reports per-query time ratios. A ratio well below 10 means
+the plan's cost is sub-linear in data size on the measured range
+(partition pruning, broadcast joins, top-k short-circuits); a ratio
+near or above 10 flags a plan whose constant factors or shuffle
+volume track raw data — the scale bugs this script exists to find.
 
-Usage: python scripts/scale_proof.py  → one JSON line.
+The 10× tables are DERIVED from the sf0.1 fixtures so the join graph
+stays real and the workload stays honest:
+
+- documents: 10 replicas, every token suffixed per-replica — replicas
+  share no shingles/terms, so the corpus's internal near-dup structure
+  repeats exactly 10× (pair volume and component structure scale
+  linearly; naive replication would square the pair graph).
+- embeddings: replica 0 keeps original ids (oracle-visible training
+  rows and the flagship query vector unchanged), replicas 1..9 offset.
+- events: per-replica user_id/event_id offsets — disjoint users, so
+  per-user pair volume is unchanged and total volume scales linearly.
+- lineitem + orders: replicated with a COMMON orderkey span (max over
+  both tables) so lineitem⋈orders stays a real FK join at 10×;
+  l_partkey/p_partkey likewise share a common span with part.
+  o_custkey and l_suppkey are NOT offset: customers and suppliers are
+  shared dims — "10× more orders against the same catalog", the honest
+  load for dim joins, windows, and anti/semi joins.
+- customer, supplier, part-independent dims (nation, region): pass
+  through unchanged.
+
+Fixture-backed queries (package image/video/manifest fixtures, no
+sf_dir tables — see EXCLUDE) are skipped: their input does not scale
+with sf_dir, so a "10×" timing would be a no-op measurement.
+
+Usage:
+  python scripts/scale_proof.py            → full sweep, one JSON line
+  python scripts/scale_proof.py q1 q2 ...  → only the named queries
 """
 
 from __future__ import annotations
@@ -31,102 +55,98 @@ from the_build_project_image_retrieval_with_vector_databases_spark.session impor
 from the_build_project_image_retrieval_with_vector_databases_spark import queries as Q
 
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-QUERIES = ["ngram_jaccard_dedup", "minhash_lsh_dedup", "dedup_components",
-           "decontaminate", "passage_dedup", "incremental_dedup"]
-# ANN probes over the 10× embeddings table: partition pruning bounds the
-# scan to the probed cells, so growth should be well below data growth
-ANN_QUERIES = ["ivf_topk", "ivf_topk_batch", "label_centroids"]
-# event-time ops over the 10x events table (disjoint users per replica:
-# interval-join pair volume and CMS stream length scale linearly)
-EVENT_QUERIES = ["interval_join", "cms_heavy_hitters"]
-# round-6 additions (VERDICT r5 #5): the r5/r6 newcomers — the two-phase
-# bucketed cumsum (seq_packing), md5-checked corpus rewrite
-# (vocab_filter), cohort matrix (retention_cohorts), the decorrelated
-# Q2/Q20 shapes over 10x lineitem (min_cost_order, dominant_suppliers),
-# the search() facade (ann_search), the gap-fill grid (gap_fill), and
-# the truncated-embedding top-k (matryoshka_topk)
-NEW_QUERIES = [
-    "seq_packing", "vocab_filter", "retention_cohorts",
-    "min_cost_order", "dominant_suppliers", "ann_search",
-    "gap_fill", "matryoshka_topk",
-]
 REPLICAS = 10
+# Bump when build_scaled's output changes; stale cached dirs rebuild.
+BUILD_VERSION = "v2-full-registry"
+
+# Queries whose inputs are package fixtures (images/videos/manifest/
+# jsonl), not sf_dir tables — input size does not scale with sf_dir.
+EXCLUDE = {
+    "manifest_scan",
+    "image_decode",
+    "image_decode_real",
+    "image_decode_jpeg",
+    "image_knn_pipeline",
+    "frame_sample",
+    "jsonl_ingest",
+}
+
+
+def _replicate(df, offsets: dict[str, int]):
+    """Union REPLICAS copies, offsetting the named key columns by
+    r × span each. Columns absent from ``offsets`` are shared."""
+    parts = []
+    for r in range(REPLICAS):
+        d = df
+        for col, span in offsets.items():
+            if r > 0:
+                d = d.withColumn(col, F.col(col) + F.lit(r * span))
+        parts.append(d)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
 
 
 def build_scaled(spark, out_dir: str) -> None:
-    docs = spark.read.parquet(os.path.join(BASE, "documents.parquet"))
+    def write(df, name):
+        df.repartition(32).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"{name}.parquet")
+        )
+
+    def read(name):
+        return spark.read.parquet(os.path.join(BASE, f"{name}.parquet"))
+
+    # documents: offset ids; suffix every token per-replica so replicas
+    # share no shingles and near-dup structure repeats exactly 10×
+    docs = read("documents")
     n = docs.count()
     parts = []
     for r in range(REPLICAS):
         d = docs.withColumn("doc_id", F.col("doc_id") + F.lit(r * n))
         if r > 0:
-            # suffix every token: replicas share no shingles/terms,
-            # within-replica similarity structure is untouched
-            d = d.withColumn(
-                "text", F.regexp_replace("text", r"(\S+)", f"$1x{r}")
-            )
+            d = d.withColumn("text", F.regexp_replace("text", r"(\S+)", f"$1x{r}"))
         parts.append(d)
     scaled = parts[0]
     for p in parts[1:]:
         scaled = scaled.unionAll(p)
-    scaled.repartition(32).write.mode("overwrite").parquet(
-        os.path.join(out_dir, "documents.parquet")
-    )
-    # embeddings at 10×: replica r keeps the vectors (timing is the
-    # target, not result novelty) with offset ids; replica 0 keeps the
-    # original ids so the oracle-visible training rows (vec_id < 16)
-    # and the flagship query vector are unchanged.
-    emb = spark.read.parquet(os.path.join(BASE, "embeddings.parquet"))
+    write(scaled, "documents")
+
+    emb = read("embeddings")
     m = emb.count()
-    eparts = [
-        emb.withColumn("vec_id", F.col("vec_id") + F.lit(r * m))
-        for r in range(REPLICAS)
-    ]
-    scaled_e = eparts[0]
-    for p in eparts[1:]:
-        scaled_e = scaled_e.unionAll(p)
-    scaled_e.repartition(32).write.mode("overwrite").parquet(
-        os.path.join(out_dir, "embeddings.parquet")
-    )
-    # events at 10x: per-replica user_id/event_id offsets keep replicas
-    # disjoint, so per-user pair volume is unchanged and total volume
-    # scales linearly — the honest load for the bucketed interval join
-    ev = spark.read.parquet(os.path.join(BASE, "events.parquet"))
+    write(_replicate(emb, {"vec_id": m}), "embeddings")
+
+    ev = read("events")
     k = ev.count()
-    vparts = [
-        ev.withColumn("event_id", F.col("event_id") + F.lit(r * k))
-        .withColumn("user_id", F.col("user_id") + F.lit(r * 100000))
-        for r in range(REPLICAS)
-    ]
-    scaled_v = vparts[0]
-    for p_ in vparts[1:]:
-        scaled_v = scaled_v.unionAll(p_)
-    scaled_v.repartition(32).write.mode("overwrite").parquet(
-        os.path.join(out_dir, "events.parquet")
+    write(_replicate(ev, {"event_id": k, "user_id": 100000}), "events")
+
+    # fact graph: common key spans keep lineitem⋈orders⋈part real FK
+    # joins at 10×; custkey/suppkey shared (same catalog, more orders)
+    li, od, pt = read("lineitem"), read("orders"), read("part")
+    ok_span = (
+        max(
+            li.agg(F.max("l_orderkey")).first()[0],
+            od.agg(F.max("o_orderkey")).first()[0],
+        )
+        + 1
     )
-    # lineitem at 10x: per-replica order/part offsets keep replicas
-    # disjoint (group count scales linearly); suppliers stay shared —
-    # 10x rows per supplier is the honest "more orders, same catalog"
-    # load for the Q20-shape window
-    li = spark.read.parquet(os.path.join(BASE, "lineitem.parquet"))
-    ok_max = li.agg(F.max("l_orderkey")).first()[0] + 1
-    pk_max = li.agg(F.max("l_partkey")).first()[0] + 1
-    lparts = [
-        li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(r * ok_max))
-        .withColumn("l_partkey", F.col("l_partkey") + F.lit(r * pk_max))
-        for r in range(REPLICAS)
-    ]
-    scaled_l = lparts[0]
-    for p_ in lparts[1:]:
-        scaled_l = scaled_l.unionAll(p_)
-    scaled_l.repartition(32).write.mode("overwrite").parquet(
-        os.path.join(out_dir, "lineitem.parquet")
+    pk_span = (
+        max(
+            li.agg(F.max("l_partkey")).first()[0],
+            pt.agg(F.max("p_partkey")).first()[0],
+        )
+        + 1
     )
-    # dimension tables pass through unchanged
-    for dim in ("supplier", "nation"):
-        spark.read.parquet(os.path.join(BASE, f"{dim}.parquet")).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(out_dir, f"{dim}.parquet"))
+    write(_replicate(li, {"l_orderkey": ok_span, "l_partkey": pk_span}), "lineitem")
+    write(_replicate(od, {"o_orderkey": ok_span}), "orders")
+    write(_replicate(pt, {"p_partkey": pk_span}), "part")
+
+    # shared dims pass through unchanged
+    for dim in ("customer", "supplier", "nation", "region"):
+        write(read(dim), dim)
+
+    with open(os.path.join(out_dir, "VERSION"), "w") as f:
+        f.write(BUILD_VERSION)
 
 
 def timed(spark, fn, runs: int = 2) -> float:
@@ -142,20 +162,16 @@ def timed(spark, fn, runs: int = 2) -> float:
 def main() -> None:
     spark = get_spark(app_name="scale-proof")
     scaled_dir = os.path.join(tempfile.gettempdir(), "spark_graft_scale10x")
-    # staleness check must cover EVERY table build_scaled writes: a
-    # cached dir from a round that wrote fewer tables would otherwise
-    # skip the build and crash the first query that needs the new one
-    if not all(
-        os.path.exists(os.path.join(scaled_dir, t, "_SUCCESS"))
-        for t in (
-            "documents.parquet", "embeddings.parquet", "events.parquet",
-            "lineitem.parquet", "supplier.parquet", "nation.parquet",
-        )
-    ):
+    ver_path = os.path.join(scaled_dir, "VERSION")
+    fresh = (
+        os.path.exists(ver_path) and open(ver_path).read() == BUILD_VERSION
+    )
+    if not fresh:
         build_scaled(spark, scaled_dir)
 
+    names = sys.argv[1:] or [n for n in Q.QUERIES if n not in EXCLUDE]
     out = {}
-    for name in QUERIES + ANN_QUERIES + EVENT_QUERIES + NEW_QUERIES:
+    for name in names:
         fn = Q.QUERIES[name]
         # warm any one-time index build OUTSIDE the timed runs (the
         # steady state at scale is the probe, not the build)
@@ -163,12 +179,22 @@ def main() -> None:
         fn(spark, scaled_dir).write.format("noop").mode("overwrite").save()
         base_s = timed(spark, lambda: fn(spark, BASE))
         scaled_s = timed(spark, lambda: fn(spark, scaled_dir))
-        out[name] = {
-            "sf0.1_s": base_s,
-            "10x_s": scaled_s,
-            "ratio": round(scaled_s / base_s, 2),
-        }
-    print(json.dumps({"replicas": REPLICAS, "queries": out}))
+        ratio = round(scaled_s / base_s, 2) if base_s > 0 else None
+        out[name] = {"sf0.1_s": base_s, "10x_s": scaled_s, "ratio": ratio}
+        print(
+            f"# scale {name}: {base_s:.2f}s -> {scaled_s:.2f}s  (x{ratio})",
+            file=sys.stderr,
+        )
+    ratios = sorted(
+        (v["ratio"], k) for k, v in out.items() if v["ratio"] is not None
+    )
+    summary = {
+        "n": len(out),
+        "max_ratio": ratios[-1][0] if ratios else None,
+        "max_query": ratios[-1][1] if ratios else None,
+        "median_ratio": ratios[len(ratios) // 2][0] if ratios else None,
+    }
+    print(json.dumps({"replicas": REPLICAS, "summary": summary, "queries": out}))
 
 
 if __name__ == "__main__":

@@ -28,7 +28,7 @@ def ensure_bucketed_table(
     name: str,
     path: str,
     bucket_col: str,
-    n_buckets: int = 8,
+    n_buckets: int | None = None,
 ) -> str:
     """Idempotent bucketed-table materialization for query-time use:
 
@@ -40,8 +40,19 @@ def ensure_bucketed_table(
       (the same shuffle the first join would have paid).
 
     Callers pass a content-addressed ``path``/``name`` so regenerated
-    source data can never serve a stale bucket layout.
+    source data can never serve a stale bucket layout; the bucket count
+    must be part of that address (a re-registration DDL claiming a
+    different count than the files on disk would mis-plan the join).
+
+    ``n_buckets`` defaults to the session's parallelism target: bucket
+    count CAPS the bucketed join's task count, so fewer buckets than
+    cores leaves cores idle — measured 4.9× growth at 10× data with 8
+    buckets on 32 cores vs 3.0× with 32 (a cluster deployment sizes
+    this to executor-cores × executors, amortized over every future
+    join against the layout).
     """
+    if n_buckets is None:
+        n_buckets = spark.sparkContext.defaultParallelism
     if spark.catalog.tableExists(name):
         return name
     if os.path.exists(os.path.join(path, "_SUCCESS")):

@@ -312,15 +312,21 @@ def q_bucketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
+    # bucket count = session parallelism (it caps the join's task count);
+    # part of the content address — 8-bucket files registered as 32
+    # buckets would mis-plan the merge
+    n_buckets = spark.sparkContext.defaultParallelism
     pairs = []
     for tbl, df, key in (
         ("lineitem", li, "l_orderkey"),
         ("orders", orders, "o_orderkey"),
     ):
         fp = _table_fingerprint(sf_dir, f"{tbl}.parquet")
-        name = f"bkt_{tbl}_{fp}"
+        name = f"bkt{n_buckets}_{tbl}_{fp}"
         path = os.path.join(_LAYOUT_ROOT, name)
-        pairs.append(ensure_bucketed_table(spark, df, name, path, key))
+        pairs.append(
+            ensure_bucketed_table(spark, df, name, path, key, n_buckets=n_buckets)
+        )
     li_b, ord_b = (spark.table(n) for n in pairs)
     revenue = (
         F.col("l_extendedprice").cast("decimal(12,2)")
