@@ -15,8 +15,15 @@ stays real and the workload stays honest:
   share no shingles/terms, so the corpus's internal near-dup structure
   repeats exactly 10× (pair volume and component structure scale
   linearly; naive replication would square the pair graph).
-- embeddings: replica 0 keeps original ids (oracle-visible training
-  rows and the flagship query vector unchanged), replicas 1..9 offset.
+- embeddings: replica 0 keeps original ids AND vectors (oracle-visible
+  training rows and the flagship query vector unchanged); replica r
+  circular-shifts each vector by r mod D positions and negates it for
+  r >= D. Shifts/negation preserve norms and ALL intra-replica
+  distances (the similarity structure repeats exactly), while
+  cross-replica pairs fall to background similarity — naive vector
+  cloning would give every vector R-1 exact twins and square the
+  near-dup pair graph (observed: lsh_near_dup went linear-in-data at
+  100x purely from clone pairs).
 - events: per-replica user_id/event_id offsets — disjoint users, so
   per-user pair volume is unchanged and total volume scales linearly.
 - lineitem + orders: replicated with a COMMON orderkey span (max over
@@ -33,8 +40,11 @@ sf_dir tables — see EXCLUDE) are skipped: their input does not scale
 with sf_dir, so a "10×" timing would be a no-op measurement.
 
 Usage:
-  python scripts/scale_proof.py            → full sweep, one JSON line
-  python scripts/scale_proof.py q1 q2 ...  → only the named queries
+  python scripts/scale_proof.py                 → full sweep, one JSON line
+  python scripts/scale_proof.py q1 q2 ...       → only the named queries
+  python scripts/scale_proof.py --replicas 100 q1 ...
+        → second decade: 100× derived data (builds once per replica
+          count; use for the representative-family scale curve)
 """
 
 from __future__ import annotations
@@ -55,9 +65,9 @@ from the_build_project_image_retrieval_with_vector_databases_spark.session impor
 from the_build_project_image_retrieval_with_vector_databases_spark import queries as Q
 
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-REPLICAS = 10
+REPLICAS = 10  # overridden by --replicas
 # Bump when build_scaled's output changes; stale cached dirs rebuild.
-BUILD_VERSION = "v2-full-registry"
+BUILD_VERSION = "v3-shifted-embeddings"
 
 # Queries whose inputs are package fixtures (images/videos/manifest/
 # jsonl), not sf_dir tables — input size does not scale with sf_dir.
@@ -112,9 +122,33 @@ def build_scaled(spark, out_dir: str) -> None:
         scaled = scaled.unionAll(p)
     write(scaled, "documents")
 
+    # embeddings: distance-preserving per-replica transform (circular
+    # shift by r mod D, negated for r >= D) — intra-replica similarity
+    # structure repeats exactly, cross-replica pairs are background
     emb = read("embeddings")
     m = emb.count()
-    write(_replicate(emb, {"vec_id": m}), "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    eparts = []
+    for r in range(REPLICAS):
+        d = emb.withColumn("vec_id", F.col("vec_id") + F.lit(r * m))
+        s = r % dim
+        if s:
+            d = d.withColumn(
+                "embedding",
+                F.concat(
+                    F.slice("embedding", s + 1, dim - s),
+                    F.slice("embedding", 1, s),
+                ),
+            )
+        if r >= dim:
+            d = d.withColumn(
+                "embedding", F.transform("embedding", lambda x: -x)
+            )
+        eparts.append(d.withColumn("embedding", F.col("embedding").cast("array<float>")))
+    scaled_e = eparts[0]
+    for p in eparts[1:]:
+        scaled_e = scaled_e.unionAll(p)
+    write(scaled_e, "embeddings")
 
     ev = read("events")
     k = ev.count()
@@ -160,8 +194,15 @@ def timed(spark, fn, runs: int = 2) -> float:
 
 
 def main() -> None:
+    global REPLICAS
+    argv = sys.argv[1:]
+    if argv and argv[0] == "--replicas":
+        REPLICAS = int(argv[1])
+        argv = argv[2:]
     spark = get_spark(app_name="scale-proof")
-    scaled_dir = os.path.join(tempfile.gettempdir(), "spark_graft_scale10x")
+    scaled_dir = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_scale{REPLICAS}x"
+    )
     ver_path = os.path.join(scaled_dir, "VERSION")
     fresh = (
         os.path.exists(ver_path) and open(ver_path).read() == BUILD_VERSION
@@ -169,7 +210,7 @@ def main() -> None:
     if not fresh:
         build_scaled(spark, scaled_dir)
 
-    names = sys.argv[1:] or [n for n in Q.QUERIES if n not in EXCLUDE]
+    names = argv or [n for n in Q.QUERIES if n not in EXCLUDE]
     out = {}
     for name in names:
         fn = Q.QUERIES[name]

@@ -319,3 +319,45 @@ def test_gap_fill_no_nested_loop_and_bounded_exchanges(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_banded_candidate_joins_pin_shuffle_hash(spark):
+    """Round-6 contract (100x sweep finding): the corpus x corpus banded
+    candidate self-joins in the LSH dedup/radius family must plan as
+    SHUFFLE joins. Their static size estimates (compressed-parquet
+    derived, pre-explosion) can land under the broadcast threshold while
+    the real banded relation is orders of magnitude bigger - the sweep
+    caught the planner attempting a ~1 GB broadcast build inside
+    minhash_lsh_pairs at 100x data. The shuffle_hash hint pins the safe
+    shape; this test keeps it pinned."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators import dedup as D
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.ann import lsh_candidates
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.knn import radius_join
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_ann import LSH_PLANES
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    # the registered queries materialize through a spill (FileScan plan),
+    # so pin the operator-level plans the spill consumes
+    cases = {
+        "minhash_lsh_pairs": D.minhash_lsh_pairs(
+            docs, n=3, num_hashes=8, bands=4, threshold=0.5
+        ),
+        "simhash_near_dup_pairs": D.simhash_near_dup_pairs(
+            docs, bits=32, bands=4, max_hamming=3
+        ),
+        "minhash_lsh_incremental": D.minhash_lsh_incremental(
+            docs.filter(F.col("doc_id") < 450),
+            docs.filter(F.col("doc_id") >= 450),
+            n=3, num_hashes=8, bands=4, threshold=0.5,
+        ),
+        "lsh_candidates": lsh_candidates(emb, LSH_PLANES),
+        "radius_join_lsh": radius_join(
+            emb, emb, radius=0.9, metric="cosine",
+            blocking="lsh", planes=LSH_PLANES, n_bands=2,
+        ),
+    }
+    for name, df in cases.items():
+        plan = _physical(df)
+        assert "ShuffledHashJoin" in plan, f"{name}: banded join not shuffle-pinned"
+        assert "BroadcastNestedLoopJoin" not in plan

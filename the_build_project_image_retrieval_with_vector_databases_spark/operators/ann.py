@@ -301,8 +301,11 @@ def lsh_candidates(
     b = lsh_bucket(df, planes, vec_col)
     a = b.select(F.col(id_col).alias("left_id"), F.col("bucket"))
     c = b.select(F.col(id_col).alias("right_id"), F.col("bucket"))
+    # shuffle_hash pin: corpus×corpus self-join — a static size
+    # under-estimate must never pick a broadcast build (see
+    # operators.dedup.minhash_lsh_pairs, caught by the 100× sweep)
     return (
-        a.join(c, "bucket")
+        a.join(c.hint("shuffle_hash"), "bucket")
         .filter(F.col("left_id") < F.col("right_id"))
         .select("left_id", "right_id", "bucket")
     )

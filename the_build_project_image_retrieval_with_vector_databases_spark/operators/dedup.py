@@ -317,8 +317,15 @@ def minhash_lsh_pairs(
     banded = sigs.select(F.col(id_col), F.inline_outer(band_structs))
     a = banded.select(F.col(id_col).alias("left_id"), *key_cols)
     b_ = banded.select(F.col(id_col).alias("right_id"), *key_cols)
+    # shuffle_hash pin: both sides are corpus-scaled; the static size
+    # estimate (compressed-parquet-derived, pre-explosion) can land
+    # under the broadcast threshold while the real banded relation is
+    # orders of magnitude bigger — the 100× sweep caught the planner
+    # attempting a ~1 GB broadcast build here. Band keys are uniform by
+    # construction, so a per-partition hash join (no sort) is the
+    # scale-safe shape at any size.
     candidates = (
-        a.join(b_, key_cols)
+        a.join(b_.hint("shuffle_hash"), key_cols)
         .filter(F.col("left_id") < F.col("right_id"))
         .select("left_id", "right_id")
         .distinct()
@@ -460,7 +467,9 @@ def simhash_near_dup_pairs(
         F.col(id_col).alias("right_id"), F.col("simhash").alias("fp_r"), "band", "bkey"
     )
     return (
-        a.join(b_, ["band", "bkey"])
+        # shuffle_hash pin — same corpus×corpus broadcast-estimate
+        # hazard as minhash_lsh_pairs' banded self-join
+        a.join(b_.hint("shuffle_hash"), ["band", "bkey"])
         .filter(F.col("left_id") < F.col("right_id"))
         .select("left_id", "right_id", "fp_l", "fp_r")
         .distinct()
@@ -519,9 +528,15 @@ def minhash_lsh_incremental(
     c_shs, c_banded = prep(corpus)
     b_shs, b_banded = prep(batch)
     candidates = (
+        # shuffle_hash pin: the corpus band index is never broadcastable
+        # at real scale and the batch side may not be either; a
+        # mis-estimated static broadcast here is the same hazard as in
+        # minhash_lsh_pairs. AQE still handles skew on the shuffled form.
         c_banded.select(F.col(id_col).alias("corpus_id"), *key_cols)
         .join(
-            b_banded.select(F.col(id_col).alias("batch_id"), *key_cols),
+            b_banded.select(F.col(id_col).alias("batch_id"), *key_cols).hint(
+                "shuffle_hash"
+            ),
             key_cols,
         )
         .select("corpus_id", "batch_id")

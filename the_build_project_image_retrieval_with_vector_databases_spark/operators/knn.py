@@ -243,8 +243,11 @@ def _radius_join_lsh(
         )
 
     cands = (
+        # shuffle_hash pin: both banded sides scale with the corpus; a
+        # static under-estimate must never pick a broadcast build here
+        # (see operators.dedup.minhash_lsh_pairs — caught at 100×)
         keyed(left, "left_id")
-        .join(keyed(right, "right_id"), ["__band", "__key"])
+        .join(keyed(right, "right_id").hint("shuffle_hash"), ["__band", "__key"])
         .filter(F.col("left_id") < F.col("right_id"))
         .select("left_id", "right_id")
         .distinct()  # OR-of-bands: a pair may collide in several bands
