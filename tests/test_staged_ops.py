@@ -167,3 +167,72 @@ def test_pii_scrub_oracle_parity_staged(spark, sf_dir):
         q_pii_scrub(spark, sf_dir), _oracle_pii_scrub(), sf_dir, "pii_scrub"
     )
     assert ok, msg
+
+
+def test_bm25_matches_python_reference(spark):
+    """Round-6 staged BM25 retrieval: scores agree with a single-threaded
+    reference (math.log, same op order) over the real documents fixture
+    at 6 decimals — ln is only 1-ulp-reproducible across engines, which
+    is why the operator rounds and ranks on the rounded score — and the
+    top-k ordering (rounded score DESC, doc_id ASC) holds."""
+    import math
+
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.textops import bm25
+
+    terms, k1, b, k = ["hash", "join", "vector"], 1.2, 0.75, 15
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    got = bm25(docs, terms, k=k, k1=k1, b=b).collect()
+
+    rows = [(r.doc_id, r.text.lower().split()) for r in docs.collect()]
+    n = len(rows)
+    sum_dl = sum(len(t) for _, t in rows)
+    avgdl = float(sum_dl) / float(n)
+    dfs = [sum(1 for _, t in rows if term in t) for term in terms]
+    expect = []
+    for did, toks in rows:
+        dl = len(toks)
+        norm = k1 * ((1.0 - b) + (b * float(dl)) / avgdl)
+        score, hits = None, 0
+        for i, term in enumerate(terms):
+            tf = float(toks.count(term))
+            hits += 1 if tf > 0 else 0
+            idf = math.log((float(n) - float(dfs[i]) + 0.5) / (float(dfs[i]) + 0.5) + 1.0)
+            s = idf * ((tf * (k1 + 1.0)) / (tf + norm))
+            score = s if score is None else score + s
+        if hits > 0:
+            expect.append((-round(score, 6), did, dl, hits))
+    expect.sort()
+    expect = expect[:k]
+
+    assert len(got) == len(expect)
+    for g, (neg_s, did, dl, hits) in zip(got, expect):
+        assert g.doc_id == did
+        assert g.dl == dl and g.n_hit_terms == hits
+        assert g.score == -neg_s, (did, g.score, -neg_s)
+
+
+def test_bm25_oracle_parity_staged(spark, sf_dir):
+    """The staged bm25 DuckDB oracle already passes the driver-faithful
+    comparison (bit-exact doubles through the mirrored op order), so r7
+    registration is a 2-line diff."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_text import (
+        _oracle_bm25,
+        q_bm25,
+    )
+    from .oracle_harness import compare
+
+    ok, msg = compare(q_bm25(spark, sf_dir), _oracle_bm25(), sf_dir, "bm25")
+    assert ok, msg
+
+
+def test_bm25_plan_no_corpus_shuffle(spark):
+    """BM25's physical plan: per-partition top-k heap (TakeOrderedAndProject)
+    and no hash-partition exchange of the corpus — the only exchanges are
+    the 1-row global-stats single-partition agg and its broadcast."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.textops import bm25
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plan = bm25(docs, ["hash", "join", "vector"]) ._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "SortMergeJoin" not in plan

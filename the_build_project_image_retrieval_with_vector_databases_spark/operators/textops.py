@@ -367,3 +367,89 @@ def pii_scrub(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
         *counts,
         F.md5(scrubbed).alias("clean_md5"),
     )
+
+
+def bm25(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 top-k retrieval for a fixed query — the lexical ranking
+    behind every retrieval/RAG stack (Lucene-style positive idf:
+    ln((N - df + 0.5)/(df + 0.5) + 1)).
+
+    Scale shape: NO corpus shuffle at all. Per-term tfs and the doc
+    length come from pure array expressions over one scan (``tf_i =
+    size(filter(toks, = term_i))`` — no explode, no self-join); the
+    corpus statistics (N, Σdl, per-term df) are ONE 1-row aggregate
+    broadcast back via cross-join; the final top-k is a per-partition
+    heap (``TakeOrderedAndProject``). At 100 TB this is one map pass +
+    a scalar agg + a k-row result.
+
+    Cross-engine exactness: every float op is mirrored in the DuckDB
+    oracle in identical order — per-term scores are summed left-to-
+    right as an explicit expression chain (NOT a float aggregate, whose
+    accumulation order is engine-defined); tf/df/dl/N are exact ints;
+    a doc with tf=0 contributes an exact 0.0. The score contains ``ln``,
+    which is NOT bit-reproducible across engines (Java Math.log vs two
+    libm paths disagree by 1 ulp on real idf args — measured), so the
+    score is rounded to 6 decimals like ``tf_idf`` — the kept-rounded
+    class (transcendental outputs cannot land on a .5 tie at digit 7,
+    CHANGES_r06 tie scan) — and the top-k ranks on the ROUNDED score so
+    a 1-ulp flip can never reorder the boundary cross-engine."""
+    toks = tokens(text_col)
+    dl = F.size(toks)
+
+    def _tf(term: str):
+        # one-parameter lambda on purpose: a second parameter would make
+        # F.filter pass the array INDEX into it
+        return F.size(F.filter(toks, lambda t: t == F.lit(term)))
+
+    per_doc = spread(df).select(
+        F.col(id_col),
+        dl.alias("dl"),
+        *[_tf(term).alias(f"tf_{i}") for i, term in enumerate(query_terms)],
+    )
+    glob = per_doc.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    norm = F.lit(k1) * (
+        F.lit(1.0 - b) + (F.lit(b) * F.col("dl").cast("double")) / avgdl
+    )
+    score = None
+    for i in range(len(query_terms)):
+        tf = F.col(f"tf_{i}").cast("double")
+        dfreq = F.col(f"df_{i}").cast("double")
+        idf = F.log(
+            (F.col("n_docs").cast("double") - dfreq + F.lit(0.5))
+            / (dfreq + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        s_i = idf * ((tf * F.lit(k1 + 1.0)) / (tf + norm))
+        score = s_i if score is None else score + s_i
+    n_hit = None
+    for i in range(len(query_terms)):
+        h = (F.col(f"tf_{i}") > 0).cast("int")
+        n_hit = h if n_hit is None else n_hit + h
+    return (
+        per_doc.crossJoin(F.broadcast(glob))
+        .filter(n_hit > 0)
+        .select(
+            F.col(id_col),
+            F.col("dl"),
+            n_hit.alias("n_hit_terms"),
+            F.round(score, 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

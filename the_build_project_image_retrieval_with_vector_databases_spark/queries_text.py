@@ -992,6 +992,80 @@ def _oracle_pii_scrub() -> str:
     )
 
 
+BM25_TERMS = ["hash", "join", "vector"]
+BM25_K = 15
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k lexical retrieval (operators.textops.bm25) for a fixed
+    3-term query over documents. STAGED for the r7 verification window —
+    oracle parity-tested in tests/test_staged_ops.py so registration is
+    a 2-line diff when a slot opens."""
+    from .operators.textops import bm25
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25(docs, BM25_TERMS, k=BM25_K, k1=BM25_K1, b=BM25_B)
+
+
+def _oracle_bm25() -> str:
+    """Mirror of operators.textops.bm25, float-op-for-float-op: same
+    tokenize, per-term tfs as list_filter lengths, ONE global stats row,
+    the identical parenthesized score expression (left-to-right term
+    sum, Lucene positive idf), same (score DESC, doc_id) top-k on the
+    score ROUNDED to 6 decimals (ln is only 1-ulp-reproducible across
+    engines — the tf_idf kept-rounded class). Float literals are
+    repr()s of the exact Python doubles the Spark side uses, so both
+    engines parse the same IEEE values."""
+    terms = BM25_TERMS
+    k1, b = BM25_K1, BM25_B
+    omb = repr(1.0 - b)  # 1-b, computed in Python exactly as Spark's lit
+    k1p1 = repr(k1 + 1.0)
+    tf_cols = ",\n         ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf_{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ",\n         ".join(
+        f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(terms))
+    )
+    avgdl = "((g.sum_dl::DOUBLE) / (g.n_docs::DOUBLE))"
+    norm = f"({k1!r} * ({omb} + (({b!r} * (p.dl::DOUBLE)) / {avgdl})))"
+    s_exprs = []
+    for i in range(len(terms)):
+        idf = (
+            f"ln((((g.n_docs::DOUBLE) - (g.df_{i}::DOUBLE)) + 0.5)"
+            f" / ((g.df_{i}::DOUBLE) + 0.5) + 1.0)"
+        )
+        s_exprs.append(
+            f"({idf} * (((p.tf_{i}::DOUBLE) * {k1p1})"
+            f" / ((p.tf_{i}::DOUBLE) + {norm})))"
+        )
+    score = s_exprs[0]
+    for s in s_exprs[1:]:
+        score = f"({score} + {s})"
+    n_hit = " + ".join(
+        f"CASE WHEN p.tf_{i} > 0 THEN 1 ELSE 0 END" for i in range(len(terms))
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {_dk_toks()} AS toks FROM documents),
+p AS (SELECT doc_id, len(toks) AS dl,
+         {tf_cols}
+      FROM t),
+g AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl,
+         {df_cols}
+      FROM p)
+SELECT doc_id, dl, n_hit_terms, score FROM (
+  SELECT p.doc_id, p.dl,
+         CAST(({n_hit}) AS INT) AS n_hit_terms,
+         round({score}, 6) AS score
+  FROM p, g
+) WHERE n_hit_terms > 0
+ORDER BY score DESC, doc_id ASC LIMIT {BM25_K}
+"""
+
+
 def q_vocab_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary-pruned corpus rewrite — the classic preprocessing pass:
     drop tokens that are near-stopwords (document frequency > 50% of the
