@@ -225,6 +225,81 @@ def test_bm25_oracle_parity_staged(spark, sf_dir):
     assert ok, msg
 
 
+def test_kmeans_step_matches_numpy_reference(spark):
+    """Round-6 staged Lloyd step: quantized assignment and the new
+    centroid means agree bit-exactly with a numpy/pure-Python reference
+    (same floor-quantization, same first-min tie-break, same division
+    order) over the real embeddings fixture."""
+    import math
+
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.ann import (
+        KMEANS_SCALE,
+        kmeans_lloyd_step,
+    )
+
+    k = 8
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    got = {(r.cid, r.dim): r for r in kmeans_lloyd_step(emb, k=k).collect()}
+
+    rows = sorted(
+        (r.vec_id, [math.floor(float(x) * float(KMEANS_SCALE) + 0.5) for x in r.embedding])
+        for r in emb.collect()
+    )
+    cents = [qv for _, qv in rows[:k]]
+    sums: dict = {}
+    counts: dict = {}
+    for _, qv in rows:
+        dists = [sum((a - b) * (a - b) for a, b in zip(qv, c)) for c in cents]
+        cid = dists.index(min(dists))  # first-min tie-break
+        counts[cid] = counts.get(cid, 0) + 1
+        acc = sums.setdefault(cid, [0] * len(qv))
+        for i, v in enumerate(qv):
+            acc[i] += v
+    expect_keys = set()
+    for cid, acc in sums.items():
+        for dim, s in enumerate(acc):
+            expect_keys.add((cid, dim))
+            g = got[(cid, dim)]
+            assert g.n_members == counts[cid]
+            assert g.mean == (float(s) / float(counts[cid])) / float(KMEANS_SCALE), (
+                cid,
+                dim,
+            )
+    assert set(got) == expect_keys
+    assert len({cid for cid, _ in got}) >= 2, "degenerate clustering"
+
+
+def test_kmeans_step_oracle_parity_staged(spark, sf_dir):
+    """The staged kmeans_step DuckDB oracle already passes the
+    driver-faithful comparison (integer-exact end-to-end), so r7
+    registration is a 2-line diff."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_ann import (
+        _oracle_kmeans_step,
+        q_kmeans_step,
+    )
+    from .oracle_harness import compare
+
+    ok, msg = compare(
+        q_kmeans_step(spark, sf_dir), _oracle_kmeans_step(), sf_dir, "kmeans_step"
+    )
+    assert ok, msg
+
+
+def test_kmeans_step_plan_single_update_shuffle(spark):
+    """Assignment is map-only (broadcast-literal centroids, no join);
+    the centroid update is the single hash exchange, keyed (cid, dim)
+    with map-side partial aggregation."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.ann import (
+        kmeans_lloyd_step,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    plan = kmeans_lloyd_step(emb)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_count" in plan or "HashAggregate" in plan
+
+
 def test_bm25_plan_no_corpus_shuffle(spark):
     """BM25's physical plan: per-partition top-k heap (TakeOrderedAndProject)
     and no hash-partition exchange of the corpus — the only exchanges are

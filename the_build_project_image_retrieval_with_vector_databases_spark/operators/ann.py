@@ -80,6 +80,85 @@ def assign_centroids(
     return df.withColumn("centroid", assigned.cast("int"))
 
 
+KMEANS_SCALE = 1 << 20
+
+
+def quantize_vec(col, scale: int = KMEANS_SCALE):
+    """float vector → exact int64 vector: floor(x·scale + 0.5) per dim
+    (round-half-up without either engine's round() divergence). float→
+    double widening and the two float ops are bit-identical cross-engine,
+    and everything downstream is integer-exact."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(
+        c,
+        lambda x: F.floor(
+            x.cast("double") * F.lit(float(scale)) + F.lit(0.5)
+        ).cast("long"),
+    )
+
+
+def kmeans_lloyd_step(
+    df: DataFrame,
+    k: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = KMEANS_SCALE,
+) -> DataFrame:
+    """One distributed Lloyd iteration of k-means, value-exact across
+    engines — the training step behind the IVF coarse quantizer
+    (reference trains it inside FAISS, ``utils/faiss_utils.py:7-9``),
+    expressed as DataFrame ops so every piece is auditable: MLlib's
+    KMeans (:func:`train_centroids`) stays the deploy path, this is the
+    oracle-checkable core loop.
+
+    Exactness: vectors quantize to int64 (:func:`quantize_vec`);
+    init centroids = the ``k`` lowest-``id_col`` quantized vectors
+    (deterministic, an O(k·D) driver collect); assignment = argmin of
+    exact integer L2² with first-min tie-break (the
+    :func:`assign_centroids` idiom); new centroid means = two mirrored
+    IEEE divisions on exact operands. No float aggregate anywhere, so
+    accumulation order is irrelevant.
+
+    Scale shape: assignment is map-only (centroids are a broadcast
+    literal, k·D ints); the update is ONE hash shuffle keyed
+    (cid, dim) — k·D groups — with map-side partial aggregation.
+    Output: k·D rows (cid, dim, n_members, mean)."""
+    from ..sources.tables import spread
+
+    q = spread(df).select(
+        F.col(id_col), quantize_vec(vec_col, scale).alias("qv")
+    )
+    init = [r.qv for r in q.orderBy(id_col).limit(k).collect()]
+    cents = F.array(
+        *[F.array(*[F.lit(int(v)) for v in c]) for c in init]
+    )
+    dists = F.transform(
+        cents,
+        lambda c: F.aggregate(
+            F.zip_with(F.col("qv"), c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    assigned = q.withColumn(
+        "cid", (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    )
+    sums = (
+        assigned.select("cid", F.posexplode("qv").alias("dim", "qval"))
+        .groupBy("cid", "dim")
+        .agg(F.count("*").alias("n_members"), F.sum("qval").alias("s"))
+    )
+    return sums.select(
+        "cid",
+        "dim",
+        "n_members",
+        (
+            (F.col("s").cast("double") / F.col("n_members").cast("double"))
+            / F.lit(float(scale))
+        ).alias("mean"),
+    )
+
+
 def write_ivf_index(
     df: DataFrame,
     path: str,

@@ -1080,6 +1080,51 @@ ANN_QUERIES = {
     "embedding_stats": q_embedding_stats,
 }
 
+KMEANS_K = 8
+
+
+def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One value-exact distributed Lloyd iteration over the embeddings
+    table (operators.ann.kmeans_lloyd_step): k=8 centroids initialized
+    from the 8 lowest vec_ids, integer-exact assignment, k·D mean rows
+    out. STAGED for the r7 verification window — oracle parity-tested in
+    tests/test_staged_ops.py so registration is a 2-line diff."""
+    from .operators.ann import kmeans_lloyd_step
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_lloyd_step(emb, k=KMEANS_K)
+
+
+def _oracle_kmeans_step(k: int = KMEANS_K, dim: int = EMB_DIM) -> str:
+    """Mirror of kmeans_lloyd_step: same floor-quantization, same
+    lowest-vec_id init, the same exact-integer argmin (first-min
+    tie-break via list_position), the same (sum/n)/scale division
+    order. Everything before the final two divisions is int64."""
+    scale = 1 << 20
+    return f"""
+WITH q AS (SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(((x::DOUBLE) * {scale}.0) + 0.5) AS BIGINT)) AS qv
+       FROM embeddings),
+c AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, qv AS cv
+      FROM (SELECT * FROM q ORDER BY vec_id LIMIT {k})),
+d AS (SELECT q.vec_id, c.cid,
+         list_reduce(list_transform(range(1, {dim + 1}),
+                                    i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i])),
+                     (a, b) -> a + b) AS dist
+      FROM q, c),
+dd AS (SELECT vec_id, list(dist ORDER BY cid) AS dists FROM d GROUP BY vec_id),
+a AS (SELECT vec_id,
+         CAST(list_position(dists, list_min(dists)) - 1 AS INT) AS cid
+      FROM dd),
+e AS (SELECT a.cid, CAST(r.i - 1 AS INT) AS dim, q.qv[r.i] AS qval
+      FROM a JOIN q USING (vec_id), range(1, {dim + 1}) r(i))
+SELECT cid, dim, count(*) AS n_members,
+       ((sum(qval)::DOUBLE) / ((count(*))::DOUBLE)) / {scale}.0 AS mean
+FROM e GROUP BY cid, dim
+"""
+
+
 ANN_ORACLES = {
     "ivf_topk": ORACLE_IVF_TOPK,
     "ann_search": ORACLE_ANN_SEARCH,
