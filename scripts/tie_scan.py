@@ -133,6 +133,21 @@ def main() -> None:
         vals += [r.a, r.b, r.c]
     out["quantile_interp"] = {"n": len(vals), "hits6": boundary_hits(vals, 6)}
 
+    # class 4: BM25 pre-round scores (staged bm25 keeps round 6 — the
+    # ln-derived idf makes it the tf_idf class, not the ratio class)
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.textops import bm25
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_text import (
+        BM25_B,
+        BM25_K1,
+        BM25_TERMS,
+    )
+
+    full = bm25(
+        docs, BM25_TERMS, k=1 << 30, k1=BM25_K1, b=BM25_B, round_score=False
+    )
+    vals = [r.score for r in full.collect()]
+    out["bm25_scores"] = {"n": len(vals), "hits6": boundary_hits(vals, 6)}
+
     total = sum(v["hits6"] for v in out.values())
     print(json.dumps({"sf_dir": SF_DIR, "classes": out, "total_hits": total}))
     if total:

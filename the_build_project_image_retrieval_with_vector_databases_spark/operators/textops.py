@@ -377,6 +377,7 @@ def bm25(
     b: float = 0.75,
     text_col: str = "text",
     id_col: str = "doc_id",
+    round_score: bool = True,
 ) -> DataFrame:
     """BM25 top-k retrieval for a fixed query — the lexical ranking
     behind every retrieval/RAG stack (Lucene-style positive idf:
@@ -441,6 +442,9 @@ def bm25(
     for i in range(len(query_terms)):
         h = (F.col(f"tf_{i}") > 0).cast("int")
         n_hit = h if n_hit is None else n_hit + h
+    # round_score=False is the tie-scan hook (scripts/tie_scan.py reads
+    # the pre-round values to prove the .5-tie class stays empty)
+    out_score = F.round(score, 6) if round_score else score
     return (
         per_doc.crossJoin(F.broadcast(glob))
         .filter(n_hit > 0)
@@ -448,7 +452,7 @@ def bm25(
             F.col(id_col),
             F.col("dl"),
             n_hit.alias("n_hit_terms"),
-            F.round(score, 6).alias("score"),
+            out_score.alias("score"),
         )
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
