@@ -285,6 +285,82 @@ def test_kmeans_step_oracle_parity_staged(spark, sf_dir):
     assert ok, msg
 
 
+def test_kmeans_train_exact_matches_python_loop(spark):
+    """The full quantized-Lloyd training loop reproduces a pure-Python
+    reference bit-for-bit (same init, same integer assignment, same
+    re-quantization, same empty-cluster rule) and early-exits on the
+    quantized fixed point."""
+    import math
+
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.ann import (
+        KMEANS_SCALE,
+        kmeans_train_exact,
+    )
+
+    k, iters = 6, 8
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    got_cents, got_rounds = kmeans_train_exact(emb, k=k, max_iter=iters)
+
+    rows = sorted(
+        (r.vec_id, [math.floor(float(x) * float(KMEANS_SCALE) + 0.5) for x in r.embedding])
+        for r in emb.collect()
+    )
+    cents = [list(qv) for _, qv in rows[:k]]
+    ref_rounds = 0
+    for ref_rounds in range(1, iters + 1):
+        sums: dict = {}
+        counts: dict = {}
+        for _, qv in rows:
+            dists = [sum((a - b) * (a - b) for a, b in zip(qv, c)) for c in cents]
+            cid = dists.index(min(dists))
+            counts[cid] = counts.get(cid, 0) + 1
+            acc = sums.setdefault(cid, [0] * len(qv))
+            for i, v in enumerate(qv):
+                acc[i] += v
+        new = []
+        for cid in range(k):
+            if cid in sums:
+                new.append(
+                    [
+                        math.floor(
+                            ((float(s) / float(counts[cid])) / float(KMEANS_SCALE))
+                            * float(KMEANS_SCALE)
+                            + 0.5
+                        )
+                        for s in sums[cid]
+                    ]
+                )
+            else:
+                new.append(list(cents[cid]))
+        if new == cents:
+            break
+        cents = new
+    assert got_rounds == ref_rounds
+    expect = [[v / float(KMEANS_SCALE) for v in c] for c in cents]
+    assert got_cents == expect  # bit-exact, every centroid every dim
+
+
+def test_kmeans_train_centroids_drive_ivf_assignment(spark):
+    """Trained centroids slot straight into the IVF path: every vector
+    gets a valid centroid id and no cluster is empty after training on
+    the fixture."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.ann import (
+        assign_centroids,
+        kmeans_train_exact,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    cents, _ = kmeans_train_exact(emb, k=4, max_iter=5)
+    counts = (
+        assign_centroids(emb, cents)
+        .groupBy("centroid")
+        .count()
+        .collect()
+    )
+    assert {r.centroid for r in counts} == {0, 1, 2, 3}
+    assert sum(r["count"] for r in counts) == emb.count()
+
+
 def test_kmeans_step_plan_single_update_shuffle(spark):
     """Assignment is map-only (broadcast-literal centroids, no join);
     the centroid update is the single hash exchange, keyed (cid, dim)

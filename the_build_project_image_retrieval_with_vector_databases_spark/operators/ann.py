@@ -103,6 +103,7 @@ def kmeans_lloyd_step(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     scale: int = KMEANS_SCALE,
+    centroids_q: list[list[int]] | None = None,
 ) -> DataFrame:
     """One distributed Lloyd iteration of k-means, value-exact across
     engines — the training step behind the IVF coarse quantizer
@@ -125,10 +126,17 @@ def kmeans_lloyd_step(
     Output: k·D rows (cid, dim, n_members, mean)."""
     from ..sources.tables import spread
 
+    if k < 1:
+        raise ValueError("kmeans_lloyd_step requires k >= 1")
     q = spread(df).select(
         F.col(id_col), quantize_vec(vec_col, scale).alias("qv")
     )
-    init = [r.qv for r in q.orderBy(id_col).limit(k).collect()]
+    if centroids_q is not None:
+        init = [list(c) for c in centroids_q]
+    else:
+        init = [r.qv for r in q.orderBy(id_col).limit(k).collect()]
+    if not init:
+        raise ValueError("kmeans_lloyd_step on an empty table")
     cents = F.array(
         *[F.array(*[F.lit(int(v)) for v in c]) for c in init]
     )
@@ -156,6 +164,74 @@ def kmeans_lloyd_step(
             (F.col("s").cast("double") / F.col("n_members").cast("double"))
             / F.lit(float(scale))
         ).alias("mean"),
+    )
+
+
+def kmeans_train_exact(
+    df: DataFrame,
+    k: int = 8,
+    max_iter: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = KMEANS_SCALE,
+) -> tuple[list[list[float]], int]:
+    """Full Lloyd training by iterating :func:`kmeans_lloyd_step` —
+    quantized k-means, bit-reproducible on any cluster size or data
+    layout (every per-round quantity is integer-exact; nothing depends
+    on partition order or float accumulation order).
+
+    Between rounds only the k·D centroid matrix visits the driver —
+    the same O(k·D) state MLlib's driver holds. New centroids
+    re-quantize through the same floor(x·scale + 0.5) as the data;
+    a cluster that loses all members keeps its previous centroid.
+    Converges (early-exits) when the quantized centroid matrix is a
+    fixed point — which implies the assignment is too.
+
+    Returns (centroids as floats in data units, rounds actually run).
+    Deploy note: MLlib's :func:`train_centroids` remains the fast path;
+    this is the auditable/reproducible one (one oracle-checkable step =
+    ``kmeans_lloyd_step``, the registry's ``kmeans_step``)."""
+    import math
+
+    # explicit init (the k lowest-id quantized vectors — the same init
+    # kmeans_lloyd_step derives when centroids_q is omitted)
+    init_rows = (
+        df.select(quantize_vec(vec_col, scale).alias("qv"), F.col(id_col))
+        .orderBy(id_col)
+        .limit(k)
+        .collect()
+    )
+    if not init_rows:
+        raise ValueError("kmeans_train_exact on an empty table")
+    cents_q: list[list[int]] = [list(r.qv) for r in init_rows]
+    k_eff = len(cents_q)
+    rounds = 0
+    for rounds in range(1, max_iter + 1):
+        step = kmeans_lloyd_step(
+            df, k=k_eff, vec_col=vec_col, id_col=id_col, scale=scale,
+            centroids_q=cents_q,
+        ).collect()
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in step:
+            by_cid.setdefault(r.cid, {})[r.dim] = r.mean
+        new_q = []
+        for cid in range(k_eff):
+            if cid in by_cid:
+                means = by_cid[cid]
+                new_q.append(
+                    [
+                        math.floor(means[d] * float(scale) + 0.5)
+                        for d in range(len(means))
+                    ]
+                )
+            else:
+                new_q.append(list(cents_q[cid]))  # empty cluster: keep
+        if new_q == cents_q:  # quantized fixed point ⇒ assignment fixed
+            break
+        cents_q = new_q
+    return (
+        [[v / float(scale) for v in c] for c in cents_q],
+        rounds,
     )
 
 

@@ -402,6 +402,8 @@ def bm25(
     class (transcendental outputs cannot land on a .5 tie at digit 7,
     CHANGES_r06 tie scan) — and the top-k ranks on the ROUNDED score so
     a 1-ulp flip can never reorder the boundary cross-engine."""
+    if not query_terms:
+        raise ValueError("bm25 requires at least one query term")
     toks = tokens(text_col)
     dl = F.size(toks)
 
