@@ -361,3 +361,8 @@ def test_banded_candidate_joins_pin_shuffle_hash(spark):
         plan = _physical(df)
         assert "ShuffledHashJoin" in plan, f"{name}: banded join not shuffle-pinned"
         assert "BroadcastNestedLoopJoin" not in plan
+        # the verify joins are corpus-scaled on BOTH sides too (merge-
+        # pinned after the 100× sweep caught a broadcast build of the
+        # shingle-set table OOMing inside dedup_components): no join in
+        # these operators may plan as a broadcast build of any kind
+        assert "BroadcastHashJoin" not in plan, f"{name}: corpus-side broadcast"

@@ -243,7 +243,11 @@ def minhash_signatures(
         for i, (a, b) in enumerate(MINHASH_COEFFS[:num_hashes])
     ]
     sig0 = xs.groupBy(id_col).agg(*aggs)
-    return shingles.select(id_col).join(sig0, id_col, "left").select(
+    # merge pin: the sentinel back-join is corpus ⋈ corpus (one 9-long
+    # row per doc on the right, N rows — ~4 GB at 1000× corpus scale);
+    # the static estimate can still pick a broadcast build (100×-sweep
+    # hazard class), so pin the id-keyed sort-merge
+    return shingles.select(id_col).join(sig0.hint("merge"), id_col, "left").select(
         F.col(id_col),
         *[
             F.coalesce(F.col(f"mh{i}"), F.lit(MINHASH_PRIME)).alias(f"mh{i}")
@@ -330,13 +334,24 @@ def minhash_lsh_pairs(
         .select("left_id", "right_id")
         .distinct()
     )
+    # merge pin on the verify joins: the shingle-set side is CORPUS-
+    # scaled, and its static size estimate (pre-explosion, compressed-
+    # parquet-derived) can land under the broadcast threshold while the
+    # real relation is GBs — the 100× sweep caught exactly that (a
+    # broadcast build of the 5M-doc set table OOMing inside
+    # dedup_components' first write). Sort-merge on the id keys is the
+    # robust big⋈big shape at any size (the ngram_jaccard precedent).
     verified = (
         candidates.join(
-            shs.select(F.col(id_col).alias("left_id"), F.col("sh").alias("sh_l")),
+            shs.select(
+                F.col(id_col).alias("left_id"), F.col("sh").alias("sh_l")
+            ).hint("merge"),
             "left_id",
         )
         .join(
-            shs.select(F.col(id_col).alias("right_id"), F.col("sh").alias("sh_r")),
+            shs.select(
+                F.col(id_col).alias("right_id"), F.col("sh").alias("sh_r")
+            ).hint("merge"),
             "right_id",
         )
         .withColumn("n_inter", F.size(F.array_intersect("sh_l", "sh_r")))
@@ -390,10 +405,13 @@ def simhash(
         bit = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
         fp = bit if fp is None else fp + bit
     fps = v.select(F.col(id_col), fp.cast("long").alias("simhash"))
-    # docs with zero tokens have no exploded rows — restore with fp=0
+    # docs with zero tokens have no exploded rows — restore with fp=0.
+    # merge pin: corpus ⋈ corpus back-join (one fingerprint row per doc
+    # on the right) — same broadcast-estimate hazard as
+    # minhash_signatures' sentinel join (100× sweep class)
     return (
         df.select(id_col)
-        .join(fps, id_col, "left")
+        .join(fps.hint("merge"), id_col, "left")
         .select(F.col(id_col), F.coalesce("simhash", F.lit(0)).alias("simhash"))
     )
 
@@ -542,13 +560,20 @@ def minhash_lsh_incremental(
         .select("corpus_id", "batch_id")
         .distinct()
     )
+    # merge pin — same corpus-scaled verify-side broadcast-estimate
+    # hazard as minhash_lsh_pairs (the batch side too: a 100 TB daily
+    # ingest is still GBs of shingle sets)
     verified = (
         candidates.join(
-            c_shs.select(F.col(id_col).alias("corpus_id"), F.col("sh").alias("sh_l")),
+            c_shs.select(
+                F.col(id_col).alias("corpus_id"), F.col("sh").alias("sh_l")
+            ).hint("merge"),
             "corpus_id",
         )
         .join(
-            b_shs.select(F.col(id_col).alias("batch_id"), F.col("sh").alias("sh_r")),
+            b_shs.select(
+                F.col(id_col).alias("batch_id"), F.col("sh").alias("sh_r")
+            ).hint("merge"),
             "batch_id",
         )
         .withColumn("n_inter", F.size(F.array_intersect("sh_l", "sh_r")))

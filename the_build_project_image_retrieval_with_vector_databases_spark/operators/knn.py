@@ -256,9 +256,11 @@ def _radius_join_lsh(
     rvec = right.select(F.col(id_col).alias("right_id"), F.col(vec_col).alias("__rvec"))
     score, asc = _score(metric, F.col("__lvec"), F.col("__rvec"))
     pred = (F.col("dist") < radius) if asc else (F.col("dist") > radius)
+    # merge pin on the verify joins — corpus-scaled vector sides, same
+    # broadcast-estimate hazard as operators.dedup.minhash_lsh_pairs
     return (
-        cands.join(lvec, "left_id")
-        .join(rvec, "right_id")
+        cands.join(lvec.hint("merge"), "left_id")
+        .join(rvec.hint("merge"), "right_id")
         .withColumn("dist", score)
         .filter(pred)
         .select("left_id", "right_id", "dist")

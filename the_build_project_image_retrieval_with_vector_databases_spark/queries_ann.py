@@ -739,9 +739,12 @@ def q_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = lsh_candidates(emb, LSH_PLANES)
     e_l = emb.select(F.col("vec_id").alias("left_id"), F.col("embedding").alias("__el"))
     e_r = emb.select(F.col("vec_id").alias("right_id"), F.col("embedding").alias("__er"))
+    # merge pin on the verify joins: the embedding side is corpus-scaled
+    # (see operators.dedup.minhash_lsh_pairs — 100× broadcast-estimate
+    # hazard); sort-merge on the id keys is safe at any size
     return (
-        cands.join(e_l, "left_id")
-        .join(e_r, "right_id")
+        cands.join(e_l.hint("merge"), "left_id")
+        .join(e_r.hint("merge"), "right_id")
         .withColumn("sim", cosine_sim(F.col("__el"), F.col("__er")))
         .filter(F.col("sim") > 0.2)
         .select("left_id", "right_id", F.round("sim", 6).alias("cos_sim"))
