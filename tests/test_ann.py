@@ -103,6 +103,26 @@ def test_lsh_bucket_matches_numpy(emb, emb_np):
     assert [got[i] for i in ids] == list(want)
 
 
+def test_planes_for_corpus_sizing():
+    """Bucket count must scale with the corpus: P = ceil(log2(n/occ)),
+    capped so the integer bucket key stays in a signed long. Expected
+    occupancy n/2^P stays within [occ/2, occ] — the candidate join's
+    per-bucket work is then constant in n."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.ann import (
+        planes_for_corpus,
+    )
+
+    for n in (100, 6_400, 640_000, 10**9):
+        planes = planes_for_corpus(n, dim=64, target_occupancy=16)
+        p = len(planes)
+        assert n / 2**p <= 16 and (p == 1 or n / 2 ** (p - 1) > 16)
+        assert all(len(h) == 64 for h in planes)
+    # cap: 2^62 buckets max (signed-long bucket key)
+    assert len(planes_for_corpus(10**30, dim=8)) == 62
+    # determinism: same seed → same planes
+    assert planes_for_corpus(640_000, 64) == planes_for_corpus(640_000, 64)
+
+
 def test_lsh_candidates_are_cobucketed_pairs(emb, emb_np):
     ids, mat = emb_np
     planes = hyperplanes(mat.shape[1], 6, seed=7)

@@ -23,6 +23,8 @@ weaker rows-only check for them (SURVEY §5.2).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -377,6 +379,27 @@ def ivf_search_batch(
 def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> list[list[float]]:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def planes_for_corpus(
+    n_rows: int,
+    dim: int,
+    target_occupancy: int = 16,
+    seed: int = 42,
+    max_planes: int = 62,
+) -> list[list[float]]:
+    """Hyperplane set sized to the corpus: P = ceil(log2(n / occupancy)).
+
+    Sign-LSH candidate volume is ~n^2 / 2^P; with a FIXED plane count the
+    per-bucket occupancy grows linearly with the corpus and the candidate
+    join grows quadratically (measured: the 100x sweep's fixed-8-plane
+    ``lsh_near_dup`` ran super-linear purely on chance collisions). The
+    bucket count must scale with the corpus — the same sizing rule as
+    shuffle partitions. P is capped at 62 so the integer bucket key stays
+    within a signed 64-bit long.
+    """
+    p = max(1, math.ceil(math.log2(max(2, n_rows) / max(1, target_occupancy))))
+    return hyperplanes(dim, min(p, max_planes), seed=seed)
 
 
 def lsh_bucket(
