@@ -356,6 +356,12 @@ def test_banded_candidate_joins_pin_shuffle_hash(spark):
             emb, emb, radius=0.9, metric="cosine",
             blocking="lsh", planes=LSH_PLANES, n_bands=2,
         ),
+        "semantic_dedup": D.semantic_dedup(
+            emb,
+            [[0] * 64, [1 << 10] * 64],
+            threshold_num=3,
+            threshold_den=10,
+        ),
     }
     for name, df in cases.items():
         plan = _physical(df)

@@ -387,3 +387,120 @@ def test_bm25_plan_no_corpus_shuffle(spark):
     assert "TakeOrderedAndProject" in plan
     assert "Exchange hashpartitioning" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def _semantic_dedup_reference(rows, centroids_q, num, den):
+    """Single-threaded integer-exact SemDeDup: same quantization, argmin
+    assignment (first-min tie-break), and sign-guarded squared-cosine
+    threshold as the operator — python ints never overflow, so this is
+    the arbitrary-precision ground truth."""
+    import math
+
+    assigned = {}
+    for vid, qv in rows:
+        dists = [
+            sum((a - b) * (a - b) for a, b in zip(qv, c)) for c in centroids_q
+        ]
+        assigned[vid] = (dists.index(min(dists)), qv, sum(x * x for x in qv))
+    dropped = set()
+    ids = sorted(assigned)
+    for i, li in enumerate(ids):
+        lc, lq, ln2 = assigned[li]
+        for ri in ids[i + 1:]:
+            rc, rq, rn2 = assigned[ri]
+            if lc != rc:
+                continue
+            dot = sum(a * b for a, b in zip(lq, rq))
+            if dot > 0 and den * den * dot * dot > num * num * ln2 * rn2:
+                dropped.add(ri)
+    return {vid: (assigned[vid][0], vid not in dropped) for vid in ids}
+
+
+def _quantized_rows(spark, path):
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.ann import (
+        quantize_vec,
+    )
+
+    df = spark.read.parquet(path)
+    return df, [
+        (r.vec_id, list(r.qv))
+        for r in df.select("vec_id", quantize_vec("embedding").alias("qv")).collect()
+    ]
+
+
+def test_semantic_dedup_matches_python_reference(spark):
+    """Init-centroid pin (the staged registry shape) against the
+    arbitrary-precision reference over the real embeddings fixture."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.dedup import (
+        semantic_dedup,
+    )
+
+    df, rows = _quantized_rows(spark, f"{SF_SMOKE}/embeddings.parquet")
+    init = [qv for _, qv in sorted(rows)[:8]]
+    num, den = 3, 10
+    got = {
+        r.vec_id: (r.cid, r.keep)
+        for r in semantic_dedup(df, init, num, den).collect()
+    }
+    want = _semantic_dedup_reference(rows, init, num, den)
+    assert got == want
+    assert any(not keep for _, keep in got.values()), (
+        "threshold pin should actually drop something at sf0.001"
+    )
+
+
+def test_semantic_dedup_trained_centroids(spark):
+    """The deploy path: kmeans_train_exact centroids re-quantize
+    exactly (power-of-two scale round-trip) and the dedup agrees with
+    the reference on those trained centroids."""
+    import math
+
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.ann import (
+        KMEANS_SCALE,
+        kmeans_train_exact,
+    )
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.dedup import (
+        semantic_dedup,
+    )
+
+    df, rows = _quantized_rows(spark, f"{SF_SMOKE}/embeddings.parquet")
+    cents, rounds = kmeans_train_exact(df, k=4, max_iter=5)
+    cents_q = [
+        [math.floor(v * float(KMEANS_SCALE) + 0.5) for v in c] for c in cents
+    ]
+    got = {
+        r.vec_id: (r.cid, r.keep)
+        for r in semantic_dedup(df, cents_q, 1, 4).collect()
+    }
+    assert got == _semantic_dedup_reference(rows, cents_q, 1, 4)
+
+
+def test_semantic_dedup_validation():
+    import pytest
+
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.dedup import (
+        semantic_dedup,
+    )
+
+    with pytest.raises(ValueError):
+        semantic_dedup(None, [])
+    with pytest.raises(ValueError):
+        semantic_dedup(None, [[0] * 64], threshold_num=5, threshold_den=5)
+
+
+def test_semantic_dedup_oracle_parity_staged(spark, sf_dir):
+    """The staged semantic_dedup DuckDB oracle already passes the
+    driver-faithful comparison, so r7 registration is a 2-line diff."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_ann import (
+        _oracle_semantic_dedup,
+        q_semantic_dedup,
+    )
+    from .oracle_harness import compare
+
+    ok, msg = compare(
+        q_semantic_dedup(spark, sf_dir),
+        _oracle_semantic_dedup(),
+        sf_dir,
+        "semantic_dedup",
+    )
+    assert ok, msg

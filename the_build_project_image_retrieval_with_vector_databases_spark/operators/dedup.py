@@ -586,3 +586,135 @@ def minhash_lsh_incremental(
         .filter(F.col("jaccard") >= threshold)
     )
     return verified.select("corpus_id", "batch_id", "jaccard")
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids_q: list[list[int]],
+    threshold_num: int = 3,
+    threshold_den: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster-blocked
+    semantic near-dup removal over an embedding column. Cluster with
+    k-means (the coarse quantizer the reference trains inside FAISS,
+    ``utils/faiss_utils.py:7-9``), then drop every vector that has a
+    lower-id neighbor with cosine similarity above τ INSIDE its cluster
+    — the pairwise work is blocked by cluster, never all-pairs.
+
+    Exactness (the oracle unlock): vectors quantize to int64
+    (:func:`~.ann.quantize_vec`), assignment is the exact integer-L2²
+    argmin of :func:`~.ann.kmeans_lloyd_step`, and the cosine threshold
+    evaluates WITHOUT any float math: with τ = num/den,
+
+        cos(l, r) > τ  ⟺  dot > 0  ∧  den²·dot² > num²·|l|²·|r|²
+
+    — all integer products, carried in decimal(38, 0) on the Spark side
+    (dot ≤ D·(scale·max|x|)² ≈ 2⁴⁶ here, so den²·dot² ≈ 10³⁰ ≪ 10³⁸)
+    and HUGEINT in DuckDB. No sqrt, no division, no ulp hazard at the
+    threshold boundary.
+
+    Scale shape: assignment is map-only (centroids broadcast as a k·D
+    literal); the candidate self-join is one shuffle keyed on cid with
+    per-cluster O(m²) verify work — k is the occupancy knob and scales
+    with the corpus exactly like :func:`~.ann.planes_for_corpus` sizes
+    LSH buckets (SemDeDup itself uses k ≈ N/occupancy). shuffle_hash
+    pin on the self-join and merge pin on the corpus-scaled drop-set
+    back-join: the minhash_lsh_pairs broadcast-estimate hazard.
+
+    ``centroids_q`` are quantized int centroids — from the k lowest-id
+    vectors (deterministic init) or :func:`~.ann.kmeans_train_exact`
+    output re-quantized (exact round-trip: quantized/scale·scale is the
+    identity in double for |v| < 2⁵³).
+
+    Output: one row per input vector — (id_col, cid, keep).
+    """
+    from .ann import KMEANS_SCALE, quantize_vec
+
+    if scale is None:
+        scale = KMEANS_SCALE
+    if not centroids_q:
+        raise ValueError("semantic_dedup requires at least one centroid")
+    if not (0 < threshold_num < threshold_den):
+        raise ValueError("threshold must be a fraction in (0, 1)")
+
+    q = spread(df).select(
+        F.col(id_col), quantize_vec(vec_col, scale).alias("qv")
+    )
+    cents = F.array(
+        *[F.array(*[F.lit(int(v)) for v in c]) for c in centroids_q]
+    )
+    dists = F.transform(
+        cents,
+        lambda c: F.aggregate(
+            F.zip_with(F.col("qv"), c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    n2 = F.aggregate(
+        F.transform(F.col("qv"), lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    assigned = q.select(
+        F.col(id_col),
+        (F.array_position(dists, F.array_min(dists)) - 1)
+        .cast("int")
+        .alias("cid"),
+        F.col("qv"),
+        n2.alias("n2"),
+    )
+
+    l = assigned.select(
+        F.col(id_col).alias("left_id"),
+        F.col("cid"),
+        F.col("qv").alias("__lq"),
+        F.col("n2").alias("__ln2"),
+    )
+    r = assigned.select(
+        F.col(id_col).alias("right_id"),
+        F.col("cid"),
+        F.col("qv").alias("__rq"),
+        F.col("n2").alias("__rn2"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("__lq"), F.col("__rq"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    # shuffle_hash pin: corpus×corpus self-join (see minhash_lsh_pairs)
+    pairs = (
+        l.join(r.hint("shuffle_hash"), "cid")
+        .filter(F.col("left_id") < F.col("right_id"))
+        .withColumn("__dot", dot)
+    )
+    is_dup = (F.col("__dot") > 0) & (
+        dec(F.col("__dot")) * dec(F.col("__dot"))
+        * F.lit(threshold_den * threshold_den)
+        > F.lit(threshold_num * threshold_num)
+        * dec(F.col("__ln2"))
+        * dec(F.col("__rn2"))
+    )
+    dropped = (
+        pairs.filter(is_dup)
+        .select(F.col("right_id").alias(id_col))
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+    # merge pin: the drop set scales with the corpus — never trust the
+    # static estimate to refuse a broadcast build at real size
+    return (
+        assigned.join(dropped.hint("merge"), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("cid"),
+            F.coalesce(~F.col("__dropped"), F.lit(True)).alias("keep"),
+        )
+    )

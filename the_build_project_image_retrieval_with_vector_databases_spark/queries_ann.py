@@ -1146,3 +1146,66 @@ ANN_ORACLES = {
     "label_centroids": ORACLE_LABEL_CENTROIDS,
     "embedding_stats": ORACLE_EMBEDDING_STATS,
 }
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table: k=8 clusters from the
+    deterministic lowest-vec_id init (the arbitrary-trained-centroid
+    path — operators.ann.kmeans_train_exact — is pytest-covered),
+    τ = 3/10, integer-exact threshold (no float math at the boundary).
+    STAGED for the r7 verification window — oracle parity-tested in
+    tests/test_staged_ops.py so registration is a 2-line diff."""
+    from .operators.ann import quantize_vec
+    from .operators.dedup import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    init = [
+        list(r.qv)
+        for r in emb.select(
+            quantize_vec("embedding").alias("qv"), "vec_id"
+        )
+        .orderBy("vec_id")
+        .limit(KMEANS_K)
+        .collect()
+    ]
+    return semantic_dedup(emb, init, threshold_num=3, threshold_den=10)
+
+
+def _oracle_semantic_dedup(
+    k: int = KMEANS_K, dim: int = EMB_DIM, num: int = 3, den: int = 10
+) -> str:
+    """Mirror of semantic_dedup at the registered pin: same floor
+    quantization, the kmeans_step argmin assignment, and the
+    sign-guarded squared-cosine threshold in HUGEINT — every compared
+    quantity is an exact integer on both engines."""
+    scale = 1 << 20
+    return f"""
+WITH q AS (SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(((x::DOUBLE) * {scale}.0) + 0.5) AS BIGINT)) AS qv
+       FROM embeddings),
+c AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, qv AS cv
+      FROM (SELECT * FROM q ORDER BY vec_id LIMIT {k})),
+d AS (SELECT q.vec_id, c.cid,
+         list_reduce(list_transform(range(1, {dim + 1}),
+                                    i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i])),
+                     (a, b) -> a + b) AS dist
+      FROM q, c),
+dd AS (SELECT vec_id, list(dist ORDER BY cid) AS dists FROM d GROUP BY vec_id),
+a AS (SELECT dd.vec_id,
+         CAST(list_position(dists, list_min(dists)) - 1 AS INT) AS cid, q.qv,
+         list_reduce(list_transform(range(1, {dim + 1}),
+                                    i -> CAST(q.qv[i] AS HUGEINT) * q.qv[i]),
+                     (x, y) -> x + y) AS n2
+      FROM dd JOIN q USING (vec_id)),
+p AS (SELECT l.vec_id AS lid, r.vec_id AS rid,
+         list_reduce(list_transform(range(1, {dim + 1}),
+                                    i -> CAST(l.qv[i] AS HUGEINT) * r.qv[i]),
+                     (x, y) -> x + y) AS dot,
+         l.n2 AS ln2, r.n2 AS rn2
+      FROM a l JOIN a r ON l.cid = r.cid AND l.vec_id < r.vec_id),
+dropped AS (SELECT DISTINCT rid FROM p
+            WHERE dot > 0 AND {den * den} * dot * dot > {num * num} * ln2 * rn2)
+SELECT a.vec_id, a.cid, (dropped.rid IS NULL) AS keep
+FROM a LEFT JOIN dropped ON a.vec_id = dropped.rid
+"""
