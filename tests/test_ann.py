@@ -405,3 +405,17 @@ def test_search_facade_pq_rerank_converges_to_exact(emb, emb_np):
           for r in search(emb, qvec, k=5, index="pq", rerank=100,
                           exclude_id=0).collect()]
     assert pq == flat
+
+
+def test_k_for_corpus_sizing():
+    """k = ceil(n/occ): occupancy stays within (occ·(k-1)/k, occ] so the
+    cluster-blocked O(m²) verify work per cluster is constant in n."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.ann import (
+        k_for_corpus,
+    )
+
+    for n in (10, 2_000, 640_000, 10**9):
+        k = k_for_corpus(n, target_occupancy=256)
+        assert n / k <= 256
+        assert k == 1 or n / (k - 1) > 256
+    assert k_for_corpus(0) == 1

@@ -381,6 +381,21 @@ def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> list[list[float
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
+def k_for_corpus(n_rows: int, target_occupancy: int = 256) -> int:
+    """Cluster count sized to the corpus: k = ceil(n / occupancy).
+
+    The cluster-blocked operators (``semantic_dedup``, IVF probing) do
+    O(m²) or O(m) work per cluster of size m; holding k FIXED while the
+    corpus grows makes m ∝ N and the blocked self-join quadratic — the
+    same failure mode as a fixed LSH plane count
+    (:func:`planes_for_corpus`) or a fixed shuffle partition count.
+    Sizing k with the corpus holds per-cluster work constant; SemDeDup
+    itself (arXiv:2303.09540) sizes k ≈ N/occupancy this way."""
+    import math as _math
+
+    return max(1, _math.ceil(max(1, n_rows) / max(1, target_occupancy)))
+
+
 def planes_for_corpus(
     n_rows: int,
     dim: int,
