@@ -419,3 +419,51 @@ def test_k_for_corpus_sizing():
         assert n / k <= 256
         assert k == 1 or n / (k - 1) > 256
     assert k_for_corpus(0) == 1
+
+
+def test_assign_centroids_arrow_matches_literal(spark):
+    """The Arrow/BLAS large-k assignment path agrees with the
+    expression-literal argmin on the real fixture (the ulp-tie caveat is
+    measure-zero on random vectors), including through empty Arrow
+    partitions, and survives a k beyond what expression literals could
+    reasonably inline."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.ann import (
+        assign_centroids,
+        assign_centroids_arrow,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    cents = [r.embedding for r in emb.orderBy("vec_id").limit(16).collect()]
+    cents = [[float(x) for x in c] for c in cents]
+
+    lit_map = {
+        r.vec_id: r.centroid
+        for r in assign_centroids(emb, cents).select("vec_id", "centroid").collect()
+    }
+    arrow_map = {
+        r.vec_id: r.centroid
+        for r in assign_centroids_arrow(emb.repartition(64), cents)
+        .select("vec_id", "centroid")
+        .collect()
+    }
+    assert arrow_map == lit_map
+
+    # large k: 500 centroids (the fixture itself) — every vector's
+    # nearest centroid is then itself
+    all_cents = [
+        [float(x) for x in r.embedding] for r in emb.orderBy("vec_id").collect()
+    ]
+    ids = [r.vec_id for r in emb.orderBy("vec_id").collect()]
+    self_map = {
+        r.vec_id: r.centroid
+        for r in assign_centroids_arrow(emb, all_cents)
+        .select("vec_id", "centroid")
+        .collect()
+    }
+    for vid, cid in self_map.items():
+        assert ids[cid] == vid
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        assign_centroids_arrow(emb, [])

@@ -82,6 +82,61 @@ def assign_centroids(
     return df.withColumn("centroid", assigned.cast("int"))
 
 
+def assign_centroids_arrow(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid id per row via an Arrow-batched BLAS matmul —
+    the LARGE-k assignment path.
+
+    :func:`assign_centroids` inlines the centroids as a k·D expression
+    literal: ideal up to k in the hundreds (pure codegen, no UDF), but
+    the plan itself grows with k·D and falls over long before k reaches
+    corpus-sized cluster counts (``k_for_corpus`` at 10¹⁰ docs is
+    k ≈ 4·10⁷). This variant broadcasts the centroid matrix as a numpy
+    array inside a ``mapInPandas`` closure and scores each Arrow batch
+    with one B×D @ D×k matmul (argmin over ||c||² − 2·x·c; the ||x||²
+    term is constant per row and cannot change the argmin) — the same
+    CPU-side shape FAISS uses for its coarse quantizer. Still map-only,
+    no shuffle; memory bound = k·D·8 bytes per executor (k ≈ 10⁶ at
+    64-D ≈ 0.5 GB; beyond that, shard the centroids and argmin the
+    per-shard minima).
+
+    Caveat vs the literal path: distances accumulate in a different
+    order (BLAS vs left-fold), so a pair of centroids equidistant to
+    ~1 ulp can tie-break differently — use the quantized-integer
+    assignment (:func:`kmeans_lloyd_step`) where cross-engine exactness
+    matters; this is the throughput path."""
+    import pandas as pd
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    if cents.ndim != 2 or cents.shape[0] == 0:
+        raise ValueError("assign_centroids_arrow requires a k×D centroid matrix")
+    c2 = (cents * cents).sum(axis=1)
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField("centroid", IntegerType(), False)]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                pdf = pdf.copy()
+                pdf["centroid"] = pd.Series([], dtype="int32")
+                yield pdf
+                continue
+            x = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            d = c2[None, :] - 2.0 * (x @ cents.T)
+            pdf = pdf.copy()
+            pdf["centroid"] = d.argmin(axis=1).astype("int32")
+            yield pdf
+
+    return df.mapInPandas(score, out_schema)
+
+
 KMEANS_SCALE = 1 << 20
 
 

@@ -618,11 +618,16 @@ def semantic_dedup(
 
     Scale shape: assignment is map-only (centroids broadcast as a k·D
     literal); the candidate self-join is one shuffle keyed on cid with
-    per-cluster O(m²) verify work — k is the occupancy knob and scales
-    with the corpus exactly like :func:`~.ann.planes_for_corpus` sizes
-    LSH buckets (SemDeDup itself uses k ≈ N/occupancy). shuffle_hash
-    pin on the self-join and merge pin on the corpus-scaled drop-set
-    back-join: the minhash_lsh_pairs broadcast-estimate hazard.
+    per-cluster O(m²) verify work — k is the occupancy knob
+    (:func:`~.ann.k_for_corpus`) and scales with the corpus exactly
+    like :func:`~.ann.planes_for_corpus` sizes LSH buckets (SemDeDup
+    itself uses k ≈ N/occupancy). When the sized k outgrows the
+    expression-literal bound (k beyond the hundreds), assign with
+    :func:`~.ann.assign_centroids_arrow` (Arrow-batched BLAS argmin,
+    still map-only) and run the pair stage on that ``centroid`` column.
+    shuffle_hash pin on the self-join and merge pin on the
+    corpus-scaled drop-set back-join: the minhash_lsh_pairs
+    broadcast-estimate hazard.
 
     ``centroids_q`` are quantized int centroids — from the k lowest-id
     vectors (deterministic init) or :func:`~.ann.kmeans_train_exact`
