@@ -362,6 +362,11 @@ def test_banded_candidate_joins_pin_shuffle_hash(spark):
             threshold_num=3,
             threshold_den=10,
         ),
+        "semantic_dedup_incremental": D.semantic_dedup_incremental(
+            emb.filter(F.col("vec_id") < 400),
+            emb.filter(F.col("vec_id") >= 400),
+            [[0] * 64, [1 << 10] * 64],
+        ),
     }
     for name, df in cases.items():
         plan = _physical(df)

@@ -504,3 +504,77 @@ def test_semantic_dedup_oracle_parity_staged(spark, sf_dir):
         "semantic_dedup",
     )
     assert ok, msg
+
+
+def test_semantic_dedup_incremental_matches_sequential(spark):
+    """Batch-vs-corpus SemDeDup equals the sequential-ingest outcome: a
+    batch vector is dropped iff some same-cluster corpus vector or
+    lower-id batch vector exceeds τ — verified against the
+    arbitrary-precision reference, and against full-table semantic_dedup
+    restricted to batch rows WHEN the corpus is itself clean, ids
+    precede the batch, and clusters are fixed (then the two contracts
+    coincide by induction)."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.dedup import (
+        semantic_dedup,
+        semantic_dedup_incremental,
+    )
+
+    df, rows = _quantized_rows(spark, f"{SF_SMOKE}/embeddings.parquet")
+    init = [qv for _, qv in sorted(rows)[:8]]
+    num, den = 3, 10
+    split = 400
+    corpus = df.filter(df.vec_id < split)
+    batch = df.filter(df.vec_id >= split)
+
+    got = {
+        r.vec_id: (r.cid, r.keep)
+        for r in semantic_dedup_incremental(
+            corpus, batch, init, num, den
+        ).collect()
+    }
+    assert set(got) == {vid for vid, _ in rows if vid >= split}
+
+    # reference: corpus neighbors OR lower-id batch neighbors drop
+    full = _semantic_dedup_reference(rows, init, num, den)
+    asg = {}
+    import itertools
+
+    for vid, qv in rows:
+        dists = [sum((a - b) * (a - b) for a, b in zip(qv, c)) for c in init]
+        asg[vid] = (dists.index(min(dists)), qv, sum(x * x for x in qv))
+    for vid, qv in rows:
+        if vid < split:
+            continue
+        cid, _, n2 = asg[vid]
+        dropped = False
+        for other, (ocid, oqv, on2) in asg.items():
+            if other == vid or ocid != cid:
+                continue
+            if other >= split and other > vid:
+                continue
+            dot = sum(a * b for a, b in zip(qv, oqv))
+            if dot > 0 and den * den * dot * dot > num * num * n2 * on2:
+                dropped = True
+                break
+        assert got[vid] == (cid, not dropped), vid
+
+    # some batch row must actually drop for the test to mean anything
+    assert any(not keep for _, keep in got.values())
+
+
+def test_semantic_dedup_incremental_oracle_parity_staged(spark, sf_dir):
+    """The staged semantic_dedup_incremental DuckDB oracle already
+    passes the driver-faithful comparison."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_ann import (
+        _oracle_semantic_dedup_incremental,
+        q_semantic_dedup_incremental,
+    )
+    from .oracle_harness import compare
+
+    ok, msg = compare(
+        q_semantic_dedup_incremental(spark, sf_dir),
+        _oracle_semantic_dedup_incremental(),
+        sf_dir,
+        "semantic_dedup_incremental",
+    )
+    assert ok, msg

@@ -588,6 +588,67 @@ def minhash_lsh_incremental(
     return verified.select("corpus_id", "batch_id", "jaccard")
 
 
+def _semantic_assign(
+    df: DataFrame,
+    centroids_q: list[list[int]],
+    scale: int,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """(id, cid, qv, n2): quantize, exact integer-L2² argmin against the
+    broadcast centroid literal (first-min tie-break), squared norm."""
+    from .ann import quantize_vec
+
+    q = spread(df).select(
+        F.col(id_col), quantize_vec(vec_col, scale).alias("qv")
+    )
+    cents = F.array(
+        *[F.array(*[F.lit(int(v)) for v in c]) for c in centroids_q]
+    )
+    dists = F.transform(
+        cents,
+        lambda c: F.aggregate(
+            F.zip_with(F.col("qv"), c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    n2 = F.aggregate(
+        F.transform(F.col("qv"), lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return q.select(
+        F.col(id_col),
+        (F.array_position(dists, F.array_min(dists)) - 1)
+        .cast("int")
+        .alias("cid"),
+        F.col("qv"),
+        n2.alias("n2"),
+    )
+
+
+def _sq_cos_gt(num: int, den: int):
+    """Integer-exact cos > num/den over (__dot, __ln2, __rn2) columns:
+    dot > 0 ∧ den²·dot² > num²·|l|²·|r|², in decimal(38,0)."""
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    return (F.col("__dot") > 0) & (
+        dec(F.col("__dot")) * dec(F.col("__dot")) * F.lit(den * den)
+        > F.lit(num * num) * dec(F.col("__ln2")) * dec(F.col("__rn2"))
+    )
+
+
+def _sq_dot():
+    return F.aggregate(
+        F.zip_with(F.col("__lq"), F.col("__rq"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     centroids_q: list[list[int]],
@@ -636,7 +697,7 @@ def semantic_dedup(
 
     Output: one row per input vector — (id_col, cid, keep).
     """
-    from .ann import KMEANS_SCALE, quantize_vec
+    from .ann import KMEANS_SCALE
 
     if scale is None:
         scale = KMEANS_SCALE
@@ -645,33 +706,7 @@ def semantic_dedup(
     if not (0 < threshold_num < threshold_den):
         raise ValueError("threshold must be a fraction in (0, 1)")
 
-    q = spread(df).select(
-        F.col(id_col), quantize_vec(vec_col, scale).alias("qv")
-    )
-    cents = F.array(
-        *[F.array(*[F.lit(int(v)) for v in c]) for c in centroids_q]
-    )
-    dists = F.transform(
-        cents,
-        lambda c: F.aggregate(
-            F.zip_with(F.col("qv"), c, lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        ),
-    )
-    n2 = F.aggregate(
-        F.transform(F.col("qv"), lambda x: x * x),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    assigned = q.select(
-        F.col(id_col),
-        (F.array_position(dists, F.array_min(dists)) - 1)
-        .cast("int")
-        .alias("cid"),
-        F.col("qv"),
-        n2.alias("n2"),
-    )
+    assigned = _semantic_assign(df, centroids_q, scale, vec_col, id_col)
 
     l = assigned.select(
         F.col(id_col).alias("left_id"),
@@ -685,30 +720,14 @@ def semantic_dedup(
         F.col("qv").alias("__rq"),
         F.col("n2").alias("__rn2"),
     )
-    dot = F.aggregate(
-        F.zip_with(F.col("__lq"), F.col("__rq"), lambda a, b: a * b),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-
-    def dec(c):
-        return c.cast("decimal(38,0)")
-
     # shuffle_hash pin: corpus×corpus self-join (see minhash_lsh_pairs)
     pairs = (
         l.join(r.hint("shuffle_hash"), "cid")
         .filter(F.col("left_id") < F.col("right_id"))
-        .withColumn("__dot", dot)
-    )
-    is_dup = (F.col("__dot") > 0) & (
-        dec(F.col("__dot")) * dec(F.col("__dot"))
-        * F.lit(threshold_den * threshold_den)
-        > F.lit(threshold_num * threshold_num)
-        * dec(F.col("__ln2"))
-        * dec(F.col("__rn2"))
+        .withColumn("__dot", _sq_dot())
     )
     dropped = (
-        pairs.filter(is_dup)
+        pairs.filter(_sq_cos_gt(threshold_num, threshold_den))
         .select(F.col("right_id").alias(id_col))
         .distinct()
         .withColumn("__dropped", F.lit(True))
@@ -722,4 +741,96 @@ def semantic_dedup(
             F.col("cid"),
             F.coalesce(~F.col("__dropped"), F.lit(True)).alias("keep"),
         )
+    )
+
+
+def semantic_dedup_incremental(
+    corpus: DataFrame,
+    batch: DataFrame,
+    centroids_q: list[list[int]],
+    threshold_num: int = 3,
+    threshold_den: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int | None = None,
+) -> DataFrame:
+    """Batch-vs-corpus SemDeDup — the daily-ingest shape (the semantic
+    twin of :func:`minhash_lsh_incremental`, mirroring
+    ``append_to_ivf_index`` on the ANN side): a new batch vector is
+    dropped iff it has a SAME-CLUSTER neighbor above τ that is either
+    (a) any corpus vector, or (b) a lower-id batch vector — the exact
+    outcome of ingesting the batch one vector at a time. The corpus is
+    never compared against itself: corpus×corpus work never re-runs,
+    candidate volume ∝ batch × cluster occupancy.
+
+    Same integer-exact machinery as :func:`semantic_dedup` (quantized
+    argmin assignment, den²·dot² > num²·|l|²·|r|² threshold in
+    decimal(38,0)/HUGEINT — no float at the boundary), same pins:
+    shuffle_hash on the cid candidate joins (broadcast-estimate
+    hazard; at real scale neither side is broadcastable), merge on the
+    drop-set back-join. Assignment must use the SAME centroids the
+    corpus was assigned with — k grows only on index rebuild, exactly
+    like the IVF layout.
+
+    Output: one row per batch vector — (id_col, cid, keep).
+    """
+    from .ann import KMEANS_SCALE
+
+    if scale is None:
+        scale = KMEANS_SCALE
+    if not centroids_q:
+        raise ValueError("semantic_dedup_incremental requires centroids")
+    if not (0 < threshold_num < threshold_den):
+        raise ValueError("threshold must be a fraction in (0, 1)")
+
+    b = _semantic_assign(batch, centroids_q, scale, vec_col, id_col)
+    c = _semantic_assign(corpus, centroids_q, scale, vec_col, id_col)
+
+    b_l = b.select(
+        F.col(id_col).alias("left_id"),
+        F.col("cid"),
+        F.col("qv").alias("__lq"),
+        F.col("n2").alias("__ln2"),
+    )
+    b_r = b.select(
+        F.col(id_col).alias("right_id"),
+        F.col("cid"),
+        F.col("qv").alias("__rq"),
+        F.col("n2").alias("__rn2"),
+    )
+    c_l = c.select(
+        F.col(id_col).alias("left_id"),
+        F.col("cid"),
+        F.col("qv").alias("__lq"),
+        F.col("n2").alias("__ln2"),
+    )
+
+    is_dup = _sq_cos_gt(threshold_num, threshold_den)
+    # (a) batch vs corpus: any qualifying corpus neighbor drops the
+    # batch vector — shuffle_hash pin (see minhash_lsh_incremental)
+    vs_corpus = (
+        c_l.join(b_r.hint("shuffle_hash"), "cid")
+        .withColumn("__dot", _sq_dot())
+        .filter(is_dup)
+        .select(F.col("right_id").alias(id_col))
+    )
+    # (b) batch vs batch: lower-id batch neighbor drops the higher id
+    vs_batch = (
+        b_l.join(b_r.hint("shuffle_hash"), "cid")
+        .filter(F.col("left_id") < F.col("right_id"))
+        .withColumn("__dot", _sq_dot())
+        .filter(is_dup)
+        .select(F.col("right_id").alias(id_col))
+    )
+    dropped = (
+        vs_corpus.unionAll(vs_batch)
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+    # merge pin: drop set ∝ batch — still never trust the static
+    # estimate at real size
+    return b.join(dropped.hint("merge"), id_col, "left").select(
+        F.col(id_col),
+        F.col("cid"),
+        F.coalesce(~F.col("__dropped"), F.lit(True)).alias("keep"),
     )

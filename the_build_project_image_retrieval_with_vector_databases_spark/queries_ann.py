@@ -1209,3 +1209,74 @@ dropped AS (SELECT DISTINCT rid FROM p
 SELECT a.vec_id, a.cid, (dropped.rid IS NULL) AS keep
 FROM a LEFT JOIN dropped ON a.vec_id = dropped.rid
 """
+
+
+def q_semantic_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-ingest SemDeDup: the 'new batch' (vec_id ≥ 400) against the
+    existing corpus (vec_id < 400), same k=8 lowest-vec_id centroid pin
+    and τ = 3/10 as `semantic_dedup` — corpus×corpus never re-runs.
+    STAGED for a future verification window — oracle parity-tested in
+    tests/test_staged_ops.py so registration is a 2-line diff."""
+    from .operators.ann import quantize_vec
+    from .operators.dedup import semantic_dedup_incremental
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    init = [
+        list(r.qv)
+        for r in emb.select(
+            quantize_vec("embedding").alias("qv"), "vec_id"
+        )
+        .orderBy("vec_id")
+        .limit(KMEANS_K)
+        .collect()
+    ]
+    corpus = emb.filter(F.col("vec_id") < 400)
+    batch = emb.filter(F.col("vec_id") >= 400)
+    return semantic_dedup_incremental(
+        corpus, batch, init, threshold_num=3, threshold_den=10
+    )
+
+
+def _oracle_semantic_dedup_incremental(
+    k: int = KMEANS_K, dim: int = EMB_DIM, num: int = 3, den: int = 10,
+    split: int = 400,
+) -> str:
+    """Mirror of semantic_dedup_incremental at the staged pin: the
+    semantic_dedup CTE chain with the pair predicate restricted to
+    (corpus, batch) and (lower-id batch, batch) — all HUGEINT-exact.
+    NOTE the centroid init is over the FULL table (the same k lowest
+    vec_ids the engine collects before splitting)."""
+    scale = 1 << 20
+    return f"""
+WITH q AS (SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(((x::DOUBLE) * {scale}.0) + 0.5) AS BIGINT)) AS qv
+       FROM embeddings),
+c AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, qv AS cv
+      FROM (SELECT * FROM q ORDER BY vec_id LIMIT {k})),
+d AS (SELECT q.vec_id, c.cid,
+         list_reduce(list_transform(range(1, {dim + 1}),
+                                    i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i])),
+                     (a, b) -> a + b) AS dist
+      FROM q, c),
+dd AS (SELECT vec_id, list(dist ORDER BY cid) AS dists FROM d GROUP BY vec_id),
+a AS (SELECT dd.vec_id,
+         CAST(list_position(dists, list_min(dists)) - 1 AS INT) AS cid, q.qv,
+         list_reduce(list_transform(range(1, {dim + 1}),
+                                    i -> CAST(q.qv[i] AS HUGEINT) * q.qv[i]),
+                     (x, y) -> x + y) AS n2
+      FROM dd JOIN q USING (vec_id)),
+p AS (SELECT l.vec_id AS lid, r.vec_id AS rid,
+         list_reduce(list_transform(range(1, {dim + 1}),
+                                    i -> CAST(l.qv[i] AS HUGEINT) * r.qv[i]),
+                     (x, y) -> x + y) AS dot,
+         l.n2 AS ln2, r.n2 AS rn2
+      FROM a l JOIN a r
+      ON l.cid = r.cid AND r.vec_id >= {split}
+         AND (l.vec_id < {split} OR l.vec_id < r.vec_id)),
+dropped AS (SELECT DISTINCT rid FROM p
+            WHERE dot > 0 AND {den * den} * dot * dot > {num * num} * ln2 * rn2)
+SELECT a.vec_id, a.cid, (dropped.rid IS NULL) AS keep
+FROM a LEFT JOIN dropped ON a.vec_id = dropped.rid
+WHERE a.vec_id >= {split}
+"""
