@@ -657,6 +657,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     scale: int | None = None,
+    cache_handles: list | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster-blocked
     semantic near-dup removal over an embedding column. Cluster with
@@ -706,7 +707,12 @@ def semantic_dedup(
     if not (0 < threshold_num < threshold_den):
         raise ValueError("threshold must be a fraction in (0, 1)")
 
-    assigned = _semantic_assign(df, centroids_q, scale, vec_col, id_col)
+    # assigned feeds both join sides AND the back-join — persist under
+    # the dedup cache contract (recomputes 3× otherwise)
+    assigned = _opt_persist(
+        _semantic_assign(df, centroids_q, scale, vec_col, id_col),
+        cache_handles,
+    )
 
     l = assigned.select(
         F.col(id_col).alias("left_id"),
@@ -753,6 +759,7 @@ def semantic_dedup_incremental(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     scale: int | None = None,
+    cache_handles: list | None = None,
 ) -> DataFrame:
     """Batch-vs-corpus SemDeDup — the daily-ingest shape (the semantic
     twin of :func:`minhash_lsh_incremental`, mirroring
@@ -783,7 +790,12 @@ def semantic_dedup_incremental(
     if not (0 < threshold_num < threshold_den):
         raise ValueError("threshold must be a fraction in (0, 1)")
 
-    b = _semantic_assign(batch, centroids_q, scale, vec_col, id_col)
+    # batch assignment feeds two candidate joins AND the back-join;
+    # corpus assignment is consumed once (no persist)
+    b = _opt_persist(
+        _semantic_assign(batch, centroids_q, scale, vec_col, id_col),
+        cache_handles,
+    )
     c = _semantic_assign(corpus, centroids_q, scale, vec_col, id_col)
 
     b_l = b.select(

@@ -1154,9 +1154,11 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     path — operators.ann.kmeans_train_exact — is pytest-covered),
     τ = 3/10, integer-exact threshold (no float math at the boundary).
     STAGED for the r7 verification window — oracle parity-tested in
-    tests/test_staged_ops.py so registration is a 2-line diff."""
+    tests/test_staged_ops.py so registration is a 2-line diff.
+    Spill-and-release per the dedup cache contract."""
     from .operators.ann import quantize_vec
     from .operators.dedup import semantic_dedup
+    from .operators.spill import materialize_and_release
 
     emb = load_table(spark, sf_dir, "embeddings")
     init = [
@@ -1168,7 +1170,11 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(KMEANS_K)
         .collect()
     ]
-    return semantic_dedup(emb, init, threshold_num=3, threshold_den=10)
+    handles: list = []
+    out = semantic_dedup(
+        emb, init, threshold_num=3, threshold_den=10, cache_handles=handles
+    )
+    return materialize_and_release(out, handles, "semantic-dedup-")
 
 
 def _oracle_semantic_dedup(
@@ -1216,9 +1222,11 @@ def q_semantic_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     existing corpus (vec_id < 400), same k=8 lowest-vec_id centroid pin
     and τ = 3/10 as `semantic_dedup` — corpus×corpus never re-runs.
     STAGED for a future verification window — oracle parity-tested in
-    tests/test_staged_ops.py so registration is a 2-line diff."""
+    tests/test_staged_ops.py so registration is a 2-line diff.
+    Spill-and-release per the dedup cache contract."""
     from .operators.ann import quantize_vec
     from .operators.dedup import semantic_dedup_incremental
+    from .operators.spill import materialize_and_release
 
     emb = load_table(spark, sf_dir, "embeddings")
     init = [
@@ -1232,9 +1240,12 @@ def q_semantic_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     corpus = emb.filter(F.col("vec_id") < 400)
     batch = emb.filter(F.col("vec_id") >= 400)
-    return semantic_dedup_incremental(
-        corpus, batch, init, threshold_num=3, threshold_den=10
+    handles: list = []
+    out = semantic_dedup_incremental(
+        corpus, batch, init, threshold_num=3, threshold_den=10,
+        cache_handles=handles,
     )
+    return materialize_and_release(out, handles, "semantic-dedup-incr-")
 
 
 def _oracle_semantic_dedup_incremental(
