@@ -287,3 +287,50 @@ def test_streaming_gap_fill_matches_batch(spark, events_dir, tmp_path):
     want = gap_fill(_load_events(spark, events_dir), step_s=21600).collect()
     assert len(got) == len(want) > 0
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_ingest_dedup_loop_matches_batch(spark, tmp_path):
+    """Streaming ingest SemDeDup: a microbatch of new vectors scored
+    against the cached corpus equals the batch operator row-for-row."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.ann import (
+        quantize_vec,
+    )
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.dedup import (
+        semantic_dedup_incremental,
+    )
+    from the_build_project_image_retrieval_with_vector_databases_spark.streaming.queries import (
+        ingest_dedup_loop,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    init = [
+        list(r.qv)
+        for r in emb.select(quantize_vec("embedding").alias("qv"), "vec_id")
+        .orderBy("vec_id")
+        .limit(8)
+        .collect()
+    ]
+    corpus = emb.filter(F.col("vec_id") < 400)
+    batch = emb.filter(F.col("vec_id") >= 400).select("vec_id", "embedding")
+    bdir = tmp_path / "ingest_in"
+    batch.coalesce(1).write.parquet(str(bdir))
+
+    results = []
+    stream = spark.readStream.schema(batch.schema).parquet(str(bdir))
+    q = ingest_dedup_loop(
+        stream,
+        corpus,
+        init,
+        sink=lambda df, epoch: results.extend(df.collect()),
+        checkpoint=str(tmp_path / "ckpt_ingest"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r.vec_id: (r.cid, r.keep) for r in results}
+    want = {
+        r.vec_id: (r.cid, r.keep)
+        for r in semantic_dedup_incremental(corpus, batch, init).collect()
+    }
+    assert got == want and len(got) == 100

@@ -239,3 +239,38 @@ def serve_loop_rate(
         .trigger(processingTime=f"{trigger_ms} milliseconds")
         .start()
     )
+
+
+def ingest_dedup_loop(
+    batch_stream: DataFrame,
+    corpus: DataFrame,
+    centroids_q: list[list[int]],
+    threshold_num: int = 3,
+    threshold_den: int = 10,
+    sink: Callable[[DataFrame, int], None] | None = None,
+    checkpoint: str | None = None,
+) -> StreamingQuery:
+    """Streaming ingest dedup — the serve-loop twin of
+    :func:`~..operators.dedup.semantic_dedup_incremental`: each
+    microbatch of newly-embedded vectors runs batch-vs-corpus SemDeDup
+    against the cached corpus (``foreachBatch``, exactly-once per sink
+    contract); the sink receives (vec_id, cid, keep) per batch row and
+    owns appending the kept rows to the corpus/index between epochs
+    (the same maintenance contract as ``append_to_ivf_index``) —
+    corpus×corpus work never re-runs inside the loop."""
+    from ..operators.dedup import semantic_dedup_incremental
+
+    corpus = corpus.cache()
+
+    def score_batch(batch: DataFrame, epoch_id: int) -> None:
+        out = semantic_dedup_incremental(
+            corpus, batch, centroids_q,
+            threshold_num=threshold_num, threshold_den=threshold_den,
+        )
+        if sink is not None:
+            sink(out, epoch_id)
+
+    writer = batch_stream.writeStream.foreachBatch(score_batch)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
