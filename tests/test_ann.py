@@ -467,3 +467,29 @@ def test_assign_centroids_arrow_matches_literal(spark):
 
     with pytest.raises(ValueError):
         assign_centroids_arrow(emb, [])
+
+
+def test_assign_centroids_arrow_overwrites_existing_column(spark):
+    """Re-assignment over a df that already carries 'centroid' (e.g. a
+    second pass after re-training) must overwrite the column — the
+    withColumn semantics of the literal path — never emit a duplicate/
+    ambiguous field."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.ann import (
+        assign_centroids,
+        assign_centroids_arrow,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    cents = [
+        [float(x) for x in r.embedding]
+        for r in emb.orderBy("vec_id").limit(4).collect()
+    ]
+    once = assign_centroids_arrow(emb, cents)
+    twice = assign_centroids_arrow(once, cents)
+    assert twice.columns.count("centroid") == 1
+    want = {
+        r.vec_id: r.centroid
+        for r in assign_centroids(emb, cents).select("vec_id", "centroid").collect()
+    }
+    got = {r.vec_id: r.centroid for r in twice.select("vec_id", "centroid").collect()}
+    assert got == want

@@ -488,6 +488,37 @@ def test_semantic_dedup_validation():
         semantic_dedup(None, [[0] * 64], threshold_num=5, threshold_den=5)
 
 
+def test_semantic_dedup_overflow_guard_raises(spark):
+    """Outside the documented operating bound (D·max|qv|² must stay
+    long-safe and den·D·max|qv|² under decimal(38,0)) the old behavior
+    was a silent wrap → true duplicates classified unique. The
+    `_semantic_assign` guard now raises with the offending id instead:
+    a |x| ≈ 10⁵ coordinate at the 2²⁰ scale (|qv| ≈ 10¹⁰ > the ≈1.2·10⁸
+    bound for D=64, den=10) must fail loudly; in-bound rows still run."""
+    import pytest
+    from pyspark.sql import Row
+
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.dedup import (
+        semantic_dedup,
+    )
+
+    ok_vec = [0.5] * 64
+    bad_vec = [1.0e5] * 64
+    init = [[int(0.5 * (1 << 20) + 0.5)] * 64]
+    good = spark.createDataFrame(
+        [Row(vec_id=1, embedding=ok_vec), Row(vec_id=2, embedding=ok_vec)]
+    )
+    assert {
+        r.vec_id: r.keep for r in semantic_dedup(good, init).collect()
+    } == {1: True, 2: False}
+
+    bad = spark.createDataFrame(
+        [Row(vec_id=1, embedding=ok_vec), Row(vec_id=7, embedding=bad_vec)]
+    )
+    with pytest.raises(Exception, match="overflow bound exceeded"):
+        semantic_dedup(bad, init).collect()
+
+
 def test_semantic_dedup_oracle_parity_staged(spark, sf_dir):
     """The staged semantic_dedup DuckDB oracle already passes the
     driver-faithful comparison, so r7 registration is a 2-line diff."""
@@ -506,16 +537,47 @@ def test_semantic_dedup_oracle_parity_staged(spark, sf_dir):
     assert ok, msg
 
 
+def _sequential_ingest_reference(rows, init, num, den, split):
+    """Arbitrary-precision greedy: ingest batch vectors one at a time in
+    id order against corpus ∪ previously-KEPT batch vectors."""
+    asg = {}
+    for vid, qv in rows:
+        dists = [sum((a - b) * (a - b) for a, b in zip(qv, c)) for c in init]
+        asg[vid] = (dists.index(min(dists)), qv, sum(x * x for x in qv))
+
+    def dup(u, v):
+        ucid, uq, un2 = asg[u]
+        vcid, vq, vn2 = asg[v]
+        if ucid != vcid:
+            return False
+        dot = sum(a * b for a, b in zip(uq, vq))
+        return dot > 0 and den * den * dot * dot > num * num * un2 * vn2
+
+    corpus_ids = [v for v, _ in rows if v < split]
+    out = {}
+    kept_batch: list[int] = []
+    for vid, _ in sorted(r for r in rows if r[0] >= split):
+        cid = asg[vid][0]
+        if any(dup(u, vid) for u in corpus_ids) or any(
+            dup(u, vid) for u in kept_batch
+        ):
+            out[vid] = (cid, False)
+        else:
+            out[vid] = (cid, True)
+            kept_batch.append(vid)
+    return out
+
+
 def test_semantic_dedup_incremental_matches_sequential(spark):
-    """Batch-vs-corpus SemDeDup equals the sequential-ingest outcome: a
-    batch vector is dropped iff some same-cluster corpus vector or
-    lower-id batch vector exceeds τ — verified against the
-    arbitrary-precision reference, and against full-table semantic_dedup
-    restricted to batch rows WHEN the corpus is itself clean, ids
-    precede the batch, and clusters are fixed (then the two contracts
-    coincide by induction)."""
+    """Batch-vs-corpus SemDeDup equals the TRUE sequential-ingest
+    outcome: ingest batch vectors one at a time in vec_id order against
+    a sink holding corpus ∪ previously-kept rows — a vector dropped by
+    the corpus is never in the comparison set, so a chain
+    b1~corpus (dropped), b2~b1-only KEEPS b2. Verified against the
+    arbitrary-precision greedy reference; also asserts the kept-only
+    rule genuinely diverges from the old any-lower-id rule on this
+    fixture (else the test can't tell them apart)."""
     from the_build_project_image_retrieval_with_vector_databases_spark.operators.dedup import (
-        semantic_dedup,
         semantic_dedup_incremental,
     )
 
@@ -534,11 +596,33 @@ def test_semantic_dedup_incremental_matches_sequential(spark):
     }
     assert set(got) == {vid for vid, _ in rows if vid >= split}
 
-    # reference: corpus neighbors OR lower-id batch neighbors drop
-    full = _semantic_dedup_reference(rows, init, num, den)
-    asg = {}
-    import itertools
+    want = _sequential_ingest_reference(rows, init, num, den, split)
+    assert got == want
 
+    # batch-boundary independence: splitting the batch at any midpoint
+    # and replaying the second half against corpus ∪ kept-first-half
+    # yields the same keep set (the property the ADVICE finding named)
+    batch_ids = sorted(v for v, _ in rows if v >= split)
+    mid = batch_ids[len(batch_ids) // 2]
+    first = {v: k for v, k in want.items() if v < mid}
+    kept_first = [v for v, (_, k) in first.items() if k]
+    corpus2 = corpus.unionByName(
+        df.filter(df.vec_id.isin([int(x) for x in kept_first]))
+    )
+    batch2 = df.filter(df.vec_id >= mid)
+    got2 = {
+        r.vec_id: (r.cid, r.keep)
+        for r in semantic_dedup_incremental(
+            corpus2, batch2, init, num, den
+        ).collect()
+    }
+    assert got2 == {v: k for v, k in want.items() if v >= mid}
+
+    # some batch row must actually drop for the test to mean anything,
+    # and the fixture must distinguish kept-only from any-lower-id
+    assert any(not keep for _, keep in got.values())
+    old_rule = {}
+    asg = {}
     for vid, qv in rows:
         dists = [sum((a - b) * (a - b) for a, b in zip(qv, c)) for c in init]
         asg[vid] = (dists.index(min(dists)), qv, sum(x * x for x in qv))
@@ -556,10 +640,10 @@ def test_semantic_dedup_incremental_matches_sequential(spark):
             if dot > 0 and den * den * dot * dot > num * num * n2 * on2:
                 dropped = True
                 break
-        assert got[vid] == (cid, not dropped), vid
-
-    # some batch row must actually drop for the test to mean anything
-    assert any(not keep for _, keep in got.values())
+        old_rule[vid] = (cid, not dropped)
+    assert old_rule != want, (
+        "fixture no longer distinguishes sequential from any-lower-id"
+    )
 
 
 def test_semantic_dedup_incremental_oracle_parity_staged(spark, sf_dir):

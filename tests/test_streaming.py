@@ -334,3 +334,123 @@ def test_ingest_dedup_loop_matches_batch(spark, tmp_path):
         for r in semantic_dedup_incremental(corpus, batch, init).collect()
     }
     assert got == want and len(got) == 100
+
+
+def test_ingest_dedup_loop_refreshes_corpus_between_epochs(spark, tmp_path):
+    """The ADVICE-flagged scenario: with a callable corpus source and a
+    sink that appends kept rows, a later-epoch vector duplicating an
+    EARLIER-epoch kept row must be dropped — a launch-time corpus
+    snapshot would let it through. Epoch order is forced by feeding the
+    files one at a time (maxFilesPerTrigger=1, filenames in lexical
+    order), and the whole run equals one sequential batch-operator pass
+    over both epochs."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.ann import (
+        quantize_vec,
+    )
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.dedup import (
+        semantic_dedup_incremental,
+    )
+    from the_build_project_image_retrieval_with_vector_databases_spark.streaming.queries import (
+        ingest_dedup_loop,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    init = [
+        list(r.qv)
+        for r in emb.select(quantize_vec("embedding").alias("qv"), "vec_id")
+        .orderBy("vec_id")
+        .limit(8)
+        .collect()
+    ]
+    base = emb.filter(F.col("vec_id") < 400).select("vec_id", "embedding")
+    corpus_dir = tmp_path / "corpus"
+    base.coalesce(1).write.parquet(str(corpus_dir))
+
+    # epoch 1: vec_ids 400-449; epoch 2: 450-499 PLUS an exact copy of
+    # vector 403 under a fresh id. 403 is corpus-clean and kept in epoch
+    # 1, so the twin must drop in epoch 2 — verified offline: against a
+    # STALE launch-time snapshot the twin is kept (no corpus dup, no
+    # kept epoch-2 dup), so this assertion fails exactly when the
+    # corpus-refresh bug regresses
+    e1 = emb.filter((F.col("vec_id") >= 400) & (F.col("vec_id") < 450)).select(
+        "vec_id", "embedding"
+    )
+    twin = emb.filter(F.col("vec_id") == 403).select(
+        (F.col("vec_id") + 597).alias("vec_id"), "embedding"
+    )
+    e2 = (
+        emb.filter(F.col("vec_id") >= 450)
+        .select("vec_id", "embedding")
+        .unionByName(twin)
+    )
+    bdir = tmp_path / "ingest_in"
+    bdir.mkdir()
+    e1.coalesce(1).write.parquet(str(bdir / "e1"))
+    e2.coalesce(1).write.parquet(str(bdir / "e2"))
+    # flatten into lexically-ordered single files so epoch 1 < epoch 2
+    import shutil
+
+    files = []
+    for sub in ["e1", "e2"]:
+        part = next((bdir / sub).glob("*.parquet"))
+        dst = bdir / f"batch_{sub}.parquet"
+        shutil.move(str(part), str(dst))
+        shutil.rmtree(str(bdir / sub))
+        files.append(dst)
+
+    def corpus_source():
+        return spark.read.parquet(str(corpus_dir))
+
+    def sink(df, epoch):
+        rows = df.collect()
+        results.extend(rows)
+        kept = [r.vec_id for r in rows if r.keep]
+        if kept:
+            spark.createDataFrame(
+                [(r.vec_id,) for r in rows if r.keep], ["vec_id"]
+            ).join(all_batches, "vec_id").select(
+                "vec_id", "embedding"
+            ).write.mode("append").parquet(str(corpus_dir))
+
+    all_batches = e1.unionByName(e2)
+    results: list = []
+    stream = (
+        spark.readStream.schema(e1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(bdir))
+    )
+    q = ingest_dedup_loop(
+        stream,
+        corpus_source,
+        init,
+        sink=sink,
+        checkpoint=str(tmp_path / "ckpt_refresh"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {r.vec_id: r.keep for r in results}
+    assert len(got) == 101
+
+    # the twin's source vector was kept in epoch 1 and survives the
+    # static corpus — only the refreshed corpus can reject the twin
+    assert got[403] is True
+    assert got[1000] is False, "epoch-2 twin of an epoch-1 kept row leaked"
+
+    # end-to-end equivalence: the two-epoch streaming run equals ONE
+    # sequential pass of the batch operator over e1 then e2
+    want_e1 = {
+        r.vec_id: r.keep
+        for r in semantic_dedup_incremental(base, e1, init).collect()
+    }
+    kept_e1 = [v for v, k in want_e1.items() if k]
+    corpus_after_e1 = base.unionByName(
+        all_batches.filter(F.col("vec_id").isin([int(v) for v in kept_e1]))
+    )
+    want_e2 = {
+        r.vec_id: r.keep
+        for r in semantic_dedup_incremental(corpus_after_e1, e2, init).collect()
+    }
+    assert got == {**want_e1, **want_e2}

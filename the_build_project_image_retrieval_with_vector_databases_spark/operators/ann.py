@@ -117,6 +117,11 @@ def assign_centroids_arrow(
 
     from pyspark.sql.types import IntegerType, StructField, StructType
 
+    # mirror withColumn semantics: re-assignment over a df that already
+    # carries 'centroid' (e.g. a previous pass) overwrites, never
+    # duplicates the field
+    if "centroid" in df.columns:
+        df = df.drop("centroid")
     out_schema = StructType(
         list(df.schema.fields) + [StructField("centroid", IntegerType(), False)]
     )

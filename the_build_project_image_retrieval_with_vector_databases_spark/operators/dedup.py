@@ -20,8 +20,15 @@ Four families, all shuffle-conscious:
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    IntegerType,
+    StructField,
+    StructType,
+)
 
 from ..functions.text import md5_long, token_shingles, tokens
 from ..sources.tables import spread
@@ -594,13 +601,51 @@ def _semantic_assign(
     scale: int,
     vec_col: str,
     id_col: str,
+    threshold_den: int = 1,
 ) -> DataFrame:
     """(id, cid, qv, n2): quantize, exact integer-L2² argmin against the
-    broadcast centroid literal (first-min tie-break), squared norm."""
+    broadcast centroid literal (first-min tie-break), squared norm.
+
+    Overflow validation (the exactness contract's operating bound): the
+    downstream dot/n2 folds accumulate in int64 and the threshold test
+    multiplies in decimal(38,0) — outside the bound the long fold wraps
+    silently and the decimal products overflow to NULL under non-ANSI
+    mode, silently classifying true duplicates as non-duplicates. So
+    every row checks max|qv| ≤ L where D·L² < 2⁶² (long-safe fold, 2×
+    headroom; |dot| ≤ D·L² by construction) and den·D·L² < 10¹⁹ (so
+    den²·dot² and num²·|l|²·|r|² stay under decimal(38,0)'s 10³⁸), and
+    raises with the offending id instead of mis-answering."""
     from .ann import quantize_vec
 
+    den = max(1, int(threshold_den))
     q = spread(df).select(
         F.col(id_col), quantize_vec(vec_col, scale).alias("qv")
+    )
+    d = F.size("qv").cast("double")
+    lim = F.floor(
+        F.sqrt(F.least(F.lit(float(1 << 62)) / d, F.lit(1e19 / den) / d))
+    ).cast("long")
+    max_abs = F.array_max(F.transform(F.col("qv"), F.abs))
+    q = q.withColumn(
+        "qv",
+        F.when(max_abs <= lim, F.col("qv")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "semantic dedup overflow bound exceeded: max|qv|="
+                    ),
+                    max_abs.cast("string"),
+                    F.lit(" > limit="),
+                    lim.cast("string"),
+                    F.lit(" (id="),
+                    F.col(id_col).cast("string"),
+                    F.lit(
+                        "); lower the quantization scale or raise the "
+                        "threshold denominator bound"
+                    ),
+                )
+            )
+        ),
     )
     cents = F.array(
         *[F.array(*[F.lit(int(v)) for v in c]) for c in centroids_q]
@@ -710,7 +755,9 @@ def semantic_dedup(
     # assigned feeds both join sides AND the back-join — persist under
     # the dedup cache contract (recomputes 3× otherwise)
     assigned = _opt_persist(
-        _semantic_assign(df, centroids_q, scale, vec_col, id_col),
+        _semantic_assign(
+            df, centroids_q, scale, vec_col, id_col, threshold_den
+        ),
         cache_handles,
     )
 
@@ -763,24 +810,41 @@ def semantic_dedup_incremental(
 ) -> DataFrame:
     """Batch-vs-corpus SemDeDup — the daily-ingest shape (the semantic
     twin of :func:`minhash_lsh_incremental`, mirroring
-    ``append_to_ivf_index`` on the ANN side): a new batch vector is
-    dropped iff it has a SAME-CLUSTER neighbor above τ that is either
-    (a) any corpus vector, or (b) a lower-id batch vector — the exact
-    outcome of ingesting the batch one vector at a time. The corpus is
+    ``append_to_ivf_index`` on the ANN side), with TRUE sequential-ingest
+    semantics: the keep set equals the outcome of ingesting the batch one
+    vector at a time in ``id_col`` order against a sink that appends only
+    kept rows. A batch vector is dropped iff it has a SAME-CLUSTER
+    neighbor above τ that is either (a) any corpus vector, or (b) a
+    lower-id batch vector that was itself KEPT. Rule (b)'s kept-only
+    restriction matters: in a chain b1~corpus (dropped), b2~b1-only, the
+    sequential sink never holds b1 when b2 arrives, so b2 is kept — and
+    the result is therefore independent of how an ingest day is split
+    into batches, as long as kept rows are appended between them.
+
+    Shape: rule (a) is one cid-keyed join (shuffle_hash pin — the
+    minhash_lsh_pairs broadcast-estimate hazard; at real scale neither
+    side is broadcastable); rule (b) is a per-cluster greedy pass in one
+    Arrow ``applyInPandas`` over the corpus-clean batch rows — the greedy
+    prefix-maximal set is inherently sequential per cluster, but clusters
+    are independent (parallelism = k) and per-cluster work is O(m²·D)
+    with m bounded by the occupancy knob (:func:`~.ann.k_for_corpus`),
+    exactly the budget the cid self-join already spends. The corpus is
     never compared against itself: corpus×corpus work never re-runs,
     candidate volume ∝ batch × cluster occupancy.
 
     Same integer-exact machinery as :func:`semantic_dedup` (quantized
-    argmin assignment, den²·dot² > num²·|l|²·|r|² threshold in
-    decimal(38,0)/HUGEINT — no float at the boundary), same pins:
-    shuffle_hash on the cid candidate joins (broadcast-estimate
-    hazard; at real scale neither side is broadcastable), merge on the
-    drop-set back-join. Assignment must use the SAME centroids the
-    corpus was assigned with — k grows only on index rebuild, exactly
-    like the IVF layout.
+    argmin assignment, den²·dot² > num²·|l|²·|r|² threshold carried in
+    decimal(38,0)/HUGEINT on the join side and numpy-int64-dot +
+    arbitrary-precision Python int compare inside the greedy pass — no
+    float at the boundary anywhere, and the `_semantic_assign` guard
+    bounds max|qv| so the int64 dot cannot wrap). Assignment must use
+    the SAME centroids the corpus was assigned with — k grows only on
+    index rebuild, exactly like the IVF layout.
 
     Output: one row per batch vector — (id_col, cid, keep).
     """
+    import pandas as pd
+
     from .ann import KMEANS_SCALE
 
     if scale is None:
@@ -790,20 +854,18 @@ def semantic_dedup_incremental(
     if not (0 < threshold_num < threshold_den):
         raise ValueError("threshold must be a fraction in (0, 1)")
 
-    # batch assignment feeds two candidate joins AND the back-join;
+    # batch assignment feeds the corpus join AND the greedy pass;
     # corpus assignment is consumed once (no persist)
     b = _opt_persist(
-        _semantic_assign(batch, centroids_q, scale, vec_col, id_col),
+        _semantic_assign(
+            batch, centroids_q, scale, vec_col, id_col, threshold_den
+        ),
         cache_handles,
     )
-    c = _semantic_assign(corpus, centroids_q, scale, vec_col, id_col)
-
-    b_l = b.select(
-        F.col(id_col).alias("left_id"),
-        F.col("cid"),
-        F.col("qv").alias("__lq"),
-        F.col("n2").alias("__ln2"),
+    c = _semantic_assign(
+        corpus, centroids_q, scale, vec_col, id_col, threshold_den
     )
+
     b_r = b.select(
         F.col(id_col).alias("right_id"),
         F.col("cid"),
@@ -811,38 +873,71 @@ def semantic_dedup_incremental(
         F.col("n2").alias("__rn2"),
     )
     c_l = c.select(
-        F.col(id_col).alias("left_id"),
         F.col("cid"),
         F.col("qv").alias("__lq"),
         F.col("n2").alias("__ln2"),
     )
 
-    is_dup = _sq_cos_gt(threshold_num, threshold_den)
     # (a) batch vs corpus: any qualifying corpus neighbor drops the
     # batch vector — shuffle_hash pin (see minhash_lsh_incremental)
     vs_corpus = (
         c_l.join(b_r.hint("shuffle_hash"), "cid")
         .withColumn("__dot", _sq_dot())
-        .filter(is_dup)
+        .filter(_sq_cos_gt(threshold_num, threshold_den))
         .select(F.col("right_id").alias(id_col))
-    )
-    # (b) batch vs batch: lower-id batch neighbor drops the higher id
-    vs_batch = (
-        b_l.join(b_r.hint("shuffle_hash"), "cid")
-        .filter(F.col("left_id") < F.col("right_id"))
-        .withColumn("__dot", _sq_dot())
-        .filter(is_dup)
-        .select(F.col("right_id").alias(id_col))
-    )
-    dropped = (
-        vs_corpus.unionAll(vs_batch)
         .distinct()
-        .withColumn("__dropped", F.lit(True))
+        .withColumn("__cdrop", F.lit(True))
     )
-    # merge pin: drop set ∝ batch — still never trust the static
-    # estimate at real size
-    return b.join(dropped.hint("merge"), id_col, "left").select(
+    # merge pin: the corpus-drop set scales with the batch — never
+    # trust the static estimate to refuse a broadcast at real size
+    flagged = b.join(vs_corpus.hint("merge"), id_col, "left").select(
         F.col(id_col),
         F.col("cid"),
-        F.coalesce(~F.col("__dropped"), F.lit(True)).alias("keep"),
+        F.col("qv"),
+        F.col("n2"),
+        F.coalesce(F.col("__cdrop"), F.lit(False)).alias("__cdrop"),
     )
+
+    num2 = threshold_num * threshold_num
+    den2 = threshold_den * threshold_den
+    id_field = next(f for f in flagged.schema.fields if f.name == id_col)
+    out_schema = StructType(
+        [
+            id_field,
+            StructField("cid", IntegerType(), True),
+            StructField("keep", BooleanType(), False),
+        ]
+    )
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        # (b) sequential greedy per cluster: corpus-dropped rows are
+        # never in the comparison set; a corpus-clean row is kept iff no
+        # KEPT lower-id row exceeds τ. int64 matmul is exact under the
+        # _semantic_assign bound; the threshold compare is Python-int.
+        pdf = pdf.sort_values(id_col, kind="stable").reset_index(drop=True)
+        m = len(pdf)
+        qvs = np.asarray(pdf["qv"].tolist(), dtype=np.int64)
+        n2s = pdf["n2"].to_numpy()
+        cdrop = pdf["__cdrop"].to_numpy()
+        keep = np.zeros(m, dtype=bool)
+        kept_rows: list[int] = []
+        for i in range(m):
+            if cdrop[i]:
+                continue
+            ok = True
+            if kept_rows:
+                dots = qvs[kept_rows] @ qvs[i]
+                ni = int(n2s[i])
+                for j, dt in zip(kept_rows, dots):
+                    dt = int(dt)
+                    if dt > 0 and den2 * dt * dt > num2 * ni * int(n2s[j]):
+                        ok = False
+                        break
+            keep[i] = ok
+            if ok:
+                kept_rows.append(i)
+        return pd.DataFrame(
+            {id_col: pdf[id_col], "cid": pdf["cid"], "keep": keep}
+        )
+
+    return flagged.groupBy("cid").applyInPandas(greedy, out_schema)

@@ -1218,11 +1218,12 @@ FROM a LEFT JOIN dropped ON a.vec_id = dropped.rid
 
 
 def q_semantic_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Daily-ingest SemDeDup: the 'new batch' (vec_id ≥ 400) against the
-    existing corpus (vec_id < 400), same k=8 lowest-vec_id centroid pin
-    and τ = 3/10 as `semantic_dedup` — corpus×corpus never re-runs.
-    STAGED for a future verification window — oracle parity-tested in
-    tests/test_staged_ops.py so registration is a 2-line diff.
+    """Daily-ingest SemDeDup with TRUE sequential-ingest semantics: the
+    'new batch' (vec_id ≥ 400) against the existing corpus
+    (vec_id < 400), same k=8 lowest-vec_id centroid pin and τ = 3/10 as
+    `semantic_dedup` — corpus×corpus never re-runs, and rule (b) only
+    lets KEPT lower-id batch vectors drop later ones (per-cluster greedy
+    pass), so the keep set is independent of microbatch boundaries.
     Spill-and-release per the dedup cache contract."""
     from .operators.ann import quantize_vec
     from .operators.dedup import semantic_dedup_incremental
@@ -1252,14 +1253,34 @@ def _oracle_semantic_dedup_incremental(
     k: int = KMEANS_K, dim: int = EMB_DIM, num: int = 3, den: int = 10,
     split: int = 400,
 ) -> str:
-    """Mirror of semantic_dedup_incremental at the staged pin: the
-    semantic_dedup CTE chain with the pair predicate restricted to
-    (corpus, batch) and (lower-id batch, batch) — all HUGEINT-exact.
+    """Mirror of semantic_dedup_incremental at the staged pin, with the
+    SEQUENTIAL-INGEST semantics: rule (a) drops a batch vector on any
+    same-cluster corpus neighbor above τ; rule (b) replays the
+    per-cluster greedy over the corpus-clean batch rows in vec_id order
+    — a row is kept iff no KEPT earlier row exceeds τ — via a recursive
+    CTE that advances one rank per step per cluster, carrying the kept
+    rank list. Inner dot/n2 folds are BIGINT (bound: the engine-side
+    `_semantic_assign` guard caps max|qv| so D·max² < 2⁶²; DuckDB would
+    error, not wrap, if violated) and the threshold compare widens to
+    HUGEINT — exact end to end. CTEs feeding the recursion are
+    MATERIALIZED so each recursive step reuses them (75× on sf0.1).
     NOTE the centroid init is over the FULL table (the same k lowest
     vec_ids the engine collects before splitting)."""
     scale = 1 << 20
+
+    def dot(lh: str, rh: str) -> str:
+        return (
+            f"list_reduce(list_transform(range(1, {dim + 1}),"
+            f" i -> {lh}.qv[i] * {rh}.qv[i]), (x, y) -> x + y)"
+        )
+
+    thr = (
+        f"dot > 0 AND {den * den} * CAST(dot AS HUGEINT) * dot"
+        f" > {num * num} * CAST(ln2 AS HUGEINT) * rn2"
+    )
     return f"""
-WITH q AS (SELECT vec_id,
+WITH RECURSIVE
+q AS MATERIALIZED (SELECT vec_id,
          list_transform(embedding,
                         x -> CAST(floor(((x::DOUBLE) * {scale}.0) + 0.5) AS BIGINT)) AS qv
        FROM embeddings),
@@ -1271,23 +1292,39 @@ d AS (SELECT q.vec_id, c.cid,
                      (a, b) -> a + b) AS dist
       FROM q, c),
 dd AS (SELECT vec_id, list(dist ORDER BY cid) AS dists FROM d GROUP BY vec_id),
-a AS (SELECT dd.vec_id,
+a AS MATERIALIZED (SELECT dd.vec_id,
          CAST(list_position(dists, list_min(dists)) - 1 AS INT) AS cid, q.qv,
-         list_reduce(list_transform(range(1, {dim + 1}),
-                                    i -> CAST(q.qv[i] AS HUGEINT) * q.qv[i]),
-                     (x, y) -> x + y) AS n2
+         list_reduce(list_transform(q.qv, x -> x * x), (x, y) -> x + y) AS n2
       FROM dd JOIN q USING (vec_id)),
-p AS (SELECT l.vec_id AS lid, r.vec_id AS rid,
-         list_reduce(list_transform(range(1, {dim + 1}),
-                                    i -> CAST(l.qv[i] AS HUGEINT) * r.qv[i]),
-                     (x, y) -> x + y) AS dot,
-         l.n2 AS ln2, r.n2 AS rn2
-      FROM a l JOIN a r
-      ON l.cid = r.cid AND r.vec_id >= {split}
-         AND (l.vec_id < {split} OR l.vec_id < r.vec_id)),
-dropped AS (SELECT DISTINCT rid FROM p
-            WHERE dot > 0 AND {den * den} * dot * dot > {num * num} * ln2 * rn2)
-SELECT a.vec_id, a.cid, (dropped.rid IS NULL) AS keep
-FROM a LEFT JOIN dropped ON a.vec_id = dropped.rid
+cp AS (SELECT r.vec_id AS rid, l.n2 AS ln2, r.n2 AS rn2, {dot('l', 'r')} AS dot
+       FROM a l JOIN a r
+         ON l.cid = r.cid AND l.vec_id < {split} AND r.vec_id >= {split}),
+cd AS (SELECT DISTINCT rid FROM cp WHERE {thr}),
+bb AS MATERIALIZED (SELECT a.vec_id, a.cid, a.qv, a.n2,
+              row_number() OVER (PARTITION BY a.cid ORDER BY a.vec_id) AS rk
+       FROM a LEFT JOIN cd ON a.vec_id = cd.rid
+       WHERE a.vec_id >= {split} AND cd.rid IS NULL),
+bp AS (SELECT l.cid, l.rk AS lrk, r.rk AS rrk, {dot('l', 'r')} AS dot,
+              l.n2 AS ln2, r.n2 AS rn2
+       FROM bb l JOIN bb r ON l.cid = r.cid AND l.rk < r.rk),
+bpf AS (SELECT cid, lrk, rrk FROM bp WHERE {thr}),
+preds AS MATERIALIZED (SELECT cid, rrk, list(lrk) AS ps FROM bpf GROUP BY cid, rrk),
+sz AS MATERIALIZED (SELECT cid, max(rk) AS mx FROM bb GROUP BY cid),
+g AS (
+  SELECT cid, CAST(0 AS BIGINT) AS i, CAST([] AS BIGINT[]) AS kept FROM sz
+  UNION ALL
+  SELECT g.cid, g.i + 1,
+         CASE WHEN p.ps IS NOT NULL AND len(list_intersect(p.ps, g.kept)) > 0
+              THEN g.kept
+              ELSE list_append(g.kept, g.i + 1) END
+  FROM g
+  JOIN sz ON sz.cid = g.cid AND g.i < sz.mx
+  LEFT JOIN preds p ON p.cid = g.cid AND p.rrk = g.i + 1
+),
+fin AS (SELECT g.cid, g.kept FROM g JOIN sz ON sz.cid = g.cid AND g.i = sz.mx),
+keepset AS (SELECT bb.vec_id FROM bb JOIN fin ON bb.cid = fin.cid
+            WHERE list_contains(fin.kept, bb.rk))
+SELECT a.vec_id, a.cid, (ks.vec_id IS NOT NULL) AS keep
+FROM a LEFT JOIN keepset ks ON a.vec_id = ks.vec_id
 WHERE a.vec_id >= {split}
 """

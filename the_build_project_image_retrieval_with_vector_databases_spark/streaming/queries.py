@@ -18,7 +18,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.streaming import StreamingQuery, StreamingQueryListener
 
 
 def streaming_tumbling_counts(
@@ -243,7 +243,7 @@ def serve_loop_rate(
 
 def ingest_dedup_loop(
     batch_stream: DataFrame,
-    corpus: DataFrame,
+    corpus_source: Callable[[], DataFrame] | DataFrame,
     centroids_q: list[list[int]],
     threshold_num: int = 3,
     threshold_den: int = 10,
@@ -253,18 +253,36 @@ def ingest_dedup_loop(
     """Streaming ingest dedup — the serve-loop twin of
     :func:`~..operators.dedup.semantic_dedup_incremental`: each
     microbatch of newly-embedded vectors runs batch-vs-corpus SemDeDup
-    against the cached corpus (``foreachBatch``, exactly-once per sink
-    contract); the sink receives (vec_id, cid, keep) per batch row and
-    owns appending the kept rows to the corpus/index between epochs
-    (the same maintenance contract as ``append_to_ivf_index``) —
-    corpus×corpus work never re-runs inside the loop."""
+    (``foreachBatch``, exactly-once per sink contract); the sink
+    receives (vec_id, cid, keep) per batch row and owns appending the
+    kept rows to the corpus/index between epochs (the same maintenance
+    contract as ``append_to_ivf_index``) — corpus×corpus work never
+    re-runs inside the loop.
+
+    ``corpus_source`` is a zero-arg CALLABLE returning the current
+    corpus DataFrame; it is re-invoked at every epoch so the comparison
+    set reflects the rows the sink appended between microbatches — a
+    launch-time DataFrame snapshot would let vectors duplicating
+    earlier-epoch kept rows pass dedup forever (with a parquet corpus,
+    return a fresh ``spark.read.parquet(path)`` so the file listing is
+    re-resolved too). Passing a plain DataFrame is still accepted for a
+    genuinely static corpus, and is cached for the run; the cache is
+    unpersisted when the stream terminates (``awaitTermination`` /
+    ``stop``) via a listener, never leaked."""
     from ..operators.dedup import semantic_dedup_incremental
 
-    corpus = corpus.cache()
+    static_corpus: DataFrame | None = None
+    if not callable(corpus_source):
+        static_corpus = corpus_source.cache()
+
+    def resolve_corpus() -> DataFrame:
+        if static_corpus is not None:
+            return static_corpus
+        return corpus_source()
 
     def score_batch(batch: DataFrame, epoch_id: int) -> None:
         out = semantic_dedup_incremental(
-            corpus, batch, centroids_q,
+            resolve_corpus(), batch, centroids_q,
             threshold_num=threshold_num, threshold_den=threshold_den,
         )
         if sink is not None:
@@ -273,4 +291,27 @@ def ingest_dedup_loop(
     writer = batch_stream.writeStream.foreachBatch(score_batch)
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
-    return writer.start()
+    query = writer.start()
+
+    if static_corpus is not None:
+        spark = static_corpus.sparkSession
+
+        class _Unpersist(StreamingQueryListener):
+            def onQueryStarted(self, event):
+                pass
+
+            def onQueryProgress(self, event):
+                pass
+
+            def onQueryIdle(self, event):
+                pass
+
+            def onQueryTerminated(self, event):
+                if event.id == query.id:
+                    try:
+                        static_corpus.unpersist()
+                    finally:
+                        spark.streams.removeListener(self)
+
+        spark.streams.addListener(_Unpersist())
+    return query
