@@ -73,7 +73,6 @@ BUILD_VERSION = "v3-shifted-embeddings"
 # jsonl), not sf_dir tables — input size does not scale with sf_dir.
 EXCLUDE = {
     "manifest_scan",
-    "image_decode",
     "image_decode_real",
     "image_decode_jpeg",
     "image_knn_pipeline",

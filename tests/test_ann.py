@@ -493,3 +493,30 @@ def test_assign_centroids_arrow_overwrites_existing_column(spark):
     }
     got = {r.vec_id: r.centroid for r in twice.select("vec_id", "centroid").collect()}
     assert got == want
+
+
+def test_lsh_near_dup_sized_planes_parity_across_sfs(spark):
+    """The registered lsh_near_dup now sizes its plane count from the
+    corpus footer row count (P = ceil(log2(N/16))). The registry oracle
+    pins the sf0.01 derivation; this test proves the derivation itself
+    generalizes: at sf0.1 (N=2000 → P=7, a DIFFERENT plane set than the
+    registered sf0.01 P=5) the query still matches an oracle built with
+    the same sized planes."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_ann import (
+        _oracle_lsh_near_dup,
+        q_lsh_near_dup,
+        sized_planes_for,
+    )
+    from .oracle_harness import compare
+
+    sfd = "/root/testdata/sf0.1"
+    planes = sized_planes_for(sfd)
+    assert len(planes) == 7  # genuinely different from the sf0.01 pin (5)
+    assert len(sized_planes_for("/root/testdata/sf0.01")) == 5
+    ok, msg = compare(
+        q_lsh_near_dup(spark, sfd),
+        _oracle_lsh_near_dup(0.2, planes),
+        sfd,
+        "lsh_near_dup_sf01_sized",
+    )
+    assert ok, msg

@@ -71,7 +71,13 @@ def test_shuffle_mode_matches_broadcast_mode(spark):
 def test_label_centroids_numpy_parity(spark):
     """The quantized-sum centroid must match a NumPy reimplementation and
     come out unit-norm after the renormalize step."""
-    rows = entrymod.queries()["label_centroids"](spark, SF_SMOKE).collect()
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_ann import (
+        q_label_centroids,
+    )
+
+    # registry row retired r7 (sibling: kmeans_train_assign); numeric
+    # contract stays pinned here
+    rows = q_label_centroids(spark, SF_SMOKE).collect()
     emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").collect()
     by_label = collections.defaultdict(list)
     for r in emb:

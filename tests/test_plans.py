@@ -76,7 +76,13 @@ def test_pricing_summary_partial_aggregation(spark):
 
 
 def test_knn_join_broadcasts_queries_not_corpus(spark):
-    df = entrymod.queries()["knn_join_topk"](spark, SF_SMOKE)
+    # knn_join_topk's registry row retired in r7 (sibling: knn_two_phase);
+    # the operator and its plan contract stay pinned here
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries import (
+        q_knn_join_topk,
+    )
+
+    df = q_knn_join_topk(spark, SF_SMOKE)
     plan = _explain(df)
     body = plan[plan.index("== Physical Plan =="):]
     assert "BroadcastNestedLoopJoin" in body or "BroadcastExchange" in body
@@ -129,7 +135,11 @@ def test_pq_topk_scans_codes_only(spark):
     """The ADC search must scan ONLY the code columns of the encoded
     layout (8 ints/row, not the 64-float embedding), with zero shuffles
     and a TakeOrderedAndProject top-k."""
-    df = entrymod.queries()["pq_topk"](spark, SF_SMOKE)
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_ann import (
+        q_pq_topk,
+    )
+
+    df = q_pq_topk(spark, SF_SMOKE)  # registry row retired r7; plan contract stays
     plan = _physical(df)
     m = re.search(r"ReadSchema: ([^\n]*)", plan)
     assert m and "embedding" not in m.group(1) and "code_0" in m.group(1)
@@ -186,7 +196,11 @@ def test_cosine_dedup_is_bucket_keyed_not_nested_loop(spark):
     radius_join — the candidate step is a hash equi-join on the band
     bucket, so NO nested-loop/cartesian join may appear anywhere in the
     plan (the brute-force form planned a BroadcastNestedLoopJoin)."""
-    df = entrymod.queries()["cosine_dedup"](spark, SF_SMOKE)
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_ann import (
+        q_cosine_dedup,
+    )
+
+    df = q_cosine_dedup(spark, SF_SMOKE)  # registry row retired r7; plan contract stays
     plan = _physical(df)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
@@ -377,3 +391,42 @@ def test_banded_candidate_joins_pin_shuffle_hash(spark):
         # shingle-set table OOMing inside dedup_components): no join in
         # these operators may plan as a broadcast build of any kind
         assert "BroadcastHashJoin" not in plan, f"{name}: corpus-side broadcast"
+
+
+def test_size_aware_pins_gate_on_measured_rows(spark):
+    """Round-7 contract (VERDICT r6 #3): the scale-safe merge/
+    shuffle_hash pins engage from a MEASURED footer row count, not a
+    size estimate. Below CORPUS_PIN_ROWS the operators run unpinned
+    (AQE free to broadcast — the toy-scale cost of the r6 pins
+    recovered); above it, or when the count is unknowable, the pins
+    engage. Pinned and unpinned plans must agree on RESULTS exactly
+    (hints can only move join strategy)."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators import (
+        dedup as D,
+    )
+    from the_build_project_image_retrieval_with_vector_databases_spark.sources.tables import (
+        table_row_count,
+    )
+
+    # threshold semantics on the real fixtures + unknown paths
+    assert table_row_count(SF_SMOKE, "documents") == 500
+    assert D.pins_for(SF_SMOKE) is False
+    assert D.pins_for("/no/such/dir") is True  # unknown → safe
+    assert D.CORPUS_PIN_ROWS == 100_000
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    pinned = D.minhash_lsh_pairs(
+        docs, n=3, num_hashes=8, bands=4, threshold=0.5, pinned=True
+    )
+    free = D.minhash_lsh_pairs(
+        docs, n=3, num_hashes=8, bands=4, threshold=0.5, pinned=False
+    )
+    # the pinned plan must contain no broadcast join anywhere (the 100×
+    # OOM class); the unpinned plan at smoke scale should let the
+    # planner broadcast at least one side
+    plan_pinned = _physical(pinned)
+    assert "BroadcastHashJoin" not in plan_pinned
+    plan_free = _physical(free)
+    assert "BroadcastHashJoin" in plan_free
+    key = lambda r: (r.left_id, r.right_id)
+    assert sorted(map(key, pinned.collect())) == sorted(map(key, free.collect()))

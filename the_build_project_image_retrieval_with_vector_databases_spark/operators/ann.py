@@ -548,6 +548,7 @@ def lsh_candidates(
     planes: list[list[float]],
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    pinned: bool = True,
 ) -> DataFrame:
     """Candidate near-neighbor pairs = same LSH bucket (one shuffle on the
     bucket key)."""
@@ -557,8 +558,10 @@ def lsh_candidates(
     # shuffle_hash pin: corpus×corpus self-join — a static size
     # under-estimate must never pick a broadcast build (see
     # operators.dedup.minhash_lsh_pairs, caught by the 100× sweep)
+    from .dedup import _pin
+
     return (
-        a.join(c.hint("shuffle_hash"), "bucket")
+        a.join(_pin(c, "shuffle_hash", pinned), "bucket")
         .filter(F.col("left_id") < F.col("right_id"))
         .select("left_id", "right_id", "bucket")
     )

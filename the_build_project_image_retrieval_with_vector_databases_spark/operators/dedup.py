@@ -47,6 +47,37 @@ MINHASH_COEFFS: list[tuple[int, int]] = [
 ]
 
 
+# Size-aware join-pin contract (VERDICT r6 #3). The merge/shuffle_hash
+# pins on corpus-scaled joins exist because Catalyst's STATIC size
+# estimate (compressed-parquet bytes, pre-explosion) under-estimated the
+# real banded/shingle relations by orders of magnitude at 100× data and
+# planned fatal broadcast builds. But the pin is insurance the toy scale
+# shouldn't pay (measured r5→r6: dedup_components 2.6→5.3 s at sf0.1).
+# Resolution: gate the pins on a MEASURED corpus size — the parquet
+# footer row count (sources.tables.table_row_count), not an estimate.
+# Below the threshold even a worst-case broadcast is tens of MB (≤100k
+# docs × ~1 KB exploded row); above it the exploded relations enter the
+# hundreds-of-MB..GB band where a mis-estimated broadcast is fatal, so
+# the pins engage. Operators default to pinned=True (safe for callers
+# with unknown sizes); the query layer passes pins_for(sf_dir).
+CORPUS_PIN_ROWS = 100_000
+
+
+def _pin(df: DataFrame, strategy: str, pinned: bool) -> DataFrame:
+    """Apply a join-strategy pin only when the corpus is pin-sized."""
+    return df.hint(strategy) if pinned else df
+
+
+def pins_for(sf_dir: str, table: str = "documents") -> bool:
+    """True when the measured row count of ``table`` demands the
+    scale-safe join pins (or when the count is unavailable — unknown
+    size defaults to safe)."""
+    from ..sources.tables import table_row_count
+
+    n = table_row_count(sf_dir, table)
+    return n is None or n > CORPUS_PIN_ROWS
+
+
 def _opt_persist(df: DataFrame, cache_handles: list | None) -> DataFrame:
     """Persist a multiply-consumed intermediate ONLY when the caller owns
     cleanup (passes a ``cache_handles`` list to ``unpersist()`` after the
@@ -223,6 +254,7 @@ def minhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingles: DataFrame | None = None,
+    pinned: bool = True,
 ) -> DataFrame:
     """MinHash signature per document: mh_i = min over shingles of
     ((aᵢ·x + b_i) mod p), x = md5-derived shingle int.
@@ -254,7 +286,9 @@ def minhash_signatures(
     # row per doc on the right, N rows — ~4 GB at 1000× corpus scale);
     # the static estimate can still pick a broadcast build (100×-sweep
     # hazard class), so pin the id-keyed sort-merge
-    return shingles.select(id_col).join(sig0.hint("merge"), id_col, "left").select(
+    return shingles.select(id_col).join(
+        _pin(sig0, "merge", pinned), id_col, "left"
+    ).select(
         F.col(id_col),
         *[
             F.coalesce(F.col(f"mh{i}"), F.lit(MINHASH_PRIME)).alias(f"mh{i}")
@@ -272,6 +306,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     cache_handles: list | None = None,
+    pinned: bool = True,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs: band the signature (rows = H/bands),
     bucket-join on (band_idx, band_key), verify candidates — and ONLY
@@ -305,7 +340,9 @@ def minhash_lsh_pairs(
     # self-join; persist so the shingle→md5→aggregate pipeline runs once.
     # It is 8 longs + id per document — gigabytes at 100 TB corpus scale.
     sigs = _opt_persist(
-        minhash_signatures(df, n, num_hashes, text_col, id_col, shingles=shs),
+        minhash_signatures(
+            df, n, num_hashes, text_col, id_col, shingles=shs, pinned=pinned
+        ),
         cache_handles,
     )
     # one pass over the signatures: inline_outer an array of band structs
@@ -336,7 +373,7 @@ def minhash_lsh_pairs(
     # construction, so a per-partition hash join (no sort) is the
     # scale-safe shape at any size.
     candidates = (
-        a.join(b_.hint("shuffle_hash"), key_cols)
+        a.join(_pin(b_, "shuffle_hash", pinned), key_cols)
         .filter(F.col("left_id") < F.col("right_id"))
         .select("left_id", "right_id")
         .distinct()
@@ -350,15 +387,23 @@ def minhash_lsh_pairs(
     # robust big⋈big shape at any size (the ngram_jaccard precedent).
     verified = (
         candidates.join(
-            shs.select(
-                F.col(id_col).alias("left_id"), F.col("sh").alias("sh_l")
-            ).hint("merge"),
+            _pin(
+                shs.select(
+                    F.col(id_col).alias("left_id"), F.col("sh").alias("sh_l")
+                ),
+                "merge",
+                pinned,
+            ),
             "left_id",
         )
         .join(
-            shs.select(
-                F.col(id_col).alias("right_id"), F.col("sh").alias("sh_r")
-            ).hint("merge"),
+            _pin(
+                shs.select(
+                    F.col(id_col).alias("right_id"), F.col("sh").alias("sh_r")
+                ),
+                "merge",
+                pinned,
+            ),
             "right_id",
         )
         .withColumn("n_inter", F.size(F.array_intersect("sh_l", "sh_r")))
@@ -378,6 +423,7 @@ def simhash(
     bits: int = 32,
     text_col: str = "text",
     id_col: str = "doc_id",
+    pinned: bool = True,
 ) -> DataFrame:
     """SimHash: for each bit position j, sum ±1 over token hashes' bit j;
     fingerprint bit j = 1 if the sum > 0. Portable arithmetic only
@@ -418,7 +464,7 @@ def simhash(
     # minhash_signatures' sentinel join (100× sweep class)
     return (
         df.select(id_col)
-        .join(fps.hint("merge"), id_col, "left")
+        .join(_pin(fps, "merge", pinned), id_col, "left")
         .select(F.col(id_col), F.coalesce("simhash", F.lit(0)).alias("simhash"))
     )
 
@@ -443,6 +489,7 @@ def simhash_near_dup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     cache_handles: list | None = None,
+    pinned: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs at Hamming distance ≤ d over the SimHash
     fingerprint — the distance-tolerant variant of
@@ -469,7 +516,9 @@ def simhash_near_dup_pairs(
         "pigeonhole gives >= 1 equal band only when d < bands"
     )
     band_bits = bits // bands
-    s = _opt_persist(simhash(df, bits, text_col, id_col), cache_handles)
+    s = _opt_persist(
+        simhash(df, bits, text_col, id_col, pinned=pinned), cache_handles
+    )
     band_structs = F.array(
         *[
             F.struct(
@@ -494,7 +543,7 @@ def simhash_near_dup_pairs(
     return (
         # shuffle_hash pin — same corpus×corpus broadcast-estimate
         # hazard as minhash_lsh_pairs' banded self-join
-        a.join(b_.hint("shuffle_hash"), ["band", "bkey"])
+        a.join(_pin(b_, "shuffle_hash", pinned), ["band", "bkey"])
         .filter(F.col("left_id") < F.col("right_id"))
         .select("left_id", "right_id", "fp_l", "fp_r")
         .distinct()
@@ -514,6 +563,7 @@ def minhash_lsh_incremental(
     text_col: str = "text",
     id_col: str = "doc_id",
     cache_handles: list | None = None,
+    pinned: bool = True,
 ) -> DataFrame:
     """Incremental near-dup: a NEW ingest batch checked against the
     EXISTING corpus — the daily-pipeline shape, where corpus × corpus
@@ -533,7 +583,7 @@ def minhash_lsh_incremental(
     def prep(df):
         shs = _opt_persist(doc_shingles(df, n, text_col, id_col), cache_handles)
         sigs = minhash_signatures(
-            df, n, num_hashes, text_col, id_col, shingles=shs
+            df, n, num_hashes, text_col, id_col, shingles=shs, pinned=pinned
         )
         band_structs = F.array(
             *[
@@ -559,8 +609,10 @@ def minhash_lsh_incremental(
         # minhash_lsh_pairs. AQE still handles skew on the shuffled form.
         c_banded.select(F.col(id_col).alias("corpus_id"), *key_cols)
         .join(
-            b_banded.select(F.col(id_col).alias("batch_id"), *key_cols).hint(
-                "shuffle_hash"
+            _pin(
+                b_banded.select(F.col(id_col).alias("batch_id"), *key_cols),
+                "shuffle_hash",
+                pinned,
             ),
             key_cols,
         )
@@ -572,15 +624,23 @@ def minhash_lsh_incremental(
     # ingest is still GBs of shingle sets)
     verified = (
         candidates.join(
-            c_shs.select(
-                F.col(id_col).alias("corpus_id"), F.col("sh").alias("sh_l")
-            ).hint("merge"),
+            _pin(
+                c_shs.select(
+                    F.col(id_col).alias("corpus_id"), F.col("sh").alias("sh_l")
+                ),
+                "merge",
+                pinned,
+            ),
             "corpus_id",
         )
         .join(
-            b_shs.select(
-                F.col(id_col).alias("batch_id"), F.col("sh").alias("sh_r")
-            ).hint("merge"),
+            _pin(
+                b_shs.select(
+                    F.col(id_col).alias("batch_id"), F.col("sh").alias("sh_r")
+                ),
+                "merge",
+                pinned,
+            ),
             "batch_id",
         )
         .withColumn("n_inter", F.size(F.array_intersect("sh_l", "sh_r")))
@@ -703,6 +763,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     scale: int | None = None,
     cache_handles: list | None = None,
+    pinned: bool = True,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster-blocked
     semantic near-dup removal over an embedding column. Cluster with
@@ -775,7 +836,7 @@ def semantic_dedup(
     )
     # shuffle_hash pin: corpus×corpus self-join (see minhash_lsh_pairs)
     pairs = (
-        l.join(r.hint("shuffle_hash"), "cid")
+        l.join(_pin(r, "shuffle_hash", pinned), "cid")
         .filter(F.col("left_id") < F.col("right_id"))
         .withColumn("__dot", _sq_dot())
     )
@@ -788,7 +849,7 @@ def semantic_dedup(
     # merge pin: the drop set scales with the corpus — never trust the
     # static estimate to refuse a broadcast build at real size
     return (
-        assigned.join(dropped.hint("merge"), id_col, "left")
+        assigned.join(_pin(dropped, "merge", pinned), id_col, "left")
         .select(
             F.col(id_col),
             F.col("cid"),
@@ -807,6 +868,7 @@ def semantic_dedup_incremental(
     id_col: str = "vec_id",
     scale: int | None = None,
     cache_handles: list | None = None,
+    pinned: bool = True,
 ) -> DataFrame:
     """Batch-vs-corpus SemDeDup — the daily-ingest shape (the semantic
     twin of :func:`minhash_lsh_incremental`, mirroring
@@ -881,7 +943,7 @@ def semantic_dedup_incremental(
     # (a) batch vs corpus: any qualifying corpus neighbor drops the
     # batch vector — shuffle_hash pin (see minhash_lsh_incremental)
     vs_corpus = (
-        c_l.join(b_r.hint("shuffle_hash"), "cid")
+        c_l.join(_pin(b_r, "shuffle_hash", pinned), "cid")
         .withColumn("__dot", _sq_dot())
         .filter(_sq_cos_gt(threshold_num, threshold_den))
         .select(F.col("right_id").alias(id_col))
@@ -890,7 +952,7 @@ def semantic_dedup_incremental(
     )
     # merge pin: the corpus-drop set scales with the batch — never
     # trust the static estimate to refuse a broadcast at real size
-    flagged = b.join(vs_corpus.hint("merge"), id_col, "left").select(
+    flagged = b.join(_pin(vs_corpus, "merge", pinned), id_col, "left").select(
         F.col(id_col),
         F.col("cid"),
         F.col("qv"),

@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .dedup import _pin
+
 from ..functions.vector import cosine_sim, dot, l2_dist
 
 _METRICS = {
@@ -154,6 +156,7 @@ def radius_join(
     blocking: str | None = None,
     planes: list[list[float]] | None = None,
     n_bands: int = 2,
+    pinned: bool = True,
 ) -> DataFrame:
     """All pairs (l, r) with distance < radius (similarity > radius for
     cosine/dot). The range variant of J1 — also the primitive behind
@@ -175,7 +178,8 @@ def radius_join(
         if not planes:
             raise ValueError("blocking='lsh' requires hyperplanes")
         return _radius_join_lsh(
-            left, right, radius, metric, vec_col, id_col, planes, n_bands
+            left, right, radius, metric, vec_col, id_col, planes, n_bands,
+            pinned=pinned,
         )
     if blocking is not None:
         raise ValueError(f"unknown blocking mode {blocking!r}")
@@ -229,6 +233,7 @@ def _radius_join_lsh(
     id_col: str,
     planes: list[list[float]],
     n_bands: int,
+    pinned: bool = True,
 ) -> DataFrame:
     """LSH-banded radius join: explode each row to its ``n_bands``
     (band, bucket) keys, equi-join the bands, dedupe candidate id pairs,
@@ -247,7 +252,8 @@ def _radius_join_lsh(
         # static under-estimate must never pick a broadcast build here
         # (see operators.dedup.minhash_lsh_pairs — caught at 100×)
         keyed(left, "left_id")
-        .join(keyed(right, "right_id").hint("shuffle_hash"), ["__band", "__key"])
+        .join(_pin(keyed(right, "right_id"), "shuffle_hash", pinned),
+              ["__band", "__key"])
         .filter(F.col("left_id") < F.col("right_id"))
         .select("left_id", "right_id")
         .distinct()  # OR-of-bands: a pair may collide in several bands
@@ -259,8 +265,8 @@ def _radius_join_lsh(
     # merge pin on the verify joins — corpus-scaled vector sides, same
     # broadcast-estimate hazard as operators.dedup.minhash_lsh_pairs
     return (
-        cands.join(lvec.hint("merge"), "left_id")
-        .join(rvec.hint("merge"), "right_id")
+        cands.join(_pin(lvec, "merge", pinned), "left_id")
+        .join(_pin(rvec, "merge", pinned), "right_id")
         .withColumn("dist", score)
         .filter(pred)
         .select("left_id", "right_id", "dist")

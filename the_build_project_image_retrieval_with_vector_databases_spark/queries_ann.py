@@ -726,34 +726,65 @@ FROM b GROUP BY bucket
 # ---------------------------------------------------------------------------
 
 
+def sized_planes_for(sf_dir: str) -> list[list[float]]:
+    """Corpus-sized hyperplane set for the embeddings table at
+    ``sf_dir``: P = ceil(log2(N/occupancy)) from the parquet FOOTER row
+    count (a measurement, not an estimate — no Spark job). This is the
+    fix for the one super-linear row the 100× sweep left standing: a
+    FIXED plane count makes candidate volume ~N²/2^P quadratic on
+    chance collisions (measured 177× at 100× data); sizing P with N
+    holds per-bucket occupancy — and therefore verify work per vector —
+    constant, exactly like sizing shuffle partitions. Deterministic
+    from N, so the DuckDB oracle re-derives the identical planes."""
+    from .operators.ann import planes_for_corpus
+    from .sources.tables import table_row_count
+
+    n = table_row_count(sf_dir, "embeddings") or 500
+    return planes_for_corpus(n, EMB_DIM, target_occupancy=16, seed=42)
+
+
 def q_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LSH-blocked embedding near-dup at FULL table scope — the scale
     path `cosine_dedup` (brute-force on a bounded block) delegates to at
-    100 TB: candidates = same 8-plane hyperplane bucket (one shuffle on
-    the bucket key), exact cosine verify on candidates only. Work ∝
-    bucket collisions (N²/2^8 expected), never all-pairs."""
+    100 TB: candidates = same hyperplane bucket (one shuffle on the
+    bucket key) with the plane count SIZED TO THE CORPUS
+    (:func:`sized_planes_for` — P = ceil(log2(N/16)), the occupancy
+    contract), exact cosine verify on candidates only. Work ∝ N·occ,
+    never all-pairs and never quadratic-on-collisions. The old fixed-8
+    pin survives as a plan/test fixture (`lsh_candidates` pins,
+    `lsh_bucket_counts` function)."""
     from .operators.ann import lsh_candidates
+    from .operators.dedup import _pin, pins_for
     from .functions.vector import cosine_sim
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cands = lsh_candidates(emb, LSH_PLANES)
+    pinned = pins_for(sf_dir, "embeddings")
+    cands = lsh_candidates(emb, sized_planes_for(sf_dir), pinned=pinned)
     e_l = emb.select(F.col("vec_id").alias("left_id"), F.col("embedding").alias("__el"))
     e_r = emb.select(F.col("vec_id").alias("right_id"), F.col("embedding").alias("__er"))
-    # merge pin on the verify joins: the embedding side is corpus-scaled
-    # (see operators.dedup.minhash_lsh_pairs — 100× broadcast-estimate
-    # hazard); sort-merge on the id keys is safe at any size
+    # size-aware merge pin on the verify joins: the embedding side is
+    # corpus-scaled (see operators.dedup.minhash_lsh_pairs — 100×
+    # broadcast-estimate hazard); sort-merge on the id keys engages at
+    # pin size, AQE decides below it
     return (
-        cands.join(e_l.hint("merge"), "left_id")
-        .join(e_r.hint("merge"), "right_id")
+        cands.join(_pin(e_l, "merge", pinned), "left_id")
+        .join(_pin(e_r, "merge", pinned), "right_id")
         .withColumn("sim", cosine_sim(F.col("__el"), F.col("__er")))
         .filter(F.col("sim") > 0.2)
         .select("left_id", "right_id", F.round("sim", 6).alias("cos_sim"))
     )
 
 
-def _oracle_lsh_near_dup(threshold: float = 0.2) -> str:
+def _oracle_lsh_near_dup(
+    threshold: float = 0.2, planes: list[list[float]] | None = None
+) -> str:
+    """Oracle for the bucketed near-dup; ``planes`` defaults to the
+    corpus-sized set for the driver's sf0.01 fixture (deterministic
+    from the footer row count — the same derivation the engine runs)."""
+    if planes is None:
+        planes = sized_planes_for("/root/testdata/sf0.01")
     bits = []
-    for i, h in enumerate(LSH_PLANES):
+    for i, h in enumerate(planes):
         lit = "[" + ", ".join(repr(float(x)) for x in h) + "]::DOUBLE[]"
         bits.append(
             f"(CASE WHEN ({_dk_dot('embedding', lit)}) > 0 "
@@ -783,6 +814,8 @@ def q_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify on candidates only. Approximate-by-construction contract; the
     oracle reproduces the banding bit-for-bit."""
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    from .operators.dedup import pins_for
+
     out = radius_join(
         emb,
         emb,
@@ -791,6 +824,7 @@ def q_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         blocking="lsh",
         planes=LSH_PLANES,
         n_bands=2,
+        pinned=pins_for(sf_dir, "embeddings"),
     )
     return out.select("left_id", "right_id", F.round("dist", 6).alias("cos_sim"))
 
@@ -1069,17 +1103,13 @@ ANN_QUERIES = {
     "ann_search": q_ann_search,
     "matryoshka_topk": q_matryoshka_topk,
     "ivf_topk_batch": q_ivf_topk_batch,
-    "pq_topk": q_pq_topk,
     "pq_rerank_topk": q_pq_rerank_topk,
     "ivfpq_topk": q_ivfpq_topk,
     "sq_topk": q_sq_topk,
-    "lsh_bucket_counts": q_lsh_bucket_counts,
     "lsh_near_dup": q_lsh_near_dup,
-    "cosine_dedup": q_cosine_dedup,
     "knn_two_phase": q_knn_two_phase,
     "grouped_ids": q_grouped_ids,
     "split_counts": q_split_counts,
-    "label_centroids": q_label_centroids,
     "embedding_stats": q_embedding_stats,
 }
 
@@ -1090,8 +1120,8 @@ def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One value-exact distributed Lloyd iteration over the embeddings
     table (operators.ann.kmeans_lloyd_step): k=8 centroids initialized
     from the 8 lowest vec_ids, integer-exact assignment, k·D mean rows
-    out. STAGED for the r7 verification window — oracle parity-tested in
-    tests/test_staged_ops.py so registration is a 2-line diff."""
+    out. Registered in r7; oracle parity-tested in
+    tests/test_staged_ops.py."""
     from .operators.ann import kmeans_lloyd_step
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1128,22 +1158,144 @@ FROM e GROUP BY cid, dim
 """
 
 
+KMEANS_TRAIN_ROUNDS = 10
+
+
+def q_kmeans_train_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's batch index build (§3.2) end-to-end with the
+    bit-reproducible trainer: train k=8 centroids with
+    ``operators.ann.kmeans_train_exact`` (quantized Lloyd, k·D driver
+    state per round — the same state MLlib's driver holds), assign every
+    vector to its trained centroid with the exact integer argmin, and
+    emit per-centroid occupancy stats plus the quantized centroid's
+    integer L2² norm (``cnorm2`` pins the trained centroid VALUES, not
+    just the assignment). Because every per-round quantity is
+    integer-exact and the re-quantization/empty-cluster/early-exit rules
+    are deterministic, the DuckDB oracle re-derives the ENTIRE training
+    loop in SQL by unrolling exactly ``max_iter`` rounds — a Lloyd
+    round is idempotent at the quantized fixed point, so early exit and
+    full unroll agree by construction."""
+    import math
+
+    from .operators.ann import KMEANS_SCALE, kmeans_train_exact, quantize_vec
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, _rounds = kmeans_train_exact(
+        emb, k=KMEANS_K, max_iter=KMEANS_TRAIN_ROUNDS
+    )
+    scale = KMEANS_SCALE
+    # float→int round trip is exact: centroids are qint/scale with a
+    # power-of-two scale, so v·scale is the integer again
+    cq = [[int(math.floor(v * scale + 0.5)) for v in c] for c in cents]
+    q = emb.select("vec_id", quantize_vec("embedding", scale).alias("qv"))
+    cents_lit = F.array(*[F.array(*[F.lit(int(v)) for v in c]) for c in cq])
+    dists = F.transform(
+        cents_lit,
+        lambda c: F.aggregate(
+            F.zip_with(F.col("qv"), c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    assigned = q.select(
+        "vec_id",
+        (F.array_position(dists, F.array_min(dists)) - 1)
+        .cast("int")
+        .alias("cid"),
+    )
+    norms = [sum(v * v for v in c) for c in cq]
+    norm_lit = F.array(*[F.lit(int(n)) for n in norms])
+    return (
+        assigned.groupBy("cid")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.min("vec_id").alias("min_vec_id"),
+        )
+        .withColumn("cnorm2", F.element_at(norm_lit, F.col("cid") + 1))
+    )
+
+
+def _oracle_kmeans_train_assign(
+    k: int = KMEANS_K,
+    dim: int = EMB_DIM,
+    rounds: int = KMEANS_TRAIN_ROUNDS,
+) -> str:
+    """Full SQL re-derivation of the quantized Lloyd TRAINING LOOP:
+    ``rounds`` unrolled iterations (assignment → per-(cid,dim) sums →
+    mirrored double mean → floor-re-quantization, empty clusters carry
+    the previous centroid via COALESCE), then the final assignment and
+    per-centroid stats. Mean arithmetic mirrors the engine exactly:
+    (s::DOUBLE / n::DOUBLE) / scale, re-quantized floor(m·scale + 0.5)
+    — identical IEEE op order. MATERIALIZED per-round centroid CTEs
+    keep DuckDB from re-deriving the whole chain per reference."""
+    scale = 1 << 20
+    parts = [
+        f"""
+q AS MATERIALIZED (SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(((x::DOUBLE) * {scale}.0) + 0.5) AS BIGINT)) AS qv
+       FROM embeddings),
+c0 AS MATERIALIZED (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, qv AS cv
+      FROM (SELECT * FROM q ORDER BY vec_id LIMIT {k}))"""
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"""
+d{r} AS (SELECT q.vec_id, c.cid,
+           list_reduce(list_transform(range(1, {dim + 1}),
+                                      i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i])),
+                       (a, b) -> a + b) AS dist
+         FROM q, c{r} c),
+a{r} AS (SELECT vec_id, cid FROM
+           (SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+            FROM d{r}) WHERE rn = 1),
+s{r} AS (SELECT a.cid, r.i AS i, count(*) AS n, sum(q.qv[r.i]) AS s
+         FROM a{r} a JOIN q USING (vec_id), range(1, {dim + 1}) r(i)
+         GROUP BY a.cid, r.i),
+n{r} AS (SELECT cid,
+                list(CAST(floor((((s::DOUBLE) / (n::DOUBLE)) / {scale}.0) * {scale}.0 + 0.5) AS BIGINT)
+                     ORDER BY i) AS cv
+         FROM s{r} GROUP BY cid),
+c{r + 1} AS MATERIALIZED (SELECT c.cid, COALESCE(n.cv, c.cv) AS cv
+          FROM c{r} c LEFT JOIN n{r} n USING (cid))"""
+        )
+    parts.append(
+        f"""
+df AS (SELECT q.vec_id, c.cid,
+         list_reduce(list_transform(range(1, {dim + 1}),
+                                    i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i])),
+                     (a, b) -> a + b) AS dist
+       FROM q, c{rounds} c),
+af AS (SELECT vec_id, cid FROM
+         (SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+          FROM df) WHERE rn = 1),
+cnt AS (SELECT cid, count(*) AS n_members, min(vec_id) AS min_vec_id FROM af GROUP BY cid)"""
+    )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+SELECT c.cid, cnt.n_members, cnt.min_vec_id,
+       list_reduce(list_transform(c.cv, x -> x * x), (x, y) -> x + y) AS cnorm2
+FROM c{rounds} c JOIN cnt USING (cid)
+"""
+    )
+
+
 ANN_ORACLES = {
     "ivf_topk": ORACLE_IVF_TOPK,
     "ann_search": ORACLE_ANN_SEARCH,
     "matryoshka_topk": ORACLE_MATRYOSHKA_TOPK,
     "ivf_topk_batch": ORACLE_IVF_TOPK_BATCH,
-    "pq_topk": _oracle_pq_topk(),
     "pq_rerank_topk": _oracle_pq_rerank_topk(),
     "ivfpq_topk": _oracle_ivfpq_topk(),
     "sq_topk": _oracle_sq_topk(),
-    "lsh_bucket_counts": _oracle_lsh_buckets(),
     "lsh_near_dup": _oracle_lsh_near_dup(0.2),
-    "cosine_dedup": ORACLE_COSINE_DEDUP,
     "knn_two_phase": ORACLE_KNN_TWO_PHASE,
     "grouped_ids": ORACLE_GROUPED_IDS,
     "split_counts": ORACLE_SPLIT_COUNTS,
-    "label_centroids": ORACLE_LABEL_CENTROIDS,
     "embedding_stats": ORACLE_EMBEDDING_STATS,
 }
 
@@ -1153,8 +1305,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic lowest-vec_id init (the arbitrary-trained-centroid
     path — operators.ann.kmeans_train_exact — is pytest-covered),
     τ = 3/10, integer-exact threshold (no float math at the boundary).
-    STAGED for the r7 verification window — oracle parity-tested in
-    tests/test_staged_ops.py so registration is a 2-line diff.
+    Registered in r7; oracle parity-tested in tests/test_staged_ops.py.
     Spill-and-release per the dedup cache contract."""
     from .operators.ann import quantize_vec
     from .operators.dedup import semantic_dedup
@@ -1171,8 +1322,11 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     ]
     handles: list = []
+    from .operators.dedup import pins_for
+
     out = semantic_dedup(
-        emb, init, threshold_num=3, threshold_den=10, cache_handles=handles
+        emb, init, threshold_num=3, threshold_den=10, cache_handles=handles,
+        pinned=pins_for(sf_dir, "embeddings"),
     )
     return materialize_and_release(out, handles, "semantic-dedup-")
 
@@ -1242,9 +1396,11 @@ def q_semantic_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.filter(F.col("vec_id") < 400)
     batch = emb.filter(F.col("vec_id") >= 400)
     handles: list = []
+    from .operators.dedup import pins_for
+
     out = semantic_dedup_incremental(
         corpus, batch, init, threshold_num=3, threshold_den=10,
-        cache_handles=handles,
+        cache_handles=handles, pinned=pins_for(sf_dir, "embeddings"),
     )
     return materialize_and_release(out, handles, "semantic-dedup-incr-")
 
@@ -1328,3 +1484,26 @@ SELECT a.vec_id, a.cid, (ks.vec_id IS NOT NULL) AS keep
 FROM a LEFT JOIN keepset ks ON a.vec_id = ks.vec_id
 WHERE a.vec_id >= {split}
 """
+
+
+# ---------------------------------------------------------------------------
+# Round-7 registrations (previously staged; definitions follow the base
+# dicts, hence the late update)
+# ---------------------------------------------------------------------------
+
+ANN_QUERIES.update(
+    {
+        "kmeans_step": q_kmeans_step,
+        "kmeans_train_assign": q_kmeans_train_assign,
+        "semantic_dedup": q_semantic_dedup,
+        "semantic_dedup_incremental": q_semantic_dedup_incremental,
+    }
+)
+ANN_ORACLES.update(
+    {
+        "kmeans_step": _oracle_kmeans_step(),
+        "kmeans_train_assign": _oracle_kmeans_train_assign(),
+        "semantic_dedup": _oracle_semantic_dedup(),
+        "semantic_dedup_incremental": _oracle_semantic_dedup_incremental(),
+    }
+)

@@ -685,7 +685,6 @@ FROM ranked WHERE rank <= 10
 
 PIPELINE_QUERIES = {
     "manifest_scan": q_manifest_scan,
-    "image_decode": q_image_decode,
     "image_decode_real": q_image_decode_real,
     "image_decode_jpeg": q_image_decode_jpeg,
     "image_knn_pipeline": q_image_knn_pipeline,
@@ -697,7 +696,6 @@ PIPELINE_QUERIES = {
 
 PIPELINE_ORACLES = {
     "manifest_scan": ORACLE_MANIFEST_SCAN,
-    "image_decode": ORACLE_IMAGE_DECODE,
     "image_decode_real": ORACLE_IMAGE_DECODE_REAL,
     "image_decode_jpeg": ORACLE_IMAGE_DECODE_JPEG,
     "image_knn_pipeline": _oracle_image_knn_pipeline(),

@@ -350,7 +350,9 @@ WHERE j.jaccard >= {threshold}
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return D.minhash_signatures(docs, n=3, num_hashes=8)
+    return D.minhash_signatures(
+        docs, n=3, num_hashes=8, pinned=D.pins_for(sf_dir)
+    )
 
 
 def _oracle_minhash_signatures(num_hashes: int = 8) -> str:
@@ -380,14 +382,15 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     handles: list = []
     pairs = D.minhash_lsh_pairs(
-        docs, n=3, num_hashes=8, bands=4, threshold=0.5, cache_handles=handles
+        docs, n=3, num_hashes=8, bands=4, threshold=0.5,
+        cache_handles=handles, pinned=D.pins_for(sf_dir),
     )
     return materialize_and_release(pairs, handles, "minhash-pairs-")
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return D.simhash(docs, bits=32)
+    return D.simhash(docs, bits=32, pinned=D.pins_for(sf_dir))
 
 
 def _oracle_simhash(bits: int = 32) -> str:
@@ -552,7 +555,8 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     handles: list = []
     pairs = D.simhash_near_dup_pairs(
-        docs, bits=32, bands=4, max_hamming=3, cache_handles=handles
+        docs, bits=32, bands=4, max_hamming=3, cache_handles=handles,
+        pinned=D.pins_for(sf_dir),
     )
     return materialize_and_release(pairs, handles, "simhash-pairs-")
 
@@ -631,7 +635,9 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     handles: list = []
-    pairs = D.minhash_lsh_pairs(docs, threshold=0.5, cache_handles=handles)
+    pairs = D.minhash_lsh_pairs(
+        docs, threshold=0.5, cache_handles=handles, pinned=D.pins_for(sf_dir)
+    )
     out = dedup_components(pairs)  # materializes labels during the call
     for h in handles:
         h.unpersist()
@@ -861,7 +867,7 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     handles: list = []
     out = D.minhash_lsh_incremental(
         corpus, batch, n=3, num_hashes=8, bands=4, threshold=0.5,
-        cache_handles=handles,
+        cache_handles=handles, pinned=D.pins_for(sf_dir),
     )
     return materialize_and_release(out, handles, "incr-dedup-")
 
@@ -949,10 +955,9 @@ FROM c GROUP BY 1
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction at the query surface (operators.textops.pii_scrub):
     typed placeholders + per-class audit counts + clean-text md5 over
-    the documents table. STAGED for the r7 verification window — the
-    oracle below is already parity-tested (tests/test_staged_ops.py::
-    test_pii_scrub_oracle_parity_staged) so registration is a
-    2-line diff when a window slot opens."""
+    the documents table. Registered in r7 (property + staged-oracle tests in
+    tests/test_staged_ops.py).
+    """
     from .operators.textops import pii_scrub
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1000,9 +1005,9 @@ BM25_B = 0.75
 
 def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-k lexical retrieval (operators.textops.bm25) for a fixed
-    3-term query over documents. STAGED for the r7 verification window —
-    oracle parity-tested in tests/test_staged_ops.py so registration is
-    a 2-line diff when a slot opens."""
+    3-term query over documents. Registered in r7 (property + staged-oracle tests in
+    tests/test_staged_ops.py).
+    """
     from .operators.textops import bm25
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1148,14 +1153,12 @@ FROM t LEFT JOIN kept k USING (doc_id)
 TEXT_QUERIES = {
     "token_stats": q_token_stats,
     "top_terms": q_top_terms,
-    "tf_idf": q_tf_idf,
     "language_id": q_language_id,
     "quality_score": q_quality_score,
     "gopher_quality": q_gopher_quality,
     "doc_fingerprint": q_fingerprint,
     "exact_dedup": q_exact_dedup,
     "ngram_jaccard_dedup": q_ngram_jaccard,
-    "minhash_signatures": q_minhash_signatures,
     "minhash_lsh_dedup": q_minhash_lsh,
     "simhash": q_simhash,
     "simhash_near_dup": q_simhash_near_dup,
@@ -1172,19 +1175,19 @@ TEXT_QUERIES = {
     "mixture_sample": q_mixture_sample,
     "seq_packing": q_seq_packing,
     "vocab_filter": q_vocab_filter,
+    "pii_scrub": q_pii_scrub,
+    "bm25": q_bm25,
 }
 
 TEXT_ORACLES = {
     "token_stats": ORACLE_TOKEN_STATS,
     "top_terms": ORACLE_TOP_TERMS,
-    "tf_idf": ORACLE_TF_IDF,
     "language_id": _oracle_language_id(),
     "quality_score": _oracle_quality(),
     "gopher_quality": _oracle_gopher_quality(),
     "doc_fingerprint": ORACLE_FINGERPRINT,
     "exact_dedup": ORACLE_EXACT_DEDUP,
     "ngram_jaccard_dedup": _oracle_jaccard_capped(0.8, 0.01, 10),
-    "minhash_signatures": _oracle_minhash_signatures(8),
     "minhash_lsh_dedup": _oracle_jaccard(0.5, lsh=True),
     "simhash": _oracle_simhash(32),
     "simhash_near_dup": _oracle_simhash_near_dup(32, 4, 3),
@@ -1201,4 +1204,6 @@ TEXT_ORACLES = {
     "mixture_sample": ORACLE_MIXTURE_SAMPLE,
     "seq_packing": ORACLE_SEQ_PACKING,
     "vocab_filter": ORACLE_VOCAB_FILTER,
+    "pii_scrub": _oracle_pii_scrub(),
+    "bm25": _oracle_bm25(),
 }

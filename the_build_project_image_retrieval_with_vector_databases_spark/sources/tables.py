@@ -51,6 +51,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def table_row_count(sf_dir: str, name: str) -> int | None:
+    """Exact row count of a fixture table from the parquet FOOTER — no
+    Spark job, no scan. This is the measured corpus size the sizing
+    knobs (``planes_for_corpus`` / ``k_for_corpus``) and the size-aware
+    join pins key off: unlike Catalyst's static size estimate (compressed
+    bytes, pre-explosion — the broadcast hazard the 100× sweep caught),
+    a footer row count is a real measurement. Returns None when the path
+    is missing or unreadable (callers fall back to a conservative pin)."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        if os.path.isdir(path):
+            total = 0
+            for f in sorted(os.listdir(path)):
+                if f.endswith(".parquet"):
+                    total += pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+            return total
+        return pq.ParquetFile(path).metadata.num_rows
+    except Exception:
+        return None
+
+
 def spread(df: DataFrame, factor: int = 1) -> DataFrame:
     """Round-robin repartition ONLY when the plan has fewer splits than
     cores (e.g. fixtures: one parquet file → one task, serializing all
