@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Interactive-serving latency benchmark (VERDICT r6 #7).
+
+Measures the reference's interactive query path (upload → embed → kNN →
+join, ``app.py:124-179``) as the engine serves it: a Structured
+Streaming ``rate`` source emits query arrivals at a steady rate; each
+microbatch maps arrivals onto corpus vectors, runs the broadcast kNN
+join against the cached sf0.1 corpus (2 000 × 64-D) and materializes
+results; per-batch END-TO-END latency (oldest arrival timestamp →
+results materialized) is recorded by ``streaming.queries.serve_loop_rate``.
+
+Reported: p50 / p95 / max per-microbatch latency over a fixed serving
+window, after discarding the first two batches (JVM/codegen warm-up —
+the steady-state SLO is the serving number; cold-start is a deploy
+property). Writes one JSON line and SERVE_LATENCY.json.
+
+Usage: python scripts/serve_latency.py [seconds] [rows_per_second]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from the_build_project_image_retrieval_with_vector_databases_spark.session import (
+    get_spark,
+)
+from the_build_project_image_retrieval_with_vector_databases_spark.streaming.queries import (
+    serve_loop_rate,
+)
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def pct(xs: list[float], p: float) -> float:
+    xs = sorted(xs)
+    i = min(len(xs) - 1, max(0, round(p * (len(xs) - 1))))
+    return xs[i]
+
+
+def main() -> None:
+    window_s = int(sys.argv[1]) if len(sys.argv) > 1 else 30
+    rate = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+    spark = get_spark(app_name="serve-latency")
+    corpus = spark.read.parquet(os.path.join(BASE, "embeddings.parquet"))
+    latencies: list[float] = []
+    q = serve_loop_rate(
+        spark, corpus, k=5, rows_per_second=rate, latencies=latencies,
+        trigger_ms=500,
+    )
+    try:
+        time.sleep(window_s)
+    finally:
+        q.stop()
+    warm = latencies[2:]
+    out = {
+        "metric": "serve_latency",
+        "sf_dir": BASE,
+        "rows_per_second": rate,
+        "window_s": window_s,
+        "n_batches": len(latencies),
+        "warm_batches": len(warm),
+        "p50_s": round(pct(warm, 0.50), 3) if warm else None,
+        "p95_s": round(pct(warm, 0.95), 3) if warm else None,
+        "max_s": round(max(warm), 3) if warm else None,
+        "cold_first_batch_s": round(latencies[0], 3) if latencies else None,
+    }
+    line = json.dumps(out)
+    print(line)
+    with open(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "SERVE_LATENCY.json"), "w") as f:
+        f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -662,3 +662,84 @@ def test_semantic_dedup_incremental_oracle_parity_staged(spark, sf_dir):
         "semantic_dedup_incremental",
     )
     assert ok, msg
+
+
+def test_sized_k_derivation():
+    """k = ceil(N/64) from the embeddings footer: 8 at the 500-row
+    fixtures (the original registered pin — derivation and pin agree at
+    the driver's sf0.01), 32 at sf0.1."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_ann import (
+        sized_k_for,
+    )
+
+    assert sized_k_for("/root/testdata/sf0.001") == 8
+    assert sized_k_for("/root/testdata/sf0.01") == 8
+    assert sized_k_for("/root/testdata/sf0.1") == 32
+    assert sized_k_for("/no/such/dir") == 8  # fallback N=500
+
+
+def test_semantic_dedup_sized_k_parity_sf01(spark):
+    """The corpus-sized derivation generalizes: at sf0.1 (k=32, a
+    DIFFERENT clustering than the sf0.01 pin's k=8) the registered
+    query still matches an oracle built with the same sized k."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_ann import (
+        _oracle_semantic_dedup,
+        q_semantic_dedup,
+        sized_k_for,
+    )
+    from .oracle_harness import compare
+
+    sfd = "/root/testdata/sf0.1"
+    ok, msg = compare(
+        q_semantic_dedup(spark, sfd),
+        _oracle_semantic_dedup(k=sized_k_for(sfd)),
+        sfd,
+        "semantic_dedup_sf01_sized",
+    )
+    assert ok, msg
+
+
+def test_semantic_assign_arrow_path_matches_literal(spark, monkeypatch):
+    """Beyond LITERAL_K_MAX clusters `_semantic_assign` switches to the
+    Arrow int64-matmul argmin. The two paths must be value-IDENTICAL
+    (exact integer distances, first-min tie-break on both): forcing the
+    arrow path at the registered k must reproduce the registered oracle
+    bit-for-bit through the whole semantic_dedup query."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators import (
+        dedup as D,
+    )
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_ann import (
+        _oracle_semantic_dedup,
+        q_semantic_dedup,
+    )
+    from .oracle_harness import compare
+
+    monkeypatch.setattr(D, "LITERAL_K_MAX", 2)  # k=8 now takes arrow
+    ok, msg = compare(
+        q_semantic_dedup(spark, SF_SMOKE),
+        _oracle_semantic_dedup(k=8),
+        SF_SMOKE,
+        "semantic_dedup_arrow_forced",
+    )
+    assert ok, msg
+
+
+def test_semantic_dedup_incremental_sized_k_parity_sf01(spark):
+    """Sequential-ingest incremental SemDeDup under the sf0.1 sized
+    clustering (k=32): recursive-CTE oracle parity holds for a k the
+    registered sf0.01 pin never exercises."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_ann import (
+        _oracle_semantic_dedup_incremental,
+        q_semantic_dedup_incremental,
+        sized_k_for,
+    )
+    from .oracle_harness import compare
+
+    sfd = "/root/testdata/sf0.1"
+    ok, msg = compare(
+        q_semantic_dedup_incremental(spark, sfd),
+        _oracle_semantic_dedup_incremental(k=sized_k_for(sfd)),
+        sfd,
+        "semantic_dedup_incremental_sf01_sized",
+    )
+    assert ok, msg

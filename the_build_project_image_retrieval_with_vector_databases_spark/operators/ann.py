@@ -166,6 +166,7 @@ def kmeans_lloyd_step(
     id_col: str = "vec_id",
     scale: int = KMEANS_SCALE,
     centroids_q: list[list[int]] | None = None,
+    pre_quantized: DataFrame | None = None,
 ) -> DataFrame:
     """One distributed Lloyd iteration of k-means, value-exact across
     engines — the training step behind the IVF coarse quantizer
@@ -190,9 +191,14 @@ def kmeans_lloyd_step(
 
     if k < 1:
         raise ValueError("kmeans_lloyd_step requires k >= 1")
-    q = spread(df).select(
-        F.col(id_col), quantize_vec(vec_col, scale).alias("qv")
-    )
+    # the training loop passes the persisted quantized table so each
+    # round skips the scan + quantize (pre_quantized carries (id, qv))
+    if pre_quantized is not None:
+        q = pre_quantized
+    else:
+        q = spread(df).select(
+            F.col(id_col), quantize_vec(vec_col, scale).alias("qv")
+        )
     if centroids_q is not None:
         init = [list(c) for c in centroids_q]
     else:
@@ -268,29 +274,42 @@ def kmeans_train_exact(
     cents_q: list[list[int]] = [list(r.qv) for r in init_rows]
     k_eff = len(cents_q)
     rounds = 0
-    for rounds in range(1, max_iter + 1):
-        step = kmeans_lloyd_step(
-            df, k=k_eff, vec_col=vec_col, id_col=id_col, scale=scale,
-            centroids_q=cents_q,
-        ).collect()
-        by_cid: dict[int, dict[int, float]] = {}
-        for r in step:
-            by_cid.setdefault(r.cid, {})[r.dim] = r.mean
-        new_q = []
-        for cid in range(k_eff):
-            if cid in by_cid:
-                means = by_cid[cid]
-                new_q.append(
-                    [
-                        math.floor(means[d] * float(scale) + 0.5)
-                        for d in range(len(means))
-                    ]
-                )
-            else:
-                new_q.append(list(cents_q[cid]))  # empty cluster: keep
-        if new_q == cents_q:  # quantized fixed point ⇒ assignment fixed
-            break
-        cents_q = new_q
+    # quantize + spread ONCE and persist for the whole loop: each round
+    # then starts from the cached (id, qv) blocks instead of re-running
+    # the scan/cast pipeline (measured ~2x on the 10-round sf0.1 train)
+    from ..sources.tables import spread as _spread
+
+    q = (
+        _spread(df)
+        .select(F.col(id_col), quantize_vec(vec_col, scale).alias("qv"))
+        .persist()
+    )
+    try:
+        for rounds in range(1, max_iter + 1):
+            step = kmeans_lloyd_step(
+                df, k=k_eff, vec_col=vec_col, id_col=id_col, scale=scale,
+                centroids_q=cents_q, pre_quantized=q,
+            ).collect()
+            by_cid: dict[int, dict[int, float]] = {}
+            for r in step:
+                by_cid.setdefault(r.cid, {})[r.dim] = r.mean
+            new_q = []
+            for cid in range(k_eff):
+                if cid in by_cid:
+                    means = by_cid[cid]
+                    new_q.append(
+                        [
+                            math.floor(means[d] * float(scale) + 0.5)
+                            for d in range(len(means))
+                        ]
+                    )
+                else:
+                    new_q.append(list(cents_q[cid]))  # empty cluster: keep
+            if new_q == cents_q:  # quantized fixed point ⇒ assignment fixed
+                break
+            cents_q = new_q
+    finally:
+        q.unpersist()
     return (
         [[v / float(scale) for v in c] for c in cents_q],
         rounds,

@@ -671,10 +671,13 @@ def _semantic_assign(
     multiplies in decimal(38,0) — outside the bound the long fold wraps
     silently and the decimal products overflow to NULL under non-ANSI
     mode, silently classifying true duplicates as non-duplicates. So
-    every row checks max|qv| ≤ L where D·L² < 2⁶² (long-safe fold, 2×
-    headroom; |dot| ≤ D·L² by construction) and den·D·L² < 10¹⁹ (so
-    den²·dot² and num²·|l|²·|r|² stay under decimal(38,0)'s 10³⁸), and
-    raises with the offending id instead of mis-answering."""
+    every row checks max|qv| ≤ L where D·L² < 2⁶⁰ — long-safe for every
+    downstream integer form: |dot|, n2 ≤ D·L², assignment distances
+    Σ(a−b)² ≤ 4·D·L² and the Arrow path's c² − 2·dot ≤ 3·D·L², all
+    < 2⁶² — and den·D·L² < 10¹⁹ (so den²·dot² and num²·|l|²·|r|² stay
+    under decimal(38,0)'s 10³⁸), and raises with the offending id
+    instead of mis-answering. (At D=64, den=10 the decimal bound binds:
+    L ≈ 1.25·10⁸, ~119× the unit-vector quantization magnitude.)"""
     from .ann import quantize_vec
 
     den = max(1, int(threshold_den))
@@ -683,7 +686,7 @@ def _semantic_assign(
     )
     d = F.size("qv").cast("double")
     lim = F.floor(
-        F.sqrt(F.least(F.lit(float(1 << 62)) / d, F.lit(1e19 / den) / d))
+        F.sqrt(F.least(F.lit(float(1 << 60)) / d, F.lit(1e19 / den) / d))
     ).cast("long")
     max_abs = F.array_max(F.transform(F.col("qv"), F.abs))
     q = q.withColumn(
@@ -707,6 +710,8 @@ def _semantic_assign(
             )
         ),
     )
+    if len(centroids_q) > LITERAL_K_MAX:
+        return _assign_arrow_int(q, centroids_q, id_col)
     cents = F.array(
         *[F.array(*[F.lit(int(v)) for v in c]) for c in centroids_q]
     )
@@ -731,6 +736,69 @@ def _semantic_assign(
         F.col("qv"),
         n2.alias("n2"),
     )
+
+
+# Above this cluster count the k·D expression-literal argmin stops being
+# the right plan (the generated code grows with k·D and per-row cost is
+# O(k·D) in interpreted Catalyst aggregates); the Arrow path computes
+# the SAME exact integer argmin with one numpy int64 matmul per batch.
+LITERAL_K_MAX = 64
+
+
+def _assign_arrow_int(
+    q: DataFrame, centroids_q: list[list[int]], id_col: str
+) -> DataFrame:
+    """Large-k twin of the literal argmin in :func:`_semantic_assign` —
+    value-IDENTICAL, not approximate: distances are exact int64
+    (|q−c|² = |q|² − 2·q·c + |c|², every term bounded by the
+    `_semantic_assign` guard so the int64 matmul cannot wrap; numpy
+    int64 matmul is exact integer arithmetic, no BLAS float path) and
+    ties break to the first minimum (np.argmin) exactly like
+    ``array_position``/the oracle's ORDER BY dist, cid. Map-only —
+    the centroid matrix rides the closure (k·D·8 bytes per executor),
+    the same shape as :func:`~.ann.assign_centroids_arrow`."""
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, LongType
+
+    cents = np.asarray(centroids_q, dtype=np.int64)
+    c2 = (cents * cents).sum(axis=1)  # int64: k · D · L² < 2⁶² by guard
+
+    id_field = next(f for f in q.schema.fields if f.name == id_col)
+    out_schema = StructType(
+        [
+            id_field,
+            StructField("cid", IntegerType(), False),
+            StructField("qv", ArrayType(LongType()), False),
+            StructField("n2", LongType(), False),
+        ]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col],
+                        "cid": pd.Series([], dtype="int32"),
+                        "qv": pdf["qv"],
+                        "n2": pd.Series([], dtype="int64"),
+                    }
+                )
+                continue
+            x = np.asarray(pdf["qv"].tolist(), dtype=np.int64)
+            n2 = (x * x).sum(axis=1)
+            # argmin over |x|² − 2·x·c + |c|²; |x|² is constant per row
+            d = c2[None, :] - 2 * (x @ cents.T)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "cid": d.argmin(axis=1).astype("int32"),
+                    "qv": pdf["qv"],
+                    "n2": n2,
+                }
+            )
+
+    return q.mapInPandas(score, out_schema)
 
 
 def _sq_cos_gt(num: int, den: int):

@@ -1300,30 +1300,57 @@ ANN_ORACLES = {
 }
 
 
-def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup over the embeddings table: k=8 clusters from the
-    deterministic lowest-vec_id init (the arbitrary-trained-centroid
-    path — operators.ann.kmeans_train_exact — is pytest-covered),
-    τ = 3/10, integer-exact threshold (no float math at the boundary).
-    Registered in r7; oracle parity-tested in tests/test_staged_ops.py.
-    Spill-and-release per the dedup cache contract."""
+
+SEMANTIC_OCCUPANCY = 64
+
+
+def sized_k_for(sf_dir: str) -> int:
+    """Corpus-sized cluster count for the semantic dedup family:
+    k = ceil(N/64) from the embeddings parquet FOOTER row count — the
+    cluster-count twin of :func:`sized_planes_for`. Holding k fixed
+    makes per-cluster occupancy ∝ N and the cid self-join quadratic
+    (r6 measured fixed k=8 at 23× on 10× data; corpus-sized k at
+    2.4×); sizing k holds occupancy — and verify work per vector —
+    constant. Deterministic from N, so the oracle re-derives the same
+    k; at the driver's sf0.01 fixture (N=500) k = 8, the original pin."""
+    from .operators.ann import k_for_corpus
+    from .sources.tables import table_row_count
+
+    n = table_row_count(sf_dir, "embeddings") or 500
+    return k_for_corpus(n, target_occupancy=SEMANTIC_OCCUPANCY)
+
+
+def _semantic_init(emb: DataFrame, k: int) -> list[list[int]]:
+    """The deterministic lowest-vec_id quantized centroid init shared by
+    the semantic family (O(k·D) driver state)."""
     from .operators.ann import quantize_vec
-    from .operators.dedup import semantic_dedup
+
+    return [
+        list(r.qv)
+        for r in emb.select(quantize_vec("embedding").alias("qv"), "vec_id")
+        .orderBy("vec_id")
+        .limit(k)
+        .collect()
+    ]
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table with CORPUS-SIZED clustering:
+    k = ceil(N/64) (:func:`sized_k_for` — k=8 at the sf0.01 driver
+    fixture, the original pin) from the deterministic lowest-vec_id
+    init (the arbitrary-trained-centroid path —
+    operators.ann.kmeans_train_exact — is pytest-covered), τ = 3/10,
+    integer-exact threshold (no float math at the boundary). Beyond
+    LITERAL_K_MAX clusters the assignment switches to the value-exact
+    Arrow int64-matmul path automatically. Registered in r7; oracle
+    parity-tested in tests/test_staged_ops.py. Spill-and-release per
+    the dedup cache contract."""
+    from .operators.dedup import pins_for, semantic_dedup
     from .operators.spill import materialize_and_release
 
     emb = load_table(spark, sf_dir, "embeddings")
-    init = [
-        list(r.qv)
-        for r in emb.select(
-            quantize_vec("embedding").alias("qv"), "vec_id"
-        )
-        .orderBy("vec_id")
-        .limit(KMEANS_K)
-        .collect()
-    ]
+    init = _semantic_init(emb, sized_k_for(sf_dir))
     handles: list = []
-    from .operators.dedup import pins_for
-
     out = semantic_dedup(
         emb, init, threshold_num=3, threshold_den=10, cache_handles=handles,
         pinned=pins_for(sf_dir, "embeddings"),
@@ -1332,12 +1359,16 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_semantic_dedup(
-    k: int = KMEANS_K, dim: int = EMB_DIM, num: int = 3, den: int = 10
+    k: int | None = None, dim: int = EMB_DIM, num: int = 3, den: int = 10
 ) -> str:
     """Mirror of semantic_dedup at the registered pin: same floor
     quantization, the kmeans_step argmin assignment, and the
     sign-guarded squared-cosine threshold in HUGEINT — every compared
-    quantity is an exact integer on both engines."""
+    quantity is an exact integer on both engines. ``k`` defaults to the
+    corpus-sized derivation at the driver's sf0.01 fixture
+    (:func:`sized_k_for` — k=8 at N=500)."""
+    if k is None:
+        k = sized_k_for("/root/testdata/sf0.01")
     scale = 1 << 20
     return f"""
 WITH q AS (SELECT vec_id,
@@ -1374,30 +1405,21 @@ FROM a LEFT JOIN dropped ON a.vec_id = dropped.rid
 def q_semantic_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily-ingest SemDeDup with TRUE sequential-ingest semantics: the
     'new batch' (vec_id ≥ 400) against the existing corpus
-    (vec_id < 400), same k=8 lowest-vec_id centroid pin and τ = 3/10 as
+    (vec_id < 400), the same corpus-sized lowest-vec_id centroid init
+    (:func:`sized_k_for` over the FULL table — assignment must use the
+    centroids the corpus index was built with) and τ = 3/10 as
     `semantic_dedup` — corpus×corpus never re-runs, and rule (b) only
     lets KEPT lower-id batch vectors drop later ones (per-cluster greedy
     pass), so the keep set is independent of microbatch boundaries.
     Spill-and-release per the dedup cache contract."""
-    from .operators.ann import quantize_vec
-    from .operators.dedup import semantic_dedup_incremental
+    from .operators.dedup import pins_for, semantic_dedup_incremental
     from .operators.spill import materialize_and_release
 
     emb = load_table(spark, sf_dir, "embeddings")
-    init = [
-        list(r.qv)
-        for r in emb.select(
-            quantize_vec("embedding").alias("qv"), "vec_id"
-        )
-        .orderBy("vec_id")
-        .limit(KMEANS_K)
-        .collect()
-    ]
+    init = _semantic_init(emb, sized_k_for(sf_dir))
     corpus = emb.filter(F.col("vec_id") < 400)
     batch = emb.filter(F.col("vec_id") >= 400)
     handles: list = []
-    from .operators.dedup import pins_for
-
     out = semantic_dedup_incremental(
         corpus, batch, init, threshold_num=3, threshold_den=10,
         cache_handles=handles, pinned=pins_for(sf_dir, "embeddings"),
@@ -1406,7 +1428,7 @@ def q_semantic_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_semantic_dedup_incremental(
-    k: int = KMEANS_K, dim: int = EMB_DIM, num: int = 3, den: int = 10,
+    k: int | None = None, dim: int = EMB_DIM, num: int = 3, den: int = 10,
     split: int = 400,
 ) -> str:
     """Mirror of semantic_dedup_incremental at the staged pin, with the
@@ -1421,7 +1443,10 @@ def _oracle_semantic_dedup_incremental(
     HUGEINT — exact end to end. CTEs feeding the recursion are
     MATERIALIZED so each recursive step reuses them (75× on sf0.1).
     NOTE the centroid init is over the FULL table (the same k lowest
-    vec_ids the engine collects before splitting)."""
+    vec_ids the engine collects before splitting); ``k`` defaults to
+    the corpus-sized derivation at the driver's sf0.01 fixture."""
+    if k is None:
+        k = sized_k_for("/root/testdata/sf0.01")
     scale = 1 << 20
 
     def dot(lh: str, rh: str) -> str:
