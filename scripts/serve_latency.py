@@ -42,24 +42,19 @@ def pct(xs: list[float], p: float) -> float:
     return xs[i]
 
 
-def main() -> None:
-    window_s = int(sys.argv[1]) if len(sys.argv) > 1 else 30
-    rate = int(sys.argv[2]) if len(sys.argv) > 2 else 100
-    spark = get_spark(app_name="serve-latency")
+def run_one(spark, window_s: int, rate: int) -> dict:
     corpus = spark.read.parquet(os.path.join(BASE, "embeddings.parquet"))
     latencies: list[float] = []
     q = serve_loop_rate(
         spark, corpus, k=5, rows_per_second=rate, latencies=latencies,
-        trigger_ms=500,
+        trigger_ms=1000,
     )
     try:
         time.sleep(window_s)
     finally:
         q.stop()
     warm = latencies[2:]
-    out = {
-        "metric": "serve_latency",
-        "sf_dir": BASE,
+    return {
         "rows_per_second": rate,
         "window_s": window_s,
         "n_batches": len(latencies),
@@ -68,6 +63,20 @@ def main() -> None:
         "p95_s": round(pct(warm, 0.95), 3) if warm else None,
         "max_s": round(max(warm), 3) if warm else None,
         "cold_first_batch_s": round(latencies[0], 3) if latencies else None,
+    }
+
+
+def main() -> None:
+    window_s = int(sys.argv[1]) if len(sys.argv) > 1 else 35
+    rates = [int(x) for x in sys.argv[2:]] or [100, 500]
+    # serving batches are tiny: a small fixed shuffle width keeps
+    # per-epoch stage overhead out of the latency measurement
+    spark = get_spark(app_name="serve-latency", shuffle_partitions=8)
+    out = {
+        "metric": "serve_latency",
+        "sf_dir": BASE,
+        "trigger_ms": 1000,
+        "runs": [run_one(spark, window_s, r) for r in rates],
     }
     line = json.dumps(out)
     print(line)

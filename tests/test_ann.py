@@ -520,3 +520,45 @@ def test_lsh_near_dup_sized_planes_parity_across_sfs(spark):
         "lsh_near_dup_sf01_sized",
     )
     assert ok, msg
+
+
+def test_knn_join_arrow_matches_exact_ranks(spark, emb):
+    """The Arrow/BLAS serving join returns the SAME per-query top-k ids
+    and ranks as the exact expression operator on the fixture (random
+    vectors — no distance ties, so the ulp caveat cannot bite), with
+    distances equal to 1e-9."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.knn import (
+        knn_join,
+        knn_join_arrow,
+    )
+
+    qrows = sorted(
+        emb.filter(F.col("vec_id") < 16).collect(), key=lambda r: r.vec_id
+    )
+    qids = [r.vec_id for r in qrows]
+    qmat = [[float(x) for x in r.embedding] for r in qrows]
+    got = {
+        (r.query_id, r.rank): (r.vec_id, r.dist)
+        for r in knn_join_arrow(
+            emb, qids, qmat, k=4, exclude_self=True
+        ).collect()
+    }
+    queries = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    want = {
+        (r.query_id, r.rank): (r.vec_id, r.dist)
+        for r in knn_join(emb, queries, k=4, exclude_self=True).collect()
+    }
+    assert set(got) == set(want)
+    for key, (vid, dist) in want.items():
+        gvid, gdist = got[key]
+        assert gvid == vid, key
+        assert abs(gdist - dist) < 1e-9, key
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        knn_join_arrow(emb, [], [], k=3)
+    with pytest.raises(ValueError):
+        knn_join_arrow(emb, [1], [[0.0] * 64], k=3, metric="nope")

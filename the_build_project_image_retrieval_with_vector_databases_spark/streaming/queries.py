@@ -185,6 +185,7 @@ def serve_loop_rate(
     k: int = 5,
     rows_per_second: int = 100,
     id_col: str = "vec_id",
+    vec_col: str = "embedding",
     latencies: list | None = None,
     sink: Callable[[DataFrame, int], None] | None = None,
     trigger_ms: int = 500,
@@ -192,44 +193,61 @@ def serve_loop_rate(
     """Continuous serving harness (§2.9 latency path): the built-in
     ``rate`` source emits query arrivals at a fixed rate; each microbatch
     maps arrivals onto corpus vectors (``value % N`` — a stand-in for a
-    real request payload), runs the broadcast kNN join against the cached
-    corpus, and records END-TO-END latency per batch (oldest arrival
-    timestamp → results materialized) into ``latencies``.
+    real request payload, which would carry its own vector), scores the
+    whole batch against the cached corpus with the Arrow/BLAS kNN join
+    (:func:`~..operators.knn.knn_join_arrow` — one matmul per corpus
+    partition, per-partition top-k heaps, tiny global rank; the
+    expression-based exact join is ~11 µs/pair interpreted and cannot
+    sustain a serving rate), and records END-TO-END latency per batch
+    (oldest arrival timestamp → results materialized) into
+    ``latencies``.
 
     The measured quantity is the serving SLO of the reference's
     interactive search (``app.py:171``) under steady load: trigger
     interval + queue wait + score + sink. At scale the corpus side is
     the same partitioned/cached table every executor already holds —
-    arrival rate moves only the tiny broadcast side.
-    """
+    the per-epoch work that scales with arrival rate is one Q×D
+    broadcast and a partitions·Q·k candidate rank. The id→vector
+    payload map is HARNESS state (real requests carry vectors); it is
+    collected once at loop start, O(N·D) driver memory at fixture
+    scale only."""
     import time
 
-    from ..operators.knn import knn_join
+    from ..operators.knn import knn_join_arrow
 
     corpus = corpus.cache()
-    n = corpus.count()  # also materializes the cache before serving
+    payload = {
+        r[0]: list(r[1])
+        for r in corpus.select(id_col, vec_col).collect()
+    }
+    n = len(payload)
 
     def score_batch(batch: DataFrame, epoch_id: int) -> None:
-        if batch.isEmpty():
+        # one job reads the arrival floor AND answers the empty check —
+        # a separate isEmpty() costs a whole extra job per epoch, real
+        # money when the trigger interval is the latency budget
+        agg = batch.agg(
+            F.min("timestamp").alias("t0"),
+            F.collect_list(F.col("value") % n).alias("qids"),
+        ).first()
+        if agg.t0 is None:
             return
-        queries = (
-            batch.withColumn("query_id", F.col("value") % n)
-            .join(
-                corpus.select(
-                    F.col(id_col).alias("query_id"), F.col("embedding")
-                ),
-                "query_id",
-            )
-            .select("query_id", "embedding")
+        qids = sorted(set(int(v) for v in agg.qids))
+        out = knn_join_arrow(
+            corpus,
+            qids,
+            [payload[q] for q in qids],
+            k=k,
+            id_col=id_col,
+            vec_col=vec_col,
+            exclude_self=False,
         )
-        out = knn_join(corpus, queries, k=k, exclude_self=False)
         if sink is not None:
             sink(out, epoch_id)
         else:
             out.write.format("noop").mode("overwrite").save()
         if latencies is not None:
-            t0 = batch.agg(F.min("timestamp")).first()[0]
-            latencies.append(time.time() - t0.timestamp())
+            latencies.append(time.time() - agg.t0.timestamp())
 
     return (
         spark.readStream.format("rate")
