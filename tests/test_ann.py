@@ -562,3 +562,57 @@ def test_knn_join_arrow_matches_exact_ranks(spark, emb):
         knn_join_arrow(emb, [], [], k=3)
     with pytest.raises(ValueError):
         knn_join_arrow(emb, [1], [[0.0] * 64], k=3, metric="nope")
+
+
+def test_search_batch_facade(spark, emb, emb_np):
+    """search_batch: flat/arrow ≡ flat/exact ≡ per-query search() ranks
+    on the fixture; ivf with full probes degenerates to exact; and the
+    validation raises on unsupported tiers."""
+    import pytest
+
+    from the_build_project_image_retrieval_with_vector_databases_spark.search import (
+        search,
+        search_batch,
+    )
+
+    ids, mat = emb_np
+    queries = [(int(ids[i]), [float(x) for x in mat[i]]) for i in range(6)]
+
+    arrow = {
+        (r.query_id, r.rank): r.vec_id
+        for r in search_batch(
+            emb, queries, k=4, index="flat", exclude_self=True
+        ).collect()
+    }
+    exact = {
+        (r.query_id, r.rank): r.vec_id
+        for r in search_batch(
+            emb, queries, k=4, index="flat", exact=True, exclude_self=True
+        ).collect()
+    }
+    assert arrow == exact and len(arrow) == 24
+    # per-query facade agreement
+    for qid, qvec in queries[:2]:
+        single = [
+            r.vec_id
+            for r in search(emb, qvec, k=4, index="flat", exclude_id=qid).collect()
+        ]
+        assert [arrow[(qid, r)] for r in range(1, 5)] == single
+
+    # IVF with every centroid probed = exact
+    cents = [list(map(float, mat[i])) for i in range(8)]
+    ivf = {
+        (r.query_id, r.rank): r.vec_id
+        for r in search_batch(
+            emb, queries, k=4, index="ivf", train_vectors=cents, nprobe=8,
+            exclude_self=True,
+        ).collect()
+    }
+    assert ivf == exact
+
+    with pytest.raises(ValueError):
+        search_batch(emb, queries, index="pq")
+    with pytest.raises(ValueError):
+        search_batch(emb, [], index="flat")
+    with pytest.raises(ValueError):
+        search_batch(emb, queries, index="ivf", metric="cosine")

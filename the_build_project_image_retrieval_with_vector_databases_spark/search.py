@@ -160,3 +160,80 @@ def search(
         .orderBy(F.col("dist").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def search_batch(
+    corpus: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    *,
+    index: str = "flat",
+    metric: str = "l2",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    train_vectors: list[list[float]] | None = None,
+    n_train: int = 16,
+    nprobe: int = 4,
+    exact: bool = False,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Batched top-k search — the shape the reference actually calls
+    (``index.search`` takes a QUERY MATRIX, ``utils/faiss_utils.py:19``;
+    the interactive app batches one, the eval loop batches many).
+    ``queries`` is [(query_id, vector), ...]; output is
+    (query_id, id_col, dist, rank) best-first per query.
+
+    Tiers: ``flat`` routes to the Arrow/BLAS kNN join by default (one
+    matmul per corpus partition, per-partition heaps — the serving
+    throughput path; ``exact=True`` switches to the expression operator
+    whose left-fold arithmetic the DuckDB oracles pin, at interpreted
+    per-pair cost) and ``ivf`` to the batched pruned-scan join (Q
+    queries share ONE partition-pruned scan). The quantized code tiers
+    stay single-query (``search``) — their ADC LUTs are per-query
+    literals and batching them is codebook-sized driver work, not a
+    corpus-scan amortization.
+    """
+    if index not in ("flat", "ivf"):
+        raise ValueError("search_batch supports index='flat' or 'ivf'")
+    if not queries:
+        raise ValueError("queries must be non-empty [(id, vector), ...]")
+    if index == "ivf":
+        from .operators.ann import assign_centroids, ivf_search_batch
+
+        if metric != "l2":
+            raise ValueError("index='ivf' is an L2-metric structure")
+        if train_vectors is None:
+            train_vectors = _default_train_vectors(
+                corpus, n_train, vec_col, id_col
+            )
+        layout = corpus
+        if "centroid" not in layout.columns:
+            layout = assign_centroids(layout, train_vectors, vec_col)
+        return ivf_search_batch(
+            layout, train_vectors, queries, k=k, nprobe=nprobe,
+            vec_col=vec_col, id_col=id_col, exclude_self=exclude_self,
+        )
+
+    if exact:
+        from .operators.knn import knn_join
+
+        spark = corpus.sparkSession
+        qdf = spark.createDataFrame(
+            [(int(qid), [float(x) for x in qv]) for qid, qv in queries],
+            f"query_id long, {vec_col} array<double>",
+        )
+        out = knn_join(
+            corpus, qdf, k=k, metric=metric, vec_col=vec_col,
+            id_col=id_col, exclude_self=exclude_self,
+        )
+        return out.select("query_id", id_col, "dist", "rank")
+
+    from .operators.knn import knn_join_arrow
+
+    return knn_join_arrow(
+        corpus,
+        [int(qid) for qid, _ in queries],
+        [[float(x) for x in qv] for _, qv in queries],
+        k=k, metric=metric, vec_col=vec_col, id_col=id_col,
+        exclude_self=exclude_self,
+    )
