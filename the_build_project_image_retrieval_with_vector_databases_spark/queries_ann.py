@@ -1438,7 +1438,7 @@ def _oracle_semantic_dedup_incremental(
     — a row is kept iff no KEPT earlier row exceeds τ — via a recursive
     CTE that advances one rank per step per cluster, carrying the kept
     rank list. Inner dot/n2 folds are BIGINT (bound: the engine-side
-    `_semantic_assign` guard caps max|qv| so D·max² < 2⁶²; DuckDB would
+    `_semantic_assign` guard caps max|qv| so D·max² < 2⁶⁰; DuckDB would
     error, not wrap, if violated) and the threshold compare widens to
     HUGEINT — exact end to end. CTEs feeding the recursion are
     MATERIALIZED so each recursive step reuses them (75× on sf0.1).
