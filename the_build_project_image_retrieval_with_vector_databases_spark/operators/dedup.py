@@ -739,10 +739,14 @@ def _semantic_assign(
 
 
 # Above this cluster count the k·D expression-literal argmin stops being
-# the right plan (the generated code grows with k·D and per-row cost is
-# O(k·D) in interpreted Catalyst aggregates); the Arrow path computes
-# the SAME exact integer argmin with one numpy int64 matmul per batch.
-LITERAL_K_MAX = 64
+# the right plan: Catalyst higher-order array aggregates run INTERPRETED
+# (~1 µs per element), so per-row cost is k·D·µs — measured 2.8 s to
+# assign 1600 rows at k=32, D=64, vs one numpy int64 matmul per Arrow
+# batch for the SAME exact argmin (value-identical, parity-pinned).
+# The threshold sits at the driver-pin scale (k=8): the sf0.01 oracle
+# queries keep the pure-Catalyst no-Python-worker plan, every
+# corpus-sized k routes through the matmul.
+LITERAL_K_MAX = 8
 
 
 def _assign_arrow_int(
