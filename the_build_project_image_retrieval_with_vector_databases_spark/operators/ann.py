@@ -274,14 +274,21 @@ def kmeans_train_exact(
     cents_q: list[list[int]] = [list(r.qv) for r in init_rows]
     k_eff = len(cents_q)
     rounds = 0
-    # quantize + spread ONCE and persist for the whole loop: each round
-    # then starts from the cached (id, qv) blocks instead of re-running
-    # the scan/cast pipeline (measured ~2x on the 10-round sf0.1 train)
-    from ..sources.tables import spread as _spread
-
+    # quantize ONCE and persist for the whole loop — each round starts
+    # from the cached (id, qv) blocks instead of re-running the
+    # scan/cast pipeline — and size the layout to the DATA: the loop
+    # launches 2 stages per round, so tiny partitions are pure task-
+    # launch overhead ×10 rounds (32-wide at sf0.1 = 62 rows/task,
+    # measured 9.6 s; ~512 rows/task = 4 partitions, 4.5 s). At real
+    # widths n/512 exceeds the cluster parallelism and the cap keeps
+    # every core busy. Exactness is partition-independent (integer
+    # argmin + integer sums), so the layout is purely a cost knob.
+    n_rows = df.count()
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    target = max(1, min(parallelism, -(-n_rows // 512)))
     q = (
-        _spread(df)
-        .select(F.col(id_col), quantize_vec(vec_col, scale).alias("qv"))
+        df.select(F.col(id_col), quantize_vec(vec_col, scale).alias("qv"))
+        .repartition(target)
         .persist()
     )
     try:
