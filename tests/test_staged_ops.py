@@ -743,3 +743,76 @@ def test_semantic_dedup_incremental_sized_k_parity_sf01(spark):
         "semantic_dedup_incremental_sf01_sized",
     )
     assert ok, msg
+
+
+def test_ann_recall_eval_matches_numpy_reference(spark):
+    """Staged r8: per-query IVF recall@10 against a numpy ground truth —
+    exact top-k, probe selection, float argmin assignment (first-min
+    ties), and the overlap count all recomputed independently."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_ann import (
+        ANN_EVAL_K,
+        ANN_EVAL_NPROBE,
+        ANN_EVAL_Q_HI,
+        ANN_EVAL_Q_LO,
+        q_ann_recall_eval,
+    )
+
+    got = {
+        r.query_id: (r.n_hits, r.recall)
+        for r in q_ann_recall_eval(spark, SF_SMOKE).collect()
+    }
+
+    rows = sorted(
+        spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").collect(),
+        key=lambda r: r.vec_id,
+    )
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    cents = mat[:16]
+    cdist = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    assigned = cdist.argmin(axis=1)  # first-min ties, same as the engine
+
+    want = {}
+    for qi in range(ANN_EVAL_Q_LO, ANN_EVAL_Q_HI):
+        q = mat[qi]
+        d = np.sqrt(((mat - q) ** 2).sum(axis=1))
+        mask_self = ids != qi
+        order = sorted(
+            (float(d[i]), int(ids[i])) for i in range(len(ids)) if mask_self[i]
+        )
+        exact = {vid for _, vid in order[:ANN_EVAL_K]}
+        probe = set(
+            np.argsort(((cents - q) ** 2).sum(axis=1), kind="stable")[
+                :ANN_EVAL_NPROBE
+            ]
+        )
+        in_probe = [
+            i for i in range(len(ids))
+            if mask_self[i] and assigned[i] in probe
+        ]
+        order_a = sorted((float(d[i]), int(ids[i])) for i in in_probe)
+        approx = {vid for _, vid in order_a[:ANN_EVAL_K]}
+        n = len(exact & approx)
+        want[qi] = (n, n / float(ANN_EVAL_K))
+    assert got == want
+    # the measurement must be non-trivial: some recall loss and some hits
+    vals = [v for _, (_, v) in got.items()]
+    assert min(vals) < 1.0 and max(vals) > 0.0
+
+
+def test_ann_recall_eval_oracle_parity_staged(spark, sf_dir):
+    """The staged ann_recall_eval DuckDB oracle already passes the
+    driver-faithful comparison, so r8 registration is a 2-line diff."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_ann import (
+        _oracle_ann_recall_eval,
+        q_ann_recall_eval,
+    )
+    from .oracle_harness import compare
+
+    ok, msg = compare(
+        q_ann_recall_eval(spark, sf_dir),
+        _oracle_ann_recall_eval(),
+        sf_dir,
+        "ann_recall_eval",
+    )
+    assert ok, msg

@@ -1516,6 +1516,135 @@ WHERE a.vec_id >= {split}
 # dicts, hence the late update)
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# Staged for the r8 window: ANN recall evaluation
+# ---------------------------------------------------------------------------
+
+ANN_EVAL_Q_LO = 16
+ANN_EVAL_Q_HI = 48
+ANN_EVAL_K = 10
+ANN_EVAL_NPROBE = 4
+
+
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF tier against exact search — THE tuning
+    measurement every approximate-index deployment runs (FAISS users
+    sweep nprobe against exactly this curve; the reference ships
+    IndexFlatL2 and would compute it the day it moved to IVF). For the
+    32 query vectors 16 ≤ vec_id < 48 (disjoint from the 16 training
+    rows): exact top-10 via the expression kNN join, approximate top-10
+    via the batched partition-pruned IVF join (nprobe=4 of 16), output
+    one row per query — (query_id, n_hits, recall) with recall a raw
+    int/int double (bit-exact cross-engine). Both sides share ONE scan
+    each; the overlap join touches Q·k rows. STAGED for the r8
+    verification window — oracle parity-tested in
+    tests/test_staged_ops.py so registration is a 2-line diff."""
+    from .operators.ann import ivf_search_batch
+    from .operators.knn import knn_join
+
+    path, centroids = _ivf_layout(spark, sf_dir)
+    layout = spark.read.parquet(path)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrows = (
+        emb.filter(
+            (F.col("vec_id") >= ANN_EVAL_Q_LO)
+            & (F.col("vec_id") < ANN_EVAL_Q_HI)
+        )
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    queries = [(int(r.vec_id), [float(x) for x in r.embedding]) for r in qrows]
+    approx = ivf_search_batch(
+        layout, centroids, queries, k=ANN_EVAL_K, nprobe=ANN_EVAL_NPROBE,
+        exclude_self=True,
+    ).select("query_id", "vec_id")
+    qdf = spark.createDataFrame(
+        [(qid, qv) for qid, qv in queries],
+        "query_id long, embedding array<double>",
+    )
+    exact = knn_join(
+        emb, qdf, k=ANN_EVAL_K, metric="l2", exclude_self=True
+    ).select("query_id", "vec_id")
+    hits = approx.join(exact, ["query_id", "vec_id"]).groupBy("query_id").agg(
+        F.count("*").alias("n_hits")
+    )
+    base = qdf.select("query_id")
+    return base.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("int").alias("n_hits"),
+        (
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+            / F.lit(float(ANN_EVAL_K))
+        ).alias("recall"),
+    )
+
+
+def _oracle_ann_recall_eval(
+    k: int = ANN_EVAL_K,
+    nprobe: int = ANN_EVAL_NPROBE,
+    lo: int = ANN_EVAL_Q_LO,
+    hi: int = ANN_EVAL_Q_HI,
+) -> str:
+    """Mirror: same 16 lowest-id centroids, per-query probe sets, float
+    argmin assignment (first-min via ORDER cdist, cid), exact and
+    IVF-restricted top-k, overlap count, int/int recall division."""
+    return f"""
+WITH cents AS MATERIALIZED (SELECT vec_id AS cid, embedding AS ce
+                            FROM embeddings WHERE vec_id < 16),
+qs AS MATERIALIZED (SELECT vec_id AS query_id, embedding AS qe
+                    FROM embeddings WHERE vec_id >= {lo} AND vec_id < {hi}),
+probes AS (
+  SELECT query_id, cid FROM (
+    SELECT q.query_id, c.cid,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {_dk_l2('c.ce', 'q.qe')} ASC, c.cid ASC) AS pr
+    FROM qs q CROSS JOIN cents c
+  ) WHERE pr <= {nprobe}
+),
+assigned AS MATERIALIZED (
+  SELECT vec_id, embedding, cid AS centroid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_dk_l2('e.embedding', 'c.ce')} ASC,
+                                       c.cid ASC) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+approx AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, a.vec_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {_dk_l2('a.embedding', 'q.qe')} ASC,
+                                       a.vec_id ASC) AS rank
+    FROM assigned a
+    JOIN probes p ON a.centroid = p.cid
+    JOIN qs q ON q.query_id = p.query_id
+    WHERE a.vec_id <> q.query_id
+  ) WHERE rank <= {k}
+),
+exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {_dk_l2('e.embedding', 'q.qe')} ASC,
+                                       e.vec_id ASC) AS rank
+    FROM embeddings e CROSS JOIN qs q
+    WHERE e.vec_id <> q.query_id
+  ) WHERE rank <= {k}
+),
+hits AS (
+  SELECT a.query_id, count(*) AS n_hits
+  FROM approx a JOIN exact e ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+  GROUP BY a.query_id
+)
+SELECT q.query_id,
+       CAST(COALESCE(h.n_hits, 0) AS INT) AS n_hits,
+       (COALESCE(h.n_hits, 0)::DOUBLE) / {float(k)} AS recall
+FROM qs q LEFT JOIN hits h USING (query_id)
+"""
+
+
 ANN_QUERIES.update(
     {
         "kmeans_step": q_kmeans_step,
