@@ -816,3 +816,90 @@ def test_ann_recall_eval_oracle_parity_staged(spark, sf_dir):
         "ann_recall_eval",
     )
     assert ok, msg
+
+
+def test_mmr_rerank_matches_python_reference(spark):
+    """Staged r8: MMR greedy against a single-threaded reference over
+    the real fixture — selections, ranks, and scores must agree; the
+    diverse pick-set must genuinely differ from plain top-k (else the
+    diversity term did nothing and the test is vacuous)."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_ann import (
+        MMR_K,
+        MMR_LAM_DEN,
+        MMR_LAM_NUM,
+        MMR_N_QUERIES,
+        MMR_SHORTLIST,
+        q_mmr_rerank,
+    )
+
+    got = {
+        (r.query_id, r.rank): (r.vec_id, r.mmr_score)
+        for r in q_mmr_rerank(spark, SF_SMOKE).collect()
+    }
+    assert len(got) == MMR_N_QUERIES * MMR_K
+
+    rows = sorted(
+        spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").collect(),
+        key=lambda r: r.vec_id,
+    )
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    nrm = np.sqrt((mat * mat).sum(axis=1))
+    lam = float(MMR_LAM_NUM) / float(MMR_LAM_DEN)
+    one_m = float(MMR_LAM_DEN - MMR_LAM_NUM) / float(MMR_LAM_DEN)
+
+    diverged = False
+    for qi in range(MMR_N_QUERIES):
+        q = mat[qi]
+        sims = (mat @ q) / np.maximum(nrm * nrm[qi], 1e-12)
+        order = sorted(
+            ((-float(sims[i]), int(ids[i])) for i in range(len(ids)) if ids[i] != qi),
+        )[:MMR_SHORTLIST]
+        short = [vid for _, vid in order]
+        rel = {vid: round(float(sims[vid]), 6) for vid in short}
+        sub = mat[short]
+        subn = nrm[short]
+        psim = np.round(
+            (sub @ sub.T) / np.maximum(subn[:, None] * subn[None, :], 1e-12), 6
+        )
+        pos = {vid: i for i, vid in enumerate(short)}
+        selected: list[int] = []
+        for rank in range(1, MMR_K + 1):
+            best = None
+            for vid in short:
+                if vid in selected:
+                    continue
+                ms = max(
+                    (float(psim[pos[vid], pos[s]]) for s in selected),
+                    default=0.0,
+                )
+                score = lam * rel[vid] - one_m * ms
+                key = (-score, vid)
+                if best is None or key < best[0]:
+                    best = (key, vid, score)
+            _, pick, score = best
+            selected.append(pick)
+            gvid, gscore = got[(qi, rank)]
+            assert gvid == pick, (qi, rank, gvid, pick)
+            assert gscore == score, (qi, rank, gscore, score)
+        if selected != short[:MMR_K]:
+            diverged = True
+    assert diverged, "diversity term never changed a pick — vacuous fixture"
+
+
+def test_mmr_rerank_oracle_parity_staged(spark, sf_dir):
+    """The staged mmr_rerank DuckDB oracle (k unrolled greedy steps)
+    already passes the driver-faithful comparison."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_ann import (
+        _oracle_mmr_rerank,
+        q_mmr_rerank,
+    )
+    from .oracle_harness import compare
+
+    ok, msg = compare(
+        q_mmr_rerank(spark, sf_dir),
+        _oracle_mmr_rerank(),
+        sf_dir,
+        "mmr_rerank",
+    )
+    assert ok, msg

@@ -368,3 +368,101 @@ def _radius_join_lsh(
         .filter(pred)
         .select("left_id", "right_id", "dist")
     )
+
+
+def mmr_rerank(
+    shortlist: DataFrame,
+    k: int = 5,
+    lam_num: int = 7,
+    lam_den: int = 10,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Maximal-marginal-relevance diversity re-rank of a per-query
+    shortlist (Carbonell & Goldstein 1998) — the standard post-retrieval
+    step that trades relevance against redundancy:
+
+        pick argmax  λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s)
+
+    greedily k times per query (first pick: the diversity term is 0).
+    The shortlist is the output of a top-N retrieval (N ≈ dozens), so
+    the greedy is inherently tiny per query; queries are independent —
+    one Arrow ``applyInPandas`` keyed by ``query_id_col`` distributes
+    the re-rank across the query batch (the same shape as the
+    sequential-dedup greedy). At scale nothing but the shortlist rows
+    (Q·N) ever moves.
+
+    Cross-engine determinism (oracle contract): ``rel_col`` must carry a
+    ROUNDED (6-decimal) relevance; pairwise candidate cosines are
+    rounded to 6 decimals too (the kept-rounded class — sqrt-derived
+    values cannot land on the .5 boundary, scripts/tie_scan.py), and the
+    score arithmetic mirrors the oracle op-for-op:
+    (lam_num/lam_den)·rel − ((lam_den−lam_num)/lam_den)·maxsim on the
+    same rounded doubles — identical IEEE ops on identical operands,
+    ties broken by ascending id. Output: (query_id, rank, id, mmr_score
+    raw double).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    if not (0 < lam_num <= lam_den):
+        raise ValueError("lambda must be a fraction in (0, 1]")
+    lam = float(lam_num) / float(lam_den)
+    one_m = float(lam_den - lam_num) / float(lam_den)
+
+    qid_field = next(
+        f for f in shortlist.schema.fields if f.name == query_id_col
+    )
+    id_field = next(f for f in shortlist.schema.fields if f.name == id_col)
+    out_schema = StructType(
+        [
+            qid_field,
+            StructField("rank", IntegerType(), False),
+            id_field,
+            StructField("mmr_score", DoubleType(), False),
+        ]
+    )
+
+    def rerank(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="stable").reset_index(drop=True)
+        m = len(pdf)
+        x = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+        n = np.sqrt((x * x).sum(axis=1))
+        sim = np.round(
+            (x @ x.T) / np.maximum(n[:, None] * n[None, :], 1e-12), 6
+        )
+        rel = pdf[rel_col].to_numpy(dtype=np.float64)
+        ids = pdf[id_col].to_numpy()
+        selected: list[int] = []
+        remaining = list(range(m))
+        out_rows = []
+        for rank in range(1, min(k, m) + 1):
+            best = None
+            for i in remaining:
+                ms = max((float(sim[i, j]) for j in selected), default=0.0)
+                score = lam * float(rel[i]) - one_m * ms
+                key = (-score, ids[i])
+                if best is None or key < best[0]:
+                    best = (key, i, score)
+            _, pick, score = best
+            selected.append(pick)
+            remaining.remove(pick)
+            out_rows.append(
+                {
+                    query_id_col: pdf[query_id_col].iloc[pick],
+                    "rank": rank,
+                    id_col: ids[pick],
+                    "mmr_score": score,
+                }
+            )
+        return pd.DataFrame(out_rows, columns=[c.name for c in out_schema])
+
+    return shortlist.groupBy(query_id_col).applyInPandas(rerank, out_schema)

@@ -1645,6 +1645,126 @@ FROM qs q LEFT JOIN hits h USING (query_id)
 """
 
 
+# ---------------------------------------------------------------------------
+# Staged for the r8 window: MMR diversity re-rank
+# ---------------------------------------------------------------------------
+
+MMR_N_QUERIES = 4
+MMR_SHORTLIST = 20
+MMR_K = 5
+MMR_LAM_NUM, MMR_LAM_DEN = 7, 10
+
+
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance diversity re-rank
+    (operators.knn.mmr_rerank) of a cosine top-20 shortlist for 4 query
+    vectors (vec_id < 4), λ = 7/10, 5 picks per query — the standard
+    post-retrieval step between the reference's ``index.search`` and
+    its result grid. Exactness contract: shortlist relevance and
+    pairwise candidate cosines are rounded to 6 decimals (kept-rounded
+    class) and the greedy's score arithmetic mirrors the oracle
+    op-for-op on those rounded doubles, so selections and scores match
+    bit-for-bit. STAGED for the r8 verification window — oracle
+    parity-tested in tests/test_staged_ops.py so registration is a
+    2-line diff."""
+    from .operators.knn import knn_join, mmr_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qdf = emb.filter(F.col("vec_id") < MMR_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    short = knn_join(
+        emb, qdf, k=MMR_SHORTLIST, metric="cosine", exclude_self=True
+    ).select(
+        "query_id",
+        "vec_id",
+        "embedding",
+        F.round("dist", 6).alias("rel"),
+    )
+    out = mmr_rerank(
+        short, k=MMR_K, lam_num=MMR_LAM_NUM, lam_den=MMR_LAM_DEN
+    )
+    return out.select("query_id", "rank", "vec_id", "mmr_score")
+
+
+def _oracle_mmr_rerank(
+    n_queries: int = MMR_N_QUERIES,
+    shortlist: int = MMR_SHORTLIST,
+    k: int = MMR_K,
+    lam_num: int = MMR_LAM_NUM,
+    lam_den: int = MMR_LAM_DEN,
+) -> str:
+    """Mirror of the MMR greedy with the k selection steps UNROLLED as
+    chained CTEs (window row_number picks each step's argmax — no
+    recursion needed for a fixed k, and unlike a recursive CTE the
+    unrolled form may use window functions freely). Score arithmetic is
+    written exactly as the engine computes it:
+    (num/den)·rel − ((den−num)/den)·maxsim on the rounded doubles."""
+    lam = f"({lam_num}.0 / {lam_den}.0)"
+    one_m = f"({lam_den - lam_num}.0 / {lam_den}.0)"
+    parts = [
+        f"""
+qs AS MATERIALIZED (SELECT vec_id AS query_id, embedding AS qe
+                    FROM embeddings WHERE vec_id < {n_queries}),
+short AS MATERIALIZED (
+  SELECT query_id, vec_id, embedding, round(sim, 6) AS rel FROM (
+    SELECT q.query_id, e.vec_id, e.embedding,
+           {_dk_cosine('e.embedding', 'q.qe')} AS sim,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {_dk_cosine('e.embedding', 'q.qe')} DESC,
+                                       e.vec_id ASC) AS rn
+    FROM embeddings e CROSS JOIN qs q
+    WHERE e.vec_id <> q.query_id
+  ) WHERE rn <= {shortlist}
+),
+pair AS MATERIALIZED (
+  SELECT a.query_id, a.vec_id AS ia, b.vec_id AS ib,
+         round({_dk_cosine('a.embedding', 'b.embedding')}, 6) AS psim
+  FROM short a JOIN short b
+    ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
+),
+picks0 AS (SELECT query_id, CAST(NULL AS BIGINT) AS vec_id,
+                  0 AS rank, 0.0 AS mmr_score
+           FROM qs WHERE FALSE)"""
+    ]
+    for t in range(1, k + 1):
+        prev = f"picks{t - 1}"
+        parts.append(
+            f"""
+ms{t} AS (
+  SELECT s.query_id, s.vec_id, max(p.psim) AS m
+  FROM short s
+  JOIN {prev} sel ON sel.query_id = s.query_id
+  JOIN pair p ON p.query_id = s.query_id AND p.ia = s.vec_id
+             AND p.ib = sel.vec_id
+  GROUP BY s.query_id, s.vec_id
+),
+pick{t} AS (
+  SELECT query_id, vec_id, {t} AS rank, score AS mmr_score FROM (
+    SELECT s.query_id, s.vec_id,
+           {lam} * s.rel - {one_m} * COALESCE(m.m, 0.0) AS score,
+           row_number() OVER (PARTITION BY s.query_id
+                              ORDER BY ({lam} * s.rel
+                                        - {one_m} * COALESCE(m.m, 0.0)) DESC,
+                                       s.vec_id ASC) AS rn
+    FROM short s
+    LEFT JOIN ms{t} m ON m.query_id = s.query_id AND m.vec_id = s.vec_id
+    WHERE s.vec_id NOT IN (SELECT vec_id FROM {prev} x
+                           WHERE x.query_id = s.query_id)
+  ) WHERE rn = 1
+),
+picks{t} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM pick{t})"""
+        )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id, mmr_score
+FROM picks{k} WHERE rank >= 1
+"""
+    )
+
+
 ANN_QUERIES.update(
     {
         "kmeans_step": q_kmeans_step,
