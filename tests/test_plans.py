@@ -430,3 +430,40 @@ def test_size_aware_pins_gate_on_measured_rows(spark):
     assert "BroadcastHashJoin" in plan_free
     key = lambda r: (r.left_id, r.right_id)
     assert sorted(map(key, pinned.collect())) == sorted(map(key, free.collect()))
+
+
+def test_ann_recall_eval_prunes_partitions_no_cartesian(spark):
+    """Staged r8 plan contract: the approximate side of the recall
+    evaluation must read the IVF layout through parquet PARTITION
+    pruning (union-of-probes IN filter on the centroid directory key),
+    and the whole plan may contain no CartesianProduct — the exact side
+    is the broadcast kNN expansion, the approximate side a broadcast of
+    the per-query probe sets."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_ann import (
+        q_ann_recall_eval,
+    )
+
+    df = q_ann_recall_eval(spark, SF_SMOKE)
+    plan = _physical(df)
+    # union-of-probes partition filter on the directory key (INSET form;
+    # at the fixture's 32 queries x nprobe=4 the union can cover all 16
+    # cells — the pruning MECHANISM is what this pins, per-query cell
+    # restriction is pinned by the ivf_topk/ivf_topk_batch tests)
+    assert re.search(r"PartitionFilters: \[.*centroid.*INSET", plan)
+    assert "CartesianProduct" not in plan
+
+
+def test_mmr_rerank_single_group_shuffle(spark):
+    """Staged r8 plan contract: the MMR greedy runs as ONE
+    FlatMapGroupsInPandas keyed by query_id over the shortlist — the
+    only exchanges are the shortlist's two-phase rank window and the
+    greedy's group shuffle; no nested-loop join of candidates."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_ann import (
+        q_mmr_rerank,
+    )
+
+    df = q_mmr_rerank(spark, SF_SMOKE)
+    plan = _physical(df)
+    assert "FlatMapGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2

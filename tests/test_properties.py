@@ -239,3 +239,75 @@ def test_vocab_filter_reconstruction_round_trips(spark):
     }
     nonempty1 = {k: v for k, v in kept1.items() if v[0] > 0}
     assert nonempty1 == kept2
+
+
+@settings(max_examples=6, deadline=None, derandomize=True)
+@given(
+    st.integers(min_value=0, max_value=2**31 - 1),
+    st.integers(min_value=4, max_value=20),
+    st.integers(min_value=4, max_value=24),
+)
+def test_sequential_semantic_dedup_property(spark, seed, n_corpus, n_batch):
+    """Property: on RANDOM small vector sets (seeded numpy, deliberately
+    low-dimensional and coarsely quantized so near-dups are frequent),
+    semantic_dedup_incremental equals the arbitrary-precision sequential
+    greedy — corpus neighbors and KEPT lower-id batch neighbors only —
+    for every (corpus, batch) split hypothesis draws."""
+    from pyspark.sql import Row
+
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.dedup import (
+        semantic_dedup_incremental,
+    )
+
+    rng = np.random.default_rng(seed)
+    dim = 4
+    scale = 1 << 6  # coarse quantization → frequent exact collisions
+    num, den = 3, 10
+    vals = rng.integers(-2, 3, size=(n_corpus + n_batch, dim)).astype(
+        np.float64
+    ) / 2.0
+    rows = [
+        Row(vec_id=i, embedding=[float(x) for x in vals[i]])
+        for i in range(n_corpus + n_batch)
+    ]
+    df = spark.createDataFrame(rows)
+    init = [
+        [int(math.floor(x * scale + 0.5)) for x in vals[i]] for i in range(2)
+    ]
+    corpus = df.filter(df.vec_id < n_corpus)
+    batch = df.filter(df.vec_id >= n_corpus)
+    got = {
+        r.vec_id: (r.cid, r.keep)
+        for r in semantic_dedup_incremental(
+            corpus, batch, init, num, den, scale=scale
+        ).collect()
+    }
+
+    qv = [
+        [int(math.floor(x * scale + 0.5)) for x in vals[i]]
+        for i in range(n_corpus + n_batch)
+    ]
+    asg = {}
+    for i, v in enumerate(qv):
+        dists = [sum((a - b) * (a - b) for a, b in zip(v, c)) for c in init]
+        asg[i] = (dists.index(min(dists)), v, sum(x * x for x in v))
+
+    def dup(u, v):
+        uc, uq, un = asg[u]
+        vc, vq, vn = asg[v]
+        if uc != vc:
+            return False
+        dt = sum(a * b for a, b in zip(uq, vq))
+        return dt > 0 and den * den * dt * dt > num * num * un * vn
+
+    kept: list[int] = []
+    want = {}
+    for i in range(n_corpus, n_corpus + n_batch):
+        cid = asg[i][0]
+        dropped = any(dup(u, i) for u in range(n_corpus)) or any(
+            dup(u, i) for u in kept
+        )
+        want[i] = (cid, not dropped)
+        if not dropped:
+            kept.append(i)
+    assert got == want
