@@ -903,3 +903,89 @@ def test_mmr_rerank_oracle_parity_staged(spark, sf_dir):
         "mmr_rerank",
     )
     assert ok, msg
+
+
+def test_dedup_keep_best_matches_reference(spark):
+    """Staged r8: per-cluster best-quality representative — cluster
+    membership must match dedup_components' rosters and the pick must
+    be the max-quality member (ties → lowest id), recomputed from the
+    registered quality_score output."""
+    import collections
+
+    import __spark_entry__ as entrymod
+
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_text import (
+        q_dedup_keep_best,
+    )
+
+    got = {
+        r.component: (r.n_docs, r.keep_id, r.keep_quality)
+        for r in q_dedup_keep_best(spark, SF_SMOKE).collect()
+    }
+
+    comp_rows = entrymod.queries()["dedup_components"](spark, SF_SMOKE).collect()
+    qual = {
+        r.doc_id: r.quality
+        for r in entrymod.queries()["quality_score"](spark, SF_SMOKE).collect()
+    }
+    # reconstruct rosters from the pair table (components query only
+    # emits checksums): rebuild via union-find over the same pairs
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators import (
+        dedup as D,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    pairs = [
+        (r.left_id, r.right_id)
+        for r in D.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    ]
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in pairs:
+        union(a, b)
+    rosters = collections.defaultdict(list)
+    for n in list(parent):
+        rosters[find(n)].append(n)
+
+    want = {}
+    for comp, members in rosters.items():
+        best = min(members, key=lambda d: (-qual[d], d))
+        want[min(members)] = (len(members), best, qual[best])
+    assert got == want
+    # cross-check against the registered components row count
+    assert len(got) == len(comp_rows)
+    # the quality pick must differ from min-id for at least one cluster
+    # (else the test cannot distinguish keep-best from keep-first)
+    assert any(k != c for c, (_, k, _q) in got.items()), (
+        "every best-quality pick equals the min id — vacuous fixture"
+    )
+
+
+def test_dedup_keep_best_oracle_parity_staged(spark, sf_dir):
+    """The staged dedup_keep_best DuckDB oracle already passes the
+    driver-faithful comparison."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_text import (
+        _oracle_dedup_keep_best,
+        q_dedup_keep_best,
+    )
+    from .oracle_harness import compare
+
+    ok, msg = compare(
+        q_dedup_keep_best(spark, sf_dir),
+        _oracle_dedup_keep_best(),
+        sf_dir,
+        "dedup_keep_best",
+    )
+    assert ok, msg

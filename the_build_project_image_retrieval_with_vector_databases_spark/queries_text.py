@@ -1150,6 +1150,89 @@ FROM t LEFT JOIN kept k USING (doc_id)
 """
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster REPRESENTATIVE selection by quality — the step a
+    real corpus pipeline runs after clustering: for every MinHash-LSH
+    connected component, keep the HIGHEST-QUALITY member (ties → lowest
+    doc_id), not merely the lowest id. Output one row per cluster:
+    (component, n_docs, keep_id, keep_quality). Quality is the
+    engine's composite ratio score (raw-double arithmetic — bit-exact
+    cross-engine); the component labels are the min-label fixpoint of
+    `operators.graph.connected_components` and the oracle re-derives
+    them with a recursive-CTE transitive closure, then replays the same
+    window argmax. STAGED for the r8 verification window — oracle
+    parity-tested in tests/test_staged_ops.py so registration is a
+    2-line diff. Spill-and-release per the dedup cache contract."""
+    from .operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    handles: list = []
+    pairs = D.minhash_lsh_pairs(
+        docs, threshold=0.5, cache_handles=handles, pinned=D.pins_for(sf_dir)
+    )
+    labels = connected_components(pairs)  # (node, comp) — plain file scan
+    for h in handles:
+        h.unpersist()
+    toked = spread(docs).select(
+        "doc_id", "text", tokens("text").alias("__toks")
+    )
+    _a, _m, _s, quality = T.quality_exprs(F.col("text"), F.col("__toks"))
+    scored = toked.select("doc_id", quality.alias("quality"))
+    joined = labels.join(
+        scored, labels["node"] == scored["doc_id"]
+    ).select("comp", "doc_id", "quality")
+    w = Window.partitionBy("comp").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .withColumn("n_docs", F.count("*").over(Window.partitionBy("comp")))
+        .filter(F.col("rank") == 1)
+        .select(
+            F.col("comp").alias("component"),
+            F.col("n_docs"),
+            F.col("doc_id").alias("keep_id"),
+            F.col("quality").alias("keep_quality"),
+        )
+    )
+
+
+def _oracle_dedup_keep_best() -> str:
+    """Components transitive closure (same CTE chain as
+    _oracle_dedup_components) × the shared quality CTEs × the identical
+    window argmax (quality DESC, doc_id ASC)."""
+    pairs_sql = _oracle_jaccard(0.5, lsh=True)
+    return f"""
+WITH RECURSIVE
+{_quality_lang_ctes()},
+edges AS (SELECT left_id, right_id FROM ({pairs_sql})),
+und AS (
+  SELECT left_id AS a, right_id AS b FROM edges
+  UNION
+  SELECT right_id, left_id FROM edges
+),
+reach(a, b) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+),
+comp AS (
+  SELECT a AS node, least(a, min(b)) AS component
+  FROM reach GROUP BY a
+),
+sel AS (
+  SELECT c.component, q.doc_id, q.quality,
+         row_number() OVER (PARTITION BY c.component
+                            ORDER BY q.quality DESC, q.doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY c.component) AS n_docs
+  FROM comp c JOIN qual q ON q.doc_id = c.node
+)
+SELECT component, CAST(n_docs AS BIGINT) AS n_docs,
+       doc_id AS keep_id, quality AS keep_quality
+FROM sel WHERE rn = 1
+"""
+
+
 TEXT_QUERIES = {
     "token_stats": q_token_stats,
     "top_terms": q_top_terms,
