@@ -989,3 +989,57 @@ def test_dedup_keep_best_oracle_parity_staged(spark, sf_dir):
         "dedup_keep_best",
     )
     assert ok, msg
+
+
+def test_dedup_recall_eval_matches_reference(spark):
+    """Staged r8: the LSH-recall summary equals counts recomputed from
+    the two pair operators directly, and is non-trivial (some ground
+    truth, full precision — the LSH verify step re-checks true Jaccard,
+    so precision must be 1.0 by construction)."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators import (
+        dedup as D,
+    )
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_text import (
+        q_dedup_recall_eval,
+    )
+
+    row = q_dedup_recall_eval(spark, SF_SMOKE).collect()
+    assert len(row) == 1
+    r = row[0]
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    exact = {
+        (p.left_id, p.right_id)
+        for p in D.ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    lsh = {
+        (p.left_id, p.right_id)
+        for p in D.minhash_lsh_pairs(
+            docs, n=3, num_hashes=8, bands=4, threshold=0.5
+        ).collect()
+    }
+    assert (r.n_exact, r.n_lsh, r.n_hit) == (
+        len(exact),
+        len(lsh),
+        len(exact & lsh),
+    )
+    assert r.recall == len(exact & lsh) / max(len(exact), 1)
+    assert r.precision == 1.0, "verified LSH pairs must all be true pairs"
+    assert r.n_exact > 0 and 0.0 < r.recall <= 1.0
+
+
+def test_dedup_recall_eval_oracle_parity_staged(spark, sf_dir):
+    """The staged dedup_recall_eval DuckDB oracle already passes the
+    driver-faithful comparison."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_text import (
+        _oracle_dedup_recall_eval,
+        q_dedup_recall_eval,
+    )
+    from .oracle_harness import compare
+
+    ok, msg = compare(
+        q_dedup_recall_eval(spark, sf_dir),
+        _oracle_dedup_recall_eval(),
+        sf_dir,
+        "dedup_recall_eval",
+    )
+    assert ok, msg

@@ -1233,6 +1233,76 @@ FROM sel WHERE rn = 1
 """
 
 
+def q_dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the MinHash-LSH banding against the exact near-dup
+    ground truth — the bands×rows tuning measurement for the dedup
+    family (the twin of the staged `ann_recall_eval` on the ANN side).
+    Ground truth: ALL pairs with true Jaccard ≥ 0.5 via the
+    shingle-blocked exact join (exhaustive — a J ≥ 0.5 pair necessarily
+    shares a shingle); candidate set: the banded 8-hash/4-band
+    MinHash-LSH pipeline (verified pairs). One summary row:
+    (n_exact, n_lsh, n_hit, recall, precision) — counts are integers,
+    the ratios raw int/int doubles. STAGED for the r8 verification
+    window — oracle parity-tested in tests/test_staged_ops.py so
+    registration is a 2-line diff."""
+    from .operators.spill import materialize_and_release
+
+    docs = load_table(spark, sf_dir, "documents")
+    handles: list = []
+    exact = D.ngram_jaccard_pairs(docs, n=3, threshold=0.5).select(
+        "left_id", "right_id"
+    )
+    lsh = D.minhash_lsh_pairs(
+        docs, n=3, num_hashes=8, bands=4, threshold=0.5,
+        cache_handles=handles, pinned=D.pins_for(sf_dir),
+    ).select("left_id", "right_id")
+    e = exact.withColumn("__e", F.lit(1))
+    l = lsh.withColumn("__l", F.lit(1))
+    m = e.join(l, ["left_id", "right_id"], "full").agg(
+        F.count(F.col("__e")).alias("n_exact"),
+        F.count(F.col("__l")).alias("n_lsh"),
+        F.count(F.when(F.col("__e").isNotNull() & F.col("__l").isNotNull(), 1)).alias("n_hit"),
+    )
+    out = m.select(
+        F.col("n_exact").cast("long").alias("n_exact"),
+        F.col("n_lsh").cast("long").alias("n_lsh"),
+        F.col("n_hit").cast("long").alias("n_hit"),
+        (
+            F.col("n_hit").cast("double")
+            / F.greatest(F.col("n_exact"), F.lit(1)).cast("double")
+        ).alias("recall"),
+        (
+            F.col("n_hit").cast("double")
+            / F.greatest(F.col("n_lsh"), F.lit(1)).cast("double")
+        ).alias("precision"),
+    )
+    return materialize_and_release(out, handles, "dedup-recall-")
+
+
+def _oracle_dedup_recall_eval() -> str:
+    """Exact pairs = the shingle-blocked all-pairs Jaccard oracle at
+    τ=0.5; LSH pairs = the banded oracle; full-outer counts + int/int
+    ratios mirrored op-for-op."""
+    exact_sql = _oracle_jaccard(0.5, lsh=False)
+    lsh_sql = _oracle_jaccard(0.5, lsh=True)
+    return f"""
+WITH e AS (SELECT left_id, right_id FROM ({exact_sql})),
+l AS (SELECT left_id, right_id FROM ({lsh_sql})),
+m AS (
+  SELECT count(e.left_id) AS n_exact, count(l.left_id) AS n_lsh,
+         count(CASE WHEN e.left_id IS NOT NULL AND l.left_id IS NOT NULL
+                    THEN 1 END) AS n_hit
+  FROM e FULL OUTER JOIN l USING (left_id, right_id)
+)
+SELECT CAST(n_exact AS BIGINT) AS n_exact,
+       CAST(n_lsh AS BIGINT) AS n_lsh,
+       CAST(n_hit AS BIGINT) AS n_hit,
+       (n_hit::DOUBLE) / (greatest(n_exact, 1)::DOUBLE) AS recall,
+       (n_hit::DOUBLE) / (greatest(n_lsh, 1)::DOUBLE) AS precision
+FROM m
+"""
+
+
 TEXT_QUERIES = {
     "token_stats": q_token_stats,
     "top_terms": q_top_terms,
