@@ -616,3 +616,53 @@ def test_search_batch_facade(spark, emb, emb_np):
         search_batch(emb, [], index="flat")
     with pytest.raises(ValueError):
         search_batch(emb, queries, index="ivf", metric="cosine")
+
+
+def test_mmr_rerank_edges(spark):
+    """MMR edge contracts: a shortlist smaller than k yields min(k, m)
+    picks ranked 1..m; the first pick is always the pure-relevance
+    argmax (diversity term 0); λ validation raises."""
+    import pytest
+    from pyspark.sql import Row
+
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.knn import (
+        mmr_rerank,
+    )
+
+    rows = [
+        Row(query_id=0, vec_id=1, embedding=[1.0, 0.0], rel=0.9),
+        Row(query_id=0, vec_id=2, embedding=[1.0, 0.0], rel=0.9),  # twin of 1
+        Row(query_id=0, vec_id=3, embedding=[0.0, 1.0], rel=0.5),
+    ]
+    df = spark.createDataFrame(rows)
+    out = sorted(
+        mmr_rerank(df, k=5, lam_num=7, lam_den=10).collect(),
+        key=lambda r: r.rank,
+    )
+    assert [r.rank for r in out] == [1, 2, 3]
+    # pick 1: best rel, lowest id among ties; pick 2: the ORTHOGONAL doc
+    # beats the identical twin despite lower relevance
+    assert out[0].vec_id == 1
+    assert out[1].vec_id == 3
+    assert out[2].vec_id == 2
+
+    with pytest.raises(ValueError):
+        mmr_rerank(df, k=2, lam_num=0, lam_den=10)
+    with pytest.raises(ValueError):
+        mmr_rerank(df, k=2, lam_num=11, lam_den=10)
+
+
+def test_knn_join_arrow_k_exceeds_corpus(spark):
+    """k larger than the corpus returns every row once per query, still
+    correctly ranked."""
+    from pyspark.sql import Row
+
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.knn import (
+        knn_join_arrow,
+    )
+
+    rows = [Row(vec_id=i, embedding=[float(i), 0.0]) for i in range(3)]
+    corpus = spark.createDataFrame(rows)
+    out = knn_join_arrow(corpus, [0], [[0.0, 0.0]], k=10)
+    got = [(r.rank, r.vec_id) for r in sorted(out.collect(), key=lambda r: r.rank)]
+    assert got == [(1, 0), (2, 1), (3, 2)]
