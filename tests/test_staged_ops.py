@@ -521,16 +521,20 @@ def test_semantic_dedup_overflow_guard_raises(spark):
 
 def test_semantic_dedup_oracle_parity_staged(spark, sf_dir):
     """The staged semantic_dedup DuckDB oracle already passes the
-    driver-faithful comparison, so r7 registration is a 2-line diff."""
+    driver-faithful comparison, so r7 registration is a 2-line diff.
+    The oracle is built with the corpus-sized k so the test is valid at
+    ANY SPARK_GRAFT_TEST_SF_DIR — at the sf0.001/sf0.01 driver scales
+    sized_k_for == 8, i.e. exactly the registered default-k string."""
     from the_build_project_image_retrieval_with_vector_databases_spark.queries_ann import (
         _oracle_semantic_dedup,
         q_semantic_dedup,
+        sized_k_for,
     )
     from .oracle_harness import compare
 
     ok, msg = compare(
         q_semantic_dedup(spark, sf_dir),
-        _oracle_semantic_dedup(),
+        _oracle_semantic_dedup(k=sized_k_for(sf_dir)),
         sf_dir,
         "semantic_dedup",
     )
@@ -648,16 +652,19 @@ def test_semantic_dedup_incremental_matches_sequential(spark):
 
 def test_semantic_dedup_incremental_oracle_parity_staged(spark, sf_dir):
     """The staged semantic_dedup_incremental DuckDB oracle already
-    passes the driver-faithful comparison."""
+    passes the driver-faithful comparison. Oracle built with the
+    corpus-sized k (== the registered default at the driver scales) so
+    the test holds at any SPARK_GRAFT_TEST_SF_DIR."""
     from the_build_project_image_retrieval_with_vector_databases_spark.queries_ann import (
         _oracle_semantic_dedup_incremental,
         q_semantic_dedup_incremental,
+        sized_k_for,
     )
     from .oracle_harness import compare
 
     ok, msg = compare(
         q_semantic_dedup_incremental(spark, sf_dir),
-        _oracle_semantic_dedup_incremental(),
+        _oracle_semantic_dedup_incremental(k=sized_k_for(sf_dir)),
         sf_dir,
         "semantic_dedup_incremental",
     )
@@ -1043,3 +1050,75 @@ def test_dedup_recall_eval_oracle_parity_staged(spark, sf_dir):
         "dedup_recall_eval",
     )
     assert ok, msg
+
+
+def test_search_batch_matches_numpy_reference(spark):
+    """Registered r8 (VERDICT r7 #2): the Arrow/BLAS serving kernel via
+    the search_batch facade against a numpy ground truth — exact L2
+    top-k per query, self excluded, ties toward the lower vec_id, dist
+    rounded to 6 decimals exactly as the registry row emits it."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_ann import (
+        SB_K,
+        SB_Q_HI,
+        SB_Q_LO,
+        q_search_batch,
+    )
+
+    got = {
+        (r.query_id, r.rank): (r.vec_id, r.dist)
+        for r in q_search_batch(spark, SF_SMOKE).collect()
+    }
+    assert len(got) == (SB_Q_HI - SB_Q_LO) * SB_K
+
+    rows = sorted(
+        spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").collect(),
+        key=lambda r: r.vec_id,
+    )
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    for qi in range(SB_Q_LO, SB_Q_HI):
+        d = np.sqrt(((mat - mat[qi]) ** 2).sum(axis=1))
+        order = sorted(
+            (float(d[i]), int(ids[i]))
+            for i in range(len(ids))
+            if ids[i] != qi
+        )
+        for rank, (dist, vid) in enumerate(order[:SB_K], start=1):
+            gvid, gdist = got[(qi, rank)]
+            assert gvid == vid, (qi, rank, gvid, vid)
+            assert gdist == round(dist, 6), (qi, rank, gdist, dist)
+
+
+def test_search_batch_oracle_parity_staged(spark, sf_dir):
+    """The search_batch DuckDB oracle passes the driver-faithful
+    comparison — the BLAS kernel's rounded distances and raw ranks
+    hash-match the exact left-fold SQL."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_ann import (
+        _oracle_search_batch,
+        q_search_batch,
+    )
+    from .oracle_harness import compare
+
+    ok, msg = compare(
+        q_search_batch(spark, sf_dir),
+        _oracle_search_batch(),
+        sf_dir,
+        "search_batch",
+    )
+    assert ok, msg
+
+
+def test_search_batch_plan_no_corpus_shuffle(spark):
+    """Serving-kernel plan contract: the corpus scan feeds mapInPandas
+    directly (no exchange before scoring); the only hash exchange is
+    the tiny candidate window (≤ partitions·Q·k rows), and nothing
+    plans a cartesian product."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_ann import (
+        q_search_batch,
+    )
+
+    df = q_search_batch(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -616,92 +616,38 @@ ORACLES: dict[str, str] = {
 # a sibling still inside the window covers.
 # ---------------------------------------------------------------------------
 
-# Round-7 rotation + consolidation (VERDICT r6 #1/#4). Capacity math:
-# the judge's plan (retire 4, register 5) does not close — its four
-# retirement picks are all r6-CHECKED entries, so retiring them frees
-# no r7 window slots, and the 49 r5-green entries plus new
-# registrations exceed the 50-slot window. Resolution: additionally
-# retire SIX near-duplicate rows from the r5-green half, each with a
-# sibling still registered (see COVERAGE.md): knn_join_topk (→
-# knn_two_phase, same result contract), cosine_dedup (→ semantic_dedup
-# — the cluster-blocked scale shape of embedding-cosine dedup; the
-# banded radius_join plan stays pinned in test_plans), image_decode
-# (stub plumbing → image_decode_real/image_decode_jpeg, the real
-# decoders through the same seam), pq_topk (→ pq_rerank_topk +
-# ivfpq_topk), label_centroids (→ kmeans_train_assign, the trained
-# generalization of per-group vector means), tf_idf (→ bm25, the
-# strictly stronger lexical scorer; global-count scalars stay covered
-# by top_terms/decontaminate). Registry: 99 − 10 + 6 = 95.
+# Round-8 rotation (VERDICT r7 #1/#2). Capacity math: the r8 window
+# must re-check the 45 entries last checked in r6 (round 7's
+# _ROTATE_OUT) plus every new registration — 45 + 5 = exactly 50.
+# The five registrations, all staged-and-3-SF-pre-verified in
+# tests/test_staged_ops.py before registration: ann_recall_eval,
+# mmr_rerank, dedup_keep_best, dedup_recall_eval (VERDICT #1), and
+# search_batch (VERDICT #2 — the Arrow/BLAS serving kernel under the
+# oracle). Registry: 95 + 5 = 100, the 2×window hard cap. No
+# registered query's implementation changed this round (the serve
+# harness fix touched only the unregistered rate-source driver in
+# streaming/queries.py), so no r7-checked entry needs a slot.
 #
-# Window (exactly 50): the 43 surviving r5-green entries
-# (quality_score first — its tie-hardening diff is the
-# least-recently-verified change), then lsh_near_dup (implementation
-# changed this round: corpus-sized planes + re-derived oracle), then
-# the SIX new registrations. The hint-only size-aware join-pin changes
-# (same results, different join strategy below the pin threshold) are
-# deliberately NOT window-prioritized: hints cannot move results, and
-# the full 95-entry driver-faithful sim re-verified them locally at
-# sf0.01 this round.
+# ROUND-9 WINDOW PLAN (write-ahead, per the r7→r8 handoff discipline):
+# r9's window must hold the 50 entries below in _ROTATE_OUT (last
+# checked r7) — ZERO free slots. Any r9 registration or
+# implementation change to an r8-checked entry requires retiring from
+# the r8 _ROTATE_OUT half (the r7-checked 50), one-for-one, BEFORE
+# adding. Pre-agreed retirement candidates from that half, each with
+# a registered sibling covering its semantics (see COVERAGE.md):
+#   1. ship_mode_counts      → order_count_distribution (same
+#      grouped-count-distribution class, 2-row vs 20-row instance)
+#   2. views_before_purchase → asof_join (same event-sequence
+#      backward-join machinery over the same 1981-row result shape)
+#   3. regional_volume       → part_profit + supplier_rollup (the
+#      dim-join + group-agg pattern, kept in two stronger forms)
+#   4. sq_topk               → ivfpq_topk + pq_rerank_topk (the
+#      quantized-tier family keeps its two stronger members)
+# Retiring k of these frees exactly k r9 window slots and k registry
+# slots. Do NOT retire from the list directly below — those rows are
+# the ones r9 must re-check.
 _CHECK_FIRST: list[str] = [
-    "quality_score",
-    "train_metrics",
-    "set_ops",
-    "kmv_distinct_sketch",
-    "value_quantiles",
-    "streaming_dedup_batch",
-    "pq_rerank_topk",
-    "exact_dedup",
-    "tumbling_window",
-    "sessionize",
-    "frame_sample",
-    "jsonl_ingest",
-    "knn_display",
-    "regional_volume",
-    "part_profit",
-    "forecast_revenue",
-    "running_revenue",
-    "order_priority_semi",
-    "customers_without_orders",
-    "supplier_rollup",
-    "asof_join",
-    "image_decode_real",
-    "funnel_conversion",
-    "split_counts",
-    "order_count_distribution",
-    "bucketed_revenue",
-    "sq_topk",
-    "suffix_join_equi",
-    "language_id",
-    "salted_term_counts",
-    "bpe_token_counts",
-    "top_docs_per_lang",
-    "views_before_purchase",
-    "ivfpq_topk",
-    "ship_mode_counts",
-    "ann_search",
-    "seq_packing",
-    "vocab_filter",
-    "retention_cohorts",
-    "min_cost_order",
-    "dominant_suppliers",
-    "decontaminate",
-    "cms_heavy_hitters",
-    # changed this round (sized planes, re-derived oracle):
-    "lsh_near_dup",
-    # new in round 7 → never driver-checked → in-window:
-    "pii_scrub",
-    "bm25",
-    "kmeans_step",
-    "kmeans_train_assign",
-    "semantic_dedup",
-    "semantic_dedup_incremental",
-]
-
-# The 45 surviving r6-checked entries rotate out this round (every one
-# carries a green CORRECTNESS_r06 row; lsh_near_dup moved to the front
-# because its implementation changed). Across r6+r7 every registry
-# entry again has a green row ≤1 round old.
-_ROTATE_OUT: list[str] = [
+    # the 45 r6-green entries rotate back into the window:
     "clean_corpus",
     "dedup_components",
     "distinct_labels",
@@ -747,6 +693,68 @@ _ROTATE_OUT: list[str] = [
     "waiting_suppliers",
     "weighted_sample",
     "zorder_keys",
+    # new in round 8 → never driver-checked → in-window:
+    "ann_recall_eval",
+    "mmr_rerank",
+    "dedup_keep_best",
+    "dedup_recall_eval",
+    "search_batch",
+]
+
+# The 50 r7-checked entries rotate out this round (every one carries a
+# green CORRECTNESS_r07 row). Across r7+r8 every registry entry again
+# has a green row ≤1 round old.
+_ROTATE_OUT: list[str] = [
+    "quality_score",
+    "train_metrics",
+    "set_ops",
+    "kmv_distinct_sketch",
+    "value_quantiles",
+    "streaming_dedup_batch",
+    "pq_rerank_topk",
+    "exact_dedup",
+    "tumbling_window",
+    "sessionize",
+    "frame_sample",
+    "jsonl_ingest",
+    "knn_display",
+    "regional_volume",
+    "part_profit",
+    "forecast_revenue",
+    "running_revenue",
+    "order_priority_semi",
+    "customers_without_orders",
+    "supplier_rollup",
+    "asof_join",
+    "image_decode_real",
+    "funnel_conversion",
+    "split_counts",
+    "order_count_distribution",
+    "bucketed_revenue",
+    "sq_topk",
+    "suffix_join_equi",
+    "language_id",
+    "salted_term_counts",
+    "bpe_token_counts",
+    "top_docs_per_lang",
+    "views_before_purchase",
+    "ivfpq_topk",
+    "ship_mode_counts",
+    "ann_search",
+    "seq_packing",
+    "vocab_filter",
+    "retention_cohorts",
+    "min_cost_order",
+    "dominant_suppliers",
+    "decontaminate",
+    "cms_heavy_hitters",
+    "lsh_near_dup",
+    "pii_scrub",
+    "bm25",
+    "kmeans_step",
+    "kmeans_train_assign",
+    "semantic_dedup",
+    "semantic_dedup_incremental",
 ]
 def _window_order(d: dict) -> dict:
     front = {k: d[k] for k in _CHECK_FIRST if k in d}

@@ -1765,12 +1765,87 @@ FROM picks{k} WHERE rank >= 1
     )
 
 
+# ---------------------------------------------------------------------------
+# Registered r8: the Arrow/BLAS serving kernel under the oracle contract
+# ---------------------------------------------------------------------------
+
+SB_Q_LO = 48
+SB_Q_HI = 64
+SB_K = 10
+
+
+def q_search_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The serving throughput kernel under the driver's hash-match
+    contract: ``search.search_batch(index="flat")`` routes a 16-query
+    batch (48 ≤ vec_id < 64) through ``knn_join_arrow`` — one B×D @
+    D×Q matmul per corpus partition, per-partition ``argpartition``
+    heaps, one tiny window rank over ≤ partitions·Q·k candidates. This
+    is the exact query-matrix shape of the reference's
+    ``index.search(q, k)`` (``utils/faiss_utils.py:19-22``) and the
+    kernel behind SERVE_LATENCY.json; every other registry row runs the
+    expression operators, so this row is what puts the BLAS path itself
+    under the oracle. Exactness contract: BLAS accumulation order is
+    not the oracle's left-fold, so ``dist`` is rounded to 6 decimals
+    (kept-rounded class, same as ``mmr_rerank``); ranks compare RAW —
+    the fixture's distance gaps dwarf the ~1e-12 BLAS/fold divergence
+    (rank parity with the exact operator is additionally pinned in
+    tests/test_ann.py). Corpus never shuffles; candidate volume is
+    independent of N."""
+    from .search import search_batch
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrows = (
+        emb.filter((F.col("vec_id") >= SB_Q_LO) & (F.col("vec_id") < SB_Q_HI))
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    queries = [(int(r.vec_id), [float(x) for x in r.embedding]) for r in qrows]
+    out = search_batch(
+        emb, queries, k=SB_K, index="flat", metric="l2", exclude_self=True
+    )
+    return out.select(
+        "query_id",
+        F.col("rank").cast("int").alias("rank"),
+        "vec_id",
+        F.round("dist", 6).alias("dist"),
+    )
+
+
+def _oracle_search_batch(
+    k: int = SB_K, lo: int = SB_Q_LO, hi: int = SB_Q_HI
+) -> str:
+    """Exact batched kNN: per-query window rank over L2 distance
+    (dist ASC, vec_id ASC — the same tie rule as the kernel's global
+    window), dist rounded to 6 decimals to absorb the BLAS/left-fold
+    accumulation divergence."""
+    return f"""
+WITH qs AS MATERIALIZED (SELECT vec_id AS query_id, embedding AS qe
+                         FROM embeddings
+                         WHERE vec_id >= {lo} AND vec_id < {hi})
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id,
+       round(dist, 6) AS dist
+FROM (
+  SELECT q.query_id, e.vec_id,
+         {_dk_l2('e.embedding', 'q.qe')} AS dist,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY {_dk_l2('e.embedding', 'q.qe')} ASC,
+                                     e.vec_id ASC) AS rank
+  FROM embeddings e CROSS JOIN qs q
+  WHERE e.vec_id <> q.query_id
+) WHERE rank <= {k}
+"""
+
+
 ANN_QUERIES.update(
     {
         "kmeans_step": q_kmeans_step,
         "kmeans_train_assign": q_kmeans_train_assign,
         "semantic_dedup": q_semantic_dedup,
         "semantic_dedup_incremental": q_semantic_dedup_incremental,
+        "ann_recall_eval": q_ann_recall_eval,
+        "mmr_rerank": q_mmr_rerank,
+        "search_batch": q_search_batch,
     }
 )
 ANN_ORACLES.update(
@@ -1779,5 +1854,8 @@ ANN_ORACLES.update(
         "kmeans_train_assign": _oracle_kmeans_train_assign(),
         "semantic_dedup": _oracle_semantic_dedup(),
         "semantic_dedup_incremental": _oracle_semantic_dedup_incremental(),
+        "ann_recall_eval": _oracle_ann_recall_eval(),
+        "mmr_rerank": _oracle_mmr_rerank(),
+        "search_batch": _oracle_search_batch(),
     }
 )

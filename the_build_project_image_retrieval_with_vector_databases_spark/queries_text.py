@@ -1330,6 +1330,8 @@ TEXT_QUERIES = {
     "vocab_filter": q_vocab_filter,
     "pii_scrub": q_pii_scrub,
     "bm25": q_bm25,
+    "dedup_keep_best": q_dedup_keep_best,
+    "dedup_recall_eval": q_dedup_recall_eval,
 }
 
 TEXT_ORACLES = {
@@ -1359,4 +1361,6 @@ TEXT_ORACLES = {
     "vocab_filter": ORACLE_VOCAB_FILTER,
     "pii_scrub": _oracle_pii_scrub(),
     "bm25": _oracle_bm25(),
+    "dedup_keep_best": _oracle_dedup_keep_best(),
+    "dedup_recall_eval": _oracle_dedup_recall_eval(),
 }

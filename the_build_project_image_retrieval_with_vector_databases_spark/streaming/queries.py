@@ -189,12 +189,14 @@ def serve_loop_rate(
     latencies: list | None = None,
     sink: Callable[[DataFrame, int], None] | None = None,
     trigger_ms: int = 500,
+    payload_pool: int = 256,
 ) -> StreamingQuery:
     """Continuous serving harness (§2.9 latency path): the built-in
     ``rate`` source emits query arrivals at a fixed rate; each microbatch
-    maps arrivals onto corpus vectors (``value % N`` — a stand-in for a
-    real request payload, which would carry its own vector), scores the
-    whole batch against the cached corpus with the Arrow/BLAS kNN join
+    maps arrivals onto a BOUNDED pool of corpus vectors
+    (``value % payload_pool`` — a stand-in for a real request payload,
+    which would carry its own vector), scores the whole batch against
+    the cached corpus with the Arrow/BLAS kNN join
     (:func:`~..operators.knn.knn_join_arrow` — one matmul per corpus
     partition, per-partition top-k heaps, tiny global rank; the
     expression-based exact join is ~11 µs/pair interpreted and cannot
@@ -207,20 +209,29 @@ def serve_loop_rate(
     interval + queue wait + score + sink. At scale the corpus side is
     the same partitioned/cached table every executor already holds —
     the per-epoch work that scales with arrival rate is one Q×D
-    broadcast and a partitions·Q·k candidate rank. The id→vector
-    payload map is HARNESS state (real requests carry vectors); it is
-    collected once at loop start, O(N·D) driver memory at fixture
-    scale only."""
+    broadcast and a partitions·Q·k candidate rank. The request payload
+    pool is HARNESS state (real requests carry vectors) and is
+    SCALE-HONEST: the ``payload_pool`` lowest-id corpus vectors, one
+    ``TakeOrderedAndProject`` collect of pool×D floats at loop start —
+    driver memory is O(pool·D) regardless of corpus size (never the
+    r7 full-corpus O(N·D) collect). Pooled vectors are real corpus
+    rows, so scored distances keep the corpus' neighbor structure; the
+    measured path (:func:`knn_join_arrow`) is unchanged."""
     import time
 
     from ..operators.knn import knn_join_arrow
 
     corpus = corpus.cache()
-    payload = {
-        r[0]: list(r[1])
-        for r in corpus.select(id_col, vec_col).collect()
-    }
+    pool_rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.col(id_col).asc())
+        .limit(payload_pool)
+        .collect()
+    )
+    payload = [list(r[1]) for r in pool_rows]
     n = len(payload)
+    if n == 0:
+        raise ValueError("corpus is empty — nothing to serve")
 
     def score_batch(batch: DataFrame, epoch_id: int) -> None:
         # one job reads the arrival floor AND answers the empty check —
