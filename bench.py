@@ -71,8 +71,30 @@ def main() -> None:
     except ValueError:
         sf = -1.0
 
-    # warmup: JVM/codegen + parquet footers
-    materialize(Q.QUERIES["label_counts"](spark, SF_DIR))
+    # Warm-up phase: the JVM's C2 compiler needs seconds of EXECUTION
+    # before shared Spark infrastructure (parquet reader, shuffle
+    # writer, codegen framework, Arrow serialization) reaches steady
+    # state. r6/r7 showed a reproducible artifact: whichever queries
+    # sat at the HEAD of the sweep ran +0.3-0.5 s slow that round and
+    # "recovered" when the window rotation moved them deeper (r6
+    # dedup_components, r7 quality_score/set_ops — every r7-head query
+    # was slower in r7 than r6, every r6-head query the reverse).
+    # Running a fixed machinery-diverse set untimed (twice) detaches
+    # the measured times from dict position. Per-query codegen is
+    # still warmed by each query's own first min-of-2 run.
+    warm_set = [
+        "pricing_summary",       # parquet scan + decimal agg
+        "regional_volume",       # multi-way broadcast/shuffle join
+        "running_revenue",       # window frame machinery
+        "token_stats",           # text explode + string exprs
+        "knn_l2_topk",           # vector higher-order exprs + top-k
+        "exact_dedup",           # hash shuffle dedup
+    ]
+    for _ in range(2):
+        for wname in warm_set:
+            if wname in Q.QUERIES:
+                materialize(Q.QUERIES[wname](spark, SF_DIR))
+        spark.catalog.clearCache()
 
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:

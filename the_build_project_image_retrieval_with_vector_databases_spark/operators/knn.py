@@ -160,6 +160,11 @@ def knn_join_arrow(
             StructField("dist", DoubleType(), False),
         ]
     )
+    # Column pruning does not cross mapInPandas — project the two used
+    # columns explicitly so the parquet scan's ReadSchema never carries
+    # payload columns the kernel ignores (at 100 TB that's the
+    # difference between scanning two columns and scanning the table).
+    corpus = corpus.select(id_col, vec_col)
 
     def score(batches):
         for pdf in batches:
