@@ -1122,3 +1122,162 @@ def test_search_batch_plan_no_corpus_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_batch_assignments_matches_python_reference(spark):
+    """Staged r9 (SA3 oracle gap): global-canonical batch assignment
+    against a single-threaded reference — identical permutation, batch
+    ids, slots, and global drop-last cut; the assignment must be a pure
+    function of (ids, seed, size), so a repartitioned input yields the
+    SAME rows."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.batching import (
+        batch_assignments,
+    )
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.sample import (
+        HASH_MOD,
+        HASH_MULT,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").select("vec_id")
+    got = {
+        r.vec_id: (r.batch_id, r.pos)
+        for r in batch_assignments(emb, batch_size=16, seed=42).collect()
+    }
+
+    ids = sorted(r.vec_id for r in emb.collect())
+    order = sorted(ids, key=lambda i: (((i + 42) * HASH_MULT) % HASH_MOD, i))
+    keep = len(order) - (len(order) % 16)
+    want = {vid: (rk // 16, rk % 16) for rk, vid in enumerate(order[:keep])}
+    assert got == want
+    assert len(got) == keep and keep < len(ids), "drop_last must cut globally"
+
+    # physical-layout independence: a different partitioning, same rows
+    got2 = {
+        r.vec_id: (r.batch_id, r.pos)
+        for r in batch_assignments(
+            emb.repartition(7), batch_size=16, seed=42
+        ).collect()
+    }
+    assert got2 == got
+
+
+def test_batch_assignments_oracle_parity_staged(spark, sf_dir):
+    """The staged batch_assignments DuckDB oracle passes the
+    driver-faithful comparison (all-integer arithmetic — bit-exact)."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_ann import (
+        _oracle_batch_assignments,
+        q_batch_assignments,
+    )
+    from .oracle_harness import compare
+
+    ok, msg = compare(
+        q_batch_assignments(spark, sf_dir),
+        _oracle_batch_assignments(),
+        sf_dir,
+        "batch_assignments",
+    )
+    assert ok, msg
+
+
+def test_batch_assignments_plan_two_phase(spark):
+    """Scale contract: the global rank must NEVER plan a single-task
+    corpus sort — the offsets/total sides are broadcast and the
+    per-bucket rank window runs after a hash exchange on the bucket."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_ann import (
+        q_batch_assignments,
+    )
+
+    df = q_batch_assignments(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # the corpus-side window is partitioned by _bkt (parallel), never a
+    # global ORDER BY over the full table in one task: every
+    # single-partition exchange in the plan belongs to the tiny
+    # offsets/total aggregates, which arrive at the corpus via broadcast
+    assert "BroadcastExchange" in plan
+    import re
+    corpus_windows = [
+        l for l in plan.splitlines()
+        if "Window" in l and "_key" in l and "windowspecdefinition(_bkt" in l
+    ]
+    assert corpus_windows, "bucket-partitioned rank window missing"
+
+
+def test_embedding_outliers_matches_numpy_reference(spark):
+    """Staged r9: the embedding-quality outlier screen against an
+    integer-exact numpy reference — same quantization, assignment,
+    first-min ties, and cross-multiplied flag; the screen must be
+    non-vacuous on the fixture (some outliers, never a whole cluster)."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_ann import (
+        OUT_DEN,
+        OUT_K,
+        OUT_NUM,
+        q_embedding_outliers,
+    )
+
+    got = {
+        r.vec_id: (r.cid, r.dist2, r.is_outlier)
+        for r in q_embedding_outliers(spark, SF_SMOKE).collect()
+    }
+
+    rows = sorted(
+        spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").collect(),
+        key=lambda r: r.vec_id,
+    )
+    scale = 1 << 20
+    qv = {
+        r.vec_id: np.floor(
+            np.asarray(r.embedding, dtype=np.float64) * scale + 0.5
+        ).astype(np.int64)
+        for r in rows
+    }
+    cents = [qv[i] for i in range(OUT_K)]
+    want_assign = {}
+    for vid, v in qv.items():
+        d = [int(((v - c) ** 2).sum()) for c in cents]
+        cid = d.index(min(d))  # first-min tie-break
+        want_assign[vid] = (cid, min(d))
+    agg: dict = {}
+    for vid, (cid, d2) in want_assign.items():
+        n, s = agg.get(cid, (0, 0))
+        agg[cid] = (n + 1, s + d2)
+    want = {
+        vid: (cid, d2, d2 * OUT_DEN * agg[cid][0] > OUT_NUM * agg[cid][1])
+        for vid, (cid, d2) in want_assign.items()
+    }
+    assert got == want
+    flags = [v[2] for v in got.values()]
+    assert any(flags) and not all(flags), "vacuous screen"
+
+
+def test_embedding_outliers_oracle_parity_staged(spark, sf_dir):
+    """The staged embedding_outliers DuckDB oracle passes the
+    driver-faithful comparison (all-integer / HUGEINT — bit-exact)."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_ann import (
+        _oracle_embedding_outliers,
+        q_embedding_outliers,
+    )
+    from .oracle_harness import compare
+
+    ok, msg = compare(
+        q_embedding_outliers(spark, sf_dir),
+        _oracle_embedding_outliers(),
+        sf_dir,
+        "embedding_outliers",
+    )
+    assert ok, msg
+
+
+def test_embedding_outliers_plan_broadcast_stats(spark):
+    """Scale contract: the per-cluster totals come back via broadcast —
+    the corpus never hash-shuffles for the join; the only hash exchange
+    is the k-row aggregate."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_ann import (
+        q_embedding_outliers,
+    )
+
+    df = q_embedding_outliers(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1  # the k-row agg

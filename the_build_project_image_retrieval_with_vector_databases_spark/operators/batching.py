@@ -132,3 +132,84 @@ def pack_sequences(
             .alias("bin"),
         )
     )
+
+
+def batch_assignments(
+    df: DataFrame,
+    batch_size: int = 16,
+    drop_last: bool = True,
+    id_col: str = "vec_id",
+    seed: int = 42,
+    bucket_width: int = 1 << 22,
+) -> DataFrame:
+    """Globally-CANONICAL fixed-size batches — the oracle-checkable form
+    of :func:`fixed_batches` (SURVEY §2.5 SA3, the reference's
+    ``DataLoader(batch_size, shuffle=True, drop_last=True)``,
+    ``train_model.py:49-50``). Where ``fixed_batches`` tags
+    ``(partition_id, local_batch)`` — stable within a run but dependent
+    on the physical partitioning — this operator derives batch ids from
+    the GLOBAL deterministic-shuffle order, so the assignment is a pure
+    function of (ids, seed, batch_size): reproducible across cluster
+    sizes, re-runs, and engines. Output one row per surviving input
+    row: ``(id_col, batch_id, pos)`` with ``batch_id =
+    floor(global_rank / batch_size)`` and ``pos`` the 0-based slot
+    inside the batch; ``drop_last`` removes the trailing partial batch
+    GLOBALLY (exactly the reference's semantics, unlike the
+    per-partition analogue documented on ``fixed_batches``).
+
+    Scale shape (the 100 TB question): a naive global
+    ``row_number() OVER (ORDER BY key)`` is a single-task sort. This
+    runs the same two-phase scheme as :func:`pack_sequences` /
+    ``sample.weighted_multinomial_sample``: the multiplicative-hash
+    shuffle key is range-bucketed (``floor(key / bucket_width)`` —
+    hash values are uniform on [0, 2^31), so ~2^31/bucket_width ordered
+    buckets of ~N·bucket_width/2^31 rows each); per-bucket counts get
+    prefix offsets through one ordered window over #buckets rows (512
+    buckets at the default — broadcast, never the corpus); within-bucket
+    ranks run partition-parallel. The only corpus-wide operations are
+    the bucket hash exchange and the broadcast joins of the offsets
+    table and the 1-row total (for the global drop-last cut).
+    """
+    key = shuffle_key(id_col, seed)
+    base = df.select(
+        F.col(id_col),
+        key.alias("_key"),
+        F.floor(key / F.lit(bucket_width)).cast("long").alias("_bkt"),
+    )
+    counts = base.groupBy("_bkt").agg(F.count("*").alias("_bn"))
+    offsets = counts.withColumn(
+        "_off",
+        F.coalesce(
+            F.sum("_bn").over(
+                Window.orderBy("_bkt").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ),
+    ).select("_bkt", "_off")
+    total = counts.agg(F.sum("_bn").alias("_total"))
+
+    ranked = (
+        base.join(F.broadcast(offsets), "_bkt")
+        .withColumn(
+            "_rank",
+            F.col("_off")
+            + F.row_number().over(
+                Window.partitionBy("_bkt").orderBy(
+                    F.col("_key").asc(), F.col(id_col).asc()
+                )
+            )
+            - F.lit(1),
+        )
+    )
+    if drop_last:
+        ranked = ranked.join(F.broadcast(total)).filter(
+            F.col("_rank")
+            < F.col("_total") - (F.col("_total") % F.lit(batch_size))
+        )
+    return ranked.select(
+        id_col,
+        F.floor(F.col("_rank") / batch_size).cast("long").alias("batch_id"),
+        (F.col("_rank") % F.lit(batch_size)).cast("int").alias("pos"),
+    )

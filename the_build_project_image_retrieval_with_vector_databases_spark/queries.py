@@ -646,6 +646,16 @@ ORACLES: dict[str, str] = {
 # Retiring k of these frees exactly k r9 window slots and k registry
 # slots. Do NOT retire from the list directly below — those rows are
 # the ones r9 must re-check.
+#
+# Two registration candidates are ALREADY STAGED for r9 (implemented,
+# reference-tested, 3-SF oracle-verified in tests/test_staged_ops.py):
+#   - batch_assignments (queries_ann.q_batch_assignments) — the
+#     globally-canonical SA3 DataLoader batching, closing the last
+#     SURVEY §2 component without an oracle row; pair with retirement
+#     candidate #1 (ship_mode_counts).
+#   - embedding_outliers (queries_ann.q_embedding_outliers) — the
+#     embedding-quality outlier screen (integer-exact cross-multiplied
+#     flag); pair with retirement candidate #2 (views_before_purchase).
 _CHECK_FIRST: list[str] = [
     # the 45 r6-green entries rotate back into the window:
     "clean_corpus",

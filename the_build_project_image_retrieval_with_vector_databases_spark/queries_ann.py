@@ -1837,6 +1837,167 @@ FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# Staged for the r9 window: embedding outlier screen (data quality)
+# ---------------------------------------------------------------------------
+
+OUT_K = 8                  # screen granularity — see the docstring scale note
+OUT_NUM, OUT_DEN = 6, 5    # flag dist² > (6/5) × cluster mean dist² — random
+#                            unit vectors CONCENTRATE distances (measured
+#                            ratio range ≈ [0, 1.31] across all 3 SFs), so an
+#                            integer factor would be vacuous; 6/5 flags the
+#                            ~1-2% heavy tail at every SF
+
+
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality outlier screen — the drop-corrupt-vectors gate
+    a training pipeline runs before indexing (degenerate/garbage
+    embeddings poison both ANN recall and semantic dedup): assign every
+    vector to its nearest of k=8 lowest-id centroids with the exact
+    integer-L2² argmin (the `kmeans_step` machinery), then flag rows
+    whose squared distance exceeds ``OUT_NUM/OUT_DEN ×`` their
+    cluster's mean squared distance. The test is division-free
+    cross-multiplied integer arithmetic
+    (``dist²·den·n_c > num·Σdist²_c``, carried in
+    decimal(38,0) / HUGEINT — the `idle_customers`/`semantic_dedup`
+    idiom), so the flag is bit-exact cross-engine. Output one row per
+    vector: (vec_id, cid, dist2, is_outlier).
+
+    Scale shape: one corpus scan computes the assignment, a k-row
+    partial-aggregated per-cluster total broadcasts back — the corpus
+    itself never shuffles. k is a SCREEN GRANULARITY, not a blocking
+    factor: per-row cost is k·D regardless of N (linear, 32-way
+    parallel) and candidate volume never depends on it, so the fixed
+    driver-pin k keeps the pure-Catalyst no-Python-worker plan
+    (LITERAL_K_MAX contract); a corpus-sized k would route the same
+    semantics through the Arrow int64-matmul path unchanged. STAGED
+    for the r9 window (registry at the 100 cap — registration pairs
+    with a retirement from the candidates in queries.py)."""
+    from .operators.ann import KMEANS_SCALE, quantize_vec
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select("vec_id", quantize_vec("embedding", KMEANS_SCALE).alias("qv"))
+    crows = (
+        q.filter(F.col("vec_id") < OUT_K)
+        .orderBy("vec_id")
+        .collect()
+    )
+    cents = F.array(
+        *[F.array(*[F.lit(int(v)) for v in r.qv]) for r in crows]
+    )
+    dists = F.transform(
+        cents,
+        lambda c: F.aggregate(
+            F.zip_with(F.col("qv"), c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    assigned = q.select(
+        "vec_id",
+        (F.array_position(dists, F.array_min(dists)) - 1)
+        .cast("int")
+        .alias("cid"),
+        F.array_min(dists).alias("dist2"),
+    )
+    per = assigned.groupBy("cid").agg(
+        F.count("*").alias("n_c"),
+        F.sum(F.col("dist2").cast("decimal(38,0)")).alias("sum_d2"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    return assigned.join(F.broadcast(per), "cid").select(
+        "vec_id",
+        "cid",
+        "dist2",
+        (
+            dec(F.col("dist2")) * F.lit(OUT_DEN) * dec(F.col("n_c"))
+            > F.lit(OUT_NUM) * F.col("sum_d2")
+        ).alias("is_outlier"),
+    )
+
+
+def _oracle_embedding_outliers(
+    k: int = OUT_K, num: int = OUT_NUM, den: int = OUT_DEN,
+    dim: int = EMB_DIM,
+) -> str:
+    """Mirror: same floor-quantization and lowest-id centroids as the
+    kmeans_step oracle, min-distance assignment (first-min ties), then
+    the identical cross-multiplied integer outlier test in HUGEINT."""
+    scale = 1 << 20
+    return f"""
+WITH q AS (SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(((x::DOUBLE) * {scale}.0) + 0.5) AS BIGINT)) AS qv
+       FROM embeddings),
+c AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, qv AS cv
+      FROM (SELECT * FROM q WHERE vec_id < {k} ORDER BY vec_id)),
+d AS (SELECT q.vec_id, c.cid,
+         list_reduce(list_transform(range(1, {dim + 1}),
+                                    i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i])),
+                     (a, b) -> a + b) AS dist
+      FROM q, c),
+dd AS (SELECT vec_id, list(dist ORDER BY cid) AS dists FROM d GROUP BY vec_id),
+a AS (SELECT vec_id,
+         CAST(list_position(dists, list_min(dists)) - 1 AS INT) AS cid,
+         list_min(dists) AS dist2
+      FROM dd),
+per AS (SELECT cid, count(*) AS n_c, sum(CAST(dist2 AS HUGEINT)) AS sum_d2
+        FROM a GROUP BY cid)
+SELECT a.vec_id, a.cid, a.dist2,
+       (CAST(a.dist2 AS HUGEINT) * {den} * n_c > {num} * sum_d2) AS is_outlier
+FROM a JOIN per USING (cid)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Staged for the r9 window: canonical fixed-batch assignment (SA3 oracle)
+# ---------------------------------------------------------------------------
+
+BA_BATCH = 16
+BA_SEED = 42
+
+
+def q_batch_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Globally-canonical DataLoader batching (SA3, reference
+    ``train_model.py:49-50``) — the oracle-checkable complement of
+    ``fixed_batches``: batch ids derive from the GLOBAL
+    deterministic-shuffle rank (a pure function of ids/seed/size, never
+    of the physical partitioning), with the trailing partial batch
+    dropped globally exactly as ``drop_last=True`` does. Closes the one
+    SURVEY §2 component that had no oracle row (VERDICT r7 "What's
+    missing" #3). Two-phase bucketed rank — no single-task global sort;
+    see :func:`operators.batching.batch_assignments`. STAGED for the r9
+    window: the registry is at the 100 cap, so registration pairs with
+    one retirement from the r9 candidates listed in queries.py."""
+    from .operators.batching import batch_assignments
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    return batch_assignments(
+        emb, batch_size=BA_BATCH, drop_last=True, id_col="vec_id",
+        seed=BA_SEED,
+    )
+
+
+def _oracle_batch_assignments(
+    batch_size: int = BA_BATCH, seed: int = BA_SEED
+) -> str:
+    """Mirror: global rank over (multiplicative-hash key, id), trailing
+    partial batch cut by the global count — all-integer arithmetic."""
+    key = f"((vec_id + {seed}) * 2654435761) % 2147483647"
+    return f"""
+WITH r AS (
+  SELECT vec_id,
+         row_number() OVER (ORDER BY {key} ASC, vec_id ASC) - 1 AS rk,
+         count(*) OVER () AS n
+  FROM embeddings
+)
+SELECT vec_id,
+       CAST(floor(rk / {batch_size}) AS BIGINT) AS batch_id,
+       CAST(rk % {batch_size} AS INT) AS pos
+FROM r WHERE rk < n - (n % {batch_size})
+"""
+
+
 ANN_QUERIES.update(
     {
         "kmeans_step": q_kmeans_step,
