@@ -119,3 +119,49 @@ def test_pack_sequences_bins_are_dense_and_bounded(spark):
     assert bins == list(range(bins[-1] + 1)), "bins must be contiguous"
     for r in packed:
         assert r.bin * W <= r.start_offset < (r.bin + 1) * W
+
+
+def test_batch_assignments_exact_batches_and_edges(spark):
+    """Edge contracts for the canonical SA3 form: every batch is exactly
+    full after the global drop-last cut, positions are a permutation of
+    0..B-1 per batch, batch ids are dense from 0, drop_last=False keeps
+    every row with only the LAST batch partial, a different seed yields
+    a different permutation (same membership), and a corpus smaller
+    than one batch drops to empty."""
+    from pyspark.sql import Row
+
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.batching import (
+        batch_assignments,
+    )
+
+    n, B = 103, 16
+    df = spark.createDataFrame([Row(vec_id=i * 7 + 3) for i in range(n)])
+
+    out = batch_assignments(df, batch_size=B, seed=42).collect()
+    assert len(out) == n - (n % B)
+    by_batch: dict = {}
+    for r in out:
+        by_batch.setdefault(r.batch_id, []).append(r.pos)
+    assert sorted(by_batch) == list(range(n // B)), "dense batch ids"
+    for bid, poss in by_batch.items():
+        assert sorted(poss) == list(range(B)), (bid, "full batch, dense pos")
+
+    kept = batch_assignments(df, batch_size=B, seed=42, drop_last=False)
+    rows = kept.collect()
+    assert len(rows) == n
+    sizes = {}
+    for r in rows:
+        sizes[r.batch_id] = sizes.get(r.batch_id, 0) + 1
+    last = max(sizes)
+    assert all(v == B for k, v in sizes.items() if k != last)
+    assert sizes[last] == n % B
+
+    other = {
+        r.vec_id: (r.batch_id, r.pos)
+        for r in batch_assignments(df, batch_size=B, seed=7).collect()
+    }
+    base = {r.vec_id: (r.batch_id, r.pos) for r in out}
+    assert set(other) != set() and other != base, "seed must reshuffle"
+
+    tiny = spark.createDataFrame([Row(vec_id=i) for i in range(B - 1)])
+    assert batch_assignments(tiny, batch_size=B).count() == 0
