@@ -644,8 +644,10 @@ ORACLES: dict[str, str] = {
 #   4. sq_topk               → ivfpq_topk + pq_rerank_topk (the
 #      quantized-tier family keeps its two stronger members)
 # Retiring k of these frees exactly k r9 window slots and k registry
-# slots. Do NOT retire from the list directly below — those rows are
-# the ones r9 must re-check.
+# slots. Do NOT pick retirements from the _CHECK_FIRST list directly
+# below instead: those rows are r8-green and rotate out in r9 WITHOUT
+# a check, so retiring one frees registry capacity but ZERO r9 window
+# slots — exactly the capacity-math failure of the r6→r7 handoff.
 #
 # Two registration candidates are ALREADY STAGED for r9 (implemented,
 # reference-tested, 3-SF oracle-verified in tests/test_staged_ops.py):
