@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Repo-wide physical-plan lint over EVERY registry query (round 8).
+
+`tests/test_plans.py` pins ~26 hand-picked plan contracts deeply; this
+script is the broad structural complement: it builds (never executes)
+the physical plan of all 100 registry queries and checks every one for
+the patterns that are NEVER acceptable at 100 TB:
+
+- ``CartesianProduct`` — an unkeyed corpus×corpus cross product. (A
+  `BroadcastNestedLoopJoin` of a literal/one-row side is fine and
+  common — e.g. the flagship single-query kNN broadcasts the query
+  vector — so BNLJ occurrences are REPORTED per query, not failed;
+  the deep pins in test_plans.py assert which side broadcasts.)
+- ``BatchEvalPython`` — a row-at-a-time Python UDF in the plan. The
+  engine's contract is Arrow-only Python (`MapInPandas` /
+  `FlatMapGroupsInPandas`), verified here structurally instead of by
+  source grep alone.
+
+Also recorded per query (trend data, not gates): hash-exchange count,
+BNLJ count, Arrow-Python operator count, and whole-stage-codegen span
+count. Writes PLAN_LINT.json at the repo root and exits non-zero on
+any violation.
+
+Planning only — no job runs for the lint itself, though a few queries
+legitimately run small driver-side actions while CONSTRUCTING their
+plan (collecting query vectors, training centroids); sf0.001 keeps
+that cheap.
+
+Usage: python scripts/plan_lint.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from the_build_project_image_retrieval_with_vector_databases_spark.session import (
+    get_spark,
+)
+from the_build_project_image_retrieval_with_vector_databases_spark import queries as Q
+
+BASE_DEFAULT = "/root/testdata/sf0.001"
+
+FORBIDDEN = ("CartesianProduct", "BatchEvalPython")
+
+
+def lint_one(df) -> dict:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return {
+        "cartesian": plan.count("CartesianProduct"),
+        "row_python": plan.count("BatchEvalPython"),
+        "bnlj": plan.count("BroadcastNestedLoopJoin"),
+        "hash_exchanges": plan.count("Exchange hashpartitioning"),
+        "arrow_python": plan.count("MapInPandas")
+        + plan.count("FlatMapGroupsInPandas"),
+        "codegen_spans": plan.count("WholeStageCodegen"),
+    }
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else BASE_DEFAULT
+    spark = get_spark(app_name="plan-lint")
+    out: dict = {}
+    violations: list[str] = []
+    for name, fn in Q.QUERIES.items():
+        try:
+            row = lint_one(fn(spark, sf_dir))
+        except Exception as exc:  # construction failure is a violation too
+            out[name] = {"error": str(exc)[:200]}
+            violations.append(name)
+            continue
+        out[name] = row
+        if row["cartesian"] or row["row_python"]:
+            violations.append(name)
+        print(f"# lint {name}: {row}", file=sys.stderr)
+
+    summary = {
+        "n_queries": len(out),
+        "violations": violations,
+        "total_bnlj": sum(r.get("bnlj", 0) for r in out.values()),
+        "total_arrow_python": sum(
+            r.get("arrow_python", 0) for r in out.values()
+        ),
+        "queries_with_zero_hash_exchanges": sorted(
+            n for n, r in out.items() if r.get("hash_exchanges") == 0
+        ),
+    }
+    artifact = {"metric": "plan_lint", "sf_dir": sf_dir,
+                "summary": summary, "queries": out}
+    with open(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "PLAN_LINT.json"), "w") as f:
+        json.dump(artifact, f, indent=1, sort_keys=True)
+    print(json.dumps({"metric": "plan_lint", "n": len(out),
+                      "violations": violations}))
+    sys.exit(1 if violations else 0)
+
+
+if __name__ == "__main__":
+    main()
