@@ -454,3 +454,50 @@ def test_ingest_dedup_loop_refreshes_corpus_between_epochs(spark, tmp_path):
         for r in semantic_dedup_incremental(corpus_after_e1, e2, init).collect()
     }
     assert got == {**want_e1, **want_e2}
+
+
+def test_serve_loop_rate_sparse_ids_and_bounded_pool(spark):
+    """The request pool is bounded and carries REAL corpus ids: on a
+    sparse id space (ids 7i+3) every rank-1 hit is still the query's
+    own row (query_id == vec_id), and all emitted query ids come from
+    the pool (the `payload_pool` lowest ids), never beyond it."""
+    import time
+
+    from pyspark.sql import Row
+
+    from the_build_project_image_retrieval_with_vector_databases_spark.streaming.queries import (
+        serve_loop_rate,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    sparse = emb.select(
+        (F.col("vec_id") * 7 + 3).alias("vec_id"), "embedding"
+    )
+    pool = 32
+    results: list = []
+    latencies: list = []
+    q = serve_loop_rate(
+        spark,
+        sparse,
+        k=2,
+        rows_per_second=40,
+        latencies=latencies,
+        sink=lambda df, epoch: results.extend(
+            df.filter(F.col("rank") == 1).select("query_id", "vec_id").collect()
+        ),
+        trigger_ms=250,
+        payload_pool=pool,
+    )
+    try:
+        deadline = time.time() + 30
+        while len(latencies) < 3 and time.time() < deadline:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert results, "stream produced no scored batches"
+    max_pool_id = 7 * (pool - 1) + 3
+    for r in results:
+        assert r.query_id == r.vec_id, "self-hit must survive sparse ids"
+        assert r.query_id % 7 == 3 and r.query_id <= max_pool_id, (
+            "query ids must come from the bounded lowest-id pool"
+        )

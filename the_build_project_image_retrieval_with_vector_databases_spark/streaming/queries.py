@@ -228,6 +228,10 @@ def serve_loop_rate(
         .limit(payload_pool)
         .collect()
     )
+    # pooled (corpus id, vector) pairs — emitted query_ids are the REAL
+    # ids of the pooled rows, so rank-1 self-hits hold for any id space
+    # (sparse or dense), not just 0..N-1 fixtures
+    pool_ids = [int(r[0]) for r in pool_rows]
     payload = [list(r[1]) for r in pool_rows]
     n = len(payload)
     if n == 0:
@@ -243,11 +247,11 @@ def serve_loop_rate(
         ).first()
         if agg.t0 is None:
             return
-        qids = sorted(set(int(v) for v in agg.qids))
+        qidx = sorted(set(int(v) for v in agg.qids))
         out = knn_join_arrow(
             corpus,
-            qids,
-            [payload[q] for q in qids],
+            [pool_ids[q] for q in qidx],
+            [payload[q] for q in qidx],
             k=k,
             id_col=id_col,
             vec_col=vec_col,
