@@ -1281,3 +1281,85 @@ def test_embedding_outliers_plan_broadcast_stats(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange hashpartitioning") == 1  # the k-row agg
+
+
+def test_quantized_recall_eval_matches_numpy_reference(spark):
+    """Staged r9: PQ/SQ recall@10 against a numpy ground truth that
+    re-implements encode → reconstruct → rank independently; PQ (16
+    codewords per subspace) must lose recall somewhere and SQ (8-bit)
+    must be the finer quantizer on average."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_ann import (
+        ANN_EVAL_K,
+        ANN_EVAL_Q_HI,
+        ANN_EVAL_Q_LO,
+        PQ_M,
+        q_quantized_recall_eval,
+    )
+
+    got = {
+        (r.query_id, r.tier): (r.n_hits, r.recall)
+        for r in q_quantized_recall_eval(spark, SF_SMOKE).collect()
+    }
+    assert len(got) == 2 * (ANN_EVAL_Q_HI - ANN_EVAL_Q_LO)
+
+    rows = sorted(
+        spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").collect(),
+        key=lambda r: r.vec_id,
+    )
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    train = mat[:16]
+    dsub = mat.shape[1] // PQ_M
+
+    # PQ reconstruction: per-subspace argmin over the 16 training slices
+    recon_pq = np.empty_like(mat)
+    for j in range(PQ_M):
+        s = slice(j * dsub, (j + 1) * dsub)
+        d = ((mat[:, None, s] - train[None, :, s]) ** 2).sum(axis=2)
+        codes = d.argmin(axis=1)  # first-min ties, same as the engine
+        recon_pq[:, s] = train[codes][:, s]
+
+    # SQ reconstruction: bin midpoints of the per-dim training range
+    lo = train.min(axis=0)
+    rng = np.maximum(train.max(axis=0) - lo, 1e-12)
+    codes = np.clip(np.floor((mat - lo) / rng * 255.0), 0, 255)
+    recon_sq = lo + (codes + 0.5) * rng / 255.0
+
+    def topk(base, qi):
+        d = ((base - mat[qi]) ** 2).sum(axis=1)
+        order = sorted(
+            (float(d[i]), int(ids[i]))
+            for i in range(len(ids))
+            if ids[i] != qi
+        )
+        return {vid for _, vid in order[:ANN_EVAL_K]}
+
+    pq_rs, sq_rs = [], []
+    for qi in range(ANN_EVAL_Q_LO, ANN_EVAL_Q_HI):
+        exact = topk(mat, qi)
+        n_pq = len(exact & topk(recon_pq, qi))
+        n_sq = len(exact & topk(recon_sq, qi))
+        assert got[(qi, "pq")] == (n_pq, n_pq / float(ANN_EVAL_K)), qi
+        assert got[(qi, "sq")] == (n_sq, n_sq / float(ANN_EVAL_K)), qi
+        pq_rs.append(n_pq)
+        sq_rs.append(n_sq)
+    assert min(pq_rs) < ANN_EVAL_K, "PQ must lose recall somewhere"
+    assert sum(sq_rs) > sum(pq_rs), "8-bit SQ must beat 16-codeword PQ"
+
+
+def test_quantized_recall_eval_oracle_parity_staged(spark, sf_dir):
+    """The staged quantized_recall_eval DuckDB oracle passes the
+    driver-faithful comparison."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_ann import (
+        _oracle_quantized_recall_eval,
+        q_quantized_recall_eval,
+    )
+    from .oracle_harness import compare
+
+    ok, msg = compare(
+        q_quantized_recall_eval(spark, sf_dir),
+        _oracle_quantized_recall_eval(),
+        sf_dir,
+        "quantized_recall_eval",
+    )
+    assert ok, msg

@@ -658,6 +658,10 @@ ORACLES: dict[str, str] = {
 #   - embedding_outliers (queries_ann.q_embedding_outliers) — the
 #     embedding-quality outlier screen (integer-exact cross-multiplied
 #     flag); pair with retirement candidate #2 (views_before_purchase).
+#   - quantized_recall_eval (queries_ann.q_quantized_recall_eval) —
+#     PQ/SQ recall@10 vs exact (the quantization-error sweep; ADC ≡
+#     L2-to-reconstruction makes the batched form one declarative
+#     plan); pair with retirement candidate #3 (regional_volume).
 _CHECK_FIRST: list[str] = [
     # the 45 r6-green entries rotate back into the window:
     "clean_corpus",

@@ -1838,6 +1838,206 @@ FROM (
 
 
 # ---------------------------------------------------------------------------
+# Staged for the r9 window: quantized-tier recall (PQ + SQ eval)
+# ---------------------------------------------------------------------------
+
+
+def q_quantized_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the PQ and SQ tiers against exact search — the
+    missing member of the eval family (`ann_recall_eval` covers IVF,
+    `dedup_recall_eval` covers LSH banding; this is the
+    quantization-error sweep a deployment runs before choosing a code
+    size). Key identity making the batched form one declarative plan:
+    ADC distance IS exact L2 to the reconstruction
+    (``Σ_j ||q_j − c_j(x)||² = ||q − recon(x)||²``), so the
+    per-tier approximate top-k is the EXISTING exact kNN join over a
+    reconstructed-vector column — PQ recon concatenates the assigned
+    codeword slices, SQ recon is the bin-midpoint dequantization, both
+    pure expressions over the registered encode machinery
+    (``operators.pq``). Same 32 held-out queries as `ann_recall_eval`
+    (16 ≤ vec_id < 48, training rows excluded); output one row per
+    (query, tier): (query_id, tier, n_hits, recall), int/int doubles —
+    bit-exact cross-engine. STAGED for the r9 window (registry at the
+    100 cap — registration pairs with a retirement from the candidates
+    in queries.py)."""
+    from .operators.knn import knn_join
+    from .operators.pq import (
+        _centers_lit,
+        pq_encode,
+        slice_codebooks,
+        sq_encode,
+        sq_train_bounds,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    train_rows = emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    train = [[float(x) for x in r.embedding] for r in train_rows]
+    qrows = (
+        emb.filter(
+            (F.col("vec_id") >= ANN_EVAL_Q_LO)
+            & (F.col("vec_id") < ANN_EVAL_Q_HI)
+        )
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    queries = [(int(r.vec_id), [float(x) for x in r.embedding]) for r in qrows]
+    qdf = spark.createDataFrame(
+        queries, "query_id long, embedding array<double>"
+    )
+    exact = knn_join(
+        emb, qdf, k=ANN_EVAL_K, metric="l2", exclude_self=True
+    ).select("query_id", "vec_id")
+
+    codebooks = slice_codebooks(train, PQ_M)
+    recon_pq = F.concat(
+        *[
+            F.element_at(_centers_lit(codebooks[j]), F.col(f"code_{j}") + 1)
+            for j in range(PQ_M)
+        ]
+    )
+    pq_corpus = pq_encode(emb, codebooks).select(
+        "vec_id", recon_pq.alias("embedding")
+    )
+
+    bounds = sq_train_bounds(train)
+    structs = F.array(
+        *[
+            F.struct(F.lit(lo).alias("lo"), F.lit(rng).alias("rng"))
+            for lo, rng in bounds
+        ]
+    )
+    deq = F.zip_with(
+        F.col("sq_codes"),
+        structs,
+        lambda c, s: (
+            s["lo"] + (c.cast("double") + F.lit(0.5)) * s["rng"] / F.lit(255.0)
+        ),
+    )
+    sq_corpus = sq_encode(emb, bounds).select(
+        "vec_id", deq.alias("embedding")
+    )
+
+    def tier_recall(corpus: DataFrame, tier: str) -> DataFrame:
+        approx = knn_join(
+            corpus, qdf, k=ANN_EVAL_K, metric="l2", exclude_self=True
+        ).select("query_id", "vec_id")
+        hits = approx.join(exact, ["query_id", "vec_id"]).groupBy(
+            "query_id"
+        ).agg(F.count("*").alias("n_hits"))
+        return qdf.select("query_id").join(hits, "query_id", "left").select(
+            "query_id",
+            F.lit(tier).alias("tier"),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("int").alias("n_hits"),
+            (
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+                / F.lit(float(ANN_EVAL_K))
+            ).alias("recall"),
+        )
+
+    return tier_recall(pq_corpus, "pq").unionAll(tier_recall(sq_corpus, "sq"))
+
+
+def _oracle_quantized_recall_eval(
+    m: int = PQ_M,
+    dim: int = EMB_DIM,
+    k: int = ANN_EVAL_K,
+    lo: int = ANN_EVAL_Q_LO,
+    hi: int = ANN_EVAL_Q_HI,
+) -> str:
+    """Mirror: codes re-derived per subspace (struct-min = first-min
+    tie), PQ ranking by the registered ADC expression per query, SQ
+    ranking by the bin-midpoint dequant distance, exact ranking as in
+    ann_recall_eval, int/int recall."""
+    dsub = dim // m
+    code_exprs = ",\n         ".join(
+        f"min({{'d': {_dk_l2sq_slice('e.embedding', 't.embedding', j, dsub)}, "
+        f"'c': t.vec_id}}).c AS code_{j}"
+        for j in range(m)
+    )
+    lut_joins = "\n".join(
+        f"JOIN train t{j} ON t{j}.vec_id = c.code_{j}" for j in range(m)
+    )
+    adc = " + ".join(
+        f"({_dk_l2sq_slice('q.qe', f't{j}.embedding', j, dsub)})" for j in range(m)
+    )
+    code = (
+        "CAST(greatest(0, least(255, "
+        "CAST(floor((CAST(s[1] AS DOUBLE) - s[2]) / s[3] * 255.0) AS INT)"
+        ")) AS DOUBLE)"
+    )
+    term = f"(s[2] + ({code} + 0.5) * s[3] / 255.0 - CAST(s[4] AS DOUBLE))"
+    sqdist = (
+        "list_reduce(list_transform("
+        "list_zip(e.embedding, bl.lo_l, bl.rng_l, q.qe), "
+        f"s -> {term} * {term}), (x, y) -> x + y)"
+    )
+    return f"""
+WITH train AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 16),
+qs AS MATERIALIZED (SELECT vec_id AS query_id, embedding AS qe
+                    FROM embeddings WHERE vec_id >= {lo} AND vec_id < {hi}),
+codes AS MATERIALIZED (
+  SELECT e.vec_id AS vid,
+         {code_exprs}
+  FROM embeddings e CROSS JOIN train t
+  GROUP BY e.vec_id
+),
+idx AS (SELECT unnest(range(1, {dim + 1})) AS i),
+bounds AS (
+  SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS blo,
+         greatest(max(CAST(embedding[i] AS DOUBLE))
+                  - min(CAST(embedding[i] AS DOUBLE)), 1e-12) AS brng
+  FROM train, idx GROUP BY i
+),
+bl AS (SELECT list(blo ORDER BY i) AS lo_l, list(brng ORDER BY i) AS rng_l
+       FROM bounds),
+pq_ranked AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, c.vid AS vec_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY ({adc}) ASC, c.vid ASC) AS rn
+    FROM codes c
+    {lut_joins}
+    CROSS JOIN qs q
+    WHERE c.vid <> q.query_id
+  ) WHERE rn <= {k}
+),
+sq_ranked AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY ({sqdist}) ASC, e.vec_id ASC) AS rn
+    FROM embeddings e, bl, qs q
+    WHERE e.vec_id <> q.query_id
+  ) WHERE rn <= {k}
+),
+exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {_dk_l2('e.embedding', 'q.qe')} ASC,
+                                       e.vec_id ASC) AS rn
+    FROM embeddings e CROSS JOIN qs q
+    WHERE e.vec_id <> q.query_id
+  ) WHERE rn <= {k}
+),
+ph AS (SELECT a.query_id, count(*) AS n FROM pq_ranked a
+       JOIN exact e ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+       GROUP BY a.query_id),
+sh AS (SELECT a.query_id, count(*) AS n FROM sq_ranked a
+       JOIN exact e ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+       GROUP BY a.query_id)
+SELECT q.query_id, 'pq' AS tier, CAST(COALESCE(ph.n, 0) AS INT) AS n_hits,
+       (COALESCE(ph.n, 0)::DOUBLE) / {float(k)} AS recall
+FROM qs q LEFT JOIN ph USING (query_id)
+UNION ALL
+SELECT q.query_id, 'sq' AS tier, CAST(COALESCE(sh.n, 0) AS INT) AS n_hits,
+       (COALESCE(sh.n, 0)::DOUBLE) / {float(k)} AS recall
+FROM qs q LEFT JOIN sh USING (query_id)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Staged for the r9 window: embedding outlier screen (data quality)
 # ---------------------------------------------------------------------------
 
