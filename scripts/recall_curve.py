@@ -99,6 +99,89 @@ def ivf_curve(spark, sf_dir: str) -> list[dict]:
     return rows
 
 
+def pq_m_curve(spark, sf_dir: str) -> list[dict]:
+    """Mean recall@10 vs the PQ subspace count m ∈ {4, 8, 16} (16
+    codewords per subspace from the same 16 training rows). Uses the
+    ADC ≡ L2-to-reconstruction identity: each point is the exact kNN
+    join over the reconstructed-vector expression (the staged
+    quantized_recall_eval machinery), so no new operator is involved —
+    this sweeps the code-size/recall trade the PQ tier ships with
+    (bytes/vector = m)."""
+    from pyspark.sql import functions as F
+
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.knn import (
+        knn_join,
+    )
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.pq import (
+        _centers_lit,
+        pq_encode,
+        slice_codebooks,
+    )
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_ann import (
+        ANN_EVAL_Q_HI,
+        ANN_EVAL_Q_LO,
+    )
+    from the_build_project_image_retrieval_with_vector_databases_spark.sources.tables import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    train = [
+        [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    ]
+    qrows = (
+        emb.filter(
+            (F.col("vec_id") >= ANN_EVAL_Q_LO)
+            & (F.col("vec_id") < ANN_EVAL_Q_HI)
+        )
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    queries = [(int(r.vec_id), [float(x) for x in r.embedding]) for r in qrows]
+    qdf = spark.createDataFrame(
+        queries, "query_id long, embedding array<double>"
+    )
+    exact = (
+        knn_join(emb, qdf, k=K, metric="l2", exclude_self=True)
+        .select("query_id", "vec_id")
+        .cache()
+    )
+    exact.count()
+    n_q = len(queries)
+
+    rows = []
+    for m in (4, 8, 16):
+        codebooks = slice_codebooks(train, m)
+        recon = F.concat(
+            *[
+                F.element_at(
+                    _centers_lit(codebooks[j]), F.col(f"code_{j}") + 1
+                )
+                for j in range(m)
+            ]
+        )
+        corpus = pq_encode(emb, codebooks).select(
+            "vec_id", recon.alias("embedding")
+        )
+        approx = knn_join(
+            corpus, qdf, k=K, metric="l2", exclude_self=True
+        ).select("query_id", "vec_id")
+        hits = approx.join(exact, ["query_id", "vec_id"]).count()
+        rows.append(
+            {
+                "m": m,
+                "code_bytes_per_vector": m,
+                "mean_recall": round(hits / (n_q * K), 4),
+            }
+        )
+        print(f"# pq m={m}: recall={rows[-1]['mean_recall']}",
+              file=sys.stderr)
+    exact.unpersist()
+    return rows
+
+
 def lsh_curve(spark, sf_dir: str) -> list[dict]:
     from the_build_project_image_retrieval_with_vector_databases_spark.operators import (
         dedup as D,
@@ -147,6 +230,7 @@ def main() -> None:
         "k": K,
         "ivf_nprobe": ivf_curve(spark, sf_dir),
         "lsh_bands": lsh_curve(spark, sf_dir),
+        "pq_m": pq_m_curve(spark, sf_dir),
     }
     line = json.dumps(out)
     print(line)
