@@ -210,9 +210,26 @@ def main() -> None:
         build_scaled(spark, scaled_dir)
 
     names = argv or [n for n in Q.QUERIES if n not in EXCLUDE]
+
+    def resolve(name):
+        """Registry entry, else a staged query function (q_<name>) from
+        the query modules — so staged r9 candidates get scale rows
+        before they are registered."""
+        if name in Q.QUERIES:
+            return Q.QUERIES[name]
+        from the_build_project_image_retrieval_with_vector_databases_spark import (
+            queries_ann, queries_text,
+        )
+
+        for mod in (queries_ann, queries_text):
+            fn = getattr(mod, f"q_{name}", None)
+            if fn is not None:
+                return fn
+        raise KeyError(f"unknown query {name!r} (registry or staged q_{name})")
+
     out = {}
     for name in names:
-        fn = Q.QUERIES[name]
+        fn = resolve(name)
         # warm any one-time index build OUTSIDE the timed runs (the
         # steady state at scale is the probe, not the build)
         fn(spark, BASE).write.format("noop").mode("overwrite").save()
