@@ -69,6 +69,46 @@ def main() -> None:
     bounds = sq_train_bounds(train)
 
     out_root = tempfile.mkdtemp(prefix="index_footprint_")
+    try:
+        sizes, n_out = _measure(spark, emb, train, codebooks, bounds, m, out_root)
+    finally:
+        import shutil
+
+        shutil.rmtree(out_root, ignore_errors=True)
+
+    report = {
+        name: {
+            "bytes": b,
+            "bytes_per_vector": round(b / n, 1),
+            "vs_flat": round(b / sizes["flat"], 4),
+        }
+        for name, b in sizes.items()
+    }
+    artifact = {
+        "metric": "index_footprint",
+        "sf_dir": sf_dir,
+        "n_vectors": n,
+        "dim": 64,
+        "pq_m": m,
+        "layouts": report,
+    }
+    with open(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "INDEX_FOOTPRINT.json"), "w") as f:
+        json.dump(artifact, f, indent=1, sort_keys=True)
+    print(json.dumps(artifact))
+
+
+def _measure(spark, emb, train, codebooks, bounds, m, out_root):
+    from pyspark.sql import functions as F
+
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.ann import (
+        assign_centroids,
+    )
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.pq import (
+        pq_encode,
+        sq_encode,
+    )
+
     layouts = {
         "flat": emb.select(
             "vec_id", "label", F.col("embedding").cast("array<float>").alias("embedding")
@@ -93,27 +133,7 @@ def main() -> None:
         ivf_path
     )
     sizes["ivf"] = dir_bytes(ivf_path)
-
-    report = {
-        name: {
-            "bytes": b,
-            "bytes_per_vector": round(b / n, 1),
-            "vs_flat": round(b / sizes["flat"], 4),
-        }
-        for name, b in sizes.items()
-    }
-    artifact = {
-        "metric": "index_footprint",
-        "sf_dir": sf_dir,
-        "n_vectors": n,
-        "dim": 64,
-        "pq_m": m,
-        "layouts": report,
-    }
-    with open(os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "INDEX_FOOTPRINT.json"), "w") as f:
-        json.dump(artifact, f, indent=1, sort_keys=True)
-    print(json.dumps(artifact))
+    return sizes, None
 
 
 if __name__ == "__main__":

@@ -49,15 +49,20 @@ FORBIDDEN = ("CartesianProduct", "BatchEvalPython")
 
 def lint_one(df) -> dict:
     plan = df._jdf.queryExecution().executedPlan().toString()
-    return {
-        "cartesian": plan.count("CartesianProduct"),
-        "row_python": plan.count("BatchEvalPython"),
-        "bnlj": plan.count("BroadcastNestedLoopJoin"),
-        "hash_exchanges": plan.count("Exchange hashpartitioning"),
-        "arrow_python": plan.count("MapInPandas")
-        + plan.count("FlatMapGroupsInPandas"),
-        "codegen_spans": plan.count("WholeStageCodegen"),
-    }
+    # the violation gate is driven by FORBIDDEN — extend the list and
+    # both the per-query counts and the gate pick the pattern up
+    row = {p: plan.count(p) for p in FORBIDDEN}
+    row.update(
+        {
+            "forbidden_total": sum(row[p] for p in FORBIDDEN),
+            "bnlj": plan.count("BroadcastNestedLoopJoin"),
+            "hash_exchanges": plan.count("Exchange hashpartitioning"),
+            "arrow_python": plan.count("MapInPandas")
+            + plan.count("FlatMapGroupsInPandas"),
+            "codegen_spans": plan.count("WholeStageCodegen"),
+        }
+    )
+    return row
 
 
 def main() -> None:
@@ -73,7 +78,7 @@ def main() -> None:
             violations.append(name)
             continue
         out[name] = row
-        if row["cartesian"] or row["row_python"]:
+        if row["forbidden_total"]:
             violations.append(name)
         print(f"# lint {name}: {row}", file=sys.stderr)
 

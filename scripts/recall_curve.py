@@ -1,10 +1,12 @@
 #!/usr/bin/env python
-"""Tuning curves for the two approximation families (round 8).
+"""Tuning curves for the approximation knobs (round 8).
 
 The registered evaluation queries measure ONE operating point each
 (`ann_recall_eval` at nprobe=4, `dedup_recall_eval` at 8 hashes /
-4 bands). A deployment tunes by sweeping the knob against exactly these
-measurements — this script produces both curves as one artifact:
+4 bands, the staged `quantized_recall_eval` at m=8). A deployment
+tunes by sweeping the knob against exactly these measurements — this
+script produces THREE curves in one artifact (`ivf_nprobe`,
+`lsh_bands`, `pq_m`):
 
 - **IVF nprobe curve**: mean recall@10 over the 32 held-out queries
   (16 ≤ vec_id < 48) for nprobe ∈ {1, 2, 4, 8, 16} against the exact
@@ -16,6 +18,8 @@ measurements — this script produces both curves as one artifact:
   at 8 minhashes (rows/band = 8/bands). More bands → more candidate
   buckets → higher recall at higher candidate volume; precision stays
   1.0 because the banded pipeline re-verifies true Jaccard.
+- **PQ subspace-count curve**: mean recall@10 for m ∈ {4, 8, 16}
+  (code bytes/vector = m) via the ADC ≡ L2-to-reconstruction identity.
 
 Writes RECALL_CURVE.json at the repo root and prints one JSON line.
 

@@ -42,8 +42,12 @@ def pct(xs: list[float], p: float) -> float:
     return xs[i]
 
 
-def run_one(spark, window_s: int, rate: int) -> dict:
-    corpus = spark.read.parquet(os.path.join(BASE, "embeddings.parquet"))
+def run_one(spark, window_s: int, rate: int, corpus=None) -> dict:
+    # corpus is read ONCE by main and shared across runs — re-reading
+    # per run would pin a fresh duplicate cache entry of the same table
+    # every sweep point (serve_loop_rate caches its input)
+    if corpus is None:
+        corpus = spark.read.parquet(os.path.join(BASE, "embeddings.parquet"))
     latencies: list[float] = []
     q = serve_loop_rate(
         spark, corpus, k=5, rows_per_second=rate, latencies=latencies,
@@ -76,15 +80,19 @@ def main() -> None:
     # jobs, so the first measured run would otherwise report ~+0.4 s
     # p50 purely from compilation (measured r8: first 35 s run p50
     # 1.99 s vs 1.65 s for an identical back-to-back run). Steady-state
-    # is the serving SLO; cold-start remains visible per-run as
-    # cold_first_batch_s.
-    run_one(spark, min(window_s, 15), rates[0])
+    # is the serving SLO. NOTE: with the warm-up discarded,
+    # cold_first_batch_s measures per-STREAM startup (first microbatch
+    # scheduling/queueing), not JVM cold-start — the deploy cold-start
+    # figure is the warm-up run's first batch, which this script
+    # deliberately does not report.
+    corpus = spark.read.parquet(os.path.join(BASE, "embeddings.parquet"))
+    run_one(spark, min(window_s, 15), rates[0], corpus=corpus)
     out = {
         "metric": "serve_latency",
         "sf_dir": BASE,
         "trigger_ms": 1000,
         "warmup": f"{min(window_s, 15)}s@{rates[0]}qps discarded",
-        "runs": [run_one(spark, window_s, r) for r in rates],
+        "runs": [run_one(spark, window_s, r, corpus=corpus) for r in rates],
     }
     line = json.dumps(out)
     print(line)

@@ -156,12 +156,24 @@ def test_batch_assignments_exact_batches_and_edges(spark):
     assert all(v == B for k, v in sizes.items() if k != last)
     assert sizes[last] == n % B
 
-    other = {
+    # seed reshuffle: compare under drop_last=False so membership is
+    # total on BOTH sides (under drop_last=True different seeds drop
+    # different tails, so membership itself legitimately differs) —
+    # same keys, different permutation
+    base_all = {
         r.vec_id: (r.batch_id, r.pos)
-        for r in batch_assignments(df, batch_size=B, seed=7).collect()
+        for r in batch_assignments(
+            df, batch_size=B, seed=42, drop_last=False
+        ).collect()
     }
-    base = {r.vec_id: (r.batch_id, r.pos) for r in out}
-    assert set(other) != set() and other != base, "seed must reshuffle"
+    other_all = {
+        r.vec_id: (r.batch_id, r.pos)
+        for r in batch_assignments(
+            df, batch_size=B, seed=7, drop_last=False
+        ).collect()
+    }
+    assert set(other_all) == set(base_all), "drop_last=False keeps all ids"
+    assert other_all != base_all, "a different seed must reshuffle"
 
     tiny = spark.createDataFrame([Row(vec_id=i) for i in range(B - 1)])
     assert batch_assignments(tiny, batch_size=B).count() == 0

@@ -14,6 +14,8 @@ at the driver scale, so the override can never mask registry drift."""
 
 from __future__ import annotations
 
+import functools
+
 import pytest
 
 import __spark_entry__ as entrymod
@@ -25,6 +27,7 @@ _ORACLES = entrymod.oracle_sql()
 _DRIVER_SF = "/root/testdata/sf0.01"
 
 
+@functools.lru_cache(maxsize=None)
 def _sized_oracles(sf_dir: str) -> dict[str, str]:
     """The three corpus-sized oracles re-derived for ``sf_dir``."""
     from the_build_project_image_retrieval_with_vector_databases_spark.queries_ann import (

@@ -194,8 +194,9 @@ def serve_loop_rate(
     """Continuous serving harness (§2.9 latency path): the built-in
     ``rate`` source emits query arrivals at a fixed rate; each microbatch
     maps arrivals onto a BOUNDED pool of corpus vectors
-    (``value % payload_pool`` — a stand-in for a real request payload,
-    which would carry its own vector), scores the whole batch against
+    (``value % pool_size`` where pool_size = min(payload_pool, corpus
+    rows) — a stand-in for a real request payload, which would carry
+    its own vector), scores the whole batch against
     the cached corpus with the Arrow/BLAS kNN join
     (:func:`~..operators.knn.knn_join_arrow` — one matmul per corpus
     partition, per-partition top-k heaps, tiny global rank; the
