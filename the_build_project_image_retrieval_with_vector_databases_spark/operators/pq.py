@@ -262,3 +262,54 @@ def pq_adc_rerank_topk(
         .orderBy(F.col("dist").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def pq_recon_np(codebooks: list[list[list[float]]]):
+    """Exact numpy twin of ``pq_encode`` + codeword reconstruction, for
+    :func:`~.knn.knn_join_exact`'s ``recon`` hook: per subspace, the
+    argmin over the codebook uses the SAME float64 left-fold distance
+    (``acc ← acc + (x_t − c_t)²``, first-min tie-break — numpy's
+    ``argmin`` ≡ ``array_position(dists, array_min(dists))``), and the
+    reconstructed row concatenates the assigned codewords' literal
+    doubles. Bit-identical to the expression path (pinned in
+    tests/test_staged_ops.py via the unchanged quantized-recall
+    oracle); the B×ksub×dsub vectorized loop replaces ~1 µs/element
+    interpreted HOF evaluation."""
+    import numpy as np
+
+    books = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+    dsub = books[0].shape[1]
+
+    def recon(x):
+        out = np.empty_like(x)
+        for j, cb in enumerate(books):
+            sub = x[:, j * dsub : (j + 1) * dsub]
+            acc = np.zeros((sub.shape[0], cb.shape[0]))
+            for t in range(dsub):
+                dt = sub[:, t, None] - cb[None, :, t]
+                acc = acc + dt * dt
+            codes = np.argmin(acc, axis=1)
+            out[:, j * dsub : (j + 1) * dsub] = cb[codes]
+        return out
+
+    return recon
+
+
+def sq_recon_np(bounds: list[tuple[float, float]]):
+    """Exact numpy twin of ``sq_encode`` + bin-midpoint dequantization
+    for the ``recon`` hook: ``clamp(floor((x − lo)/rng·255), 0, 255)``
+    then ``lo + (c + 0.5)·rng/255`` — every elementwise op in the same
+    order as the ``zip_with`` expressions, so the reconstructed doubles
+    are bit-identical."""
+    import numpy as np
+
+    lo = np.asarray([b[0] for b in bounds], dtype=np.float64)
+    rng = np.asarray([b[1] for b in bounds], dtype=np.float64)
+
+    def recon(x):
+        codes = np.clip(
+            np.floor((x - lo[None, :]) / rng[None, :] * 255.0), 0.0, 255.0
+        )
+        return lo[None, :] + (codes + 0.5) * rng[None, :] / 255.0
+
+    return recon

@@ -1859,13 +1859,23 @@ def q_quantized_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     (query, tier): (query_id, tier, n_hits, recall), int/int doubles —
     bit-exact cross-engine. STAGED for the r9 window (registry at the
     100 cap — registration pairs with a retirement from the candidates
-    in queries.py)."""
-    from .operators.knn import knn_join
+    in queries.py).
+
+    Physical path: all three top-k sets run through
+    :func:`~.operators.knn.knn_join_exact` — the Arrow kernel whose
+    per-dimension float64 loop replays the expression/oracle left fold
+    bit-for-bit — with the PQ/SQ encode+reconstruct folded into its
+    ``recon`` hook (:func:`pq_recon_np` / :func:`sq_recon_np`, the
+    exact numpy twins of ``operators.pq``'s expressions). The earlier
+    interpreted-HOF form (pq_encode expression + three expression kNN
+    joins, ~N×7000 interpreted element-ops) timed 4.95 s at sf0.1;
+    this plan produces the identical frame (pinned in
+    tests/test_staged_ops.py against the unchanged oracle)."""
+    from .operators.knn import knn_join_exact
     from .operators.pq import (
-        _centers_lit,
-        pq_encode,
+        pq_recon_np,
         slice_codebooks,
-        sq_encode,
+        sq_recon_np,
         sq_train_bounds,
     )
 
@@ -1881,51 +1891,27 @@ def q_quantized_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("vec_id")
         .collect()
     )
-    queries = [(int(r.vec_id), [float(x) for x in r.embedding]) for r in qrows]
-    qdf = spark.createDataFrame(
-        queries, "query_id long, embedding array<double>"
-    )
-    exact = knn_join(
-        emb, qdf, k=ANN_EVAL_K, metric="l2", exclude_self=True
+    qids = [int(r.vec_id) for r in qrows]
+    qmat = [[float(x) for x in r.embedding] for r in qrows]
+    qdf = spark.createDataFrame([(q,) for q in qids], "query_id long")
+
+    exact = knn_join_exact(
+        emb, qids, qmat, k=ANN_EVAL_K, exclude_self=True
     ).select("query_id", "vec_id")
 
     codebooks = slice_codebooks(train, PQ_M)
-    recon_pq = F.concat(
-        *[
-            F.element_at(_centers_lit(codebooks[j]), F.col(f"code_{j}") + 1)
-            for j in range(PQ_M)
-        ]
-    )
-    pq_corpus = pq_encode(emb, codebooks).select(
-        "vec_id", recon_pq.alias("embedding")
-    )
-
     bounds = sq_train_bounds(train)
-    structs = F.array(
-        *[
-            F.struct(F.lit(lo).alias("lo"), F.lit(rng).alias("rng"))
-            for lo, rng in bounds
-        ]
-    )
-    deq = F.zip_with(
-        F.col("sq_codes"),
-        structs,
-        lambda c, s: (
-            s["lo"] + (c.cast("double") + F.lit(0.5)) * s["rng"] / F.lit(255.0)
-        ),
-    )
-    sq_corpus = sq_encode(emb, bounds).select(
-        "vec_id", deq.alias("embedding")
-    )
+    recons = {"pq": pq_recon_np(codebooks), "sq": sq_recon_np(bounds)}
 
-    def tier_recall(corpus: DataFrame, tier: str) -> DataFrame:
-        approx = knn_join(
-            corpus, qdf, k=ANN_EVAL_K, metric="l2", exclude_self=True
+    def tier_recall(tier: str) -> DataFrame:
+        approx = knn_join_exact(
+            emb, qids, qmat, k=ANN_EVAL_K, exclude_self=True,
+            recon=recons[tier],
         ).select("query_id", "vec_id")
         hits = approx.join(exact, ["query_id", "vec_id"]).groupBy(
             "query_id"
         ).agg(F.count("*").alias("n_hits"))
-        return qdf.select("query_id").join(hits, "query_id", "left").select(
+        return qdf.join(hits, "query_id", "left").select(
             "query_id",
             F.lit(tier).alias("tier"),
             F.coalesce(F.col("n_hits"), F.lit(0)).cast("int").alias("n_hits"),
@@ -1935,7 +1921,7 @@ def q_quantized_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
 
-    return tier_recall(pq_corpus, "pq").unionAll(tier_recall(sq_corpus, "sq"))
+    return tier_recall("pq").unionAll(tier_recall("sq"))
 
 
 def _oracle_quantized_recall_eval(
