@@ -2024,6 +2024,83 @@ FROM qs q LEFT JOIN sh USING (query_id)
 
 
 # ---------------------------------------------------------------------------
+# Staged for the r9 window: hard-negative mining (contrastive training)
+# ---------------------------------------------------------------------------
+
+HN_K = 10
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining: for each held-out query, the top-k nearest
+    corpus vectors whose label DIFFERS from the query's — the standard
+    negative-sampling step when training a retrieval embedding model
+    with a contrastive objective (the training loop that produced the
+    reference's embeddings; its `src/model.py` fine-tunes on
+    positive/negative pairs, and at corpus scale the negatives worth
+    training on are exactly these nearest wrong-class rows). Same 32
+    held-out queries as `ann_recall_eval` (16 ≤ vec_id < 48); output
+    (query_id, vec_id, neg_label, dist, rank), dist rounded to 6
+    decimals in the house output style, ranks computed on raw doubles.
+
+    Physical path: :func:`~.operators.knn.knn_join_exact` with the
+    per-query label mask — the corpus scans ONCE (never shuffles),
+    same-label rows drop inside the Arrow kernel before the k-cut, the
+    bit-exact left-fold distance keeps the DuckDB oracle hash-matched,
+    and only ≤ partitions·Q·k candidates reach the global rank window.
+    STAGED for the r9 window — pairs with retirement candidate #4
+    (sq_topk) per the write-ahead plan in queries.py."""
+    from .operators.knn import knn_join_exact
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrows = (
+        emb.filter(
+            (F.col("vec_id") >= ANN_EVAL_Q_LO)
+            & (F.col("vec_id") < ANN_EVAL_Q_HI)
+        )
+        .select("vec_id", "embedding", "label")
+        .orderBy("vec_id")
+        .collect()
+    )
+    qids = [int(r.vec_id) for r in qrows]
+    qmat = [[float(x) for x in r.embedding] for r in qrows]
+    qlabels = [int(r.label) for r in qrows]
+    out = knn_join_exact(
+        emb, qids, qmat, k=HN_K,
+        query_labels=qlabels, label_col="label",
+    )
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.col("label").alias("neg_label"),
+        F.round("dist", 6).alias("dist"),
+        "rank",
+    )
+
+
+def _oracle_hard_negatives(
+    k: int = HN_K, lo: int = ANN_EVAL_Q_LO, hi: int = ANN_EVAL_Q_HI
+) -> str:
+    """Mirror: cross join restricted to label inequality, left-fold L2,
+    (dist, vec_id) rank, 6-decimal rounded output distance."""
+    return f"""
+WITH qs AS MATERIALIZED (SELECT vec_id AS query_id, embedding AS qe,
+                                label AS qlabel
+                         FROM embeddings
+                         WHERE vec_id >= {lo} AND vec_id < {hi})
+SELECT query_id, vec_id, neg_label, round(dist_exact, 6) AS dist, rank
+FROM (
+  SELECT q.query_id, e.vec_id, e.label AS neg_label,
+         {_dk_l2('e.embedding', 'q.qe')} AS dist_exact,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY {_dk_l2('e.embedding', 'q.qe')} ASC,
+                                     e.vec_id ASC) AS rank
+  FROM embeddings e CROSS JOIN qs q
+  WHERE e.label <> q.qlabel
+) WHERE rank <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Staged for the r9 window: embedding outlier screen (data quality)
 # ---------------------------------------------------------------------------
 
