@@ -2270,6 +2270,9 @@ ANN_QUERIES.update(
         "ann_recall_eval": q_ann_recall_eval,
         "mmr_rerank": q_mmr_rerank,
         "search_batch": q_search_batch,
+        "batch_assignments": q_batch_assignments,
+        "embedding_outliers": q_embedding_outliers,
+        "quantized_recall_eval": q_quantized_recall_eval,
     }
 )
 ANN_ORACLES.update(
@@ -2281,5 +2284,8 @@ ANN_ORACLES.update(
         "ann_recall_eval": _oracle_ann_recall_eval(),
         "mmr_rerank": _oracle_mmr_rerank(),
         "search_batch": _oracle_search_batch(),
+        "batch_assignments": _oracle_batch_assignments(),
+        "embedding_outliers": _oracle_embedding_outliers(),
+        "quantized_recall_eval": _oracle_quantized_recall_eval(),
     }
 )

@@ -579,7 +579,7 @@ EVENT_QUERIES = {
     "sessionize": q_sessionize,
     "streaming_dedup_batch": q_streaming_dedup_batch,
     "json_extract_agg": q_json_extract,
-    "views_before_purchase": q_views_before_purchase,
+    # "views_before_purchase": retired r9 (sibling: asof_join)
     "kmv_distinct_sketch": q_kmv_distinct,
     "value_quantiles": q_value_quantiles,
     "interval_join": q_interval_join,
@@ -595,7 +595,6 @@ EVENT_ORACLES = {
     "sessionize": ORACLE_SESSIONIZE,
     "streaming_dedup_batch": ORACLE_STREAM_DEDUP,
     "json_extract_agg": ORACLE_JSON,
-    "views_before_purchase": ORACLE_VIEWS_BEFORE_PURCHASE,
     "kmv_distinct_sketch": _oracle_kmv(64),
     "value_quantiles": ORACLE_VALUE_QUANTILES,
     "interval_join": ORACLE_INTERVAL_JOIN,

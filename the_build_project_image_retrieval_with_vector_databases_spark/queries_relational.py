@@ -1039,7 +1039,7 @@ ORDER BY s_suppkey
 
 
 RELATIONAL_QUERIES = {
-    "regional_volume": q_regional_volume,
+    # "regional_volume": retired r9 (siblings: part_profit + supplier_rollup)
     "part_profit": q_part_profit,
     "forecast_revenue": q_forecast_revenue,
     "running_revenue": q_running_revenue,
@@ -1052,7 +1052,7 @@ RELATIONAL_QUERIES = {
     "asof_join": q_asof_join,
     "important_stock": q_important_stock,
     "large_orders": q_large_orders,
-    "ship_mode_counts": q_ship_mode_counts,
+    # "ship_mode_counts": retired r9 (sibling: order_count_distribution)
     "revenue_growth": q_revenue_growth,
     "ntile_segments": q_ntile_segments,
     "zorder_keys": q_zorder_keys,
@@ -1063,7 +1063,6 @@ RELATIONAL_QUERIES = {
 }
 
 RELATIONAL_ORACLES = {
-    "regional_volume": ORACLE_REGIONAL_VOLUME,
     "part_profit": ORACLE_PART_PROFIT,
     "forecast_revenue": ORACLE_FORECAST_REVENUE,
     "running_revenue": ORACLE_RUNNING_REVENUE,
@@ -1076,7 +1075,6 @@ RELATIONAL_ORACLES = {
     "asof_join": ORACLE_ASOF_JOIN,
     "important_stock": ORACLE_IMPORTANT_STOCK,
     "large_orders": ORACLE_LARGE_ORDERS,
-    "ship_mode_counts": ORACLE_SHIP_MODE_COUNTS,
     "revenue_growth": ORACLE_REVENUE_GROWTH,
     "ntile_segments": ORACLE_NTILE_SEGMENTS,
     "zorder_keys": _oracle_zorder_keys(),
