@@ -616,54 +616,94 @@ ORACLES: dict[str, str] = {
 # a sibling still inside the window covers.
 # ---------------------------------------------------------------------------
 
-# Round-8 rotation (VERDICT r7 #1/#2). Capacity math: the r8 window
-# must re-check the 45 entries last checked in r6 (round 7's
-# _ROTATE_OUT) plus every new registration — 45 + 5 = exactly 50.
-# The five registrations, all staged-and-3-SF-pre-verified in
-# tests/test_staged_ops.py before registration: ann_recall_eval,
-# mmr_rerank, dedup_keep_best, dedup_recall_eval (VERDICT #1), and
-# search_batch (VERDICT #2 — the Arrow/BLAS serving kernel under the
-# oracle). Registry: 95 + 5 = 100, the 2×window hard cap. No
-# registered query's implementation changed this round (the serve
-# harness fix touched only the unregistered rate-source driver in
-# streaming/queries.py), so no r7-checked entry needs a slot.
+# Round-10 rotation (VERDICT r9 #1 — the flip r9 registered for but
+# never executed). Capacity math: the r10 window re-checks the 47
+# surviving r7-checked entries (round 9 retired ship_mode_counts,
+# views_before_purchase, regional_volume from that half) plus the
+# three r9 registrations that have never had a driver row
+# (batch_assignments, embedding_outliers, quantized_recall_eval):
+# 47 + 3 = exactly 50. The other half — the 50 entries checked green
+# in BOTH r8 and r9 (identical windows, VERDICT r9 headline) —
+# rotates out. Registry stays at 100, the 2×window hard cap.
 #
-# ROUND-9 WINDOW PLAN (write-ahead, per the r7→r8 handoff discipline):
-# r9's window must hold the 50 entries below in _ROTATE_OUT (last
-# checked r7) — ZERO free slots. Any r9 registration or
-# implementation change to an r8-checked entry requires retiring from
-# the r8 _ROTATE_OUT half (the r7-checked 50), one-for-one, BEFORE
-# adding. Pre-agreed retirement candidates from that half, each with
-# a registered sibling covering its semantics (see COVERAGE.md):
-#   1. ship_mode_counts      → order_count_distribution (same
-#      grouped-count-distribution class, 2-row vs 20-row instance)
-#   2. views_before_purchase → asof_join (same event-sequence
-#      backward-join machinery over the same 1981-row result shape)
-#   3. regional_volume       → part_profit + supplier_rollup (the
-#      dim-join + group-agg pattern, kept in two stronger forms)
-#   4. sq_topk               → ivfpq_topk + pq_rerank_topk (the
-#      quantized-tier family keeps its two stronger members)
-# Retiring k of these frees exactly k r9 window slots and k registry
-# slots. Do NOT pick retirements from the _CHECK_FIRST list directly
-# below instead: those rows are r8-green and rotate out in r9 WITHOUT
-# a check, so retiring one frees registry capacity but ZERO r9 window
-# slots — exactly the capacity-math failure of the r6→r7 handoff.
-#
-# Two registration candidates are ALREADY STAGED for r9 (implemented,
-# reference-tested, 3-SF oracle-verified in tests/test_staged_ops.py):
-#   - batch_assignments (queries_ann.q_batch_assignments) — the
-#     globally-canonical SA3 DataLoader batching, closing the last
-#     SURVEY §2 component without an oracle row; pair with retirement
-#     candidate #1 (ship_mode_counts).
-#   - embedding_outliers (queries_ann.q_embedding_outliers) — the
-#     embedding-quality outlier screen (integer-exact cross-multiplied
-#     flag); pair with retirement candidate #2 (views_before_purchase).
-#   - quantized_recall_eval (queries_ann.q_quantized_recall_eval) —
-#     PQ/SQ recall@10 vs exact (the quantization-error sweep; ADC ≡
-#     L2-to-reconstruction makes the batched form one declarative
-#     plan); pair with retirement candidate #3 (regional_volume).
+# ROUND-11 WINDOW PLAN (write-ahead, per the r7→r8 handoff
+# discipline): r11's window must hold the 50 entries in _ROTATE_OUT
+# below (last checked r9) — ZERO free slots. Any r11 registration or
+# implementation change to an r10-checked entry requires retiring
+# from THAT half (the r9-checked 50), one-for-one, BEFORE adding.
+# Pre-agreed retirement candidates from that half, each with a
+# registered sibling covering its semantics (see COVERAGE.md):
+#   1. large_orders     → important_stock (same scan-filter-agg
+#      class over lineitem; important_stock is the stronger form)
+#   2. idle_customers   → waiting_suppliers (same anti/semi-join
+#      existence-test class)
+#   3. token_histogram  → token_stats (same tokenizer surface;
+#      token_stats is the per-doc superset)
+# Retiring k of these frees exactly k r11 window slots and k
+# registry slots. Do NOT retire from the _CHECK_FIRST list directly
+# below instead: those rows rotate out of r11 WITHOUT a check, so
+# retiring one frees registry capacity but ZERO r11 window slots —
+# the capacity-math failure of the r6→r7 handoff.
 _CHECK_FIRST: list[str] = [
-    # the 45 r6-green entries rotate back into the window:
+    # the 47 surviving r7-checked entries, two rounds stale after the
+    # r9 non-rotation — they MUST be re-verified this round:
+    "quality_score",
+    "train_metrics",
+    "set_ops",
+    "kmv_distinct_sketch",
+    "value_quantiles",
+    "streaming_dedup_batch",
+    "pq_rerank_topk",
+    "exact_dedup",
+    "tumbling_window",
+    "sessionize",
+    "frame_sample",
+    "jsonl_ingest",
+    "knn_display",
+    "part_profit",
+    "forecast_revenue",
+    "running_revenue",
+    "order_priority_semi",
+    "customers_without_orders",
+    "supplier_rollup",
+    "asof_join",
+    "image_decode_real",
+    "funnel_conversion",
+    "split_counts",
+    "order_count_distribution",
+    "bucketed_revenue",
+    "sq_topk",
+    "suffix_join_equi",
+    "language_id",
+    "salted_term_counts",
+    "bpe_token_counts",
+    "top_docs_per_lang",
+    "ivfpq_topk",
+    "ann_search",
+    "seq_packing",
+    "vocab_filter",
+    "retention_cohorts",
+    "min_cost_order",
+    "dominant_suppliers",
+    "decontaminate",
+    "cms_heavy_hitters",
+    "lsh_near_dup",
+    "pii_scrub",
+    "bm25",
+    "kmeans_step",
+    "kmeans_train_assign",
+    "semantic_dedup",
+    "semantic_dedup_incremental",
+    # registered in round 9, never driver-checked → in-window:
+    "batch_assignments",
+    "embedding_outliers",
+    "quantized_recall_eval",
+]
+
+# The 50 entries checked green in both r8 and r9 rotate out this
+# round. Across r9+r10 every registry entry again has a green row
+# ≤1 round old, restoring the rotation invariant.
+_ROTATE_OUT: list[str] = [
     "clean_corpus",
     "dedup_components",
     "distinct_labels",
@@ -709,68 +749,11 @@ _CHECK_FIRST: list[str] = [
     "waiting_suppliers",
     "weighted_sample",
     "zorder_keys",
-    # new in round 8 → never driver-checked → in-window:
     "ann_recall_eval",
     "mmr_rerank",
     "dedup_keep_best",
     "dedup_recall_eval",
     "search_batch",
-]
-
-# The 50 r7-checked entries rotate out this round (every one carries a
-# green CORRECTNESS_r07 row). Across r7+r8 every registry entry again
-# has a green row ≤1 round old.
-_ROTATE_OUT: list[str] = [
-    "quality_score",
-    "train_metrics",
-    "set_ops",
-    "kmv_distinct_sketch",
-    "value_quantiles",
-    "streaming_dedup_batch",
-    "pq_rerank_topk",
-    "exact_dedup",
-    "tumbling_window",
-    "sessionize",
-    "frame_sample",
-    "jsonl_ingest",
-    "knn_display",
-    "regional_volume",
-    "part_profit",
-    "forecast_revenue",
-    "running_revenue",
-    "order_priority_semi",
-    "customers_without_orders",
-    "supplier_rollup",
-    "asof_join",
-    "image_decode_real",
-    "funnel_conversion",
-    "split_counts",
-    "order_count_distribution",
-    "bucketed_revenue",
-    "sq_topk",
-    "suffix_join_equi",
-    "language_id",
-    "salted_term_counts",
-    "bpe_token_counts",
-    "top_docs_per_lang",
-    "views_before_purchase",
-    "ivfpq_topk",
-    "ship_mode_counts",
-    "ann_search",
-    "seq_packing",
-    "vocab_filter",
-    "retention_cohorts",
-    "min_cost_order",
-    "dominant_suppliers",
-    "decontaminate",
-    "cms_heavy_hitters",
-    "lsh_near_dup",
-    "pii_scrub",
-    "bm25",
-    "kmeans_step",
-    "kmeans_train_assign",
-    "semantic_dedup",
-    "semantic_dedup_incremental",
 ]
 def _window_order(d: dict) -> dict:
     front = {k: d[k] for k in _CHECK_FIRST if k in d}
