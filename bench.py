@@ -84,7 +84,7 @@ def main() -> None:
     # still warmed by each query's own first min-of-2 run.
     warm_set = [
         "pricing_summary",       # parquet scan + decimal agg
-        "regional_volume",       # multi-way broadcast/shuffle join
+        "part_profit",           # multi-way broadcast/shuffle join
         "running_revenue",       # window frame machinery
         "token_stats",           # text explode + string exprs
         "knn_l2_topk",           # vector higher-order exprs + top-k

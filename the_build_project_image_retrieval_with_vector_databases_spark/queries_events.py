@@ -121,56 +121,6 @@ FROM (
 """
 
 
-def q_views_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time-interval join collapsed into a RANGE-frame window: for every
-    purchase, the count of same-user views in the preceding hour.
-
-    The naive formulation is a theta join (views.ts ∈ [p.ts−1h, p.ts]) —
-    a per-row backward range probe that explodes at scale. The RANGE
-    frame form shuffles ONCE on user_id and scans each user's timeline
-    in order; frame semantics over the epoch key are identical in Spark
-    and DuckDB (peers at equal ts all included), so it oracle-checks
-    exactly."""
-    ev = load_table(spark, sf_dir, "events")
-    tagged = ev.select(
-        "user_id",
-        "event_id",
-        "event_type",
-        F.unix_timestamp("ts").cast("long").alias("ep"),
-        F.when(F.col("event_type") == "view", 1).otherwise(0).alias("is_view"),
-    )
-    w = Window.partitionBy("user_id").orderBy("ep").rangeBetween(-3600, 0)
-    return (
-        tagged.withColumn("views_1h", F.sum("is_view").over(w))
-        .filter(F.col("event_type") == "purchase")
-        .select(
-            "user_id",
-            F.col("event_id").alias("purchase_id"),
-            "ep",
-            F.col("views_1h").cast("long").alias("views_1h"),
-        )
-    )
-
-
-ORACLE_VIEWS_BEFORE_PURCHASE = """
-WITH e AS (
-  SELECT user_id, event_id, event_type,
-         CAST(floor(epoch(ts)) AS BIGINT) AS ep,
-         CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_view
-  FROM events
-),
-win AS (
-  SELECT user_id, event_id, event_type, ep,
-         sum(is_view) OVER (PARTITION BY user_id ORDER BY ep
-                            RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
-           AS views_1h
-  FROM e
-)
-SELECT user_id, event_id AS purchase_id, ep,
-       CAST(views_1h AS BIGINT) AS views_1h
-FROM win WHERE event_type = 'purchase'
-"""
-
 
 def q_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (median / p95 / p99 of purchase

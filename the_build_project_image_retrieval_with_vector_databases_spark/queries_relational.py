@@ -21,57 +21,6 @@ from .sources.tables import load_table
 
 
 # ---------------------------------------------------------------------------
-# TPC-H Q5 shape: 6-way join + agg (fact ⋈ fact ⋈ dims)
-# ---------------------------------------------------------------------------
-
-
-def q_regional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Revenue volume per nation where customer and supplier share the
-    nation: lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈ nation ⋈ region.
-    Facts (lineitem, orders) hash-join on orderkey; every dim broadcasts."""
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
-    cust = load_table(spark, sf_dir, "customer")
-    supp = load_table(spark, sf_dir, "supplier")
-    nation = load_table(spark, sf_dir, "nation")
-    region = load_table(spark, sf_dir, "region")
-    revenue = (
-        F.col("l_extendedprice").cast("decimal(12,2)")
-        * (F.lit(1).cast("decimal(2,0)") - F.col("l_discount").cast("decimal(7,4)"))
-    )
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .filter(cust.c_nationkey == supp.s_nationkey)
-        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-        .groupBy("r_name", "n_name")
-        .agg(
-            F.round(F.sum(revenue), 2).cast("double").alias("revenue"),
-            F.count("*").alias("n_items"),
-        )
-    )
-
-
-ORACLE_REGIONAL_VOLUME = """
-SELECT r_name, n_name,
-       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
-                (CAST(1 AS DECIMAL(2,0)) - CAST(l_discount AS DECIMAL(7,4)))), 2)
-            AS DOUBLE) AS revenue,
-       count(*) AS n_items
-FROM lineitem
-JOIN orders   ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey
-JOIN supplier ON l_suppkey = s_suppkey
-JOIN nation   ON c_nationkey = n_nationkey
-JOIN region   ON n_regionkey = r_regionkey
-WHERE c_nationkey = s_nationkey
-GROUP BY r_name, n_name
-"""
-
-
-# ---------------------------------------------------------------------------
 # TPC-H Q9 shape: part-filtered profit per nation per year
 # ---------------------------------------------------------------------------
 
@@ -640,43 +589,6 @@ FROM (
 ) big
 JOIN orders   ON big.l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
-"""
-
-
-# ---------------------------------------------------------------------------
-# TPC-H Q12 shape: conditional aggregation (CASE inside SUM)
-# ---------------------------------------------------------------------------
-
-
-def q_ship_mode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q12-shape conditional aggregation: per lineitem status, how many
-    items belong to high- vs low-priority orders (CASE folded into the
-    aggregate — one pass, no per-branch scans). The fact⋈fact join
-    shuffles both sides on orderkey once; the CASE arithmetic rides the
-    map-side partial aggregate."""
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
-    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .groupBy("l_linestatus")
-        .agg(
-            F.sum(F.when(high, 1).otherwise(0)).alias("high_priority_items"),
-            F.sum(F.when(high, 0).otherwise(1)).alias("low_priority_items"),
-        )
-        .orderBy("l_linestatus")
-    )
-
-
-ORACLE_SHIP_MODE_COUNTS = """
-SELECT l_linestatus,
-       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                     THEN 1 ELSE 0 END) AS BIGINT) AS high_priority_items,
-       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                     THEN 0 ELSE 1 END) AS BIGINT) AS low_priority_items
-FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-GROUP BY l_linestatus
-ORDER BY l_linestatus
 """
 
 

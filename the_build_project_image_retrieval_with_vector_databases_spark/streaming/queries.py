@@ -127,8 +127,9 @@ def interval_join(
     sides plus the time-range predicate are what lets Spark expire join
     state (without them the view buffer grows forever) — state per key is
     bounded by watermark + lag. Works identically on batch DataFrames
-    (the twin the test compares against; the batch *aggregate* form is
-    the oracle-checked ``views_before_purchase``)."""
+    (the twin the test compares against; the batch *aggregate* form was
+    the oracle-checked ``views_before_purchase``, retired r9 with
+    ``asof_join`` as its registered sibling)."""
     p = purchases.withWatermark("ts", f"{watermark_s} seconds").select(
         F.col("user_id").alias("p_user"),
         F.col("event_id").alias("purchase_id"),
