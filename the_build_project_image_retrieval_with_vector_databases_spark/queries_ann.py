@@ -2039,16 +2039,23 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     positive/negative pairs, and at corpus scale the negatives worth
     training on are exactly these nearest wrong-class rows). Same 32
     held-out queries as `ann_recall_eval` (16 ≤ vec_id < 48); output
-    (query_id, vec_id, neg_label, dist, rank), dist rounded to 6
-    decimals in the house output style, ranks computed on raw doubles.
+    (query_id, vec_id, neg_label, dist, rank).
+
+    ``dist`` is the RAW left-fold double — no rounding. The kernel is
+    bit-exact with DuckDB's ``list_reduce`` left fold, so rounding here
+    would only have been cosmetic; emitting the raw value keeps this
+    query out of the rounded-hash class entirely (VERDICT r9 #7 — the
+    exact-hash decision applied at registration time).
 
     Physical path: :func:`~.operators.knn.knn_join_exact` with the
     per-query label mask — the corpus scans ONCE (never shuffles),
     same-label rows drop inside the Arrow kernel before the k-cut, the
     bit-exact left-fold distance keeps the DuckDB oracle hash-matched,
     and only ≤ partitions·Q·k candidates reach the global rank window.
-    STAGED for the r9 window — pairs with retirement candidate #4
-    (sq_topk) per the write-ahead plan in queries.py."""
+    Registered r10, paired with the retirement of sq_topk (candidate
+    #4 of the write-ahead plan; the SQ tier keeps ivfpq_topk +
+    pq_rerank_topk as registered siblings and its operators stay
+    covered by tests/test_pq.py)."""
     from .operators.knn import knn_join_exact
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -2072,7 +2079,7 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
         "vec_id",
         F.col("label").alias("neg_label"),
-        F.round("dist", 6).alias("dist"),
+        "dist",
         "rank",
     )
 
@@ -2081,13 +2088,14 @@ def _oracle_hard_negatives(
     k: int = HN_K, lo: int = ANN_EVAL_Q_LO, hi: int = ANN_EVAL_Q_HI
 ) -> str:
     """Mirror: cross join restricted to label inequality, left-fold L2,
-    (dist, vec_id) rank, 6-decimal rounded output distance."""
+    (dist, vec_id) rank, RAW double distance (bit-exact both sides —
+    see the query docstring's exact-hash note)."""
     return f"""
 WITH qs AS MATERIALIZED (SELECT vec_id AS query_id, embedding AS qe,
                                 label AS qlabel
                          FROM embeddings
                          WHERE vec_id >= {lo} AND vec_id < {hi})
-SELECT query_id, vec_id, neg_label, round(dist_exact, 6) AS dist, rank
+SELECT query_id, vec_id, neg_label, dist_exact AS dist, rank
 FROM (
   SELECT q.query_id, e.vec_id, e.label AS neg_label,
          {_dk_l2('e.embedding', 'q.qe')} AS dist_exact,
