@@ -64,12 +64,27 @@ def timed_best_of(spark, fn, runs: int = 2) -> float:
     return best
 
 
+def calibration_time(spark) -> float:
+    """Fixed-work machine-drift yardstick (VERDICT r10 #5 / r9 #8): a
+    data-independent JVM-side workload — sum over a 50M-row range with
+    a cheap expression — timed min-of-2 through the same noop sink as
+    the real queries. Its cost depends ONLY on the machine (CPU steal,
+    thermal state), never on the registry or SF, so a future round can
+    separate environment drift from code regressions in one look:
+    if total moved but calibration moved proportionally, it's the box."""
+    fn = lambda: spark.range(0, 50_000_000, 1, 32).selectExpr(
+        "sum(id * 2 + 1) AS s"
+    )
+    return round(timed_best_of(spark, fn), 3)
+
+
 def main() -> None:
     spark = get_spark(app_name="bench")
     try:
         sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", ""))
     except ValueError:
         sf = -1.0
+    load_start = round(os.getloadavg()[0], 2)
 
     # Warm-up phase: the JVM's C2 compiler needs seconds of EXECUTION
     # before shared Spark infrastructure (parquet reader, shuffle
@@ -112,6 +127,11 @@ def main() -> None:
         "queries": times,
         "sf": sf,
         "n_queries": len(times),
+        "calibration": {
+            "fixed_work_s": calibration_time(spark),
+            "load_avg_1m_start": load_start,
+            "load_avg_1m_end": round(os.getloadavg()[0], 2),
+        },
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_FULL.json"), "w") as f:

@@ -1363,3 +1363,90 @@ def test_quantized_recall_eval_oracle_parity_staged(spark, sf_dir):
         "quantized_recall_eval",
     )
     assert ok, msg
+
+
+def test_hard_negatives_matches_python_reference(spark):
+    """Registered r11 (VERDICT r9 #5 / r10 #1): hard-negative mining
+    against a single-threaded bit-exact reference — per-query top-k
+    nearest DIFFERENT-label rows, distances accumulated with the same
+    float64 left fold (``acc + (x-q)**2`` per dimension, then sqrt) the
+    Arrow kernel and the DuckDB oracle use, ties toward the lower
+    vec_id. Every returned neighbour's label must differ from its
+    query's label, and dist must be bit-identical (==, not approx)."""
+    import math
+
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_ann import (
+        ANN_EVAL_Q_HI,
+        ANN_EVAL_Q_LO,
+        HN_K,
+        q_hard_negatives,
+    )
+
+    got = {
+        (r.query_id, r.rank): (r.vec_id, r.neg_label, r.dist)
+        for r in q_hard_negatives(spark, SF_SMOKE).collect()
+    }
+    assert len(got) == (ANN_EVAL_Q_HI - ANN_EVAL_Q_LO) * HN_K
+
+    rows = sorted(
+        spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").collect(),
+        key=lambda r: r.vec_id,
+    )
+    by_id = {r.vec_id: r for r in rows}
+
+    def fold_l2(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            d = float(x) - float(y)
+            acc = acc + d * d
+        return math.sqrt(acc)
+
+    for qi in range(ANN_EVAL_Q_LO, ANN_EVAL_Q_HI):
+        q = by_id[qi]
+        cands = sorted(
+            (fold_l2(r.embedding, q.embedding), r.vec_id, r.label)
+            for r in rows
+            if r.label != q.label
+        )
+        for rank, (dist, vid, lab) in enumerate(cands[:HN_K], start=1):
+            gvid, glab, gdist = got[(qi, rank)]
+            assert gvid == vid, (qi, rank, gvid, vid)
+            assert glab == lab and lab != q.label, (qi, rank)
+            assert gdist == dist, (qi, rank, gdist, dist)  # bit-exact
+
+
+def test_hard_negatives_oracle_parity_staged(spark, sf_dir):
+    """The hard_negatives DuckDB oracle passes the driver-faithful
+    comparison — the RAW-double left-fold distance hash-matches
+    DuckDB's list_reduce fold (the exact-hash claim of the r10
+    de-rounding, verified at every SF this suite runs at)."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_ann import (
+        _oracle_hard_negatives,
+        q_hard_negatives,
+    )
+    from .oracle_harness import compare
+
+    ok, msg = compare(
+        q_hard_negatives(spark, sf_dir),
+        _oracle_hard_negatives(),
+        sf_dir,
+        "hard_negatives",
+    )
+    assert ok, msg
+
+
+def test_hard_negatives_plan_no_corpus_shuffle(spark):
+    """Mining-kernel plan contract (same shape as search_batch): the
+    corpus scan feeds mapInPandas directly — the label mask and k-cut
+    happen inside the Arrow kernel, so the only hash exchange is the
+    tiny candidate window (≤ partitions·Q·k rows); nothing plans a
+    cartesian product or a broadcast nested loop."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_ann import (
+        q_hard_negatives,
+    )
+
+    df = q_hard_negatives(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -616,37 +616,96 @@ ORACLES: dict[str, str] = {
 # a sibling still inside the window covers.
 # ---------------------------------------------------------------------------
 
-# Round-10 rotation (VERDICT r9 #1 — the flip r9 registered for but
-# never executed). Capacity math: the r10 window re-checks the 47
-# surviving r7-checked entries (round 9 retired ship_mode_counts,
-# views_before_purchase, regional_volume from that half) plus the
-# three r9 registrations that have never had a driver row
-# (batch_assignments, embedding_outliers, quantized_recall_eval):
-# 47 + 3 = exactly 50. The other half — the 50 entries checked green
-# in BOTH r8 and r9 (identical windows, VERDICT r9 headline) —
-# rotates out. Registry stays at 100, the 2×window hard cap.
+# Round-11 rotation (VERDICT r10 #1/#2, executed as one edit with the
+# hard_negatives registration). Capacity math: the r11 window re-checks
+# the r9-checked half — 50 entries last green in CORRECTNESS_r09 —
+# minus token_histogram (retired this round, one-for-one with the
+# hard_negatives registration; write-ahead candidate #3, its tokenizer
+# surface covered by the registered token_stats) plus hard_negatives
+# itself (newly registered, never driver-checked): 49 + 1 = exactly 50.
+# The other half — all 50 checked green in r10 — rotates out. Registry
+# stays at 100, the 2×window hard cap. sq_topk was deliberately NOT the
+# retiree: it is r10-checked, so retiring it frees a registry slot but
+# ZERO r11 window slots (the r6→r7 capacity-math trap).
 #
-# ROUND-11 WINDOW PLAN (write-ahead, per the r7→r8 handoff
-# discipline): r11's window must hold the 50 entries in _ROTATE_OUT
-# below (last checked r9) — ZERO free slots. Any r11 registration or
-# implementation change to an r10-checked entry requires retiring
-# from THAT half (the r9-checked 50), one-for-one, BEFORE adding.
+# ROUND-12 WINDOW PLAN (write-ahead, per the r7→r8 handoff
+# discipline): r12's window must hold the 50 entries in _ROTATE_OUT
+# below (last checked r10) — ZERO free slots. Any r12 registration or
+# implementation change to an r11-checked entry requires retiring
+# from THAT half (the r10-checked 50), one-for-one, BEFORE adding.
 # Pre-agreed retirement candidates from that half, each with a
 # registered sibling covering its semantics (see COVERAGE.md):
-#   1. large_orders     → important_stock (same scan-filter-agg
-#      class over lineitem; important_stock is the stronger form)
-#   2. idle_customers   → waiting_suppliers (same anti/semi-join
-#      existence-test class)
-#   3. token_histogram  → token_stats (same tokenizer surface;
-#      token_stats is the per-doc superset)
-# Retiring k of these frees exactly k r11 window slots and k
+#   1. sq_topk          → ivfpq_topk / pq_rerank_topk (quantized-tier
+#      siblings; SQ operators stay covered by tests/test_pq.py)
+#   2. split_counts     → stratified_sample (same deterministic-hash
+#      splitter surface; stratified adds the per-class exact-k bound)
+#   3. knn_display      → search_batch (same top-k + format surface;
+#      search_batch is the batched superset)
+# Retiring k of these frees exactly k r12 window slots and k
 # registry slots. Do NOT retire from the _CHECK_FIRST list directly
-# below instead: those rows rotate out of r11 WITHOUT a check, so
-# retiring one frees registry capacity but ZERO r11 window slots —
+# below instead: those rows rotate out of r12 WITHOUT a check, so
+# retiring one frees registry capacity but ZERO r12 window slots —
 # the capacity-math failure of the r6→r7 handoff.
 _CHECK_FIRST: list[str] = [
-    # the 47 surviving r7-checked entries, two rounds stale after the
-    # r9 non-rotation — they MUST be re-verified this round:
+    # the 49 surviving r9-checked entries (token_histogram retired),
+    # one round stale — they MUST be re-verified this round:
+    "clean_corpus",
+    "dedup_components",
+    "distinct_labels",
+    "doc_fingerprint",
+    "embedding_stats",
+    "gap_fill",
+    "gopher_quality",
+    "grouped_ids",
+    "idle_customers",
+    "image_decode_jpeg",
+    "image_knn_pipeline",
+    "important_stock",
+    "incremental_dedup",
+    "interval_join",
+    "ivf_topk",
+    "ivf_topk_batch",
+    "json_extract_agg",
+    "knn_l2_topk",
+    "knn_two_phase",
+    "label_category_join",
+    "label_counts",
+    "large_orders",
+    "manifest_scan",
+    "matryoshka_topk",
+    "minhash_lsh_dedup",
+    "mixture_sample",
+    "ngram_jaccard_dedup",
+    "ntile_segments",
+    "passage_dedup",
+    "path_normalize",
+    "pricing_summary",
+    "radius_pairs",
+    "revenue_growth",
+    "simhash",
+    "simhash_near_dup",
+    "sliding_window",
+    "stratified_sample",
+    "token_stats",
+    "top_revenue_customers",
+    "top_terms",
+    "vector_norms",
+    "waiting_suppliers",
+    "weighted_sample",
+    "zorder_keys",
+    "ann_recall_eval",
+    "mmr_rerank",
+    "dedup_keep_best",
+    "dedup_recall_eval",
+    "search_batch",
+    # registered in round 11, never driver-checked → in-window:
+    "hard_negatives",
+]
+
+# The 50 entries checked green in r10 rotate out this round. Across
+# r10+r11 every registry entry again has a green row ≤1 round old,
+# preserving the rotation invariant.
+_ROTATE_OUT: list[str] = [
     "quality_score",
     "train_metrics",
     "set_ops",
@@ -694,67 +753,12 @@ _CHECK_FIRST: list[str] = [
     "kmeans_train_assign",
     "semantic_dedup",
     "semantic_dedup_incremental",
-    # registered in round 9, never driver-checked → in-window:
     "batch_assignments",
     "embedding_outliers",
     "quantized_recall_eval",
 ]
 
-# The 50 entries checked green in both r8 and r9 rotate out this
-# round. Across r9+r10 every registry entry again has a green row
-# ≤1 round old, restoring the rotation invariant.
-_ROTATE_OUT: list[str] = [
-    "clean_corpus",
-    "dedup_components",
-    "distinct_labels",
-    "doc_fingerprint",
-    "embedding_stats",
-    "gap_fill",
-    "gopher_quality",
-    "grouped_ids",
-    "idle_customers",
-    "image_decode_jpeg",
-    "image_knn_pipeline",
-    "important_stock",
-    "incremental_dedup",
-    "interval_join",
-    "ivf_topk",
-    "ivf_topk_batch",
-    "json_extract_agg",
-    "knn_l2_topk",
-    "knn_two_phase",
-    "label_category_join",
-    "label_counts",
-    "large_orders",
-    "manifest_scan",
-    "matryoshka_topk",
-    "minhash_lsh_dedup",
-    "mixture_sample",
-    "ngram_jaccard_dedup",
-    "ntile_segments",
-    "passage_dedup",
-    "path_normalize",
-    "pricing_summary",
-    "radius_pairs",
-    "revenue_growth",
-    "simhash",
-    "simhash_near_dup",
-    "sliding_window",
-    "stratified_sample",
-    "token_histogram",
-    "token_stats",
-    "top_revenue_customers",
-    "top_terms",
-    "vector_norms",
-    "waiting_suppliers",
-    "weighted_sample",
-    "zorder_keys",
-    "ann_recall_eval",
-    "mmr_rerank",
-    "dedup_keep_best",
-    "dedup_recall_eval",
-    "search_batch",
-]
+
 def _window_order(d: dict) -> dict:
     front = {k: d[k] for k in _CHECK_FIRST if k in d}
     back = {k: d[k] for k in _ROTATE_OUT if k in d}

@@ -2052,10 +2052,12 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     same-label rows drop inside the Arrow kernel before the k-cut, the
     bit-exact left-fold distance keeps the DuckDB oracle hash-matched,
     and only ≤ partitions·Q·k candidates reach the global rank window.
-    Registered r10, paired with the retirement of sq_topk (candidate
-    #4 of the write-ahead plan; the SQ tier keeps ivfpq_topk +
-    pq_rerank_topk as registered siblings and its operators stay
-    covered by tests/test_pq.py)."""
+    Registered r11, paired with the retirement of token_histogram —
+    candidate #3 of the r11 write-ahead plan in queries.py, drawn from
+    the r9-checked half so the registration lands inside the r11
+    window (token_stats remains the registered superset of the
+    retiree's tokenizer surface). Staged 3-SF oracle-parity + plan
+    tests live in tests/test_staged_ops.py."""
     from .operators.knn import knn_join_exact
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -2281,6 +2283,7 @@ ANN_QUERIES.update(
         "batch_assignments": q_batch_assignments,
         "embedding_outliers": q_embedding_outliers,
         "quantized_recall_eval": q_quantized_recall_eval,
+        "hard_negatives": q_hard_negatives,
     }
 )
 ANN_ORACLES.update(
@@ -2295,5 +2298,6 @@ ANN_ORACLES.update(
         "batch_assignments": _oracle_batch_assignments(),
         "embedding_outliers": _oracle_embedding_outliers(),
         "quantized_recall_eval": _oracle_quantized_recall_eval(),
+        "hard_negatives": _oracle_hard_negatives(),
     }
 )

@@ -744,36 +744,10 @@ FROM hits h JOIN sizes s USING (doc_id)
 """
 
 
-def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus token-count distribution: docs bucketed by tokens-per-doc
-    (width 10). The length profile every pipeline run reports before and
-    after filtering; one scan, one tiny-key aggregate (map-side partial
-    does all the work — at 100 TB the shuffle carries ~dozens of rows per
-    map task)."""
-    docs = load_table(spark, sf_dir, "documents")
-    n_tok = F.size(tokens(F.col("text")))
-    bucket = (F.floor(n_tok / F.lit(10)) * 10).cast("int")
-    return (
-        docs.select(n_tok.alias("n_tokens"), bucket.alias("bucket"))
-        .groupBy("bucket")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.min("n_tokens").cast("long").alias("min_tokens"),
-            F.max("n_tokens").cast("long").alias("max_tokens"),
-            F.sum("n_tokens").cast("long").alias("total_tokens"),
-        )
-    )
-
-
-ORACLE_TOKEN_HISTOGRAM = f"""
-WITH t AS (SELECT len({_dk_toks()}) AS n_tokens FROM documents)
-SELECT CAST(floor(n_tokens / 10) * 10 AS INT) AS bucket,
-       count(*) AS n_docs,
-       CAST(min(n_tokens) AS BIGINT) AS min_tokens,
-       CAST(max(n_tokens) AS BIGINT) AS max_tokens,
-       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
-FROM t GROUP BY 1
-"""
+# token_histogram retired r11 (one-for-one with the hard_negatives
+# registration — write-ahead candidate #3): its width-10 length
+# histogram was a strict projection of token_stats' per-doc token
+# surface, which remains registered.
 
 
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1321,7 +1295,6 @@ TEXT_QUERIES = {
     "bpe_token_counts": q_bpe_token_counts,
     "top_docs_per_lang": q_top_docs_per_lang,
     "decontaminate": q_decontaminate,
-    "token_histogram": q_token_histogram,
     "weighted_sample": q_weighted_sample,
     "passage_dedup": q_passage_dedup,
     "incremental_dedup": q_incremental_dedup,
@@ -1352,7 +1325,6 @@ TEXT_ORACLES = {
     "bpe_token_counts": ORACLE_BPE_TOKEN_COUNTS,
     "top_docs_per_lang": _oracle_top_docs_per_lang(),
     "decontaminate": _oracle_decontaminate(4, 0.2),
-    "token_histogram": ORACLE_TOKEN_HISTOGRAM,
     "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
     "passage_dedup": ORACLE_PASSAGE_DEDUP,
     "incremental_dedup": _oracle_incremental_dedup(0.5),
