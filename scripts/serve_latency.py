@@ -15,6 +15,17 @@ the steady-state SLO is the serving number; cold-start is a deploy
 property). Writes one JSON line and SERVE_LATENCY.json.
 
 Usage: python scripts/serve_latency.py [seconds] [rows_per_second]
+
+IVF-tier mode (VERDICT r8/r9/r10 #3 — "where does the knee move"):
+
+  python scripts/serve_latency.py --ivf [corpus_dir] [seconds] [rate ...]
+
+runs the same rate-source loop backed by the partition-pruned
+inverted-list kernel (``serve_loop_rate_ivf`` over the materialized
+``partitionBy(centroid)`` layout of ``corpus_dir``'s embeddings table,
+nprobe priced by RECALL_CURVE.json), and MERGES an ``ivf_tier`` section
+into SERVE_LATENCY.json next to the flat-scan numbers instead of
+overwriting them.
 """
 
 from __future__ import annotations
@@ -70,6 +81,75 @@ def run_one(spark, window_s: int, rate: int, corpus=None) -> dict:
     }
 
 
+def run_one_ivf(
+    spark, window_s: int, rate: int, layout_path: str, centroids, nprobe: int
+) -> dict:
+    from the_build_project_image_retrieval_with_vector_databases_spark.streaming.queries import (
+        serve_loop_rate_ivf,
+    )
+
+    latencies: list[float] = []
+    q = serve_loop_rate_ivf(
+        spark, layout_path, centroids, k=5, nprobe=nprobe,
+        rows_per_second=rate, latencies=latencies, trigger_ms=1000,
+    )
+    try:
+        time.sleep(window_s)
+    finally:
+        q.stop()
+    warm = latencies[2:]
+    return {
+        "rows_per_second": rate,
+        "nprobe": nprobe,
+        "window_s": window_s,
+        "n_batches": len(latencies),
+        "warm_batches": len(warm),
+        "p50_s": round(pct(warm, 0.50), 3) if warm else None,
+        "p95_s": round(pct(warm, 0.95), 3) if warm else None,
+        "max_s": round(max(warm), 3) if warm else None,
+        "cold_first_batch_s": round(latencies[0], 3) if latencies else None,
+    }
+
+
+def main_ivf() -> None:
+    args = [a for a in sys.argv[2:]]
+    corpus_dir = args.pop(0) if args and not args[0].isdigit() else BASE
+    window_s = int(args.pop(0)) if args else 35
+    rates = [int(x) for x in args] or [250, 500, 1000]
+    nprobe = int(os.environ.get("SPARK_GRAFT_NPROBE", "4"))
+
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_ann import (
+        _ivf_layout,
+    )
+
+    spark = get_spark(app_name="serve-latency-ivf", shuffle_partitions=8)
+    path, centroids = _ivf_layout(spark, corpus_dir)
+    # warm-up run, discarded (same C2-ramp rationale as the flat sweep)
+    run_one_ivf(spark, min(window_s, 15), rates[0], path, centroids, nprobe)
+    section = {
+        "corpus_dir": corpus_dir,
+        "layout": path,
+        "k_centroids": len(centroids),
+        "nprobe": nprobe,
+        "trigger_ms": 1000,
+        "warmup": f"{min(window_s, 15)}s@{rates[0]}qps discarded",
+        "runs": [
+            run_one_ivf(spark, window_s, r, path, centroids, nprobe)
+            for r in rates
+        ],
+    }
+    out_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "SERVE_LATENCY.json")
+    art = {}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            art = json.load(f)
+    art["ivf_tier"] = section
+    with open(out_path, "w") as f:
+        json.dump(art, f, indent=1, sort_keys=True)
+    print(json.dumps({"metric": "serve_latency_ivf", **section}))
+
+
 def main() -> None:
     window_s = int(sys.argv[1]) if len(sys.argv) > 1 else 35
     rates = [int(x) for x in sys.argv[2:]] or [100, 500]
@@ -102,4 +182,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--ivf":
+        main_ivf()
+    else:
+        main()

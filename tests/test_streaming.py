@@ -501,3 +501,47 @@ def test_serve_loop_rate_sparse_ids_and_bounded_pool(spark):
         assert r.query_id % 7 == 3 and r.query_id <= max_pool_id, (
             "query ids must come from the bounded lowest-id pool"
         )
+
+
+def test_serve_loop_rate_ivf_latency_and_self_hit(spark):
+    """IVF-tier continuous serving (r11, VERDICT r10 #3): the rate-source
+    loop over the materialized partitioned layout records bounded
+    per-batch latencies and every query's rank-1 neighbor is itself
+    (the query row's own inverted list is always its first probe, so
+    exclude_self=False ⇒ a distance-0 self hit — the IVF twin of the
+    flat loop's invariant)."""
+    import time
+
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_ann import (
+        _ivf_layout,
+    )
+    from the_build_project_image_retrieval_with_vector_databases_spark.streaming.queries import (
+        serve_loop_rate_ivf,
+    )
+
+    path, centroids = _ivf_layout(spark, SF_SMOKE)
+    latencies: list = []
+    results: list = []
+    q = serve_loop_rate_ivf(
+        spark,
+        path,
+        centroids,
+        k=3,
+        nprobe=2,
+        rows_per_second=40,
+        latencies=latencies,
+        sink=lambda df, epoch: results.extend(
+            df.filter(F.col("rank") == 1).select("query_id", "vec_id").collect()
+        ),
+        trigger_ms=250,
+    )
+    try:
+        deadline = time.time() + 30
+        while len(latencies) < 3 and time.time() < deadline:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert len(latencies) >= 3, "loop must complete several microbatches"
+    assert all(0 < l < 30 for l in latencies)
+    assert results, "sink must observe scored batches"
+    assert all(qid == vid for qid, vid in results), "rank-1 must be self"

@@ -210,6 +210,117 @@ def knn_join_arrow(
     )
 
 
+def knn_join_arrow_ivf(
+    layout: DataFrame,
+    query_ids: list[int],
+    query_mat,
+    probe_sets: list[list[int]],
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_col: str = "centroid",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """IVF-tier Arrow/BLAS kNN join — :func:`knn_join_arrow` with
+    per-query inverted-list masking, the serving kernel for rates past
+    the flat-scan knee (the batched analogue of the reference's
+    ``IndexIVFFlat.search``; its flat twin covers ``app.py:171``).
+
+    Two pruning levels compose:
+
+    1. **Scan**: the layout is filtered to the UNION of all probe sets
+       before ``mapInPandas`` — over the ``partitionBy(centroid)``
+       parquet layout that is partition PRUNING (only probed inverted
+       lists are read; at 100 TB only |∪probes|/k_cents of the corpus
+       leaves storage).
+    2. **FLOPs**: inside each Arrow batch, rows group by centroid and
+       each group is scored ONLY against the queries probing that
+       centroid — Σ_c |rows_c|·|probers_c| ≈ (nprobe/k_cents)·N·Q
+       multiply-adds instead of the flat join's N·Q. This is the win
+       :func:`~.ann.ivf_search_batch`'s declarative form cannot get
+       locally (its interpreted fold costs ~µs/pair); here the masked
+       matmul keeps BLAS throughput.
+
+    Same exactness contract as :func:`knn_join_arrow` (BLAS ulps, ties
+    at the argpartition boundary); per-query recall is the nprobe curve
+    (RECALL_CURVE.json). ``probe_sets[i]`` lists the centroid ids query
+    ``i`` probes. Output: (query_id, id_col, dist, rank ≤ k), candidate
+    volume ≤ batches·Q·k — independent of N."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    qm = np.asarray(query_mat, dtype=np.float64)
+    qids = np.asarray(query_ids, dtype=np.int64)
+    if qm.ndim != 2 or qm.shape[0] != len(qids) or len(qids) == 0:
+        raise ValueError("query_mat must be a non-empty Q×D matrix matching query_ids")
+    if len(probe_sets) != len(qids):
+        raise ValueError("probe_sets must align with query_ids")
+    qn = (qm * qm).sum(axis=1)
+    by_cent: dict[int, "np.ndarray"] = {}
+    for qi, probes in enumerate(probe_sets):
+        for c in probes:
+            by_cent.setdefault(int(c), []).append(qi)
+    by_cent = {c: np.asarray(v, dtype=np.int64) for c, v in by_cent.items()}
+    union_probes = sorted(by_cent)
+
+    id_field = next(f for f in layout.schema.fields if f.name == id_col)
+    schema = StructType(
+        [
+            StructField("query_id", LongType(), False),
+            id_field,
+            StructField("dist", DoubleType(), False),
+        ]
+    )
+    pruned = layout.filter(
+        F.col(centroid_col).isin(union_probes)
+    ).select(id_col, centroid_col, vec_col)
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cents = pdf[centroid_col].to_numpy()
+            for c in np.unique(cents):
+                qsel = by_cent.get(int(c))
+                if qsel is None:
+                    continue
+                sub = pdf[cents == c]
+                x = np.asarray(sub[vec_col].tolist(), dtype=np.float64)
+                ids = sub[id_col].to_numpy()
+                d = (
+                    (x * x).sum(axis=1)[:, None]
+                    - 2.0 * (x @ qm[qsel].T)
+                    + qn[qsel][None, :]
+                )
+                d = np.sqrt(np.maximum(d, 0.0))
+                if exclude_self:
+                    d[ids[:, None] == qids[qsel][None, :]] = np.inf
+                kk = min(k, d.shape[0])
+                part = np.argpartition(d, kk - 1, axis=0)[:kk]
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.repeat(
+                            qids[qsel][None, :], kk, axis=0
+                        ).ravel(order="F"),
+                        id_col: np.take_along_axis(
+                            ids[:, None].repeat(d.shape[1], axis=1), part, axis=0
+                        ).ravel(order="F"),
+                        "dist": np.take_along_axis(d, part, axis=0).ravel(
+                            order="F"
+                        ),
+                    }
+                )
+
+    cand = pruned.mapInPandas(score, schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col(id_col).asc()
+    )
+    return cand.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def knn_join_exact(
     corpus: DataFrame,
     query_ids: list[int],
