@@ -432,25 +432,27 @@ def test_size_aware_pins_gate_on_measured_rows(spark):
     assert sorted(map(key, pinned.collect())) == sorted(map(key, free.collect()))
 
 
-def test_ann_recall_eval_prunes_partitions_no_cartesian(spark):
-    """Staged r8 plan contract: the approximate side of the recall
-    evaluation must read the IVF layout through parquet PARTITION
-    pruning (union-of-probes IN filter on the centroid directory key),
-    and the whole plan may contain no CartesianProduct — the exact side
-    is the broadcast kNN expansion, the approximate side a broadcast of
-    the per-query probe sets."""
+def test_ann_recall_eval_one_scan_one_exchange(spark):
+    """r11 plan contract (VERDICT r10 #7 — the fold-into-one-scan
+    rewrite): the recall evaluation computes BOTH tiers from a single
+    Arrow pass over the layout (an exact-tier eval inherently reads
+    every row, so the old pruned second scan is gone along with the
+    full first scan of the raw table), and exactly ONE hash exchange
+    (the query_id repartition) carries the rank windows, the
+    intersection count, and the per-query aggregate — its partitioning
+    key is a subset of every downstream clustering requirement. The
+    previous two-scan pipeline planned 6 hash exchanges + 2 one-row
+    BroadcastNestedLoopJoins."""
     from the_build_project_image_retrieval_with_vector_databases_spark.queries_ann import (
         q_ann_recall_eval,
     )
 
     df = q_ann_recall_eval(spark, SF_SMOKE)
     plan = _physical(df)
-    # union-of-probes partition filter on the directory key (INSET form;
-    # at the fixture's 32 queries x nprobe=4 the union can cover all 16
-    # cells — the pruning MECHANISM is what this pins, per-query cell
-    # restriction is pinned by the ivf_topk/ivf_topk_batch tests)
-    assert re.search(r"PartitionFilters: \[.*centroid.*INSET", plan)
+    assert "MapInPandas" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
     assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_mmr_rerank_single_group_shuffle(spark):

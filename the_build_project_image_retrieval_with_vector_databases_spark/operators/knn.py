@@ -437,6 +437,128 @@ def knn_join_exact(
     )
 
 
+def knn_recall_eval_exact(
+    layout: DataFrame,
+    query_ids: list[int],
+    query_mat,
+    probe_sets: list[list[int]],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_col: str = "centroid",
+) -> DataFrame:
+    """Recall@k of the IVF tier vs exact search in ONE corpus scan —
+    the fold-into-one-Arrow-pass rewrite of the eval join pipeline
+    (the ``quantized_recall_eval`` precedent, VERDICT r10 #7: its
+    ADC-≡-L2-to-reconstruction fold took that query 4.95 → 0.97 s).
+
+    The naive shape scans twice (exact kNN join + IVF-pruned join) and
+    intersects — 6 hash exchanges measured. Here each Arrow batch of
+    the materialized layout computes the exact left-fold distances
+    once, then emits per-partition top-k candidates for BOTH tiers:
+    ``tier=0`` over all rows, ``tier=1`` over the rows whose
+    ``centroid`` is in that query's probe set (masking a copy of the
+    same distance matrix — zero extra FLOPs). Downstream, ONE
+    repartition on ``query_id`` satisfies every later clustering
+    requirement (the per-tier rank windows partition by
+    ``(query_id, tier)``, the intersection count groups by
+    ``(query_id, vec_id)`` then ``query_id`` — all supersets of the
+    exchange key, so Catalyst inserts no further shuffle).
+
+    Distances use the same explicit per-dimension float64 fold as
+    :func:`knn_join_exact` (bit-exact with the expression path and
+    DuckDB's ``list_reduce``) and the same pre-cut ``(dist, id)``
+    lexsort, so ranks — and the resulting (n_hits, recall) — are
+    identical to the two-scan pipeline's. Self matches are excluded in
+    both tiers. Output: (query_id, n_hits int, recall double) for every
+    query, zero-hit queries included."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    qm = np.asarray(query_mat, dtype=np.float64)
+    qids = np.asarray(query_ids, dtype=np.int64)
+    if qm.ndim != 2 or qm.shape[0] != len(qids) or len(qids) == 0:
+        raise ValueError("query_mat must be a non-empty Q×D matrix matching query_ids")
+    if len(probe_sets) != len(qids):
+        raise ValueError("probe_sets must align with query_ids")
+    probe_arr = [np.asarray(sorted(ps), dtype=np.int64) for ps in probe_sets]
+
+    id_field = next(f for f in layout.schema.fields if f.name == id_col)
+    schema = StructType(
+        [
+            StructField("query_id", LongType(), False),
+            id_field,
+            StructField("dist", DoubleType(), False),
+            StructField("tier", IntegerType(), False),
+        ]
+    )
+    pruned = layout.select(id_col, centroid_col, vec_col)
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            ids = pdf[id_col].to_numpy()
+            cents = pdf[centroid_col].to_numpy().astype(np.int64)
+            acc = np.zeros((x.shape[0], qm.shape[0]))
+            for j in range(qm.shape[1]):
+                dj = x[:, j, None] - qm[None, :, j]
+                acc = acc + dj * dj
+            d = np.sqrt(acc)
+            d[ids[:, None] == qids[None, :]] = np.inf  # exclude self
+            out: dict[str, list] = {
+                "query_id": [], id_col: [], "dist": [], "tier": []
+            }
+            kk = min(k, d.shape[0])
+            for qi in range(len(qids)):
+                col = d[:, qi]
+                for tier, mask in ((0, None), (1, np.isin(cents, probe_arr[qi]))):
+                    c = col if mask is None else np.where(mask, col, np.inf)
+                    order = np.lexsort((ids, c))[:kk]
+                    order = order[np.isfinite(c[order])]
+                    n = len(order)
+                    out["query_id"].extend([int(qids[qi])] * n)
+                    out[id_col].extend(ids[order].tolist())
+                    out["dist"].extend(c[order].tolist())
+                    out["tier"].extend([tier] * n)
+            yield pd.DataFrame(out)
+
+    cand = pruned.mapInPandas(score, schema).repartition("query_id")
+    w = Window.partitionBy("query_id", "tier").orderBy(
+        F.col("dist").asc(), F.col(id_col).asc()
+    )
+    topk = cand.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+    hits = (
+        topk.groupBy("query_id", id_col)
+        .agg(F.count("*").alias("n_tiers"))
+        .filter(F.col("n_tiers") == 2)
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    spark = layout.sparkSession
+    base = spark.createDataFrame(
+        [(int(q),) for q in query_ids], "query_id long"
+    )
+    return base.join(F.broadcast(hits), "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("int").alias("n_hits"),
+        (
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+            / F.lit(float(k))
+        ).alias("recall"),
+    )
+
+
 def knn_join_two_phase(
     corpus: DataFrame,
     queries: DataFrame,

@@ -1535,12 +1535,23 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows): exact top-10 via the expression kNN join, approximate top-10
     via the batched partition-pruned IVF join (nprobe=4 of 16), output
     one row per query — (query_id, n_hits, recall) with recall a raw
-    int/int double (bit-exact cross-engine). Both sides share ONE scan
-    each; the overlap join touches Q·k rows. STAGED for the r8
-    verification window — oracle parity-tested in
-    tests/test_staged_ops.py so registration is a 2-line diff."""
-    from .operators.ann import ivf_search_batch
-    from .operators.knn import knn_join
+    int/int double (bit-exact cross-engine).
+
+    r11 rewrite (VERDICT r10 #7, the `quantized_recall_eval`
+    precedent): both tiers now fold into ONE Arrow scan of the
+    materialized layout via
+    :func:`~.operators.knn.knn_recall_eval_exact` — each batch
+    computes the exact left-fold distance matrix once and emits
+    per-partition top-k candidates for the exact tier and for the
+    probe-masked tier; one repartition on ``query_id`` then carries
+    the rank windows, the intersection count, and the per-query
+    aggregate with zero further shuffles (the previous two-scan
+    pipeline planned 6 hash exchanges + 2 one-row BNLJs). Ranks — and
+    therefore (n_hits, recall) and the oracle hash — are unchanged:
+    the kernel's fold and (dist, id) tie-break are bit-exact with the
+    expression path both earlier scans used."""
+    from .operators.ann import nearest_centroids
+    from .operators.knn import knn_recall_eval_exact
 
     path, centroids = _ivf_layout(spark, sf_dir)
     layout = spark.read.parquet(path)
@@ -1554,29 +1565,13 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("vec_id")
         .collect()
     )
-    queries = [(int(r.vec_id), [float(x) for x in r.embedding]) for r in qrows]
-    approx = ivf_search_batch(
-        layout, centroids, queries, k=ANN_EVAL_K, nprobe=ANN_EVAL_NPROBE,
-        exclude_self=True,
-    ).select("query_id", "vec_id")
-    qdf = spark.createDataFrame(
-        [(qid, qv) for qid, qv in queries],
-        "query_id long, embedding array<double>",
-    )
-    exact = knn_join(
-        emb, qdf, k=ANN_EVAL_K, metric="l2", exclude_self=True
-    ).select("query_id", "vec_id")
-    hits = approx.join(exact, ["query_id", "vec_id"]).groupBy("query_id").agg(
-        F.count("*").alias("n_hits")
-    )
-    base = qdf.select("query_id")
-    return base.join(hits, "query_id", "left").select(
-        "query_id",
-        F.coalesce(F.col("n_hits"), F.lit(0)).cast("int").alias("n_hits"),
-        (
-            F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
-            / F.lit(float(ANN_EVAL_K))
-        ).alias("recall"),
+    qids = [int(r.vec_id) for r in qrows]
+    qmat = [[float(x) for x in r.embedding] for r in qrows]
+    probes = [
+        nearest_centroids(centroids, v, ANN_EVAL_NPROBE) for v in qmat
+    ]
+    return knn_recall_eval_exact(
+        layout, qids, qmat, probes, k=ANN_EVAL_K
     )
 
 
