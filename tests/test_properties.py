@@ -311,3 +311,117 @@ def test_sequential_semantic_dedup_property(spark, seed, n_corpus, n_batch):
         if not dropped:
             kept.append(i)
     assert got == want
+
+
+@settings(max_examples=6, deadline=None, derandomize=True)
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    n=st.integers(min_value=20, max_value=60),
+    k_cents=st.integers(min_value=2, max_value=5),
+    nprobe=st.integers(min_value=1, max_value=3),
+)
+def test_knn_join_arrow_ivf_property(spark, seed, n, k_cents, nprobe):
+    """Randomized IVF-kernel property (r11): for any corpus, centroid
+    assignment, and per-query probe sets, the kernel's per-query top-k
+    equals the numpy brute force restricted to that query's probed
+    lists (ties to the lower id), and never returns a row from an
+    unprobed list."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.knn import (
+        knn_join_arrow_ivf,
+    )
+
+    rng = np.random.default_rng(seed)
+    d = 8
+    nprobe = min(nprobe, k_cents)
+    mat = rng.standard_normal((n, d))
+    cents = rng.integers(0, k_cents, size=n)
+    df = spark.createDataFrame(
+        [
+            (int(i), int(cents[i]), [float(x) for x in mat[i]])
+            for i in range(n)
+        ],
+        "vec_id long, centroid int, embedding array<double>",
+    ).repartition(3)
+
+    q_n = 4
+    qids = list(range(q_n))
+    qvecs = [[float(x) for x in mat[i]] for i in range(q_n)]
+    probes = [
+        sorted(rng.choice(k_cents, size=nprobe, replace=False).tolist())
+        for _ in range(q_n)
+    ]
+    k = 5
+    got = {
+        (r.query_id, r.rank): r.vec_id
+        for r in knn_join_arrow_ivf(df, qids, qvecs, probes, k=k).collect()
+    }
+    for qi in range(q_n):
+        q = mat[qi]
+        cand = sorted(
+            (float(np.sqrt(max(
+                (mat[i] @ mat[i]) - 2.0 * (mat[i] @ q) + (q @ q), 0.0))), i)
+            for i in range(n)
+            if int(cents[i]) in probes[qi]
+        )
+        for rank, (dist, vid) in enumerate(cand[:k], start=1):
+            assert got[(qi, rank)] == vid, (seed, qi, rank)
+        n_in_probes = len(cand)
+        n_got = sum(1 for (g, _r) in got if g == qi)
+        assert n_got == min(k, n_in_probes)
+
+
+@settings(max_examples=6, deadline=None, derandomize=True)
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    n=st.integers(min_value=25, max_value=50),
+)
+def test_knn_recall_eval_exact_property(spark, seed, n):
+    """Randomized recall-eval property (r11): the one-scan operator's
+    (n_hits, recall) equals a brute-force reference intersecting the
+    exact top-k with the probes-restricted top-k, self excluded, for
+    every query — including zero-hit queries."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.knn import (
+        knn_recall_eval_exact,
+    )
+
+    rng = np.random.default_rng(seed)
+    d, k_cents, nprobe, k = 6, 4, 2, 4
+    mat = rng.standard_normal((n, d))
+    cents = rng.integers(0, k_cents, size=n)
+    df = spark.createDataFrame(
+        [
+            (int(i), int(cents[i]), [float(x) for x in mat[i]])
+            for i in range(n)
+        ],
+        "vec_id long, centroid int, embedding array<double>",
+    ).repartition(3)
+
+    q_n = 5
+    qids = list(range(q_n))
+    qvecs = [[float(x) for x in mat[i]] for i in range(q_n)]
+    probes = [
+        sorted(rng.choice(k_cents, size=nprobe, replace=False).tolist())
+        for _ in range(q_n)
+    ]
+    got = {
+        r.query_id: (r.n_hits, r.recall)
+        for r in knn_recall_eval_exact(df, qids, qvecs, probes, k=k).collect()
+    }
+    assert set(got) == set(qids), "every query must emit a row"
+    for qi in range(q_n):
+        q = mat[qi]
+
+        def dist(i):
+            acc = 0.0
+            for j in range(d):
+                dj = mat[i][j] - q[j]
+                acc = acc + dj * dj
+            return math.sqrt(acc)
+
+        exact = [i for _, i in sorted(
+            (dist(i), i) for i in range(n) if i != qi)][:k]
+        approx = [i for _, i in sorted(
+            (dist(i), i) for i in range(n)
+            if i != qi and int(cents[i]) in probes[qi])][:k]
+        n_hits = len(set(exact) & set(approx))
+        assert got[qi] == (n_hits, n_hits / float(k)), (seed, qi)
