@@ -736,3 +736,62 @@ def test_knn_join_arrow_ivf_matches_reference(spark):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_search_batch_ivf_arrow_and_mine_negatives_facades(spark, emb, emb_np):
+    """r11 facade extensions: search_batch(index='ivf', arrow=True)
+    routes to the inverted-list Arrow kernel and returns the same
+    per-query rank sequence as the declarative ivf_search_batch on the
+    fixture (same probe semantics; distances differ only in BLAS ulps);
+    mine_negatives returns exactly the registered hard_negatives rows
+    for the same query slice."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.search import (
+        mine_negatives,
+        search_batch,
+    )
+
+    ids, mat = emb_np
+    queries = [(int(ids[i]), [float(x) for x in mat[i]]) for i in range(6)]
+    cents = [list(map(float, mat[i])) for i in range(8)]
+
+    declarative = {
+        (r.query_id, r.rank): r.vec_id
+        for r in search_batch(
+            emb, queries, k=4, index="ivf", train_vectors=cents, nprobe=3,
+            exclude_self=True,
+        ).collect()
+    }
+    arrow = {
+        (r.query_id, r.rank): r.vec_id
+        for r in search_batch(
+            emb, queries, k=4, index="ivf", train_vectors=cents, nprobe=3,
+            exclude_self=True, arrow=True,
+        ).collect()
+    }
+    assert arrow == declarative and len(arrow) == 24
+
+    # mine_negatives ≡ the registered hard_negatives query on its slice
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_ann import (
+        HN_K,
+        q_hard_negatives,
+    )
+    from .conftest import SF_SMOKE
+
+    emb_full = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    qrows = sorted(
+        emb_full.filter("vec_id >= 16 and vec_id < 48").collect(),
+        key=lambda r: r.vec_id,
+    )
+    triples = [
+        (int(r.vec_id), [float(x) for x in r.embedding], int(r.label))
+        for r in qrows
+    ]
+    mined = {
+        (r.query_id, r.rank): (r.vec_id, r.label, r.dist)
+        for r in mine_negatives(emb_full, triples, k=HN_K).collect()
+    }
+    registered = {
+        (r.query_id, r.rank): (r.vec_id, r.neg_label, r.dist)
+        for r in q_hard_negatives(spark, SF_SMOKE).collect()
+    }
+    assert mined == registered

@@ -176,6 +176,7 @@ def search_batch(
     nprobe: int = 4,
     exact: bool = False,
     exclude_self: bool = False,
+    arrow: bool = False,
 ) -> DataFrame:
     """Batched top-k search — the shape the reference actually calls
     (``index.search`` takes a QUERY MATRIX, ``utils/faiss_utils.py:19``;
@@ -188,8 +189,12 @@ def search_batch(
     throughput path; ``exact=True`` switches to the expression operator
     whose left-fold arithmetic the DuckDB oracles pin, at interpreted
     per-pair cost) and ``ivf`` to the batched pruned-scan join (Q
-    queries share ONE partition-pruned scan). The quantized code tiers
-    stay single-query (``search``) — their ADC LUTs are per-query
+    queries share ONE partition-pruned scan; ``arrow=True`` swaps the
+    declarative scoring for the inverted-list Arrow/BLAS kernel
+    ``knn_join_arrow_ivf`` — the serving-rate path measured in
+    SERVE_LATENCY.json's ``ivf_tier``, same probe semantics, BLAS-ulp
+    distances instead of the oracle-pinned fold). The quantized code
+    tiers stay single-query (``search``) — their ADC LUTs are per-query
     literals and batching them is codebook-sized driver work, not a
     corpus-scan amortization.
     """
@@ -198,7 +203,11 @@ def search_batch(
     if not queries:
         raise ValueError("queries must be non-empty [(id, vector), ...]")
     if index == "ivf":
-        from .operators.ann import assign_centroids, ivf_search_batch
+        from .operators.ann import (
+            assign_centroids,
+            ivf_search_batch,
+            nearest_centroids,
+        )
 
         if metric != "l2":
             raise ValueError("index='ivf' is an L2-metric structure")
@@ -209,6 +218,20 @@ def search_batch(
         layout = corpus
         if "centroid" not in layout.columns:
             layout = assign_centroids(layout, train_vectors, vec_col)
+        if arrow:
+            from .operators.knn import knn_join_arrow_ivf
+
+            return knn_join_arrow_ivf(
+                layout,
+                [int(qid) for qid, _ in queries],
+                [[float(x) for x in qv] for _, qv in queries],
+                [
+                    nearest_centroids(train_vectors, qv, nprobe)
+                    for _, qv in queries
+                ],
+                k=k, vec_col=vec_col, id_col=id_col,
+                exclude_self=exclude_self,
+            )
         return ivf_search_batch(
             layout, train_vectors, queries, k=k, nprobe=nprobe,
             vec_col=vec_col, id_col=id_col, exclude_self=exclude_self,
@@ -236,4 +259,40 @@ def search_batch(
         [[float(x) for x in qv] for _, qv in queries],
         k=k, metric=metric, vec_col=vec_col, id_col=id_col,
         exclude_self=exclude_self,
+    )
+
+
+def mine_negatives(
+    corpus: DataFrame,
+    queries: list[tuple[int, list[float], int]],
+    k: int = 10,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining facade — for each ``(query_id, vector,
+    label)`` return the top-k nearest corpus rows whose ``label_col``
+    DIFFERS from the query's label: the negative-sampling step of a
+    contrastive embedding-training pipeline (the training loop behind
+    the reference's embeddings; its fine-tune consumes exactly these
+    nearest wrong-class pairs). Routes to
+    :func:`~.operators.knn.knn_join_exact` with the per-query label
+    mask: one corpus scan, same-label rows drop inside the Arrow kernel
+    before the k-cut, bit-exact left-fold distances (the registered
+    ``hard_negatives`` query is this facade applied to the held-out
+    eval slice). Output: (query_id, id_col, label_col, dist, rank)."""
+    from .operators.knn import knn_join_exact
+
+    if not queries:
+        raise ValueError("queries must be non-empty [(id, vector, label), ...]")
+    return knn_join_exact(
+        corpus,
+        [int(qid) for qid, _, _ in queries],
+        [[float(x) for x in qv] for _, qv, _ in queries],
+        k=k,
+        vec_col=vec_col,
+        id_col=id_col,
+        query_labels=[int(lab) for _, _, lab in queries],
+        label_col=label_col,
     )
