@@ -204,9 +204,13 @@ def repetition_exprs(txt, toks):
         lambda acc: acc["best"],
     )
     top_word_frac = top_count.cast("double") / n_tok
+    # length clamped to >= 0: slice() RAISES on negative length, and an
+    # empty/1-token doc makes size-1 negative/zero (fixture docs never
+    # do — found by the r11 fuzz layer, tests/test_fuzz_oracle.py)
+    n_m1 = F.greatest(F.size(toks) - 1, F.lit(0))
     grams = F.zip_with(
-        F.slice(toks, 1, F.size(toks) - 1),
-        F.slice(toks, 2, F.size(toks) - 1),
+        F.slice(toks, 1, n_m1),
+        F.slice(toks, 2, n_m1),
         lambda a, b: F.concat(a, F.lit(" "), b),
     )
     n_grams = F.size(grams)
