@@ -55,6 +55,31 @@ EMB_QUERIES = [
     "semantic_dedup",
 ]
 
+# Every relational registry query except bucketed_revenue: its
+# content-addressed bucketed-layout sink would leave one permanent
+# warehouse table per generated corpus (the plain l_orderkey join path
+# it shares is covered by large_orders).
+REL_QUERIES = [
+    "part_profit",
+    "forecast_revenue",
+    "running_revenue",
+    "order_priority_semi",
+    "customers_without_orders",
+    "order_count_distribution",
+    "supplier_rollup",
+    "set_ops",
+    "asof_join",
+    "important_stock",
+    "large_orders",
+    "revenue_growth",
+    "ntile_segments",
+    "zorder_keys",
+    "waiting_suppliers",
+    "idle_customers",
+    "min_cost_order",
+    "dominant_suppliers",
+]
+
 _WORDS = [
     "the", "cat", "sat", "on", "a", "mat", "dog", "ran", "big", "data",
     "spark", "dedup", "la", "el", "und", "der", "le", "et", "12",
@@ -113,6 +138,236 @@ def _gen_embeddings(rng: np.random.Generator, n_vecs: int) -> pa.Table:
     )
 
 
+def _money(rng: np.random.Generator, n: int, lo: float, hi: float) -> list[float]:
+    """2-decimal money values — the fixture value class (exact in
+    decimal(12,2), so cross-engine sums stay integer-exact)."""
+    return [round(float(x), 2) for x in rng.uniform(lo, hi, size=n)]
+
+
+def _day(rng: np.random.Generator, y0: int, y1: int):
+    import datetime
+
+    start = datetime.datetime(y0, 1, 1)
+    span = (datetime.datetime(y1, 12, 31) - start).days
+    return start + datetime.timedelta(days=int(rng.integers(0, span + 1)))
+
+
+def _gen_relational(
+    rng: np.random.Generator, n_cust: int, n_orders: int
+) -> dict[str, pa.Table]:
+    """Random TPC-H-shaped corpus mirroring the fixture value classes
+    (2-decimal money, whole-number quantities, the fixture enum domains,
+    1995–2001 dates) while varying every SHAPE the fixed fixtures pin:
+    zero-lineitem orders, orderless customers, orphan lineitems,
+    unit-price ties (min_cost_order's rank), acctbal ties (ntile),
+    equal-timestamp events (asof's max-view_id tiebreak), a 2021
+    shipdate slice (forecast_revenue's pushed-down range non-empty)."""
+    n_supp = int(rng.integers(1, 13))
+    n_part = int(rng.integers(5, 61))
+    n_users = int(rng.integers(3, 16))
+
+    region = pa.table(
+        {
+            "r_regionkey": pa.array(range(5), pa.int32()),
+            "r_name": pa.array([f"REGION{i}" for i in range(5)], pa.string()),
+        }
+    )
+    nation = pa.table(
+        {
+            "n_nationkey": pa.array(range(25), pa.int32()),
+            "n_name": pa.array([f"NATION{i:02d}" for i in range(25)], pa.string()),
+            "n_regionkey": pa.array([i % 5 for i in range(25)], pa.int32()),
+        }
+    )
+    supplier = pa.table(
+        {
+            "s_suppkey": pa.array(range(n_supp), pa.int64()),
+            "s_name": pa.array([f"Supplier#{i:09d}" for i in range(n_supp)]),
+            "s_nationkey": pa.array(
+                rng.integers(0, 25, n_supp).tolist(), pa.int32()
+            ),
+            "s_acctbal": pa.array(_money(rng, n_supp, -1000, 10000)),
+        }
+    )
+    # ~40% of part names carry the 'red' token part_profit filters on
+    colors = ["red", "blue", "green", "ivory", "navy"]
+    part = pa.table(
+        {
+            "p_partkey": pa.array(range(n_part), pa.int64()),
+            "p_name": pa.array(
+                [
+                    f"large {rng.choice(colors, p=[0.4, 0.15, 0.15, 0.15, 0.15])} widget"
+                    for _ in range(n_part)
+                ]
+            ),
+            "p_brand": pa.array(
+                [f"Brand#{int(rng.integers(1, 6))}" for _ in range(n_part)]
+            ),
+            "p_type": pa.array(
+                [str(rng.choice(["STANDARD", "ECONOMY", "PROMO"])) for _ in range(n_part)]
+            ),
+            "p_size": pa.array(rng.integers(1, 50, n_part).tolist(), pa.int32()),
+            "p_retailprice": pa.array(_money(rng, n_part, 900, 2000)),
+        }
+    )
+    segments = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    # acctbal: half from a coarse grid (forced ntile ties), half free
+    bal = [
+        float(rng.integers(-4, 40)) * 250.0
+        if rng.integers(0, 2) == 0
+        else _money(rng, 1, -1000, 10000)[0]
+        for _ in range(n_cust)
+    ]
+    customer = pa.table(
+        {
+            "c_custkey": pa.array(range(n_cust), pa.int64()),
+            "c_name": pa.array([f"Customer#{i:09d}" for i in range(n_cust)]),
+            "c_nationkey": pa.array(
+                rng.integers(0, 25, n_cust).tolist(), pa.int32()
+            ),
+            "c_acctbal": pa.array(bal),
+            "c_mktsegment": pa.array(
+                [str(rng.choice(segments)) for _ in range(n_cust)]
+            ),
+        }
+    )
+    priorities = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array(range(n_orders), pa.int64()),
+            # random fan-out: some customers get many orders, some none
+            "o_custkey": pa.array(
+                rng.integers(0, n_cust, n_orders).tolist(), pa.int64()
+            ),
+            "o_orderstatus": pa.array(
+                [str(rng.choice(["P", "O", "F"])) for _ in range(n_orders)]
+            ),
+            "o_totalprice": pa.array(_money(rng, n_orders, 1000, 500000)),
+            "o_orderdate": pa.array(
+                [_day(rng, 1995, 2001) for _ in range(n_orders)],
+                pa.timestamp("us"),
+            ),
+            "o_orderpriority": pa.array(
+                [str(rng.choice(priorities)) for _ in range(n_orders)]
+            ),
+        }
+    )
+    # unit-price tie pool: identical (extendedprice, quantity) pairs on
+    # different lineitems force min_cost_order through its tiebreak
+    tie_pool = [
+        (p, q)
+        for p, q in zip(_money(rng, 4, 900, 105000), rng.integers(1, 51, 4))
+    ]
+    ship_2021 = rng.integers(0, 3) == 0  # some corpora hit forecast's range
+    li_rows = []
+    for ok_ in range(n_orders):
+        for ln in range(1, int(rng.integers(0, 8)) + 1):
+            if rng.integers(0, 5) == 0:
+                price, qty = tie_pool[int(rng.integers(0, len(tie_pool)))]
+            else:
+                price, qty = _money(rng, 1, 900, 105000)[0], int(
+                    rng.integers(1, 51)
+                )
+            yr = (2020, 2021) if (ship_2021 and rng.integers(0, 2) == 0) else (1995, 2001)
+            li_rows.append(
+                (
+                    ok_,
+                    int(rng.integers(0, n_part)),
+                    int(rng.integers(0, n_supp)),
+                    ln,
+                    float(qty),
+                    float(price),
+                    round(float(rng.integers(0, 11)) / 100.0, 2),
+                    round(float(rng.integers(0, 9)) / 100.0, 2),
+                    str(rng.choice(["A", "N", "R"])),
+                    str(rng.choice(["O", "F"])),
+                    _day(rng, *yr),
+                )
+            )
+    # orphan lineitems: orderkeys with no orders row (inner joins must
+    # drop them identically on both engines)
+    for j in range(int(rng.integers(0, 3))):
+        li_rows.append(
+            (
+                n_orders + j,
+                int(rng.integers(0, n_part)),
+                int(rng.integers(0, n_supp)),
+                1,
+                float(rng.integers(1, 51)),
+                _money(rng, 1, 900, 105000)[0],
+                0.05,
+                0.02,
+                "R",
+                "F",
+                _day(rng, 1995, 2001),
+            )
+        )
+    cols = list(zip(*li_rows)) if li_rows else [[]] * 11
+    lineitem = pa.table(
+        {
+            "l_orderkey": pa.array(cols[0], pa.int64()),
+            "l_partkey": pa.array(cols[1], pa.int64()),
+            "l_suppkey": pa.array(cols[2], pa.int64()),
+            "l_linenumber": pa.array(cols[3], pa.int32()),
+            "l_quantity": pa.array(cols[4], pa.float64()),
+            "l_extendedprice": pa.array(cols[5], pa.float64()),
+            "l_discount": pa.array(cols[6], pa.float64()),
+            "l_tax": pa.array(cols[7], pa.float64()),
+            "l_returnflag": pa.array(cols[8], pa.string()),
+            "l_linestatus": pa.array(cols[9], pa.string()),
+            "l_shipdate": pa.array(cols[10], pa.timestamp("us")),
+        }
+    )
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    n_ev = int(rng.integers(50, 301))
+    ev_ts = [
+        base
+        + datetime.timedelta(
+            seconds=int(rng.integers(0, 30 * 86400)),
+            microseconds=int(rng.integers(0, 1_000_000)),
+        )
+        for _ in range(n_ev)
+    ]
+    ev_user = rng.integers(0, n_users, n_ev).tolist()
+    ev_type = [
+        str(rng.choice(["click", "view", "purchase", "signup", "error"]))
+        for _ in range(n_ev)
+    ]
+    # forced equal-ts (user, view) pairs: asof's max-view_id tiebreak
+    if n_ev >= 10:
+        ev_ts[3] = ev_ts[2]
+        ev_user[3] = ev_user[2]
+        ev_type[2] = ev_type[3] = "view"
+        ev_ts[5] = ev_ts[4] = ev_ts[2]
+        ev_user[5] = ev_user[4] = ev_user[2]
+        ev_type[4] = "purchase"  # purchase at the tied instant (<= holds)
+        ev_type[5] = "view"
+    events = pa.table(
+        {
+            "event_id": pa.array(range(n_ev), pa.int64()),
+            "ts": pa.array(ev_ts, pa.timestamp("us")),
+            "user_id": pa.array(ev_user, pa.int64()),
+            "event_type": pa.array(ev_type, pa.string()),
+            "value": pa.array(_money(rng, n_ev, 0, 120)),
+            "props": pa.array(
+                [f'{{"k": {int(rng.integers(0, 9))}}}' for _ in range(n_ev)]
+            ),
+        }
+    )
+    return {
+        "region": region,
+        "nation": nation,
+        "supplier": supplier,
+        "part": part,
+        "customer": customer,
+        "orders": orders,
+        "lineitem": lineitem,
+        "events": events,
+    }
+
+
 def _run_panel(spark, tmpdir: str, names: list[str]) -> None:
     from the_build_project_image_retrieval_with_vector_databases_spark.queries import (
         ORACLES,
@@ -146,6 +401,20 @@ def test_fuzz_documents_panel(spark, tmp_path_factory, seed, n_docs):
         _gen_documents(rng, n_docs), os.path.join(tmpdir, "documents.parquet")
     )
     _run_panel(spark, tmpdir, DOC_QUERIES)
+
+
+@settings(max_examples=3, deadline=None, derandomize=True)
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    n_cust=st.integers(min_value=25, max_value=120),
+    n_orders=st.integers(min_value=10, max_value=200),
+)
+def test_fuzz_relational_panel(spark, tmp_path_factory, seed, n_cust, n_orders):
+    rng = np.random.default_rng(seed)
+    tmpdir = str(tmp_path_factory.mktemp(f"fuzz_rel_{seed}_{n_cust}_{n_orders}"))
+    for name, tbl in _gen_relational(rng, n_cust, n_orders).items():
+        pq.write_table(tbl, os.path.join(tmpdir, f"{name}.parquet"))
+    _run_panel(spark, tmpdir, REL_QUERIES)
 
 
 @settings(max_examples=4, deadline=None, derandomize=True)
