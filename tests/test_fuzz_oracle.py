@@ -80,6 +80,25 @@ REL_QUERIES = [
     "dominant_suppliers",
 ]
 
+# The whole events family rides the same generated corpus: epoch-integer
+# window/session arithmetic, deterministic tie-breaks (the generator
+# forces equal-timestamp events through sessionize/gap_fill/asof), and
+# sketch oracles that rebuild the identical md5 grids.
+EVENT_FUZZ_QUERIES = [
+    "tumbling_window",
+    "sliding_window",
+    "sessionize",
+    "streaming_dedup_batch",
+    "json_extract_agg",
+    "value_quantiles",
+    "kmv_distinct_sketch",
+    "cms_heavy_hitters",
+    "funnel_conversion",
+    "interval_join",
+    "retention_cohorts",
+    "gap_fill",
+]
+
 _WORDS = [
     "the", "cat", "sat", "on", "a", "mat", "dog", "ran", "big", "data",
     "spark", "dedup", "la", "el", "und", "der", "le", "et", "12",
@@ -352,7 +371,7 @@ def _gen_relational(
             "event_type": pa.array(ev_type, pa.string()),
             "value": pa.array(_money(rng, n_ev, 0, 120)),
             "props": pa.array(
-                [f'{{"k": {int(rng.integers(0, 9))}}}' for _ in range(n_ev)]
+                [f'{{"k": {int(rng.integers(0, 100))}}}' for _ in range(n_ev)]
             ),
         }
     )
@@ -414,7 +433,7 @@ def test_fuzz_relational_panel(spark, tmp_path_factory, seed, n_cust, n_orders):
     tmpdir = str(tmp_path_factory.mktemp(f"fuzz_rel_{seed}_{n_cust}_{n_orders}"))
     for name, tbl in _gen_relational(rng, n_cust, n_orders).items():
         pq.write_table(tbl, os.path.join(tmpdir, f"{name}.parquet"))
-    _run_panel(spark, tmpdir, REL_QUERIES)
+    _run_panel(spark, tmpdir, REL_QUERIES + EVENT_FUZZ_QUERIES)
 
 
 @settings(max_examples=4, deadline=None, derandomize=True)
