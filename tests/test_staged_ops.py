@@ -1450,3 +1450,108 @@ def test_hard_negatives_plan_no_corpus_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# dsir_importance — STAGED r11, r12 registration candidate (pair with a
+# retirement from the r10-checked half per the write-ahead plan).
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_importance_matches_python_reference(spark):
+    """DSIR importance scores agree bit-exactly with a single-threaded
+    reference: same md5-hash bucketing, same two correctly-rounded
+    divisions feeding one ln, same HALF-UP λ quantization, integer
+    score sum (order-free by construction, so 'bit-exact' here is not
+    luck — only the per-bucket λ touches floats at all)."""
+    import hashlib
+    import math
+
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.mixing import (
+        DSIR_BUCKETS,
+        DSIR_SCALE,
+        dsir_importance,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    got = dsir_importance(docs, F.col("lang") == "en", k=None).collect()
+
+    def grams(text):
+        toks = [t for t in text.lower().split() if t]
+        return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+    def bkt(gram):
+        return int(hashlib.md5(gram.encode()).hexdigest()[:15], 16) % DSIR_BUCKETS
+
+    def half_up(v):
+        return int(math.floor(v + 0.5)) if v >= 0 else int(math.ceil(v - 0.5))
+
+    rows = [(r.doc_id, grams(r.text), r.lang == "en") for r in docs.collect()]
+    rc, tc = {}, {}
+    for _, gs, is_t in rows:
+        for g in gs:
+            b = bkt(g)
+            rc[b] = rc.get(b, 0) + 1
+            if is_t:
+                tc[b] = tc.get(b, 0) + 1
+    rtot, ttot = sum(rc.values()), sum(tc.values())
+    lam = {
+        b: half_up(
+            math.log(
+                ((tc.get(b, 0) + 1) / (ttot + DSIR_BUCKETS))
+                / ((rc[b] + 1) / (rtot + DSIR_BUCKETS))
+            )
+            * float(DSIR_SCALE)
+        )
+        for b in rc
+    }
+    expect = {
+        did: (len(gs), sum(lam[bkt(g)] for g in gs))
+        for did, gs, _ in rows
+        if gs
+    }
+
+    assert len(got) == len(expect)
+    for r in got:
+        n_grams, score_q = expect[r.doc_id]
+        assert r.n_grams == n_grams, (r.doc_id, r.n_grams, n_grams)
+        assert r.score_q == score_q, (r.doc_id, r.score_q, score_q)
+
+
+def test_dsir_importance_oracle_parity_staged(spark, sf_dir):
+    """The staged dsir_importance DuckDB oracle passes the driver-faithful
+    comparison — integer score hash, exact at every SF this suite runs
+    at (verified by hand at sf0.001/sf0.01/sf0.1 in r11)."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_text import (
+        ORACLE_DSIR_IMPORTANCE,
+        q_dsir_importance,
+    )
+    from .oracle_harness import compare
+
+    ok, msg = compare(
+        q_dsir_importance(spark, sf_dir),
+        ORACLE_DSIR_IMPORTANCE,
+        sf_dir,
+        "dsir_importance",
+    )
+    assert ok, msg
+
+
+def test_dsir_importance_plan_shape(spark):
+    """Plan contract: two corpus-keyed hash exchanges only (bucket
+    statistics with map-side partials, then the per-document score
+    aggregate); the totals window runs over the ≤B-row post-aggregate
+    stats table (bounded single-partition move, not corpus-sized); λ
+    arrives by broadcast; no cartesian/BNLJ, no Python row UDF."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.mixing import (
+        dsir_importance,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    df = dsir_importance(docs, F.col("lang") == "en", k=40)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan

@@ -408,10 +408,21 @@ def minhash_lsh_pairs(
         )
         .withColumn("n_inter", F.size(F.array_intersect("sh_l", "sh_r")))
         .withColumn(
-            # raw integer-ratio double (see ngram_jaccard_pairs)
+            "n_union", F.size("sh_l") + F.size("sh_r") - F.col("n_inter")
+        )
+        .withColumn(
+            # raw integer-ratio double (see ngram_jaccard_pairs), CASE-
+            # guarded: two zero-shingle docs (< n tokens each) share the
+            # sentinel signature, collide in every band, and reach this
+            # verify with an empty union — 0/0 is an ANSI-mode crash
+            # (fuzz-caught) and the oracle's shared-shingle `jac` block
+            # never emits such pairs, so NULL (dropped by the τ filter)
+            # is the agreeing semantics.
             "jaccard",
-            F.col("n_inter").cast("double")
-            / (F.size("sh_l") + F.size("sh_r") - F.col("n_inter")).cast("double"),
+            F.when(
+                F.col("n_union") > 0,
+                F.col("n_inter").cast("double") / F.col("n_union").cast("double"),
+            ),
         )
         .filter(F.col("jaccard") >= threshold)
     )
@@ -645,10 +656,16 @@ def minhash_lsh_incremental(
         )
         .withColumn("n_inter", F.size(F.array_intersect("sh_l", "sh_r")))
         .withColumn(
-            # raw integer-ratio double (see ngram_jaccard_pairs)
+            "n_union", F.size("sh_l") + F.size("sh_r") - F.col("n_inter")
+        )
+        .withColumn(
+            # raw integer-ratio double, CASE-guarded against the
+            # zero-shingle sentinel collision (see minhash_lsh_pairs)
             "jaccard",
-            F.col("n_inter").cast("double")
-            / (F.size("sh_l") + F.size("sh_r") - F.col("n_inter")).cast("double"),
+            F.when(
+                F.col("n_union") > 0,
+                F.col("n_inter").cast("double") / F.col("n_union").cast("double"),
+            ),
         )
         .filter(F.col("jaccard") >= threshold)
     )

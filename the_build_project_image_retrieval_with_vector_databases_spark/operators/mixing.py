@@ -1,0 +1,161 @@
+"""DSIR-style importance weighting for training-mix selection.
+
+Public method: Xie et al. 2023, "Data Selection for Language Models via
+Importance Resampling" (NeurIPS) — hashed n-gram bag-of-words features,
+class-conditional unigram/bigram models for a TARGET distribution vs the
+RAW crawl, per-document log importance weight
+
+    log w(doc) = Σ_grams λ_bucket(gram),
+    λ_b = ln( ((t_b + 1) / (T + B)) / ((r_b + 1) / (R + B)) )
+
+with add-one smoothing over B hash buckets (t_b/r_b = target/raw gram
+counts in bucket b, T/R their totals).  The highest-weight documents are
+the ones to keep when assembling a pretraining mix that should look like
+the target domain — the selection counterpart of ``mixture_sample``'s
+quota assembly (reference analogue: the corpus-curation step upstream of
+``utils/precompute_features.py``; the reference app assumes a curated
+gallery and has no selection pass of its own).
+
+Cross-engine exactness (the fuzz/oracle discipline): every count is an
+integer; the two probability quotients are single correctly-rounded IEEE
+divisions (bit-identical on any engine); ``ln`` is the ONE 1-ulp
+operation, so λ_b is quantized ONCE per bucket to an integer
+``lam_q = round(λ_b · 10⁶)`` (the bm25/tf_idf rounded-transcendental
+class, with the .5-tie measure-zero for transcendental inputs) and each
+document's score is an INTEGER sum of ``lam_q`` — commutative and exact,
+immune to Spark's partition-nondeterministic float aggregation order.
+
+Scale shape (100 TB):
+- ONE tokenize/gram pass feeds both the bucket statistics and the
+  per-document scores (persist via ``cache_handles``, the dedup-family
+  cache contract — without it the corpus is scanned twice, still linear).
+- The bucket table is ≤ B rows no matter the corpus size (B is a
+  paper-fixed feature dimension, not a corpus-blocking factor — DSIR
+  uses a fixed 10⁴-bucket hash space); both count aggregates are
+  map-side partial, and the λ table broadcast-joins back onto the gram
+  stream — the only corpus-wide shuffle is the final doc_id aggregation
+  (map-side partial, one (id, count, sum) row per document on the wire).
+- Top-k is ``TakeOrderedAndProject`` — no global sort materializes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import md5_long, tokens
+from ..sources.tables import spread
+
+DSIR_BUCKETS = 4096
+DSIR_SCALE = 1_000_000  # λ quantization: round(λ · 1e6) per bucket
+
+
+def _grams_with_multiplicity(toks: Column) -> Column:
+    """Unigrams ++ space-joined bigrams, WITH multiplicity (DSIR is a
+    bag-of-words model — unlike the dedup shingle sets, repeats count).
+    Same ``sequence`` descending-guard as ``token_shingles``."""
+    n_bi = F.size(toks) - F.lit(1)
+    bi = F.when(
+        n_bi >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_bi),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(toks, bi)
+
+
+def dsir_importance(
+    corpus: DataFrame,
+    target_pred: Column,
+    *,
+    buckets: int = DSIR_BUCKETS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int | None = 40,
+    cache_handles: list | None = None,
+) -> DataFrame:
+    """Per-document DSIR importance scores; top-``k`` by
+    ``(score_q DESC, id ASC)`` when ``k`` is given.
+
+    ``target_pred`` is a boolean Column over ``corpus`` rows selecting
+    the in-corpus sample of the target distribution (e.g.
+    ``F.col("lang") == "en"``).  Returns
+    ``(id_col, n_grams, score_q)`` — ``score_q`` is the integer-quantized
+    log importance weight (λ-sum · 10⁶ units).
+    """
+    toked = spread(corpus).select(
+        F.col(id_col),
+        target_pred.alias("__is_t"),
+        tokens(text_col).alias("__toks"),
+    )
+    grams = (
+        toked.select(
+            F.col(id_col),
+            F.col("__is_t"),
+            F.explode_outer(_grams_with_multiplicity(F.col("__toks"))).alias(
+                "gram"
+            ),
+        )
+        .filter(F.col("gram").isNotNull())
+        .select(
+            F.col(id_col),
+            F.col("__is_t"),
+            (md5_long("gram", digits=15) % F.lit(buckets)).alias("bkt"),
+        )
+    )
+    if cache_handles is not None:
+        grams = grams.persist()
+        cache_handles.append(grams)
+
+    # ONE aggregate produces both class counts: ≤ B rows out, map-side
+    # partial — the corpus never shuffles for statistics.
+    cnts = grams.groupBy("bkt").agg(
+        F.count("*").alias("rc"),
+        F.sum(F.when(F.col("__is_t"), 1).otherwise(0)).alias("tc"),
+    )
+    # Totals via an unbounded window over the POST-AGGREGATE stats table:
+    # the single-partition move is ≤ B rows (a constant, never
+    # corpus-sized — the usual single-task-window hazard does not apply),
+    # and it avoids both a second cnts computation and a cross join.
+    from pyspark.sql import Window
+
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    d = "double"
+    lam = cnts.select(
+        "bkt",
+        "rc",
+        "tc",
+        F.sum("rc").over(w).alias("rtot"),
+        F.sum("tc").over(w).alias("ttot"),
+    ).select(
+        "bkt",
+        F.round(
+            F.log(
+                (
+                    (F.col("tc") + 1).cast(d)
+                    / (F.col("ttot") + F.lit(buckets)).cast(d)
+                )
+                / (
+                    (F.col("rc") + 1).cast(d)
+                    / (F.col("rtot") + F.lit(buckets)).cast(d)
+                )
+            )
+            * F.lit(float(DSIR_SCALE))
+        )
+        .cast("long")
+        .alias("lam_q"),
+    )
+    scored = (
+        grams.join(F.broadcast(lam), "bkt")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum("lam_q").alias("score_q"),
+        )
+    )
+    if k is None:
+        return scored
+    return scored.orderBy(
+        F.col("score_q").desc(), F.col(id_col).asc()
+    ).limit(k)

@@ -1277,6 +1277,67 @@ FROM m
 """
 
 
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED (r11) — NOT registered. r12 registration candidate: per the
+    write-ahead plan above ``_CHECK_FIRST`` (queries.py), registering it
+    requires retiring one entry from the r10-checked half
+    (sq_topk / split_counts / knn_display are the pre-agreed candidates).
+
+    DSIR importance selection (Xie et al. 2023): rank corpus documents by
+    hashed-n-gram log importance weight toward the English target
+    distribution (``lang = 'en'`` rows are the in-corpus target sample),
+    top 40 by (score DESC, doc_id).  The training-mix SELECTION pass —
+    the quality-weighting counterpart of mixture_sample's quota assembly.
+
+    Scale shape: one tokenize/gram pass (persisted via the dedup-family
+    cache contract), ≤4096-row statistics aggregates (map-side partial),
+    λ table broadcast back onto the gram stream, ONE corpus shuffle
+    (doc_id, map-side partial), TakeOrderedAndProject top-k."""
+    from .operators.mixing import dsir_importance
+    from .operators.spill import materialize_and_release
+
+    docs = load_table(spark, sf_dir, "documents")
+    handles: list = []
+    out = dsir_importance(
+        docs,
+        F.col("lang") == "en",
+        k=40,
+        cache_handles=handles,
+    )
+    return materialize_and_release(out, handles, "dsir-")
+
+
+ORACLE_DSIR_IMPORTANCE = f"""
+WITH t AS (SELECT doc_id, lang, {_dk_toks()} AS toks FROM documents),
+g AS (
+  SELECT doc_id, (lang = 'en') AS is_t,
+         unnest(list_concat(toks,
+           list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+             i -> array_to_string(list_slice(toks, i, i + 1), ' ')))) AS gram
+  FROM t
+),
+b AS (SELECT doc_id, is_t,
+             ({_dk_hex15_to_long('md5(gram)')}) % 4096 AS bkt
+      FROM g),
+c AS (SELECT bkt, count(*) AS rc,
+             sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS tc
+      FROM b GROUP BY 1),
+tot AS (SELECT sum(rc) AS rtot, sum(tc) AS ttot FROM c),
+lam AS (
+  SELECT bkt,
+         CAST(round(ln( ((c.tc + 1)::DOUBLE / (tot.ttot + 4096)::DOUBLE)
+                      / ((c.rc + 1)::DOUBLE / (tot.rtot + 4096)::DOUBLE) )
+                    * 1000000.0) AS BIGINT) AS lam_q
+  FROM c, tot
+),
+s AS (SELECT doc_id, count(*) AS n_grams,
+             CAST(sum(lam_q) AS BIGINT) AS score_q
+      FROM b JOIN lam USING (bkt) GROUP BY 1)
+SELECT doc_id, n_grams, score_q FROM s
+ORDER BY score_q DESC, doc_id ASC LIMIT 40
+"""
+
+
 TEXT_QUERIES = {
     "token_stats": q_token_stats,
     "top_terms": q_top_terms,
