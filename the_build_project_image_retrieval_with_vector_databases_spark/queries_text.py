@@ -794,7 +794,14 @@ def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spread(load_table(spark, sf_dir, "documents"))
     toks = tokens(F.col("text"))
-    starts = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(20))
+    # Zero-token documents emit NO passages (fuzz-caught: the old
+    # greatest(size, 1) floor manufactured an empty-string passage that
+    # Spark hashed while DuckDB's list_slice-of-empty folded to NULL).
+    # The when() guard also keeps sequence() away from its descending
+    # start>stop trap.
+    starts = F.when(
+        F.size(toks) >= 1, F.sequence(F.lit(1), F.size(toks), F.lit(20))
+    ).otherwise(F.array().cast("array<int>"))
     passage = F.explode(
         F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, 20)))
     )
@@ -816,7 +823,7 @@ WITH t AS (SELECT doc_id, {_dk_toks()} AS toks FROM documents),
 p AS (
   SELECT doc_id,
          array_to_string(list_slice(toks, i, i + 19), ' ') AS passage
-  FROM t, unnest(range(1, greatest(len(toks), 1) + 1, 20)) AS u(i)
+  FROM t, unnest(range(1, len(toks) + 1, 20)) AS u(i)
 ),
 h AS (SELECT doc_id, {_dk_hex15_to_long('md5(passage)')} AS passage_h FROM p)
 SELECT passage_h, count(*) AS n_occ,
