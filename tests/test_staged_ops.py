@@ -1555,3 +1555,134 @@ def test_dsir_importance_plan_shape(spark):
     assert "BatchEvalPython" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+# ---------------------------------------------------------------------------
+# perplexity_buckets — STAGED r11, r12 registration candidate (pair with a
+# retirement from the r10-checked half per the write-ahead plan).
+# ---------------------------------------------------------------------------
+
+
+def test_perplexity_buckets_matches_python_reference(spark):
+    """CCNet tercile assignment agrees with a single-threaded reference:
+    same md5 bucketing, same quantized per-bucket NLL, integer milli-λ
+    per-token average, numpy linear-interpolation percentiles (the
+    (n−1)·p definition Spark's percentile shares)."""
+    import hashlib
+    import math
+
+    import numpy as np
+
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.mixing import (
+        DSIR_BUCKETS,
+        DSIR_SCALE,
+        ccnet_perplexity_buckets,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    got = {r.doc_id: r for r in ccnet_perplexity_buckets(docs).collect()}
+
+    def toks(text):
+        return [t for t in text.lower().split() if t]
+
+    def bkt(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % DSIR_BUCKETS
+
+    def half_up(v):
+        return int(math.floor(v + 0.5)) if v >= 0 else int(math.ceil(v - 0.5))
+
+    rows = [(r.doc_id, r.lang, toks(r.text)) for r in docs.collect()]
+    cnt = {}
+    for _, _, ts in rows:
+        for t in ts:
+            b = bkt(t)
+            cnt[b] = cnt.get(b, 0) + 1
+    total = sum(cnt.values())
+    lam = {
+        b: half_up(-math.log(c / total) * float(DSIR_SCALE))
+        for b, c in cnt.items()
+    }
+    scored = [
+        (did, lang, len(ts), (sum(lam[bkt(t)] for t in ts) * 1000) // len(ts))
+        for did, lang, ts in rows
+        if ts
+    ]
+    by_lang = {}
+    for did, lang, n, avg in scored:
+        by_lang.setdefault(lang, []).append(avg)
+    cuts = {
+        lang: (
+            float(np.percentile(v, 100.0 / 3.0, method="linear")),
+            float(np.percentile(v, 200.0 / 3.0, method="linear")),
+        )
+        for lang, v in by_lang.items()
+    }
+
+    assert len(got) == len(scored)
+    for did, lang, n, avg in scored:
+        r = got[did]
+        assert (r.lang, r.n_tokens, r.avg_nll_q) == (lang, n, avg), (
+            did, (r.lang, r.n_tokens, r.avg_nll_q), (lang, n, avg),
+        )
+        c1, c2 = cuts[lang]
+        want = "head" if avg <= c1 else ("middle" if avg <= c2 else "tail")
+        assert r.ppl_bucket == want, (did, r.ppl_bucket, want, avg, c1, c2)
+    # all three buckets non-trivially populated on the fixture
+    labels = {r.ppl_bucket for r in got.values()}
+    assert labels == {"head", "middle", "tail"}
+
+
+def test_perplexity_buckets_oracle_parity_staged(spark, sf_dir):
+    """The staged perplexity_buckets DuckDB oracle passes the
+    driver-faithful comparison — integer scores, exact interpolated
+    tercile cuts (green at sf0.001/0.01/0.1 in r11)."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_text import (
+        ORACLE_PERPLEXITY_BUCKETS,
+        q_perplexity_buckets,
+    )
+    from .oracle_harness import compare
+
+    ok, msg = compare(
+        q_perplexity_buckets(spark, sf_dir),
+        ORACLE_PERPLEXITY_BUCKETS,
+        sf_dir,
+        "perplexity_buckets",
+    )
+    assert ok, msg
+
+
+def test_perplexity_buckets_plan_shape(spark):
+    """Plan contract: three DISTINCT exchanges — bucket-keyed LM stats
+    (map-side partial), doc-keyed score aggregate, lang-keyed percentile
+    cuts over the per-doc pairs. The raw plan string shows five because
+    `scored` is referenced by both the cuts aggregate and the bucket
+    join (toString reprints the branch); under the registered query's
+    cache contract `scored` is persisted, so the branch EXECUTES once —
+    the with-handles plan reads it back through InMemoryTableScan. LM
+    and cuts arrive by broadcast; no cartesian/BNLJ/Python row UDF."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.mixing import (
+        ccnet_perplexity_buckets,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    df = ccnet_perplexity_buckets(docs)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    keys = {
+        re.sub(r"#\d+", "", m.group(1))
+        for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    }
+    assert len(keys) == 3, keys  # bkt, (doc_id, lang), lang — and no more
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    handles: list = []
+    cached = ccnet_perplexity_buckets(docs, cache_handles=handles)
+    cplan = cached._jdf.queryExecution().executedPlan().toString()
+    try:
+        assert "InMemoryTableScan" in cplan  # the persisted reuse is real
+    finally:
+        for h in handles:
+            h.unpersist()

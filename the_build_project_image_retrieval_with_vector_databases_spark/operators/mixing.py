@@ -1,4 +1,5 @@
-"""DSIR-style importance weighting for training-mix selection.
+"""Training-mix selection operators: DSIR importance weighting and
+CCNet-style perplexity buckets.
 
 Public method: Xie et al. 2023, "Data Selection for Language Models via
 Importance Resampling" (NeurIPS) — hashed n-gram bag-of-words features,
@@ -159,3 +160,120 @@ def dsir_importance(
     return scored.orderBy(
         F.col("score_q").desc(), F.col(id_col).asc()
     ).limit(k)
+
+
+def ccnet_perplexity_buckets(
+    corpus: DataFrame,
+    *,
+    buckets: int = DSIR_BUCKETS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    cache_handles: list | None = None,
+) -> DataFrame:
+    """CCNet-style per-language perplexity terciles (Wenzek et al. 2020,
+    "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    Data", LREC — public method): score each document by its average
+    per-token negative log-likelihood under a corpus language model,
+    then split each language's documents into head / middle / tail at
+    the within-language NLL terciles (CCNet keeps head+middle as the
+    quality slice).  The LM here is the hashed-unigram MLE over the
+    corpus itself (the scale-safe stand-in for CCNet's pretrained
+    KenLM — the bucket table is ≤ B rows at any corpus size).
+
+    Returns ``(id_col, lang_col, n_tokens, avg_nll_q, ppl_bucket)``.
+
+    Cross-engine exactness: per-bucket token NLL is quantized once
+    (``round(-ln(cnt_b / total) · 10⁶)`` — one correctly-rounded
+    division into the single 1-ulp ``ln``, the DSIR/bm25 class); the
+    per-document sum is an integer; ``avg_nll_q`` is an INTEGER
+    milli-λ-per-token average (``(sum · 1000) div n_tokens`` — both
+    operands non-negative, so truncating and floor division agree
+    across engines).  The tercile cutoffs are exact interpolated
+    percentiles (Spark ``percentile`` ≡ DuckDB ``quantile_cont``, the
+    value_quantiles precedent); comparing INTEGER scores against the
+    two cut doubles is ulp-robust — at interpolation fraction 0 the
+    cut equals a data value exactly, and at nonzero fractions no
+    integer lies within 1 ulp of the cut.
+
+    Scale shape: one tokenize pass (persist via ``cache_handles``),
+    ≤ B-row LM aggregate broadcast back onto the token stream, ONE
+    corpus shuffle (doc id), then a per-language exact-percentile
+    aggregate over the (lang, avg) PAIRS — per-language buffers, the
+    documented exact-oracle path; the production approximation is
+    ``approx_percentile`` (KLL, mergeable), property-tested like
+    value_quantiles'.  The cuts table (#langs × 2 doubles) broadcasts
+    into the bucket projection."""
+    toked = spread(corpus).select(
+        F.col(id_col), F.col(lang_col), tokens(text_col).alias("__toks")
+    )
+    toks = (
+        toked.select(
+            F.col(id_col),
+            F.col(lang_col),
+            F.explode_outer("__toks").alias("tok"),
+        )
+        .filter(F.col("tok").isNotNull())
+        .select(
+            F.col(id_col),
+            F.col(lang_col),
+            (md5_long("tok", digits=15) % F.lit(buckets)).alias("bkt"),
+        )
+    )
+    if cache_handles is not None:
+        toks = toks.persist()
+        cache_handles.append(toks)
+
+    lm = toks.groupBy("bkt").agg(F.count("*").alias("cnt"))
+    from pyspark.sql import Window
+
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    lam = lm.select(
+        "bkt",
+        "cnt",
+        F.sum("cnt").over(w).alias("total"),
+    ).select(
+        "bkt",
+        F.round(
+            -F.log(F.col("cnt").cast("double") / F.col("total").cast("double"))
+            * F.lit(float(DSIR_SCALE))
+        )
+        .cast("long")
+        .alias("lam_q"),
+    )
+    scored = (
+        toks.join(F.broadcast(lam), "bkt")
+        .groupBy(id_col, lang_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("lam_q").alias("nll_q"),
+        )
+        .withColumn(
+            "avg_nll_q",
+            F.expr("(nll_q * 1000L) div n_tokens"),
+        )
+    )
+    # scored feeds BOTH the cuts aggregate and the final bucket join —
+    # persist it under the same cache contract (one small row per doc;
+    # without it the broadcast-join + aggregate pipeline runs twice).
+    if cache_handles is not None:
+        scored = scored.persist()
+        cache_handles.append(scored)
+    p1, p2 = 1.0 / 3.0, 2.0 / 3.0
+    cuts = scored.groupBy(lang_col).agg(
+        F.expr(f"percentile(avg_nll_q, {p1!r})").alias("c1"),
+        F.expr(f"percentile(avg_nll_q, {p2!r})").alias("c2"),
+    )
+    return (
+        scored.join(F.broadcast(cuts), lang_col)
+        .select(
+            F.col(id_col),
+            F.col(lang_col),
+            "n_tokens",
+            "avg_nll_q",
+            F.when(F.col("avg_nll_q").cast("double") <= F.col("c1"), "head")
+            .when(F.col("avg_nll_q").cast("double") <= F.col("c2"), "middle")
+            .otherwise("tail")
+            .alias("ppl_bucket"),
+        )
+    )

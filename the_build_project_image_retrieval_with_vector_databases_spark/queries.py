@@ -647,12 +647,13 @@ ORACLES: dict[str, str] = {
 # retiring one frees registry capacity but ZERO r12 window slots —
 # the capacity-math failure of the r6→r7 handoff.
 #
-# Staged registration candidate for r12: dsir_importance
-# (queries_text.q_dsir_importance; 3-SF oracle-verified in
-# tests/test_staged_ops.py, scale rows 1.5× @10× / 6.2× @100×
-# measured r11) — pair it one-for-one with a retirement from the
-# list above (split_counts is the natural pick: dsir_importance
-# extends the same sampling/mixing family).
+# Staged registration candidates for r12 (both 3-SF oracle-verified
+# in tests/test_staged_ops.py; pair each one-for-one with a
+# retirement from the list above):
+#   dsir_importance     ↔ split_counts   (same sampling/mixing
+#       family; scale rows 1.5× @10× / 6.2× @100× measured r11)
+#   perplexity_buckets  ↔ knn_display    (CCNet quality terciles;
+#       scale rows measured r11 — see CHANGES_r11 §10)
 _CHECK_FIRST: list[str] = [
     # the 49 surviving r9-checked entries (token_histogram retired),
     # one round stale — they MUST be re-verified this round:

@@ -1345,6 +1345,61 @@ ORDER BY score_q DESC, doc_id ASC LIMIT 40
 """
 
 
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED (r11) — NOT registered. r12 registration candidate: per the
+    write-ahead plan above ``_CHECK_FIRST`` (queries.py), registering it
+    requires retiring one entry from the r10-checked half
+    (sq_topk / split_counts / knn_display are the pre-agreed candidates).
+
+    CCNet-style perplexity filter (Wenzek et al. 2020): every document
+    scored by average per-token NLL under the corpus hashed-unigram LM,
+    bucketed head/middle/tail at the within-language terciles — the
+    quality-slice assignment CCNet feeds its keep-head+middle rule.
+
+    Scale shape: one tokenize pass (dedup-family cache contract),
+    ≤4096-row LM broadcast, ONE corpus shuffle (doc_id), exact
+    per-language percentile cuts (value_quantiles precedent; KLL
+    approx_percentile is the production path), broadcast cuts join."""
+    from .operators.mixing import ccnet_perplexity_buckets
+    from .operators.spill import materialize_and_release
+
+    docs = load_table(spark, sf_dir, "documents")
+    handles: list = []
+    out = ccnet_perplexity_buckets(docs, cache_handles=handles)
+    return materialize_and_release(out, handles, "pplbkt-")
+
+
+ORACLE_PERPLEXITY_BUCKETS = f"""
+WITH t AS (SELECT doc_id, lang, {_dk_toks()} AS toks FROM documents),
+tk AS (SELECT doc_id, lang,
+              ({_dk_hex15_to_long('md5(tok)')}) % 4096 AS bkt
+       FROM t, unnest(toks) AS u(tok)),
+lm AS (SELECT bkt, count(*) AS cnt FROM tk GROUP BY 1),
+lam AS (
+  SELECT bkt,
+         CAST(round(-ln((cnt)::DOUBLE
+                        / ((SELECT sum(cnt) FROM lm))::DOUBLE)
+                    * 1000000.0) AS BIGINT) AS lam_q
+  FROM lm
+),
+s AS (SELECT doc_id, lang, count(*) AS n_tokens,
+             CAST(sum(lam_q) AS BIGINT) AS nll_q
+      FROM tk JOIN lam USING (bkt) GROUP BY 1, 2),
+s2 AS (SELECT doc_id, lang, n_tokens,
+              (nll_q * 1000) // n_tokens AS avg_nll_q
+       FROM s),
+cuts AS (SELECT lang,
+                quantile_cont(avg_nll_q, 0.3333333333333333) AS c1,
+                quantile_cont(avg_nll_q, 0.6666666666666666) AS c2
+         FROM s2 GROUP BY 1)
+SELECT s2.doc_id, s2.lang, s2.n_tokens, s2.avg_nll_q,
+       CASE WHEN s2.avg_nll_q::DOUBLE <= c.c1 THEN 'head'
+            WHEN s2.avg_nll_q::DOUBLE <= c.c2 THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM s2 JOIN cuts c USING (lang)
+"""
+
+
 TEXT_QUERIES = {
     "token_stats": q_token_stats,
     "top_terms": q_top_terms,
