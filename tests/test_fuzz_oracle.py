@@ -472,3 +472,35 @@ def test_fuzz_embeddings_panel(spark, tmp_path_factory, seed, n_vecs):
         _gen_embeddings(rng, n_vecs), os.path.join(tmpdir, "embeddings.parquet")
     )
     _run_panel(spark, tmpdir, EMB_QUERIES)
+
+
+@settings(max_examples=2, deadline=None, derandomize=True)
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    n_docs=st.integers(min_value=3, max_value=60),
+)
+def test_fuzz_staged_mixing_panel(spark, tmp_path_factory, seed, n_docs):
+    """The two r11-staged mixing ops face this same gate once registered
+    — pre-verify them on generated corpora now. Shapes the fixtures
+    never hit: zero-token docs (must vanish from both sides), corpora
+    where a whole language or the DSIR target predicate is empty
+    (smoothing must agree), 1-token docs (no bigrams), forced exact
+    duplicates (tied scores through the doc_id tiebreak)."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_text import (
+        ORACLE_DSIR_IMPORTANCE,
+        ORACLE_PERPLEXITY_BUCKETS,
+        q_dsir_importance,
+        q_perplexity_buckets,
+    )
+
+    rng = np.random.default_rng(seed)
+    tmpdir = str(tmp_path_factory.mktemp(f"fuzz_mix_{seed}_{n_docs}"))
+    pq.write_table(
+        _gen_documents(rng, n_docs), os.path.join(tmpdir, "documents.parquet")
+    )
+    for name, q, o in [
+        ("dsir_importance", q_dsir_importance, ORACLE_DSIR_IMPORTANCE),
+        ("perplexity_buckets", q_perplexity_buckets, ORACLE_PERPLEXITY_BUCKETS),
+    ]:
+        ok, msg = compare(q(spark, tmpdir), o, tmpdir, name)
+        assert ok, f"fuzz corpus diverged: {msg}"
