@@ -504,3 +504,33 @@ def test_fuzz_staged_mixing_panel(spark, tmp_path_factory, seed, n_docs):
     ]:
         ok, msg = compare(q(spark, tmpdir), o, tmpdir, name)
         assert ok, f"fuzz corpus diverged: {msg}"
+
+
+@settings(max_examples=2, deadline=None, derandomize=True)
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    n_vecs=st.integers(min_value=20, max_value=48),
+)
+def test_fuzz_staged_semantic_decontaminate(spark, tmp_path_factory, seed, n_vecs):
+    """Staged embedding-screen pre-verification on generated corpora:
+    the zero vector exercises the normalize clamp, the duplicate vector
+    forces exact distance ties through the (dist, vec_id) order, and
+    n_vecs <= 32 draws leave the corpus side EMPTY (both engines must
+    agree on zero rows)."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_ann import (
+        ORACLE_SEMANTIC_DECONTAMINATE,
+        q_semantic_decontaminate,
+    )
+
+    rng = np.random.default_rng(seed)
+    tmpdir = str(tmp_path_factory.mktemp(f"fuzz_sdc_{seed}_{n_vecs}"))
+    pq.write_table(
+        _gen_embeddings(rng, n_vecs), os.path.join(tmpdir, "embeddings.parquet")
+    )
+    ok, msg = compare(
+        q_semantic_decontaminate(spark, tmpdir),
+        ORACLE_SEMANTIC_DECONTAMINATE,
+        tmpdir,
+        "semantic_decontaminate",
+    )
+    assert ok, f"fuzz corpus diverged: {msg}"

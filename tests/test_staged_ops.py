@@ -1686,3 +1686,93 @@ def test_perplexity_buckets_plan_shape(spark):
     finally:
         for h in handles:
             h.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# semantic_decontaminate — STAGED r11, r12 registration candidate (pair
+# with a retirement from the r10-checked half; sq_topk is the remaining
+# pre-agreed candidate).
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_decontaminate_matches_numpy_reference(spark):
+    """The screen agrees bit-exactly with a single-threaded reference:
+    same normalize clamp, same per-dimension left-fold distance, same
+    (dist, eval_id) best tie-break and (dist, vec_id) global top-50."""
+    import numpy as np
+
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.decontam import (
+        semantic_screen,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    got = semantic_screen(emb, eval_ids_max=32, k=50).collect()
+
+    rows = sorted(
+        (r.vec_id, np.asarray(r.embedding, dtype=np.float64))
+        for r in emb.collect()
+    )
+
+    def norm(x):
+        acc = 0.0
+        for v in x:
+            acc = acc + v * v
+        return x / max(np.sqrt(acc), 1e-12)
+
+    ev = [(i, norm(x)) for i, x in rows if i < 32]
+    corp = [(i, norm(x)) for i, x in rows if i >= 32]
+    best = []
+    for ci, cx in corp:
+        cands = []
+        for ei, ex in ev:
+            acc = 0.0
+            for j in range(len(cx)):
+                d = cx[j] - ex[j]
+                acc = acc + d * d
+            cands.append((float(np.sqrt(acc)), ei))
+        d, e = min(cands)
+        best.append((d, ci, e))
+    best.sort()
+    expect = best[:50]
+
+    assert len(got) == len(expect)
+    for r, (d, ci, ei) in zip(got, expect):
+        assert (r.vec_id, r.eval_id) == (ci, ei), (r, ci, ei)
+        assert r.dist == d, (r.vec_id, r.dist, d)  # bit-exact
+
+
+def test_semantic_decontaminate_oracle_parity_staged(spark, sf_dir):
+    """The staged semantic_decontaminate DuckDB oracle passes the
+    driver-faithful comparison — RAW-double distances through the
+    shared left-fold (green at sf0.001/0.01/0.1 in r11)."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_ann import (
+        ORACLE_SEMANTIC_DECONTAMINATE,
+        q_semantic_decontaminate,
+    )
+    from .oracle_harness import compare
+
+    ok, msg = compare(
+        q_semantic_decontaminate(spark, sf_dir),
+        ORACLE_SEMANTIC_DECONTAMINATE,
+        sf_dir,
+        "semantic_decontaminate",
+    )
+    assert ok, msg
+
+
+def test_semantic_decontaminate_plan_no_corpus_shuffle(spark):
+    """Kernel-composition plan contract: the corpus scan feeds
+    mapInPandas directly (normalize + distance inside the Arrow
+    kernel); the only exchanges are the two bounded candidate windows
+    (per-eval rank, per-corpus-row best) over <= partitions*Q*k rows.
+    No cartesian, no BNLJ."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_ann import (
+        q_semantic_decontaminate,
+    )
+
+    df = q_semantic_decontaminate(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan

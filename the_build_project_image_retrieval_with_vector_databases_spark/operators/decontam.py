@@ -113,3 +113,79 @@ def ngram_overlap(
             (frac >= F.lit(severe_frac)).alias("severe"),
         )
     )
+
+
+def semantic_screen(
+    emb: DataFrame,
+    *,
+    eval_ids_max: int = 32,
+    k: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space decontamination screen — the cosine companion to
+    :func:`ngram_overlap`: rank corpus vectors by similarity to ANY
+    held-out benchmark vector and report the top-``k`` closest
+    ``(vec_id, eval_id, dist)`` pairs (the rows a decontamination pass
+    reviews/drops first). Rephrasings and translations defeat n-gram
+    overlap but stay close in embedding space — this is the screen
+    modern pipelines run beside the lexical one.
+
+    Both sides are L2-NORMALIZED first, so L2 distance is a monotone
+    transform of cosine (‖a−b‖² = 2−2cos on unit vectors) and the
+    bit-exact left-fold kNN machinery applies unchanged
+    (``knn.knn_join_exact`` with a normalize ``recon`` hook — the same
+    float64 per-dimension fold and ``greatest(‖v‖, 1e-12)`` clamp as
+    the ``l2_normalize`` expression, so DuckDB re-derives every
+    distance bit-for-bit).
+
+    Scale shape: the benchmark is bounded (eval sets are thousands of
+    rows, not corpus-scaled — the driver ``collect`` is ≤
+    ``eval_ids_max`` rows by contract); the corpus never shuffles — the
+    Arrow kernel emits ≤ partitions·Q·k candidates, one tiny window
+    picks per-corpus-row best, and the global report is a
+    TakeOrderedAndProject. Per-eval top-k containment makes the
+    composition exact: a corpus row in the global top-k by best-eval
+    distance is necessarily within its best eval's per-query top-k.
+    """
+    import numpy as np
+
+    from pyspark.sql import Window
+    from .knn import knn_join_exact
+
+    def _normalize_leftfold(x: "np.ndarray") -> "np.ndarray":
+        # acc_j = acc_{j-1} + x_j² — the same fold order as _dk_norm /
+        # l2_normalize (squares are non-negative, so the zero init is
+        # bit-neutral); single IEEE sqrt + clamped divide.
+        acc = np.zeros(x.shape[0])
+        for j in range(x.shape[1]):
+            acc = acc + x[:, j] * x[:, j]
+        n = np.maximum(np.sqrt(acc), 1e-12)
+        return x / n[:, None]
+
+    ev = (
+        emb.filter(F.col(id_col) < eval_ids_max)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    eval_ids = [int(r[0]) for r in ev]
+    qm = _normalize_leftfold(np.asarray([r[1] for r in ev], dtype=np.float64))
+    corp = emb.filter(F.col(id_col) >= eval_ids_max)
+    cand = knn_join_exact(
+        corp,
+        eval_ids,
+        qm,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        recon=_normalize_leftfold,
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("dist").asc(), F.col("query_id").asc()
+    )
+    best = (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, F.col("query_id").alias("eval_id"), "dist")
+    )
+    return best.orderBy(F.col("dist").asc(), F.col(id_col).asc()).limit(k)

@@ -647,13 +647,16 @@ ORACLES: dict[str, str] = {
 # retiring one frees registry capacity but ZERO r12 window slots —
 # the capacity-math failure of the r6→r7 handoff.
 #
-# Staged registration candidates for r12 (both 3-SF oracle-verified
-# in tests/test_staged_ops.py; pair each one-for-one with a
+# Staged registration candidates for r12 (all 3-SF oracle-verified
+# in tests/test_staged_ops.py and fuzz-verified on generated corpora
+# in tests/test_fuzz_oracle.py; pair each one-for-one with a
 # retirement from the list above):
-#   dsir_importance     ↔ split_counts   (same sampling/mixing
+#   dsir_importance        ↔ split_counts  (same sampling/mixing
 #       family; scale rows 1.5× @10× / 6.2× @100× measured r11)
-#   perplexity_buckets  ↔ knn_display    (CCNet quality terciles;
-#       scale rows measured r11 — see CHANGES_r11 §10)
+#   perplexity_buckets     ↔ knn_display   (CCNet quality terciles;
+#       scale rows 1.21× @10× / 2.43× @100× measured r11)
+#   semantic_decontaminate ↔ sq_topk       (embedding decontamination
+#       screen on the bit-exact kernel; scale rows in CHANGES_r11 §12)
 _CHECK_FIRST: list[str] = [
     # the 49 surviving r9-checked entries (token_histogram retired),
     # one round stale — they MUST be re-verified this round:

@@ -2105,6 +2105,53 @@ FROM (
 """
 
 
+def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED (r11) — NOT registered. r12 registration candidate: per the
+    write-ahead plan above ``_CHECK_FIRST`` (queries.py), pair with a
+    retirement from the r10-checked half (``sq_topk`` is the remaining
+    pre-agreed candidate).
+
+    Embedding-space decontamination screen
+    (operators/decontam.py::semantic_screen): the 50 corpus vectors
+    closest (unit-normalized L2 ≡ monotone cosine) to ANY of the 32
+    held-out benchmark vectors — the semantic companion to the n-gram
+    ``decontaminate`` row; rephrasings that defeat lexical overlap stay
+    close in embedding space. Exact: the normalize hook and the
+    left-fold distance reuse the bit-exact ``knn_join_exact`` kernel,
+    so DuckDB re-derives every distance from the same parquet floats."""
+    from .operators.decontam import semantic_screen
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_screen(emb, eval_ids_max=32, k=50)
+
+
+ORACLE_SEMANTIC_DECONTAMINATE = f"""
+WITH nrm AS (
+  SELECT vec_id, {_dk_norm('embedding')} AS nv, embedding FROM embeddings
+),
+ne AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(x AS DOUBLE) / greatest(nv, 1e-12)) AS e
+  FROM nrm
+),
+ev AS (SELECT vec_id AS eval_id, e FROM ne WHERE vec_id < 32),
+corp AS (SELECT vec_id, e FROM ne WHERE vec_id >= 32),
+d AS (
+  SELECT c.vec_id, ev.eval_id, {_dk_l2('c.e', 'ev.e')} AS dist
+  FROM corp c CROSS JOIN ev
+),
+best AS (
+  SELECT vec_id, eval_id, dist,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY dist ASC, eval_id ASC) AS rn
+  FROM d
+)
+SELECT vec_id, eval_id, dist FROM best WHERE rn = 1
+ORDER BY dist ASC, vec_id ASC LIMIT 50
+"""
+
+
 # ---------------------------------------------------------------------------
 # Staged for the r9 window: embedding outlier screen (data quality)
 # ---------------------------------------------------------------------------
