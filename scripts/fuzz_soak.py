@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Extended cross-engine fuzz soak — the hypothesis panels in
+tests/test_fuzz_oracle.py run 2-4 derandomized examples per suite pass;
+this driver sweeps MANY seeds over the same generators, panels, and
+driver-faithful compare, for use as an idle-box background soak.
+
+Usage:  python scripts/fuzz_soak.py [first_seed] [n_seeds]
+Prints one line per (seed, panel) and a final summary; nonzero exit on
+any divergence.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+import numpy as np
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests")
+)
+
+from tests.test_fuzz_oracle import (  # noqa: E402
+    DOC_QUERIES,
+    EMB_QUERIES,
+    EVENT_FUZZ_QUERIES,
+    REL_QUERIES,
+    _gen_documents,
+    _gen_embeddings,
+    _gen_relational,
+    _run_panel,
+)
+
+from the_build_project_image_retrieval_with_vector_databases_spark.session import (  # noqa: E402
+    get_spark,
+)
+
+
+def main() -> int:
+    first = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    spark = get_spark(app_name="fuzz-soak")
+    failures: list[str] = []
+    for seed in range(first, first + n):
+        rng = np.random.default_rng(seed)
+        n_docs = int(rng.integers(3, 61))
+        n_vecs = int(rng.integers(20, 49))
+        n_cust = int(rng.integers(25, 121))
+        n_orders = int(rng.integers(10, 201))
+        for panel, names, write in [
+            ("docs", DOC_QUERIES,
+             lambda d: pq.write_table(_gen_documents(rng, n_docs),
+                                      os.path.join(d, "documents.parquet"))),
+            ("emb", EMB_QUERIES,
+             lambda d: pq.write_table(_gen_embeddings(rng, n_vecs),
+                                      os.path.join(d, "embeddings.parquet"))),
+            ("rel", REL_QUERIES + EVENT_FUZZ_QUERIES,
+             lambda d: [pq.write_table(t, os.path.join(d, f"{k}.parquet"))
+                        for k, t in _gen_relational(rng, n_cust, n_orders).items()]),
+        ]:
+            with tempfile.TemporaryDirectory(prefix=f"soak_{seed}_{panel}_") as d:
+                write(d)
+                try:
+                    _run_panel(spark, d, names)
+                    print(f"seed={seed} panel={panel}: OK", flush=True)
+                except AssertionError as exc:
+                    failures.append(f"seed={seed} panel={panel}: {exc}")
+                    print(failures[-1], flush=True)
+    print(f"SOAK DONE: {n} seeds, failures={len(failures)}")
+    for f in failures:
+        print(f)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1046,7 +1046,14 @@ def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial sums, and cross-row sums are integer-quantized (micro-units
     and squared micro-units in bigint — exact in any order; the squared
     sums stay < 2^53 per partial for any realistic partition count).
-    Mean/variance derive from the exact integer sums in doubles."""
+    Mean/variance derive from the exact integer sums in doubles and are
+    emitted RAW: every op after the exact sums is a single
+    correctly-rounded IEEE division/multiply/subtract over identical
+    inputs, so the doubles are bit-identical cross-engine — the old
+    round(…, 9) display step was the only nondeterminism (a fuzz-soak
+    corpus hit mean = s1/48e6 = 0.2572944375, an exact decimal .5-tie
+    that Spark's BigDecimal HALF_UP and DuckDB's scaled-double round
+    resolve differently — the min_cost_order tie class)."""
     emb = load_table(spark, sf_dir, "embeddings")
     exploded = emb.select(F.posexplode("embedding").alias("dim", "val"))
     q = F.round(F.col("val").cast("double") * 1e6).cast("long")
@@ -1063,10 +1070,10 @@ def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_dim.select(
         "dim",
         "n",
-        F.round(mean, 9).alias("mean"),
-        F.round(var, 9).alias("variance"),
-        F.round("min_val", 6).alias("min_val"),
-        F.round("max_val", 6).alias("max_val"),
+        mean.alias("mean"),
+        var.alias("variance"),
+        "min_val",
+        "max_val",
     )
 
 
@@ -1087,13 +1094,12 @@ per AS (
   FROM ex GROUP BY 1
 )
 SELECT dim, n,
-       round(CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0), 9) AS mean,
-       round(CAST(s2 AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000000000.0)
+       CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0) AS mean,
+       CAST(s2 AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000000000.0)
              - (CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0))
-             * (CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)), 9)
+             * (CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0))
          AS variance,
-       round(min_val, 6) AS min_val,
-       round(max_val, 6) AS max_val
+       min_val, max_val
 FROM per
 """
 
