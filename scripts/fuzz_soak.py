@@ -38,6 +38,35 @@ from the_build_project_image_retrieval_with_vector_databases_spark.session impor
     get_spark,
 )
 
+from tests.oracle_harness import compare  # noqa: E402
+
+
+def _staged_pairs():
+    """(name, query_fn, oracle_sql, table) for the r11-staged ops — they
+    face the registry fuzz gate once registered; soak them now."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_ann import (
+        ORACLE_SEMANTIC_DECONTAMINATE,
+        q_semantic_decontaminate,
+    )
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_text import (
+        ORACLE_DSIR_IMPORTANCE,
+        ORACLE_PERPLEXITY_BUCKETS,
+        q_dsir_importance,
+        q_perplexity_buckets,
+    )
+
+    return {
+        "docs": [
+            ("dsir_importance", q_dsir_importance, ORACLE_DSIR_IMPORTANCE),
+            ("perplexity_buckets", q_perplexity_buckets, ORACLE_PERPLEXITY_BUCKETS),
+        ],
+        "emb": [
+            ("semantic_decontaminate", q_semantic_decontaminate,
+             ORACLE_SEMANTIC_DECONTAMINATE),
+        ],
+        "rel": [],
+    }
+
 
 def main() -> int:
     first = int(sys.argv[1]) if len(sys.argv) > 1 else 100
@@ -65,6 +94,9 @@ def main() -> int:
                 write(d)
                 try:
                     _run_panel(spark, d, names)
+                    for sname, qfn, osql in _staged_pairs()[panel]:
+                        ok, msg = compare(qfn(spark, d), osql, d, sname)
+                        assert ok, f"staged {msg}"
                     print(f"seed={seed} panel={panel}: OK", flush=True)
                 except AssertionError as exc:
                     failures.append(f"seed={seed} panel={panel}: {exc}")
