@@ -127,6 +127,12 @@ _WORDS = [
     "the", "cat", "sat", "on", "a", "mat", "dog", "ran", "big", "data",
     "spark", "dedup", "la", "el", "und", "der", "le", "et", "12",
     "x@y.z", "a-b", "...",
+    # PORTABLE Unicode (tests/test_unicode_portability.py): exercises
+    # Java-vs-DuckDB case folding through the generator's .upper() dup
+    # variant. The known-divergent classes (İ, word-final Σ, the
+    # unmapped A7Cx block) are deliberately absent — the oracle harness
+    # cannot express Java's folding for those (documented boundary).
+    "straße", "ñoño", "中文", "σιγμα", "офис", "ışık", "été",
 ]
 
 
