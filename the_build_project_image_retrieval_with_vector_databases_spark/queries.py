@@ -616,50 +616,105 @@ ORACLES: dict[str, str] = {
 # a sibling still inside the window covers.
 # ---------------------------------------------------------------------------
 
-# Round-11 rotation (VERDICT r10 #1/#2, executed as one edit with the
-# hard_negatives registration). Capacity math: the r11 window re-checks
-# the r9-checked half — 50 entries last green in CORRECTNESS_r09 —
-# minus token_histogram (retired this round, one-for-one with the
-# hard_negatives registration; write-ahead candidate #3, its tokenizer
-# surface covered by the registered token_stats) plus hard_negatives
-# itself (newly registered, never driver-checked): 49 + 1 = exactly 50.
-# The other half — all 50 checked green in r10 — rotates out. Registry
-# stays at 100, the 2×window hard cap. sq_topk was deliberately NOT the
-# retiree: it is r10-checked, so retiring it frees a registry slot but
-# ZERO r11 window slots (the r6→r7 capacity-math trap).
+# Round-12 rotation (VERDICT r11 #1, executed exactly per the r11
+# write-ahead plan). Capacity math: the r12 window re-checks the
+# r10-checked half — 50 entries last green in CORRECTNESS_r10 — minus
+# the three retirees (each from THAT half, so each frees a real r12
+# window slot AND a registry slot), plus the three r11-staged
+# registrations (never driver-checked): 47 + 3 = exactly 50. The
+# other half — all 50 checked green in r11 — rotates out. Registry
+# stays at 100, the 2×window hard cap. Executed pairings:
+#   dsir_importance        ↔ split_counts  retired (splitter surface
+#       covered by stratified_sample — same multiplicative hash, plus
+#       the per-class exact-k bound; deterministic_split stays tested)
+#   perplexity_buckets     ↔ knn_display   retired (top-k surface
+#       covered by search_batch; the P8/T3 display projection lives on
+#       as queries_pipeline.score_grid, unit-pinned in
+#       tests/test_pipeline_queries.py)
+#   semantic_decontaminate ↔ sq_topk       retired (quantized-tier
+#       surface covered by ivfpq_topk / pq_rerank_topk; the SQ
+#       operators stay recall-tested in tests/test_pq.py)
 #
-# ROUND-12 WINDOW PLAN (write-ahead, per the r7→r8 handoff
-# discipline): r12's window must hold the 50 entries in _ROTATE_OUT
-# below (last checked r10) — ZERO free slots. Any r12 registration or
-# implementation change to an r11-checked entry requires retiring
-# from THAT half (the r10-checked 50), one-for-one, BEFORE adding.
+# ROUND-13 WINDOW PLAN (write-ahead, per the r7→r8 handoff
+# discipline): r13's window must hold the 50 entries in _ROTATE_OUT
+# below (last checked r11) — ZERO free slots. Any r13 registration or
+# implementation change to an r12-checked entry requires retiring
+# from THAT half (the r11-checked 50), one-for-one, BEFORE adding.
 # Pre-agreed retirement candidates from that half, each with a
 # registered sibling covering its semantics (see COVERAGE.md):
-#   1. sq_topk          → ivfpq_topk / pq_rerank_topk (quantized-tier
-#      siblings; SQ operators stay covered by tests/test_pq.py)
-#   2. split_counts     → stratified_sample (same deterministic-hash
-#      splitter surface; stratified adds the per-class exact-k bound)
-#   3. knn_display      → search_batch (same top-k + format surface;
-#      search_batch is the batched superset)
-# Retiring k of these frees exactly k r12 window slots and k
-# registry slots. Do NOT retire from the _CHECK_FIRST list directly
-# below instead: those rows rotate out of r12 WITHOUT a check, so
-# retiring one frees registry capacity but ZERO r12 window slots —
-# the capacity-math failure of the r6→r7 handoff.
-#
-# Staged registration candidates for r12 (all 3-SF oracle-verified
-# in tests/test_staged_ops.py and fuzz-verified on generated corpora
-# in tests/test_fuzz_oracle.py; pair each one-for-one with a
-# retirement from the list above):
-#   dsir_importance        ↔ split_counts  (same sampling/mixing
-#       family; scale rows 1.5× @10× / 6.2× @100× measured r11)
-#   perplexity_buckets     ↔ knn_display   (CCNet quality terciles;
-#       scale rows 1.21× @10× / 2.43× @100× measured r11)
-#   semantic_decontaminate ↔ sq_topk       (embedding decontamination
-#       screen on the bit-exact kernel; scale rows in CHANGES_r11 §12)
+#   1. simhash       → simhash_near_dup (the near-dup row computes the
+#      same 32-bit sketch, then bands + joins — a strict superset)
+#   2. label_counts  → grouped_ids (per-label n is a projection of
+#      grouped_ids' (label, n, ids) output)
+#   3. ivf_topk_batch → hard_negatives + ivf_topk (the batched-IVF
+#      Arrow kernel and the pruned-scan single-query plan both stay
+#      under oracle; the expression batched plan keeps its plan-pin in
+#      tests/test_plans.py)
+# Retiring k of these frees exactly k r13 window slots and k registry
+# slots. Do NOT retire from the _CHECK_FIRST list directly below
+# instead: those rows rotate out of r13 WITHOUT a check, so retiring
+# one frees registry capacity but ZERO r13 window slots — the
+# capacity-math failure of the r6→r7 handoff.
 _CHECK_FIRST: list[str] = [
-    # the 49 surviving r9-checked entries (token_histogram retired),
-    # one round stale — they MUST be re-verified this round:
+    # the 47 surviving r10-checked entries (split_counts, knn_display,
+    # sq_topk retired), one round stale — re-verified this round:
+    "quality_score",
+    "train_metrics",
+    "set_ops",
+    "kmv_distinct_sketch",
+    "value_quantiles",
+    "streaming_dedup_batch",
+    "pq_rerank_topk",
+    "exact_dedup",
+    "tumbling_window",
+    "sessionize",
+    "frame_sample",
+    "jsonl_ingest",
+    "part_profit",
+    "forecast_revenue",
+    "running_revenue",
+    "order_priority_semi",
+    "customers_without_orders",
+    "supplier_rollup",
+    "asof_join",
+    "image_decode_real",
+    "funnel_conversion",
+    "order_count_distribution",
+    "bucketed_revenue",
+    "suffix_join_equi",
+    "language_id",
+    "salted_term_counts",
+    "bpe_token_counts",
+    "top_docs_per_lang",
+    "ivfpq_topk",
+    "ann_search",
+    "seq_packing",
+    "vocab_filter",
+    "retention_cohorts",
+    "min_cost_order",
+    "dominant_suppliers",
+    "decontaminate",
+    "cms_heavy_hitters",
+    "lsh_near_dup",
+    "pii_scrub",
+    "bm25",
+    "kmeans_step",
+    "kmeans_train_assign",
+    "semantic_dedup",
+    "semantic_dedup_incremental",
+    "batch_assignments",
+    "embedding_outliers",
+    "quantized_recall_eval",
+    # registered in round 12, never driver-checked → in-window:
+    "dsir_importance",
+    "perplexity_buckets",
+    "semantic_decontaminate",
+]
+
+# The 50 entries checked green in r11 rotate out this round. Across
+# r11+r12 every registry entry again has a green row ≤1 round old,
+# preserving the rotation invariant.
+_ROTATE_OUT: list[str] = [
     "clean_corpus",
     "dedup_components",
     "distinct_labels",
@@ -709,64 +764,7 @@ _CHECK_FIRST: list[str] = [
     "dedup_keep_best",
     "dedup_recall_eval",
     "search_batch",
-    # registered in round 11, never driver-checked → in-window:
     "hard_negatives",
-]
-
-# The 50 entries checked green in r10 rotate out this round. Across
-# r10+r11 every registry entry again has a green row ≤1 round old,
-# preserving the rotation invariant.
-_ROTATE_OUT: list[str] = [
-    "quality_score",
-    "train_metrics",
-    "set_ops",
-    "kmv_distinct_sketch",
-    "value_quantiles",
-    "streaming_dedup_batch",
-    "pq_rerank_topk",
-    "exact_dedup",
-    "tumbling_window",
-    "sessionize",
-    "frame_sample",
-    "jsonl_ingest",
-    "knn_display",
-    "part_profit",
-    "forecast_revenue",
-    "running_revenue",
-    "order_priority_semi",
-    "customers_without_orders",
-    "supplier_rollup",
-    "asof_join",
-    "image_decode_real",
-    "funnel_conversion",
-    "split_counts",
-    "order_count_distribution",
-    "bucketed_revenue",
-    "sq_topk",
-    "suffix_join_equi",
-    "language_id",
-    "salted_term_counts",
-    "bpe_token_counts",
-    "top_docs_per_lang",
-    "ivfpq_topk",
-    "ann_search",
-    "seq_packing",
-    "vocab_filter",
-    "retention_cohorts",
-    "min_cost_order",
-    "dominant_suppliers",
-    "decontaminate",
-    "cms_heavy_hitters",
-    "lsh_near_dup",
-    "pii_scrub",
-    "bm25",
-    "kmeans_step",
-    "kmeans_train_assign",
-    "semantic_dedup",
-    "semantic_dedup_incremental",
-    "batch_assignments",
-    "embedding_outliers",
-    "quantized_recall_eval",
 ]
 
 

@@ -33,7 +33,6 @@ from pyspark.sql import functions as F
 from .functions.vector import l2_dist, truncate_renormalize
 from .operators.ann import hyperplanes, ivf_search, lsh_bucket, write_ivf_index
 from .operators.knn import knn_join_two_phase, radius_join
-from .operators.sample import HASH_MOD, HASH_MULT, deterministic_split
 from .sources.tables import load_table
 
 EMB_DIM = 64  # driver fixture embeddings are 64-D unit float vectors
@@ -624,75 +623,12 @@ LIMIT {k}
 # ---------------------------------------------------------------------------
 # Scalar quantization (int8) — the 4th FAISS-family tier (Flat/IVF/PQ/SQ)
 # ---------------------------------------------------------------------------
-
-
-def _sq_layout(spark: SparkSession, sf_dir: str):
-    def build(emb, train, path, fresh):
-        from .operators.pq import sq_encode, sq_train_bounds
-
-        bounds = sq_train_bounds(train)
-        if fresh:
-            sq_encode(emb, bounds).select(
-                "vec_id", "label", "sq_codes"
-            ).write.mode("overwrite").parquet(path)
-        return path, bounds, train[0]
-
-    return _layout(spark, sf_dir, "sq", build)
-
-
-def q_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """int8 scalar-quantized top-10 (FAISS ``ScalarQuantizer`` QT_8bit
-    analogue): per-dim (lo, range) calibrated on the 16 training rows,
-    codes materialized once (4× smaller than float32), search = exact L2
-    on bin-midpoint dequantization — a pure literal-folded expression
-    over the int codes. The oracle re-encodes AND re-scores from the raw
-    table with the same inlined calibration literals."""
-    from .operators.pq import sq_dist_sq
-
-    path, bounds, qvec = _sq_layout(spark, sf_dir)
-    codes = spark.read.parquet(path).filter(F.col("vec_id") != 0)
-    out = (
-        codes.withColumn("sq_dist", sq_dist_sq(bounds, qvec))
-        .orderBy(F.col("sq_dist").asc(), F.col("vec_id").asc())
-        .limit(10)
-    )
-    return out.select("vec_id", "label", F.round("sq_dist", 6).alias("sq_dist"))
-
-
-def _oracle_sq_topk(dim: int = EMB_DIM, k: int = 10) -> str:
-    """Re-derives the per-dim calibration (min / range over the 16
-    training rows) in SQL — same arithmetic the Spark side runs in
-    python over the collected rows — then re-encodes + re-scores every
-    row with the identical floor/clamp/midpoint formula."""
-    code = (
-        "CAST(greatest(0, least(255, "
-        "CAST(floor((CAST(s[1] AS DOUBLE) - s[2]) / s[3] * 255.0) AS INT)"
-        ")) AS DOUBLE)"
-    )
-    term = f"(s[2] + ({code} + 0.5) * s[3] / 255.0 - CAST(s[4] AS DOUBLE))"
-    dist = (
-        "list_reduce(list_transform("
-        "list_zip(e.embedding, bl.lo_l, bl.rng_l, q.qe), "
-        f"s -> {term} * {term}), (x, y) -> x + y)"
-    )
-    return f"""
-WITH train AS (SELECT embedding FROM embeddings WHERE vec_id < 16),
-idx AS (SELECT unnest(range(1, {dim + 1})) AS i),
-bounds AS (
-  SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS lo,
-         greatest(max(CAST(embedding[i] AS DOUBLE))
-                  - min(CAST(embedding[i] AS DOUBLE)), 1e-12) AS rng
-  FROM train, idx GROUP BY i
-),
-bl AS (SELECT list(lo ORDER BY i) AS lo_l, list(rng ORDER BY i) AS rng_l
-       FROM bounds),
-q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
-SELECT e.vec_id, e.label, round({dist}, 6) AS sq_dist
-FROM embeddings e, bl, q
-WHERE e.vec_id <> 0
-ORDER BY ({dist}) ASC, e.vec_id ASC
-LIMIT {k}
-"""
+# sq_topk retired r12 (one-for-one with the semantic_decontaminate
+# registration — write-ahead candidate #1 in queries.py): the registry
+# query was a literal-folded top-10 over the SQ codes, a surface the
+# quantized-tier siblings ivfpq_topk / pq_rerank_topk keep covered; the
+# SQ operators themselves (sq_train_bounds / sq_encode / sq_dist_sq)
+# remain implemented and recall-tested in tests/test_pq.py.
 
 
 def q_lsh_bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -923,30 +859,12 @@ FROM embeddings GROUP BY label
 """
 
 
-def q_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SA2 — deterministic 80/20 train/val split: per-side cardinality and
-    id checksum (reference ``random_split``, ``train_model.py:42-45``;
-    RNG replaced by the portable multiplicative hash, SURVEY §7.4.2)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    left, right = deterministic_split(emb, 0.8, "vec_id")
-    tagged = left.select(F.lit("train").alias("side"), "vec_id").unionAll(
-        right.select(F.lit("val").alias("side"), "vec_id")
-    )
-    return tagged.groupBy("side").agg(
-        F.count("*").alias("n"), F.sum("vec_id").alias("id_checksum")
-    )
-
-
-ORACLE_SPLIT_COUNTS = f"""
-WITH tagged AS (
-  SELECT CASE WHEN ((vec_id + 42) * {HASH_MULT}) % {HASH_MOD} % 100 < 80
-              THEN 'train' ELSE 'val' END AS side,
-         vec_id
-  FROM embeddings
-)
-SELECT side, count(*) AS n, CAST(sum(vec_id) AS BIGINT) AS id_checksum
-FROM tagged GROUP BY side
-"""
+# split_counts retired r12 (one-for-one with the dsir_importance
+# registration — write-ahead candidate #2 in queries.py): its
+# deterministic-hash splitter surface stays covered by the registered
+# stratified_sample (same multiplicative-hash partitioner plus the
+# per-class exact-k bound); deterministic_split itself remains
+# implemented and tested in tests/test_sample.py.
 
 
 def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1111,11 +1029,9 @@ ANN_QUERIES = {
     "ivf_topk_batch": q_ivf_topk_batch,
     "pq_rerank_topk": q_pq_rerank_topk,
     "ivfpq_topk": q_ivfpq_topk,
-    "sq_topk": q_sq_topk,
     "lsh_near_dup": q_lsh_near_dup,
     "knn_two_phase": q_knn_two_phase,
     "grouped_ids": q_grouped_ids,
-    "split_counts": q_split_counts,
     "embedding_stats": q_embedding_stats,
 }
 
@@ -1297,11 +1213,9 @@ ANN_ORACLES = {
     "ivf_topk_batch": ORACLE_IVF_TOPK_BATCH,
     "pq_rerank_topk": _oracle_pq_rerank_topk(),
     "ivfpq_topk": _oracle_ivfpq_topk(),
-    "sq_topk": _oracle_sq_topk(),
     "lsh_near_dup": _oracle_lsh_near_dup(0.2),
     "knn_two_phase": ORACLE_KNN_TWO_PHASE,
     "grouped_ids": ORACLE_GROUPED_IDS,
-    "split_counts": ORACLE_SPLIT_COUNTS,
     "embedding_stats": ORACLE_EMBEDDING_STATS,
 }
 
@@ -2112,10 +2026,9 @@ FROM (
 
 
 def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STAGED (r11) — NOT registered. r12 registration candidate: per the
-    write-ahead plan above ``_CHECK_FIRST`` (queries.py), pair with a
-    retirement from the r10-checked half (``sq_topk`` is the remaining
-    pre-agreed candidate).
+    """Registered r12, paired one-for-one with the sq_topk retirement
+    (the write-ahead plan staged both in r11; 3-SF oracle parity + fuzz
+    rows landed in tests/test_staged_ops.py / test_fuzz_oracle.py then).
 
     Embedding-space decontamination screen
     (operators/decontam.py::semantic_screen): the 50 corpus vectors
@@ -2332,6 +2245,7 @@ ANN_QUERIES.update(
         "embedding_outliers": q_embedding_outliers,
         "quantized_recall_eval": q_quantized_recall_eval,
         "hard_negatives": q_hard_negatives,
+        "semantic_decontaminate": q_semantic_decontaminate,
     }
 )
 ANN_ORACLES.update(
@@ -2347,5 +2261,6 @@ ANN_ORACLES.update(
         "embedding_outliers": _oracle_embedding_outliers(),
         "quantized_recall_eval": _oracle_quantized_recall_eval(),
         "hard_negatives": _oracle_hard_negatives(),
+        "semantic_decontaminate": ORACLE_SEMANTIC_DECONTAMINATE,
     }
 )

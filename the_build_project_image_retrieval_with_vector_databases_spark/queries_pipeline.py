@@ -12,7 +12,6 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .functions.vector import l2_dist
 from .sources.images import decode_images, scan_image_folder
 from .sources.manifest import read_manifest
 from .sources.tables import load_table
@@ -631,56 +630,29 @@ FROM sim GROUP BY epoch ORDER BY epoch
 # ---------------------------------------------------------------------------
 # P8 + T3 — formatted result display (score strings, 5-wide result grid)
 # ---------------------------------------------------------------------------
+# knn_display retired r12 (one-for-one with the perplexity_buckets
+# registration — write-ahead candidate #3 in queries.py): its top-k
+# ranking surface stays covered by the registered search_batch (the
+# batched kNN superset); the P8/T3 display projection itself (the
+# `%.4f` score string + 5-wide grid chunk, reference
+# utils/__init__.py:130-152) is a stateless column projection that
+# lives on as :func:`score_grid` below, pinned by
+# tests/test_pipeline_queries.py against the Python formatter.
 
 
-def q_knn_display(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The reference's result rendering (``utils/__init__.py:130-152``):
-    top-10 neighbors with ``f"{score:.4f}"`` formatting and 5-per-row grid
-    chunking — as a projection over the kNN result."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("__qvec"))
-    ranked = (
-        emb.filter(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(q))
-        .withColumn("dist_exact", l2_dist("embedding", "__qvec"))
-        .orderBy(F.col("dist_exact").asc(), F.col("vec_id").asc())
-        .limit(10)
-        .withColumn(
-            "rank",
-            F.row_number().over(
-                Window.orderBy(F.col("dist_exact").asc(), F.col("vec_id").asc())
-            ),
-        )
-    )
+def score_grid(ranked: DataFrame, dist_col: str = "dist_exact",
+               rank_col: str = "rank", per_row: int = 5) -> DataFrame:
+    """P8 + T3 — the reference's result rendering
+    (``utils/__init__.py:130-152``): ``f"{score:.4f}"`` score strings
+    and ``per_row``-wide grid chunking over any ranked kNN result.
+    Pure projection — composes onto ``search_batch``/``knn_single``
+    output with zero plan cost (no shuffle, stays in codegen)."""
     return ranked.select(
         "vec_id",
-        F.format_number(F.col("dist_exact"), 4).alias("dist_str"),
-        F.floor((F.col("rank") - 1) / 5).cast("int").alias("grid_row"),
-        ((F.col("rank") - 1) % 5).cast("int").alias("grid_col"),
+        F.format_number(F.col(dist_col), 4).alias("dist_str"),
+        F.floor((F.col(rank_col) - 1) / per_row).cast("int").alias("grid_row"),
+        ((F.col(rank_col) - 1) % per_row).cast("int").alias("grid_col"),
     )
-
-
-ORACLE_KNN_DISPLAY = """
-WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-scored AS (
-  SELECT e.vec_id,
-         sqrt(list_reduce(list_transform(list_zip(e.embedding, q.qe),
-              s -> (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE)) *
-                   (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE))), (x, y) -> x + y))
-           AS dist_exact
-  FROM embeddings e, q WHERE e.vec_id <> 0
-),
-ranked AS (
-  SELECT vec_id, dist_exact,
-         row_number() OVER (ORDER BY dist_exact ASC, vec_id ASC) AS rank
-  FROM scored
-)
-SELECT vec_id,
-       printf('%.4f', dist_exact) AS dist_str,
-       CAST(floor((rank - 1) / 5) AS INT) AS grid_row,
-       CAST((rank - 1) % 5 AS INT) AS grid_col
-FROM ranked WHERE rank <= 10
-"""
 
 
 PIPELINE_QUERIES = {
@@ -691,7 +663,6 @@ PIPELINE_QUERIES = {
     "frame_sample": q_frame_sample,
     "jsonl_ingest": q_jsonl_ingest,
     "train_metrics": q_train_metrics,
-    "knn_display": q_knn_display,
 }
 
 PIPELINE_ORACLES = {
@@ -702,5 +673,4 @@ PIPELINE_ORACLES = {
     "frame_sample": _oracle_frame_sample(),
     "jsonl_ingest": _oracle_jsonl_ingest(),
     "train_metrics": ORACLE_TRAIN_METRICS,
-    "knn_display": ORACLE_KNN_DISPLAY,
 }

@@ -1285,10 +1285,9 @@ FROM m
 
 
 def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STAGED (r11) — NOT registered. r12 registration candidate: per the
-    write-ahead plan above ``_CHECK_FIRST`` (queries.py), registering it
-    requires retiring one entry from the r10-checked half
-    (sq_topk / split_counts / knn_display are the pre-agreed candidates).
+    """Registered r12, paired one-for-one with the split_counts
+    retirement (staged r11 with 3-SF oracle parity + fuzz coverage in
+    tests/test_staged_ops.py / test_fuzz_oracle.py).
 
     DSIR importance selection (Xie et al. 2023): rank corpus documents by
     hashed-n-gram log importance weight toward the English target
@@ -1346,10 +1345,9 @@ ORDER BY score_q DESC, doc_id ASC LIMIT 40
 
 
 def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STAGED (r11) — NOT registered. r12 registration candidate: per the
-    write-ahead plan above ``_CHECK_FIRST`` (queries.py), registering it
-    requires retiring one entry from the r10-checked half
-    (sq_topk / split_counts / knn_display are the pre-agreed candidates).
+    """Registered r12, paired one-for-one with the knn_display
+    retirement (staged r11 with 3-SF oracle parity + fuzz coverage in
+    tests/test_staged_ops.py / test_fuzz_oracle.py).
 
     CCNet-style perplexity filter (Wenzek et al. 2020): every document
     scored by average per-token NLL under the corpus hashed-unigram LM,
@@ -1428,6 +1426,8 @@ TEXT_QUERIES = {
     "bm25": q_bm25,
     "dedup_keep_best": q_dedup_keep_best,
     "dedup_recall_eval": q_dedup_recall_eval,
+    "dsir_importance": q_dsir_importance,
+    "perplexity_buckets": q_perplexity_buckets,
 }
 
 TEXT_ORACLES = {
@@ -1458,4 +1458,6 @@ TEXT_ORACLES = {
     "bm25": _oracle_bm25(),
     "dedup_keep_best": _oracle_dedup_keep_best(),
     "dedup_recall_eval": _oracle_dedup_recall_eval(),
+    "dsir_importance": ORACLE_DSIR_IMPORTANCE,
+    "perplexity_buckets": ORACLE_PERPLEXITY_BUCKETS,
 }
