@@ -148,6 +148,11 @@ def main_ivf() -> None:
     with open(out_path, "w") as f:
         json.dump(art, f, indent=1, sort_keys=True)
     print(json.dumps({"metric": "serve_latency_ivf", **section}))
+    from the_build_project_image_retrieval_with_vector_databases_spark.streaming.queries import (
+        release_layout_cache,
+    )
+
+    release_layout_cache()
 
 
 def main() -> None:

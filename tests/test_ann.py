@@ -738,6 +738,56 @@ def test_knn_join_arrow_ivf_matches_reference(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_knn_join_arrow_ivf_duplicate_probes_and_thin_lists(spark):
+    """r12 ADVICE regressions: (1) a duplicated centroid id in a
+    probe_set must not score/emit the query's candidates twice (two
+    ranks for one vec_id); (2) with exclude_self=True and a probed
+    inverted list holding ≤ k finite rows, the masked self row
+    (dist=inf) must never surface in the top-k."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.ann import (
+        nearest_centroids,
+    )
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.knn import (
+        knn_join_arrow_ivf,
+    )
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_ann import (
+        _ivf_layout,
+    )
+
+    path, centroids = _ivf_layout(spark, SF_SMOKE)
+    layout = spark.read.parquet(path)
+    row = layout.orderBy("vec_id").first()
+    qid, qv = int(row.vec_id), list(row.embedding)
+    own_cent = int(row.centroid)
+
+    # (1) duplicated probe id ≡ deduped probe set
+    probes = nearest_centroids(centroids, qv, 2)
+    dup = probes + [probes[0], probes[0]]
+    clean = {
+        (r.rank): (r.vec_id, round(r.dist, 9))
+        for r in knn_join_arrow_ivf(layout, [qid], [qv], [probes], k=5).collect()
+    }
+    dirty = {
+        (r.rank): (r.vec_id, round(r.dist, 9))
+        for r in knn_join_arrow_ivf(layout, [qid], [qv], [dup], k=5).collect()
+    }
+    assert clean == dirty
+    assert len({v for v, _ in clean.values()}) == len(clean)  # distinct ids
+
+    # (2) nprobe=1 on the query's own list, k larger than the list:
+    # every returned dist is finite and the self row is absent
+    n_in_list = layout.filter(F.col("centroid") == own_cent).count()
+    got = knn_join_arrow_ivf(
+        layout, [qid], [qv], [[own_cent]], k=n_in_list + 3,
+        exclude_self=True,
+    ).collect()
+    assert len(got) == n_in_list - 1  # all list rows except self
+    assert all(r.vec_id != qid for r in got)
+    import math
+
+    assert all(math.isfinite(r.dist) for r in got)
+
+
 def test_search_batch_ivf_arrow_and_mine_negatives_facades(spark, emb, emb_np):
     """r11 facade extensions: search_batch(index='ivf', arrow=True)
     routes to the inverted-list Arrow kernel and returns the same

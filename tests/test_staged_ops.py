@@ -1453,8 +1453,8 @@ def test_hard_negatives_plan_no_corpus_shuffle(spark):
 
 
 # ---------------------------------------------------------------------------
-# dsir_importance — STAGED r11, r12 registration candidate (pair with a
-# retirement from the r10-checked half per the write-ahead plan).
+# dsir_importance — staged r11, REGISTERED r12 (paired with the
+# split_counts retirement per the write-ahead plan).
 # ---------------------------------------------------------------------------
 
 
@@ -1558,8 +1558,8 @@ def test_dsir_importance_plan_shape(spark):
 
 
 # ---------------------------------------------------------------------------
-# perplexity_buckets — STAGED r11, r12 registration candidate (pair with a
-# retirement from the r10-checked half per the write-ahead plan).
+# perplexity_buckets — staged r11, REGISTERED r12 (paired with the
+# knn_display retirement per the write-ahead plan).
 # ---------------------------------------------------------------------------
 
 
@@ -1689,9 +1689,8 @@ def test_perplexity_buckets_plan_shape(spark):
 
 
 # ---------------------------------------------------------------------------
-# semantic_decontaminate — STAGED r11, r12 registration candidate (pair
-# with a retirement from the r10-checked half; sq_topk is the remaining
-# pre-agreed candidate).
+# semantic_decontaminate — staged r11, REGISTERED r12 (paired with the
+# sq_topk retirement per the write-ahead plan).
 # ---------------------------------------------------------------------------
 
 
@@ -1776,3 +1775,21 @@ def test_semantic_decontaminate_plan_no_corpus_shuffle(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "ArrowEvalPython" in plan or "MapInPandas" in plan
+
+
+def test_semantic_screen_empty_eval_slice_raises_clearly(spark):
+    """r12 ADVICE regression: an eval slice with no rows must raise a
+    dedicated error naming the empty benchmark slice, not fail deep in
+    the kernel with a misleading query-matrix shape message."""
+    import pytest
+
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.decontam import (
+        semantic_screen,
+    )
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries import (
+        load_table,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    with pytest.raises(ValueError, match="empty eval slice"):
+        semantic_screen(emb, eval_ids_max=0, k=5)

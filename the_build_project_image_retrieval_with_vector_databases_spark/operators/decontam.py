@@ -147,6 +147,15 @@ def semantic_screen(
     TakeOrderedAndProject. Per-eval top-k containment makes the
     composition exact: a corpus row in the global top-k by best-eval
     distance is necessarily within its best eval's per-query top-k.
+
+    Distinct-distance assumption: the containment argument is strict
+    only when no two CORPUS rows tie exactly at a per-eval k boundary
+    (the per-eval cut orders by (dist, id); with exact boundary ties —
+    duplicated corpus embeddings — the pre-cut could drop a pair the
+    oracle's full cross-join keeps at the global LIMIT boundary).
+    Exact corpus-corpus distance ties are measure-zero on real
+    embeddings; raise ``k`` past the duplicate multiplicity if a corpus
+    is known to contain exact duplicates.
     """
     import numpy as np
 
@@ -169,6 +178,11 @@ def semantic_screen(
         .collect()
     )
     eval_ids = [int(r[0]) for r in ev]
+    if not eval_ids:
+        raise ValueError(
+            f"semantic_screen: empty eval slice — no rows with "
+            f"{id_col} < {eval_ids_max}; nothing to screen against"
+        )
     qm = _normalize_leftfold(np.asarray([r[1] for r in ev], dtype=np.float64))
     corp = emb.filter(F.col(id_col) >= eval_ids_max)
     cand = knn_join_exact(

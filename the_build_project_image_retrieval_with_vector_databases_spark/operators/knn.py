@@ -136,6 +136,11 @@ def knn_join_arrow(
     differs from the left-fold, so ranks can flip on ~1-ulp distance
     ties (measure-zero on real embeddings), and per-partition ties at
     the k boundary cut by ``argpartition`` before the id tie-break.
+    With ``exclude_self=True`` the masked self row carries dist=inf and
+    can surface in the final top-k only when a partition holds ≤ k
+    finite rows — unreachable for a flat scan of any real corpus
+    (partitions ≫ k rows); the IVF kernel, whose probed subsets CAN be
+    that small, filters non-finite rows before yielding.
     Use :func:`knn_join` where cross-engine exactness matters; this is
     the throughput path. Output: (query_id, id_col, dist, rank).
     """
@@ -259,8 +264,12 @@ def knn_join_arrow_ivf(
     qn = (qm * qm).sum(axis=1)
     by_cent: dict[int, "np.ndarray"] = {}
     for qi, probes in enumerate(probe_sets):
-        for c in probes:
-            by_cent.setdefault(int(c), []).append(qi)
+        # dedupe: probe_sets is a public parameter — a repeated centroid
+        # id would score and emit the query's candidates twice, taking
+        # two ranks in the final window (nearest_centroids never
+        # duplicates, but callers may).
+        for c in dict.fromkeys(int(c) for c in probes):
+            by_cent.setdefault(c, []).append(qi)
     by_cent = {c: np.asarray(v, dtype=np.int64) for c, v in by_cent.items()}
     union_probes = sorted(by_cent)
 
@@ -298,18 +307,23 @@ def knn_join_arrow_ivf(
                     d[ids[:, None] == qids[qsel][None, :]] = np.inf
                 kk = min(k, d.shape[0])
                 part = np.argpartition(d, kk - 1, axis=0)[:kk]
+                qcol = np.repeat(qids[qsel][None, :], kk, axis=0).ravel(
+                    order="F"
+                )
+                icol = np.take_along_axis(
+                    ids[:, None].repeat(d.shape[1], axis=1), part, axis=0
+                ).ravel(order="F")
+                dcol = np.take_along_axis(d, part, axis=0).ravel(order="F")
+                # drop inf rows (masked self-matches): a probed inverted
+                # list with ≤ k finite rows would otherwise surface the
+                # excluded self row in the final top-k — far more
+                # reachable here than in the flat kernel (e.g. nprobe=1
+                # on a small list).
+                fin = np.isfinite(dcol)
+                if not fin.all():
+                    qcol, icol, dcol = qcol[fin], icol[fin], dcol[fin]
                 yield pd.DataFrame(
-                    {
-                        "query_id": np.repeat(
-                            qids[qsel][None, :], kk, axis=0
-                        ).ravel(order="F"),
-                        id_col: np.take_along_axis(
-                            ids[:, None].repeat(d.shape[1], axis=1), part, axis=0
-                        ).ravel(order="F"),
-                        "dist": np.take_along_axis(d, part, axis=0).ravel(
-                            order="F"
-                        ),
-                    }
+                    {"query_id": qcol, id_col: icol, "dist": dcol}
                 )
 
     cand = pruned.mapInPandas(score, schema)

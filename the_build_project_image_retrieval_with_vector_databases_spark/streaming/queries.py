@@ -276,6 +276,22 @@ def serve_loop_rate(
     )
 
 
+# Per-session registry of cached IVF serving layouts, keyed by path —
+# serve_loop_rate_ivf reuses one cached DataFrame per path instead of
+# pinning a fresh copy per invocation (executor storage memory has no
+# other release path once the returned StreamingQuery is stopped).
+_LAYOUT_CACHE: dict[str, DataFrame] = {}
+
+
+def release_layout_cache(layout_path: str | None = None) -> None:
+    """Unpersist cached serving layout(s): the given path, or all."""
+    paths = [layout_path] if layout_path is not None else list(_LAYOUT_CACHE)
+    for p in paths:
+        df = _LAYOUT_CACHE.pop(p, None)
+        if df is not None:
+            df.unpersist()
+
+
 def serve_loop_rate_ivf(
     spark,
     layout_path: str,
@@ -317,15 +333,26 @@ def serve_loop_rate_ivf(
     flat knee (p50 2.15-2.65 s); cached, only the masked matmul
     remains. Set False to measure the cold/storage-read path — at
     100 TB a serving fleet pins hot inverted lists and pays this path
-    only on probe misses."""
+    only on probe misses.
+
+    Cached layouts are REUSED across invocations in the same session
+    (one registry entry per path — the serve_latency.py sweep's
+    warm-up + per-rate runs re-read the same path, and per-run
+    ``.cache()`` calls would otherwise accumulate in executor storage
+    memory with no release path); call :func:`release_layout_cache`
+    when a sweep is done with a path."""
     import time
 
     from ..operators.ann import nearest_centroids
     from ..operators.knn import knn_join_arrow_ivf
 
-    layout = spark.read.parquet(layout_path)
     if cache_layout:
-        layout = layout.cache()
+        layout = _LAYOUT_CACHE.get(layout_path)
+        if layout is None:
+            layout = spark.read.parquet(layout_path).cache()
+            _LAYOUT_CACHE[layout_path] = layout
+    else:
+        layout = spark.read.parquet(layout_path)
     pool_rows = (
         layout.select(id_col, vec_col)
         .orderBy(F.col(id_col).asc())
