@@ -75,6 +75,32 @@ EMB_QUERIES = [
     "stratified_sample",    # only the forced duplicate pair survives
     "suffix_join_equi",
     "lsh_near_dup",         # corpus-sized planes via the _sized_oracles override
+    # r12 widening (VERDICT r11 #5) — the layout-free ANN/pipeline rows
+    # whose constants the generator already satisfies (vec_id 0 query
+    # row, >= 8 lowest-id centroid/query inits, labels present):
+    "matryoshka_topk",      # truncate+renormalize fold on random floats
+    "knn_two_phase",        # local/global top-k, queries vec_id < 8
+    "mmr_rerank",           # greedy diversity re-rank; shortlist may be
+                            # corpus-limited — both engines cut at 20
+    "embedding_outliers",   # integer cross-multiplied outlier flags
+    "batch_assignments",    # pure id/seed arithmetic, drop_last global
+    "train_metrics",        # modular epoch simulation over vec_id
+    "kmeans_train_assign",  # 10 unrolled Lloyd rounds, quantized ints —
+                            # the duplicate + zero vectors hit the
+                            # empty-cluster/tie re-quantization rules
+    "semantic_dedup_incremental",  # batch side (vec_id >= 400) empty on
+                                   # generated sizes — the empty-ingest
+                                   # agreement is the point (see
+                                   # incremental_dedup above)
+]
+
+# Serving-batch rows need vec_id spans the small panel can't provide
+# (search_batch queries 48 <= vec_id < 64; hard_negatives evals
+# 16 <= vec_id < 48 plus a DIFFERENT-label corpus per query) — a
+# second embeddings panel at 66-90 vectors covers them.
+EMB_SERVE_QUERIES = [
+    "search_batch",
+    "hard_negatives",
 ]
 
 # Every relational registry query except bucketed_revenue: its
@@ -478,6 +504,25 @@ def test_fuzz_embeddings_panel(spark, tmp_path_factory, seed, n_vecs):
         _gen_embeddings(rng, n_vecs), os.path.join(tmpdir, "embeddings.parquet")
     )
     _run_panel(spark, tmpdir, EMB_QUERIES)
+
+
+@settings(max_examples=3, deadline=None, derandomize=True)
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    n_vecs=st.integers(min_value=66, max_value=90),
+)
+def test_fuzz_embeddings_serving_panel(spark, tmp_path_factory, seed, n_vecs):
+    """The BLAS serving kernel and the contrastive negative miner on
+    generated corpora — the two Arrow-kernel rows whose query-id spans
+    (48-64 / 16-48) need a larger generated table. The forced
+    duplicate vector (mat[n-1] = mat[0]) lands OUTSIDE both query
+    spans, exercising exact-distance ties from the corpus side."""
+    rng = np.random.default_rng(seed)
+    tmpdir = str(tmp_path_factory.mktemp(f"fuzz_srv_{seed}_{n_vecs}"))
+    pq.write_table(
+        _gen_embeddings(rng, n_vecs), os.path.join(tmpdir, "embeddings.parquet")
+    )
+    _run_panel(spark, tmpdir, EMB_SERVE_QUERIES)
 
 
 @settings(max_examples=2, deadline=None, derandomize=True)
