@@ -35,6 +35,8 @@ import os
 import sys
 import time
 
+from pyspark.sql import functions as F
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from the_build_project_image_retrieval_with_vector_databases_spark.session import (
@@ -186,8 +188,125 @@ def main() -> None:
         f.write(line + "\n")
 
 
+def main_single() -> None:
+    """Single-query latency (VERDICT r11 #6): p50/p95 of ONE query
+    through the Arrow kernels directly — no rate loop, no trigger
+    interval, no arrival queueing. This is the engine's honest answer
+    to the reference's interactive click (app.py:171 ``index.search``
+    of one uploaded image): call → collect, wall-clock per call.
+
+    Flat (knn_join_arrow) vs IVF (knn_join_arrow_ivf, nprobe=4/16) on
+    the r11 serve corpora: 200k × 64-D (/tmp/spark_graft_scale100x)
+    and 2M × 64-D (/tmp/spark_graft_serve2m, prebuilt
+    partitionBy(centroid) layout). Both tiers run against CACHED
+    inputs (the steady-state serving memory model); 5 discarded
+    warm-up calls per tier cover the documented C2 ramp; queries
+    rotate through 32 real corpus vectors so no call is a cache twin
+    of the previous one.
+
+    Usage: python scripts/serve_latency.py --single [n_runs]
+    Merges a ``single_query_latency`` section into SERVE_LATENCY.json.
+    """
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.ann import (
+        nearest_centroids,
+    )
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.knn import (
+        knn_join_arrow,
+        knn_join_arrow_ivf,
+    )
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_ann import (
+        _ivf_layout,
+    )
+
+    n_runs = int(sys.argv[2]) if len(sys.argv) > 2 else 30
+    warm = 5
+    k, nprobe = 5, 4
+    spark = get_spark(app_name="serve-single", shuffle_partitions=8)
+
+    def qpool(df, n=32):
+        rows = (
+            df.select("vec_id", "embedding")
+            .orderBy(F.col("vec_id").asc())
+            .limit(n)
+            .collect()
+        )
+        return [(int(r[0]), [float(x) for x in r[1]]) for r in rows]
+
+    def sweep(call) -> dict:
+        lats = []
+        for i in range(warm + n_runs):
+            t0 = time.perf_counter()
+            call(i).collect()
+            dt = time.perf_counter() - t0
+            if i >= warm:
+                lats.append(dt)
+        return {
+            "n_runs": n_runs,
+            "p50_s": round(pct(lats, 0.50), 4),
+            "p95_s": round(pct(lats, 0.95), 4),
+            "max_s": round(max(lats), 4),
+        }
+
+    section: dict = {
+        "k": k,
+        "nprobe": nprobe,
+        "method": (
+            f"{warm} discarded warm calls then {n_runs} timed single-query "
+            "calls per tier, queries rotating through 32 real corpus "
+            "vectors, cached corpus/layout, wall-clock call->collect"
+        ),
+    }
+
+    for label, corpus_dir in (("corpus_200k", "/tmp/spark_graft_scale100x"),):
+        emb = spark.read.parquet(
+            os.path.join(corpus_dir, "embeddings.parquet")
+        ).cache()
+        emb.count()
+        pool = qpool(emb)
+        path, cents = _ivf_layout(spark, corpus_dir)
+        layout = spark.read.parquet(path).cache()
+        layout.count()
+        flat = sweep(lambda i: knn_join_arrow(
+            emb, [pool[i % 32][0]], [pool[i % 32][1]], k=k))
+        ivf = sweep(lambda i: knn_join_arrow_ivf(
+            layout, [pool[i % 32][0]], [pool[i % 32][1]],
+            [nearest_centroids(cents, pool[i % 32][1], nprobe)], k=k))
+        section[label] = {"corpus": corpus_dir, "flat": flat, "ivf": ivf}
+        emb.unpersist(); layout.unpersist()
+
+    d2 = "/tmp/spark_graft_serve2m"
+    if os.path.exists(os.path.join(d2, "centroids.json")):
+        with open(os.path.join(d2, "centroids.json")) as f:
+            cents = json.load(f)
+        emb = spark.read.parquet(os.path.join(d2, "embeddings.parquet")).cache()
+        emb.count()
+        pool = qpool(emb)
+        layout = spark.read.parquet(os.path.join(d2, "ivf_layout")).cache()
+        layout.count()
+        flat = sweep(lambda i: knn_join_arrow(
+            emb, [pool[i % 32][0]], [pool[i % 32][1]], k=k))
+        ivf = sweep(lambda i: knn_join_arrow_ivf(
+            layout, [pool[i % 32][0]], [pool[i % 32][1]],
+            [nearest_centroids(cents, pool[i % 32][1], nprobe)], k=k))
+        section["corpus_2m"] = {"corpus": d2, "flat": flat, "ivf": ivf}
+        emb.unpersist(); layout.unpersist()
+
+    out_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "SERVE_LATENCY.json")
+    art = {}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            art = json.load(f)
+    art["single_query_latency"] = section
+    with open(out_path, "w") as f:
+        json.dump(art, f, indent=1, sort_keys=True)
+    print(json.dumps({"metric": "single_query_latency", **section}))
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--ivf":
         main_ivf()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--single":
+        main_single()
     else:
         main()
