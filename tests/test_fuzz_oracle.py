@@ -585,3 +585,65 @@ def test_fuzz_staged_semantic_decontaminate(spark, tmp_path_factory, seed, n_vec
         "semantic_decontaminate",
     )
     assert ok, f"fuzz corpus diverged: {msg}"
+
+
+@settings(max_examples=2, deadline=None, derandomize=True)
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    n_docs=st.integers(min_value=3, max_value=60),
+)
+def test_fuzz_staged_r12_text_ops(spark, tmp_path_factory, seed, n_docs):
+    """The r12-staged text-side candidates face the registry gate once
+    registered — pre-verify on generated corpora. Shapes the fixtures
+    never hit: zero-token docs (chunking must emit nothing), 1-token
+    docs (one short chunk), doc counts that make every source quota
+    exceed its row count (temperature_mix caps implicitly), and
+    remainder ties across sources (deterministic lexicographic
+    allocation)."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_text import (
+        _oracle_passage_chunking,
+        _oracle_temperature_mix,
+        q_passage_chunking,
+        q_temperature_mix,
+    )
+
+    rng = np.random.default_rng(seed)
+    tmpdir = str(tmp_path_factory.mktemp(f"fuzz_r12t_{seed}_{n_docs}"))
+    pq.write_table(
+        _gen_documents(rng, n_docs), os.path.join(tmpdir, "documents.parquet")
+    )
+    for name, q, o in [
+        ("passage_chunking", q_passage_chunking, _oracle_passage_chunking()),
+        ("temperature_mix", q_temperature_mix, _oracle_temperature_mix()),
+    ]:
+        ok, msg = compare(q(spark, tmpdir), o, tmpdir, name)
+        assert ok, f"fuzz corpus diverged: {msg}"
+
+
+@settings(max_examples=2, deadline=None, derandomize=True)
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    n_vecs=st.integers(min_value=20, max_value=48),
+)
+def test_fuzz_staged_bq_hamming(spark, tmp_path_factory, seed, n_vecs):
+    """The r12-staged BQ tier on generated corpora: the zero vector
+    (all bits from the threshold side of 0), the duplicated vector
+    (Hamming ties through the vec_id tiebreak), and thresholds trained
+    on whatever the first 16 generated rows are."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_ann import (
+        _oracle_bq_hamming_topk,
+        q_bq_hamming_topk,
+    )
+
+    rng = np.random.default_rng(seed)
+    tmpdir = str(tmp_path_factory.mktemp(f"fuzz_bq_{seed}_{n_vecs}"))
+    pq.write_table(
+        _gen_embeddings(rng, n_vecs), os.path.join(tmpdir, "embeddings.parquet")
+    )
+    ok, msg = compare(
+        q_bq_hamming_topk(spark, tmpdir),
+        _oracle_bq_hamming_topk(),
+        tmpdir,
+        "bq_hamming_topk",
+    )
+    assert ok, f"fuzz corpus diverged: {msg}"

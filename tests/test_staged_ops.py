@@ -1793,3 +1793,305 @@ def test_semantic_screen_empty_eval_slice_raises_clearly(spark):
     emb = load_table(spark, SF_SMOKE, "embeddings")
     with pytest.raises(ValueError, match="empty eval slice"):
         semantic_screen(emb, eval_ids_max=0, k=5)
+
+
+# ---------------------------------------------------------------------------
+# bq_hamming_topk — STAGED r12, r13 registration candidate (pair with
+# the ivf_topk_batch retirement per the write-ahead plan in queries.py).
+# ---------------------------------------------------------------------------
+
+
+def test_bq_hamming_matches_python_reference(spark):
+    """Packed BQ codes and Hamming distances agree bit-exactly with a
+    single-threaded reference: same floor(x*2^20 + 0.5) quantization,
+    same division-free q*n > sum threshold test, same two-half packing,
+    same popcount — every step is integer, so exactness is by
+    construction."""
+    import math
+
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.pq import (
+        bq_encode_cols,
+        bq_encode_query,
+        bq_hamming,
+        bq_train_thresholds,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    rows = sorted(
+        ((int(r.vec_id), [float(x) for x in r.embedding]) for r in emb.collect()),
+    )
+    train = [v for _, v in rows[:16]]
+    thr = bq_train_thresholds(train)
+    qh = bq_encode_query(rows[0][1], thr, 16)
+
+    def code(v):
+        h = bq_encode_query(v, thr, 16)
+        return h
+
+    def ham(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+
+    expect = {vid: ham(code(v), qh) for vid, v in rows if vid != 0}
+
+    lo, hi = bq_encode_cols(thr, 16)
+    got = {
+        int(r.vec_id): int(r.hamming)
+        for r in emb.filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            lo.alias("bq_lo"),
+            hi.alias("bq_hi"),
+        )
+        .select("vec_id", bq_hamming(qh, ["bq_lo", "bq_hi"]).alias("hamming"))
+        .collect()
+    }
+    assert got == expect
+
+
+def test_bq_hamming_oracle_parity_staged(spark, sf_dir):
+    """The staged bq_hamming_topk DuckDB oracle passes the
+    driver-faithful comparison (verified by hand at
+    sf0.001/sf0.01/sf0.1 in r12 — integer output, exact hash)."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_ann import (
+        _oracle_bq_hamming_topk,
+        q_bq_hamming_topk,
+    )
+    from .oracle_harness import compare
+
+    ok, msg = compare(
+        q_bq_hamming_topk(spark, sf_dir),
+        _oracle_bq_hamming_topk(),
+        sf_dir,
+        "bq_hamming_topk",
+    )
+    assert ok, msg
+
+
+def test_bq_hamming_plan_and_near_dup_retrieval(spark):
+    """Plan contract: the flagship zero-shuffle shape — encode is one
+    codegen'd projection (literal thresholds), search is
+    TakeOrderedAndProject, NO exchange/BNLJ/Python anywhere.
+
+    Retrieval property (the BQ use case — near-duplicate/rescore
+    tiers, NOT fine ranking of unstructured gaussians, where 1-bit
+    codes genuinely carry no signal): a corpus row that is a
+    sign-preserving perturbation of the query must come back at
+    Hamming distance 0, rank 1."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.pq import (
+        bq_encode_cols,
+        bq_encode_query,
+        bq_hamming,
+        bq_train_thresholds,
+    )
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_ann import (
+        q_bq_hamming_topk,
+    )
+
+    df = q_bq_hamming_topk(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    rows = sorted(
+        ((int(r.vec_id), [float(x) for x in r.embedding]) for r in emb.collect())
+    )
+    train = [v for _, v in rows[:16]]
+    thr = bq_train_thresholds(train)
+    qvec = rows[0][1]
+    # sign-preserving wiggle: scale every component AWAY from its
+    # threshold mean by 1% — bits identical to the query's by design
+    means = [t / (len(train) * float(1 << 20)) for t in thr]
+    dup = [m + (x - m) * 1.01 for x, m in zip(qvec, means)]
+    big = int(max(vid for vid, _ in rows)) + 1
+    corpus = emb.unionAll(
+        spark.createDataFrame(
+            [(big, dup, -1)], "vec_id long, embedding array<double>, label int"
+        ).select(
+            "vec_id", F.col("embedding").cast("array<float>"), "label"
+        )
+    )
+    lo, hi = bq_encode_cols(thr, len(train))
+    qh = bq_encode_query(qvec, thr, len(train))
+    top = (
+        corpus.filter(F.col("vec_id") != 0)
+        .select("vec_id", lo.alias("bq_lo"), hi.alias("bq_hi"))
+        .select("vec_id", bq_hamming(qh, ["bq_lo", "bq_hi"]).alias("hamming"))
+        .orderBy(F.col("hamming").asc(), F.col("vec_id").asc())
+        .limit(1)
+        .first()
+    )
+    assert top.vec_id == big and top.hamming == 0
+
+
+# ---------------------------------------------------------------------------
+# passage_chunking — STAGED r12, r13 registration candidate (pair with
+# the label_counts retirement per the write-ahead plan in queries.py).
+# ---------------------------------------------------------------------------
+
+
+def test_passage_chunks_matches_python_reference(spark):
+    """Chunk boundaries, counts, and texts agree exactly with a
+    single-threaded splitter: same tokenizer, chunk i covers tokens
+    [i*stride, i*stride + window), count = 1 + ceil(max(L-W,0)/S),
+    token-less docs emit nothing."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.textops import (
+        passage_chunks,
+    )
+
+    W, S = 7, 5  # deliberately NOT the registry constants — generality
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    got = {
+        (r.doc_id, r.chunk_id): (r.n_tokens, r.chunk_text)
+        for r in passage_chunks(docs, window=W, stride=S).collect()
+    }
+
+    expect = {}
+    for r in docs.collect():
+        toks = [t for t in r.text.lower().split() if t]
+        L = len(toks)
+        if L == 0:
+            continue
+        n = 1 + max(0, -(-(L - W) // S)) if L > W else 1
+        for i in range(n):
+            piece = toks[i * S : i * S + W]
+            expect[(r.doc_id, i)] = (len(piece), " ".join(piece))
+    assert got == expect
+
+
+def test_passage_chunking_oracle_parity_staged(spark, sf_dir):
+    """The staged passage_chunking DuckDB oracle passes the
+    driver-faithful comparison (verified by hand at
+    sf0.001/sf0.01/sf0.1 in r12)."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_text import (
+        _oracle_passage_chunking,
+        q_passage_chunking,
+    )
+    from .oracle_harness import compare
+
+    ok, msg = compare(
+        q_passage_chunking(spark, sf_dir),
+        _oracle_passage_chunking(),
+        sf_dir,
+        "passage_chunking",
+    )
+    assert ok, msg
+
+
+def test_passage_chunking_plan_zero_shuffle_one_tokenize(spark):
+    """Plan contract: tokenize → guarded sequence → explode → slice is
+    ONE projection chain — zero exchanges, exactly one Generate, and
+    exactly ONE copy of the tokenize subtree (a pushed `size(toks) > 0`
+    filter would inline it 3× — the doc_shingles lesson, blocked here
+    by the NULL-sequence guard instead of a filter)."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_text import (
+        q_passage_chunking,
+    )
+
+    df = q_passage_chunking(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 0
+    assert plan.count("Generate") == 1
+    assert plan.count("split(trim(lower(") == 1
+    assert "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# temperature_mix — STAGED r12, r13 registration candidate (pair with
+# the simhash retirement per the write-ahead plan in queries.py).
+# ---------------------------------------------------------------------------
+
+
+def test_temperature_mix_matches_python_reference(spark):
+    """Quotas and the selected id set agree exactly with a
+    single-threaded reference: floor(sqrt(n)) weights, integer
+    largest-remainder allocation (ties to the smaller source name),
+    multiplicative-hash selection order."""
+    import math
+
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.mixing import (
+        temperature_mix,
+    )
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.sample import (
+        HASH_MOD,
+        HASH_MULT,
+    )
+
+    budget = 37  # NOT the registry constant — exercises remainders
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    rows = [(r.doc_id, r.source) for r in docs.collect()]
+
+    counts: dict = {}
+    for _, s in rows:
+        counts[s] = counts.get(s, 0) + 1
+    w = {s: int(math.floor(math.sqrt(n))) for s, n in counts.items()}
+    W = sum(w.values())
+    base = {s: (budget * w[s]) // W for s in w}
+    rem = {s: (budget * w[s]) % W for s in w}
+    leftover = budget - sum(base.values())
+    order = sorted(w, key=lambda s: (-rem[s], s))
+    quota = {
+        s: base[s] + (1 if i < leftover else 0) for i, s in enumerate(order)
+    }
+
+    def hkey(i):
+        return ((i + 42) * HASH_MULT) % HASH_MOD
+
+    by_src: dict = {}
+    for did, s in rows:
+        by_src.setdefault(s, []).append(did)
+    expect = set()
+    for s, ids in by_src.items():
+        ids.sort(key=lambda i: (hkey(i), i))
+        expect |= {(s, i) for i in ids[: quota[s]]}
+
+    got = {
+        (r.source, r.doc_id)
+        for r in temperature_mix(docs, budget).collect()
+    }
+    assert got == expect
+    assert len(got) == min(
+        budget, sum(min(quota[s], counts[s]) for s in quota)
+    )
+
+
+def test_temperature_mix_oracle_parity_staged(spark, sf_dir):
+    """The staged temperature_mix DuckDB oracle passes the
+    driver-faithful comparison (verified by hand at
+    sf0.001/sf0.01/sf0.1 in r12)."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_text import (
+        _oracle_temperature_mix,
+        q_temperature_mix,
+    )
+    from .oracle_harness import compare
+
+    ok, msg = compare(
+        q_temperature_mix(spark, sf_dir),
+        _oracle_temperature_mix(),
+        sf_dir,
+        "temperature_mix",
+    )
+    assert ok, msg
+
+
+def test_temperature_mix_plan_shape(spark):
+    """Plan contract: ONE corpus-keyed exchange (the per-source rank
+    window); the quota table derives from a map-side-partial count
+    aggregate and joins back by BROADCAST; the tiny unpartitioned
+    windows run over the ≤|sources|-row stats table only. No
+    cartesian/BNLJ/Python."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_text import (
+        q_temperature_mix,
+    )
+
+    df = q_temperature_mix(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    # corpus-keyed exchanges: source-rank window + the count aggregate
+    assert plan.count("Exchange hashpartitioning") == 2

@@ -41,7 +41,7 @@ Scale shape (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import md5_long, tokens
@@ -275,5 +275,81 @@ def ccnet_perplexity_buckets(
             .when(F.col("avg_nll_q").cast("double") <= F.col("c2"), "middle")
             .otherwise("tail")
             .alias("ppl_bucket"),
+        )
+    )
+
+
+def temperature_mix(
+    df: DataFrame,
+    budget: int,
+    *,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Temperature-scaled training-mix assembly (the sampling-temperature
+    rule of multilingual/multi-source LLM corpora — Conneau & Lample
+    2019's p_s ∝ n_s^α; α = 1/2 here, i.e. temperature 2): per-source
+    quotas ∝ √n_s instead of ``mixture_sample``'s FIXED shares, so
+    low-resource sources are up-weighted relative to their raw counts
+    and no share table has to be curated by hand.
+
+    Integer-exact cross-engine derivation (no float weights anywhere):
+    w_s = floor(sqrt(n_s)) — one correctly-rounded IEEE sqrt, identical
+    in every engine — then LARGEST-REMAINDER allocation of the integer
+    budget: base_s = (budget·w_s) div W, leftovers to the largest
+    (budget·w_s mod W), ties to the lexicographically smaller source.
+    Quotas are TARGETS: a source with n_s < quota_s contributes all its
+    rows (the rank filter caps implicitly). Selection within a source is
+    the engine-portable multiplicative-hash order of ``mixture_sample``.
+
+    Scale shape: the quota table derives from ONE map-side-partial
+    count aggregate (≤ |sources| rows — broadcast back), and selection
+    is the same single source-keyed rank-window shuffle as
+    mixture_sample; nothing else touches the corpus.
+    """
+    from .sample import shuffle_key
+
+    counts = df.groupBy(source_col).agg(F.count("*").alias("__n"))
+    w_all = Window.partitionBy()
+    wgt = F.floor(F.sqrt(F.col("__n").cast("double"))).cast("long")
+    # __wgt/__wtot, not __w/__W: Spark's default case-INSENSITIVE
+    # resolver treats those as one ambiguous name
+    q0 = counts.select(
+        source_col, "__n", wgt.alias("__wgt")
+    ).withColumn("__wtot", F.sum("__wgt").over(w_all))
+    num = F.lit(int(budget)).cast("long") * F.col("__wgt")
+    base = F.floor(num / F.col("__wtot")).cast("long")
+    rem = num - base * F.col("__wtot")
+    q1 = q0.select(
+        source_col, "__n", base.alias("__base"), rem.alias("__rem")
+    )
+    leftover = F.lit(int(budget)).cast("long") - F.sum("__base").over(w_all)
+    rr = F.row_number().over(
+        Window.orderBy(F.col("__rem").desc(), F.col(source_col).asc())
+    )
+    quotas = q1.select(
+        source_col,
+        F.col("__n").alias("n_source"),
+        (
+            F.col("__base")
+            + (rr <= leftover).cast("long")
+        ).alias("quota"),
+    )
+    w = Window.partitionBy(source_col).orderBy(
+        shuffle_key(id_col, seed).asc(), F.col(id_col).asc()
+    )
+    ranked = df.select(source_col, id_col).withColumn(
+        "__rank", F.row_number().over(w)
+    )
+    return (
+        ranked.join(F.broadcast(quotas), source_col)
+        .filter(F.col("__rank") <= F.col("quota"))
+        .select(
+            F.col(source_col),
+            F.col(id_col),
+            F.col("__rank").alias("mix_rank"),
+            F.col("quota").cast("long").alias("quota"),
+            F.col("n_source").cast("long").alias("n_source"),
         )
     )

@@ -313,3 +313,118 @@ def sq_recon_np(bounds: list[tuple[float, float]]):
         return lo[None, :] + (codes + 0.5) * rng[None, :] / 255.0
 
     return recon
+
+
+# ---------------------------------------------------------------------------
+# Binary quantization (BQ) — the 5th quantization tier (Flat/IVF/PQ/SQ/BQ):
+# 1 bit per dimension (sign vs a trained per-dim threshold), Hamming
+# distance search. FAISS analogue: ``IndexBinaryFlat`` over
+# sign-quantized vectors; the modern serving use is the 32× bandwidth
+# cut of binary rescoring tiers. Everything here is INTEGER-exact
+# cross-engine: thresholds are integer sums of the repo's standard
+# quantization (floor(x·2^20 + 0.5)), the bit test is the
+# division-free cross-multiplied comparison q_i·n_train > Σ_train q_i
+# (i.e. v_i > mean_i without ever dividing), and codes pack into two
+# 32-bit halves per 64 dims — both engines' BIGINT shifts stay off the
+# sign bit (DuckDB's checked ``<<`` overflows at bit 63).
+# ---------------------------------------------------------------------------
+
+
+def bq_train_thresholds(
+    vectors: list[list[float]], scale: int = 1 << 20
+) -> list[int]:
+    """Per-dimension integer threshold sums from a training sample:
+    thr[i] = Σ_train floor(v_i·scale + 0.5). A vector's bit i is set
+    iff floor(x_i·scale + 0.5) · n_train > thr[i] — exactly
+    "x_i above the training mean" with no division anywhere. Pure
+    python ints so the SAME literals inline into the Spark expression,
+    the oracle SQL, and the driver-side query encoding."""
+    import math
+
+    dim = len(vectors[0])
+    return [
+        sum(
+            int(math.floor(float(v[i]) * scale + 0.5)) for v in vectors
+        )
+        for i in range(dim)
+    ]
+
+
+def bq_encode_cols(
+    thresholds: list[int],
+    n_train: int,
+    vec_col: str = "embedding",
+    scale: int = 1 << 20,
+):
+    """(lo, hi) packed-code column expressions: bit i of the 64-dim
+    vector lands in half i//32, position i%32. Pure Catalyst — a
+    zip_with bit test against the literal threshold array, then a
+    weighted sum against literal powers of two; codegen'd, zero
+    shuffle, no UDF. Returns a 2-tuple of Columns."""
+    from pyspark.sql import functions as F
+
+    dim = len(thresholds)
+    if dim % 32:
+        raise ValueError("bq packs 32 bits per half; dim must be a multiple")
+    qv = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(
+            x.cast("double") * F.lit(float(scale)) + F.lit(0.5)
+        ).cast("long"),
+    )
+    thr = F.array(*[F.lit(int(t)).cast("long") for t in thresholds])
+    bits = F.zip_with(
+        qv, thr,
+        lambda x, t: (x * F.lit(n_train).cast("long") > t).cast("long"),
+    )
+    pows = F.array(*[F.lit(1 << j).cast("long") for j in range(32)])
+
+    def pack(offset: int):
+        return F.aggregate(
+            F.zip_with(
+                F.slice(bits, offset + 1, 32), pows, lambda b, w: b * w
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    return tuple(pack(off) for off in range(0, dim, 32))
+
+
+def bq_encode_query(
+    query_vec: list[float],
+    thresholds: list[int],
+    n_train: int,
+    scale: int = 1 << 20,
+) -> list[int]:
+    """Driver-side packed code of one query vector — the same integer
+    rule as :func:`bq_encode_cols`, so the literal query halves are
+    bit-identical with table-side encoding."""
+    import math
+
+    halves = []
+    for off in range(0, len(thresholds), 32):
+        acc = 0
+        for j in range(32):
+            i = off + j
+            q = int(math.floor(float(query_vec[i]) * scale + 0.5))
+            if q * n_train > thresholds[i]:
+                acc |= 1 << j
+        halves.append(acc)
+    return halves
+
+
+def bq_hamming(query_halves: list[int], code_cols: list[str]):
+    """Hamming distance column: Σ_half bit_count(code XOR q_half) —
+    bitwise longs, whole-stage codegen, identical two's-complement
+    semantics in Spark and DuckDB."""
+    from pyspark.sql import functions as F
+
+    parts = [
+        F.bit_count(F.col(c).bitwiseXOR(F.lit(int(q)).cast("long")))
+        for c, q in zip(code_cols, query_halves)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out + p
+    return out.cast("int")

@@ -463,3 +463,57 @@ def bm25(
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def passage_chunks(
+    df: DataFrame,
+    window: int = 32,
+    stride: int = 24,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping token-window chunking — the RAG / long-context
+    pretraining splitter (chunk i covers tokens [i·stride + 1,
+    i·stride + window]; the last window is the first one containing
+    the document's final token, so every token lands in ≥ 1 chunk and
+    consecutive chunks overlap by window − stride). Token-less
+    documents produce NO chunks.
+
+    Chunk count is integer-exact: 1 + ceil(max(L − window, 0)/stride),
+    with the ceil as (extra + stride − 1) div stride over NON-NEGATIVE
+    ints only — Spark's div truncates toward zero while DuckDB's //
+    floors, so the ``greatest(0, ·)`` runs BEFORE the division where
+    the two rules agree.
+
+    Scale shape: tokenize → sequence → explode → slice, one codegen'd
+    projection chain with ZERO shuffles; output size is Σ n_chunks
+    (linear in corpus tokens · window/stride). The tokenize runs in
+    its own projection (the doc_shingles contract — multi-referenced
+    heavy aliases are not collapsed)."""
+    toked = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    L = F.size("__toks")
+    extra = F.greatest(F.lit(0), L - F.lit(window))
+    n_chunks = (
+        F.lit(1)
+        + F.floor((extra + F.lit(stride - 1)) / F.lit(stride)).cast("int")
+    )
+    # token-less docs: a NULL sequence explodes to zero rows — a
+    # `filter(L > 0)` would instead be pushed below the tokenize
+    # projection and re-inline the whole tokenize as a per-row scan
+    # filter (the doc_shingles lesson; measured: 3 copies of the
+    # tokenize subtree in the plan vs 1 this way)
+    seq = F.when(L > 0, F.sequence(F.lit(0), n_chunks - F.lit(1)))
+    c = toked.select(
+        F.col(id_col),
+        F.col("__toks"),
+        F.explode(seq).alias("chunk_id"),
+    )
+    sl = F.slice(
+        F.col("__toks"), F.col("chunk_id") * stride + F.lit(1), window
+    )
+    return c.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.size(sl).cast("int").alias("n_tokens"),
+        F.array_join(sl, " ").alias("chunk_text"),
+    )

@@ -655,6 +655,18 @@ ORACLES: dict[str, str] = {
 # instead: those rows rotate out of r13 WITHOUT a check, so retiring
 # one frees registry capacity but ZERO r13 window slots — the
 # capacity-math failure of the r6→r7 handoff.
+#
+# Staged registration candidates for r13 (all 3-SF oracle-verified in
+# tests/test_staged_ops.py and fuzz-verified on generated corpora in
+# tests/test_fuzz_oracle.py, staged r12; pair each one-for-one with a
+# retirement from the list above):
+#   bq_hamming_topk  ↔ ivf_topk_batch (binary-quantization Hamming
+#       tier — the 5th quantization tier, zero-shuffle
+#       TakeOrderedAndProject; scale rows in CHANGES_r12)
+#   passage_chunking ↔ label_counts   (overlapping token-window RAG/
+#       pretraining splitter; zero-shuffle single-tokenize projection)
+#   temperature_mix  ↔ simhash        (√n sampling-temperature quotas,
+#       integer largest-remainder; one corpus shuffle)
 _CHECK_FIRST: list[str] = [
     # the 47 surviving r10-checked entries (split_counts, knn_display,
     # sq_topk retired), one round stale — re-verified this round:

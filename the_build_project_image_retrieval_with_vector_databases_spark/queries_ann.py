@@ -2232,6 +2232,111 @@ FROM r WHERE rk < n - (n % {batch_size})
 """
 
 
+BQ_TRAIN_N = 16
+BQ_K = 10
+
+
+def q_bq_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED (r12) — NOT registered. r13 registration candidate: per
+    the write-ahead plan above ``_CHECK_FIRST`` (queries.py), pair with
+    a retirement from the r11-checked half (``ivf_topk_batch`` is the
+    pre-agreed quantized/batched-tier candidate).
+
+    Binary-quantization Hamming top-10 — the 5th quantization tier
+    (Flat/IVF/PQ/SQ/BQ; FAISS ``IndexBinaryFlat`` analogue, the 32×
+    bandwidth cut modern rescoring tiers lean on): 1 bit per dimension
+    (above/below the per-dim training mean of the 16 lowest-id rows),
+    packed into two 32-bit BIGINT halves, searched by
+    ``bit_count(xor(...))``. INTEGER-exact end-to-end: the bit test is
+    the division-free cross-multiplication q_i·n_train > Σ_train q_i
+    over the standard floor(x·2^20 + 0.5) quantization, so the oracle
+    re-derives thresholds, table codes, the QUERY's code (from the
+    vec_id-0 row — the whole pipeline is cross-checked, not just the
+    scan), and every Hamming distance bit-for-bit.
+
+    Scale shape: encode is one codegen'd projection (zero shuffle,
+    literal thresholds); search scans 16 bytes/row instead of 256 and
+    plans the flagship TakeOrderedAndProject — no exchange anywhere.
+    At serve scale the same packed columns drop into the Arrow kernel
+    as uint64 numpy XOR/popcount."""
+    from .operators.pq import (
+        bq_encode_cols,
+        bq_encode_query,
+        bq_hamming,
+        bq_train_thresholds,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = (
+        emb.filter(F.col("vec_id") < BQ_TRAIN_N)
+        .select("vec_id", "embedding")
+        .orderBy(F.col("vec_id").asc())
+        .collect()
+    )
+    train = [[float(x) for x in r.embedding] for r in rows]
+    qvec = train[0]  # vec_id 0 — the flagship query row
+    thr = bq_train_thresholds(train)
+    lo, hi = bq_encode_cols(thr, len(train))
+    qh = bq_encode_query(qvec, thr, len(train))
+    codes = emb.filter(F.col("vec_id") != 0).select(
+        "vec_id", "label", lo.alias("bq_lo"), hi.alias("bq_hi")
+    )
+    out = codes.select(
+        "vec_id", "label", bq_hamming(qh, ["bq_lo", "bq_hi"]).alias("hamming")
+    )
+    return out.orderBy(
+        F.col("hamming").asc(), F.col("vec_id").asc()
+    ).limit(BQ_K)
+
+
+def _oracle_bq_hamming_topk(
+    dim: int = EMB_DIM, k: int = BQ_K, train_n: int = BQ_TRAIN_N
+) -> str:
+    """Re-derives the entire BQ pipeline in SQL: integer threshold
+    sums over the training slice, both packed halves for EVERY row
+    (shifts stay ≤ bit 31 — DuckDB's checked ``<<`` overflows at 63),
+    the query's code from its own table row, and
+    bit_count(xor(...)) Hamming."""
+    scale = 1 << 20
+    qint = (
+        f"CAST(floor(CAST(e.embedding[j] AS DOUBLE) * {scale}.0 + 0.5) "
+        "AS BIGINT)"
+    )
+
+    def half(lo_j: int) -> str:
+        return (
+            f"list_reduce(list_transform(range({lo_j}, {lo_j + 32}), "
+            f"j -> CASE WHEN {qint} * tn.n > tl.tl[j] "
+            f"THEN (1::BIGINT << (j - {lo_j})) ELSE 0::BIGINT END), "
+            "(a, b) -> a + b)"
+        )
+
+    return f"""
+WITH train AS (SELECT embedding FROM embeddings WHERE vec_id < {train_n}),
+tn AS (SELECT count(*) AS n FROM train),
+idx AS (SELECT unnest(range(1, {dim + 1})) AS i),
+thr0 AS (SELECT i,
+           sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * {scale}.0 + 0.5)
+               AS BIGINT)) AS t
+         FROM train, idx GROUP BY i),
+tl AS (SELECT list(t ORDER BY i) AS tl FROM thr0),
+enc AS (
+  SELECT e.vec_id, e.label,
+         {half(1)} AS lo,
+         {half(33)} AS hi
+  FROM embeddings e, tl, tn
+),
+q AS (SELECT lo AS qlo, hi AS qhi FROM enc WHERE vec_id = 0)
+SELECT e.vec_id, e.label,
+       CAST(bit_count(xor(e.lo, q.qlo)) + bit_count(xor(e.hi, q.qhi))
+            AS INT) AS hamming
+FROM enc e, q
+WHERE e.vec_id <> 0
+ORDER BY hamming ASC, e.vec_id ASC
+LIMIT {k}
+"""
+
+
 ANN_QUERIES.update(
     {
         "kmeans_step": q_kmeans_step,

@@ -1398,6 +1398,107 @@ FROM s2 JOIN cuts c USING (lang)
 """
 
 
+TM_BUDGET = 120
+
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED (r12) — NOT registered. r13 registration candidate: per
+    the write-ahead plan above ``_CHECK_FIRST`` (queries.py), pair with
+    a retirement from the r11-checked half (``simhash`` is the
+    pre-agreed candidate).
+
+    Temperature-scaled mix assembly (operators/mixing.py::
+    temperature_mix, α = 1/2, budget 120): per-source quotas ∝ √n_s
+    with integer largest-remainder allocation — the
+    sampling-temperature rule multilingual corpora use instead of
+    hand-curated shares. Quotas derive from the data (one tiny count
+    aggregate), so the oracle re-derives them and the hash-ordered
+    selection identically."""
+    from .operators.mixing import temperature_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_mix(docs, TM_BUDGET)
+
+
+def _oracle_temperature_mix(budget: int = TM_BUDGET, seed: int = 42) -> str:
+    """Mirror of temperature_mix: floor(sqrt(n)) weights (one IEEE
+    sqrt — correctly rounded, engine-identical), integer
+    largest-remainder quotas (// on non-negatives ≡ Spark's
+    floor-of-double-division), multiplicative-hash rank order."""
+    return f"""
+WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+w AS (SELECT source, n,
+             CAST(floor(sqrt(n::DOUBLE)) AS BIGINT) AS wgt
+      FROM counts),
+tot AS (SELECT sum(wgt) AS tw FROM w),
+q0 AS (SELECT source, n, ({budget} * wgt) // tot.tw AS base,
+              ({budget} * wgt) % tot.tw AS rem
+       FROM w, tot),
+lo AS (SELECT {budget} - sum(base) AS leftover FROM q0),
+q1 AS (SELECT source, n,
+              base + CASE WHEN row_number()
+                            OVER (ORDER BY rem DESC, source ASC)
+                          <= lo.leftover THEN 1 ELSE 0 END AS quota
+       FROM q0, lo),
+r AS (SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source
+               ORDER BY ((doc_id + {seed}) * {HASH_MULT_TXT})
+                          % {HASH_MOD_TXT} ASC, doc_id ASC) AS rk
+      FROM documents)
+SELECT r.source, r.doc_id, CAST(r.rk AS INT) AS mix_rank,
+       CAST(q1.quota AS BIGINT) AS quota, CAST(q1.n AS BIGINT) AS n_source
+FROM r JOIN q1 USING (source)
+WHERE r.rk <= q1.quota
+"""
+
+
+PC_WINDOW, PC_STRIDE = 32, 24
+
+
+def q_passage_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED (r12) — NOT registered. r13 registration candidate: per
+    the write-ahead plan above ``_CHECK_FIRST`` (queries.py), pair with
+    a retirement from the r11-checked half (``label_counts`` is the
+    pre-agreed candidate).
+
+    Overlapping token-window chunking (operators/textops.py::
+    passage_chunks, window 32 / stride 24): the RAG-retrieval and
+    long-context-pretraining splitter — every token lands in ≥ 1
+    chunk, consecutive chunks share 8 tokens. Zero-shuffle codegen'd
+    projection chain; the oracle re-derives the chunk count's integer
+    ceil and each slice/join identically."""
+    from .operators.textops import passage_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    return passage_chunks(docs, window=PC_WINDOW, stride=PC_STRIDE)
+
+
+def _oracle_passage_chunking(
+    window: int = PC_WINDOW, stride: int = PC_STRIDE
+) -> str:
+    """Mirror of passage_chunks: same tokenizer, the same
+    non-negative (extra + stride − 1) // stride ceil (Spark div and
+    DuckDB // agree on non-negatives), inclusive-index list_slice."""
+    return f"""
+WITH t AS (SELECT doc_id, {_dk_toks()} AS toks FROM documents),
+s AS (SELECT doc_id, toks, len(toks) AS L FROM t WHERE len(toks) > 0),
+c AS (SELECT doc_id, toks,
+             unnest(range(0,
+               1 + (greatest(0, L - {window}) + {stride - 1}) // {stride}
+             )) AS chunk_id
+      FROM s)
+SELECT doc_id,
+       CAST(chunk_id AS INT) AS chunk_id,
+       CAST(len(list_slice(toks, chunk_id * {stride} + 1,
+                           chunk_id * {stride} + {window})) AS INT)
+         AS n_tokens,
+       array_to_string(list_slice(toks, chunk_id * {stride} + 1,
+                                  chunk_id * {stride} + {window}), ' ')
+         AS chunk_text
+FROM c
+"""
+
+
 TEXT_QUERIES = {
     "token_stats": q_token_stats,
     "top_terms": q_top_terms,
