@@ -12,6 +12,8 @@ flat. Layouts measured:
 - pq:   (vec_id, label, code_0..7 int) — 8 codes/row ADC scan
 - sq:   (vec_id, label, sq_codes int[64] clamped 0..255) — int8-class
         scan (parquet stores small ints efficiently)
+- bq:   (vec_id, label, bq_lo, bq_hi BIGINT) — 1 bit/dim in two packed
+        32-bit halves, the Hamming-search tier (staged r12)
 
 Writes INDEX_FOOTPRINT.json at the repo root and prints one JSON line.
 
@@ -98,6 +100,21 @@ def main() -> None:
     print(json.dumps(artifact))
 
 
+def _bq_layout(emb, train):
+    from pyspark.sql import functions as F
+
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.pq import (
+        bq_encode_cols,
+        bq_train_thresholds,
+    )
+
+    thr = bq_train_thresholds(train)
+    lo, hi = bq_encode_cols(thr, len(train))
+    return emb.select(
+        "vec_id", "label", lo.alias("bq_lo"), hi.alias("bq_hi")
+    )
+
+
 def _measure(spark, emb, train, codebooks, bounds, m, out_root):
     from pyspark.sql import functions as F
 
@@ -117,6 +134,7 @@ def _measure(spark, emb, train, codebooks, bounds, m, out_root):
             "vec_id", "label", *[f"code_{j}" for j in range(m)]
         ),
         "sq": sq_encode(emb, bounds).select("vec_id", "label", "sq_codes"),
+        "bq": _bq_layout(emb, train),
     }
     sizes = {}
     for name, df in layouts.items():
