@@ -26,6 +26,7 @@ sys.path.insert(
 from tests.test_fuzz_oracle import (  # noqa: E402
     DOC_QUERIES,
     EMB_QUERIES,
+    EMB_SERVE_QUERIES,
     EVENT_FUZZ_QUERIES,
     REL_QUERIES,
     _gen_documents,
@@ -42,29 +43,41 @@ from tests.oracle_harness import compare  # noqa: E402
 
 
 def _staged_pairs():
-    """(name, query_fn, oracle_sql, table) for the r11-staged ops — they
-    face the registry fuzz gate once registered; soak them now."""
+    """(name, query_fn, oracle_sql) per panel: the r11 trio (REGISTERED
+    r12 but not in the test-side panel lists — kept covered here) plus
+    the r12-staged r13 candidates, which face the registry fuzz gate
+    once registered."""
     from the_build_project_image_retrieval_with_vector_databases_spark.queries_ann import (
         ORACLE_SEMANTIC_DECONTAMINATE,
+        _oracle_bq_hamming_topk,
+        q_bq_hamming_topk,
         q_semantic_decontaminate,
     )
     from the_build_project_image_retrieval_with_vector_databases_spark.queries_text import (
         ORACLE_DSIR_IMPORTANCE,
         ORACLE_PERPLEXITY_BUCKETS,
+        _oracle_passage_chunking,
+        _oracle_temperature_mix,
         q_dsir_importance,
+        q_passage_chunking,
         q_perplexity_buckets,
+        q_temperature_mix,
     )
 
     return {
         "docs": [
             ("dsir_importance", q_dsir_importance, ORACLE_DSIR_IMPORTANCE),
             ("perplexity_buckets", q_perplexity_buckets, ORACLE_PERPLEXITY_BUCKETS),
+            ("passage_chunking", q_passage_chunking, _oracle_passage_chunking()),
+            ("temperature_mix", q_temperature_mix, _oracle_temperature_mix()),
         ],
         "emb": [
             ("semantic_decontaminate", q_semantic_decontaminate,
              ORACLE_SEMANTIC_DECONTAMINATE),
+            ("bq_hamming_topk", q_bq_hamming_topk, _oracle_bq_hamming_topk()),
         ],
         "rel": [],
+        "serve": [],
     }
 
 
@@ -79,12 +92,16 @@ def main() -> int:
         n_vecs = int(rng.integers(20, 49))
         n_cust = int(rng.integers(25, 121))
         n_orders = int(rng.integers(10, 201))
+        n_vecs_srv = int(rng.integers(66, 91))
         for panel, names, write in [
             ("docs", DOC_QUERIES,
              lambda d: pq.write_table(_gen_documents(rng, n_docs),
                                       os.path.join(d, "documents.parquet"))),
             ("emb", EMB_QUERIES,
              lambda d: pq.write_table(_gen_embeddings(rng, n_vecs),
+                                      os.path.join(d, "embeddings.parquet"))),
+            ("serve", EMB_SERVE_QUERIES,
+             lambda d: pq.write_table(_gen_embeddings(rng, n_vecs_srv),
                                       os.path.join(d, "embeddings.parquet"))),
             ("rel", REL_QUERIES + EVENT_FUZZ_QUERIES,
              lambda d: [pq.write_table(t, os.path.join(d, f"{k}.parquet"))
