@@ -845,3 +845,60 @@ def test_search_batch_ivf_arrow_and_mine_negatives_facades(spark, emb, emb_np):
         for r in q_hard_negatives(spark, SF_SMOKE).collect()
     }
     assert mined == registered
+
+
+def test_knn_join_arrow_hamming_bit_identical_with_expression_form(spark):
+    """The BQ serving kernel (r12) is BIT-IDENTICAL to the expression
+    form — integer distances, full lexicographic tie handling — for a
+    16-query batch over the fixture corpus, including the query rows
+    themselves (hamming 0 self-hits) and all tie groups."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.knn import (
+        knn_join_arrow_hamming,
+    )
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.pq import (
+        bq_encode_cols,
+        bq_encode_query,
+        bq_hamming,
+        bq_train_thresholds,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    rows = sorted(
+        ((int(r.vec_id), [float(x) for x in r.embedding]) for r in emb.collect())
+    )
+    train = [v for _, v in rows[:16]]
+    thr = bq_train_thresholds(train)
+    lo, hi = bq_encode_cols(thr, len(train))
+    codes = emb.select("vec_id", lo.alias("bq_lo"), hi.alias("bq_hi"))
+
+    qids = [vid for vid, _ in rows[:16]]
+    qcodes = [bq_encode_query(v, thr, len(train)) for _, v in rows[:16]]
+    k = 7
+    got = {
+        (r.query_id, r.rank): (r.vec_id, r.hamming)
+        for r in knn_join_arrow_hamming(
+            codes, qids, qcodes, k=k
+        ).collect()
+    }
+    assert len(got) == 16 * k
+
+    for qid, qc in zip(qids, qcodes):
+        expect = (
+            codes.select(
+                "vec_id", bq_hamming(qc, ["bq_lo", "bq_hi"]).alias("hamming")
+            )
+            .orderBy(F.col("hamming").asc(), F.col("vec_id").asc())
+            .limit(k)
+            .collect()
+        )
+        for rank, e in enumerate(expect, start=1):
+            assert got[(qid, rank)] == (e.vec_id, e.hamming), (qid, rank)
+        # rank-1 is the query's own row at hamming 0 (self included)
+        assert got[(qid, 1)][1] == 0
+
+    # plan: corpus never shuffles — one candidate-window exchange only
+    df = knn_join_arrow_hamming(codes, qids, qcodes, k=k)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan

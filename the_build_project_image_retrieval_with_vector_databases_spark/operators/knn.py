@@ -834,3 +834,98 @@ def mmr_rerank(
         return pd.DataFrame(out_rows, columns=[c.name for c in out_schema])
 
     return shortlist.groupBy(query_id_col).applyInPandas(rerank, out_schema)
+
+
+# 256-entry popcount lookup table (numpy < 2.0 has no bitwise_count);
+# built once at import, shipped to executors inside the mapInPandas
+# closure (256 bytes).
+_POPCNT8 = bytes(bin(i).count("1") for i in range(256))
+
+
+def knn_join_arrow_hamming(
+    codes: DataFrame,
+    query_ids: list[int],
+    query_codes: list[list[int]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    code_cols: tuple[str, str] = ("bq_lo", "bq_hi"),
+) -> DataFrame:
+    """Arrow Hamming kNN join over BQ packed codes — the serving path
+    of the binary-quantization tier (:func:`~.pq.bq_encode_cols`). Per
+    Arrow batch: XOR the two packed int64 halves against every query's
+    halves, popcount via a 256-entry byte LUT, per-query exact
+    (hamming, id) selection — a batch scans 16 BYTES per corpus row
+    (vs 256 for the float32 flat kernel), so at 100 TB the Hamming
+    rescore tier reads 6% of the flat tier's bytes at memory-bandwidth
+    throughput.
+
+    EXACTNESS (stronger than :func:`knn_join_arrow`'s contract):
+    distances are small integers and ties are COMMON, so per-batch
+    selection is a full lexicographic (hamming, id) sort — never an
+    argpartition that cuts ties arbitrarily — and the global window
+    ranks by the same key; the result is bit-identical to the
+    expression form (``bq_hamming`` + TakeOrderedAndProject), pinned
+    in tests/test_ann.py. Output: (query_id, id_col, hamming, rank).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    qids = np.asarray(query_ids, dtype=np.int64)
+    qc = np.asarray(query_codes, dtype=np.uint64)  # Q × 2 halves
+    if qc.ndim != 2 or qc.shape[0] != len(qids) or len(qids) == 0:
+        raise ValueError("query_codes must be a non-empty Q×2 matrix")
+    lut = np.frombuffer(_POPCNT8, dtype=np.uint8)
+
+    id_field = next(f for f in codes.schema.fields if f.name == id_col)
+    schema = StructType(
+        [
+            StructField("query_id", LongType(), False),
+            id_field,
+            StructField("hamming", IntegerType(), False),
+        ]
+    )
+    lo_c, hi_c = code_cols
+    codes = codes.select(id_col, lo_c, hi_c)
+
+    def popcnt64(x: "np.ndarray") -> "np.ndarray":
+        # view each int64 as 8 bytes, LUT-popcount, sum the bytes
+        b = x.view(np.uint8).reshape(*x.shape, 8)
+        return lut[b].sum(axis=-1).astype(np.int64)
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            lo = pdf[lo_c].to_numpy().astype(np.int64).view(np.uint64)
+            hi = pdf[hi_c].to_numpy().astype(np.int64).view(np.uint64)
+            # B×Q XOR per half, byte-LUT popcount
+            d = popcnt64(lo[:, None] ^ qc[None, :, 0]) + popcnt64(
+                hi[:, None] ^ qc[None, :, 1]
+            )
+            kk = min(k, d.shape[0])
+            out_q, out_i, out_d = [], [], []
+            for q in range(d.shape[1]):
+                # full lexicographic (hamming, id) selection — integer
+                # ties are common and must cut identically to the
+                # expression form's (hamming ASC, id ASC)
+                order = np.lexsort((ids, d[:, q]))[:kk]
+                out_q.append(np.full(kk, qids[q], dtype=np.int64))
+                out_i.append(ids[order])
+                out_d.append(d[order, q])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    id_col: np.concatenate(out_i),
+                    "hamming": np.concatenate(out_d).astype(np.int32),
+                }
+            )
+
+    cand = codes.mapInPandas(score, schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col(id_col).asc()
+    )
+    return cand.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
