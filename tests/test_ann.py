@@ -902,3 +902,26 @@ def test_knn_join_arrow_hamming_bit_identical_with_expression_form(spark):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_search_facade_bq_tier(emb, emb_np):
+    """The 5th facade tier (index='bq', staged r12): same output
+    contract (corpus cols + dist, best-first, k rows); dist is the
+    integer Hamming distance as double (0..64); WITHOUT exclude the
+    query's own row comes back first at distance 0. No overlap bar vs
+    exact — 1-bit codes carry no fine-ranking signal on unstructured
+    gaussian fixtures (the measured BQ use case is near-dup/rescore
+    tiers; see test_bq_hamming_plan_and_near_dup_retrieval)."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.search import search
+
+    ids, mat = emb_np
+    qvec = [float(x) for x in mat[ids.tolist().index(0)]]
+    rows = search(emb, qvec, k=10, index="bq").collect()
+    assert len(rows) == 10
+    assert rows[0].vec_id == 0 and rows[0].dist == 0.0
+    dists = [r.dist for r in rows]
+    assert dists == sorted(dists)
+    assert all(d == int(d) and 0 <= d <= 64 for d in dists)
+    # cosine on a bq structure must refuse, like the other code tiers
+    with pytest.raises(ValueError, match="L2-metric"):
+        search(emb, qvec, index="bq", metric="cosine")

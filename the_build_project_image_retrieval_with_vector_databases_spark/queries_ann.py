@@ -2257,8 +2257,11 @@ def q_bq_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: encode is one codegen'd projection (zero shuffle,
     literal thresholds); search scans 16 bytes/row instead of 256 and
     plans the flagship TakeOrderedAndProject — no exchange anywhere.
-    At serve scale the same packed columns drop into the Arrow kernel
-    as uint64 numpy XOR/popcount."""
+    The serving path over the same packed columns is
+    :func:`~.operators.knn.knn_join_arrow_hamming` (uint64 numpy XOR +
+    byte-LUT popcount, bit-identical to this expression form — pinned
+    in tests/test_ann.py). Footprint measured: 18.3 bytes/vector,
+    0.07× of flat (INDEX_FOOTPRINT.json)."""
     from .operators.pq import (
         bq_encode_cols,
         bq_encode_query,

@@ -12,6 +12,7 @@ with the index tier and the similarity metric as explicit parameters:
     search(layout, qvec, k=5,  index="ivf",  train_vectors=cents, nprobe=4)
     search(corpus, qvec, k=10, index="pq",   train_vectors=cents, rerank=5)
     search(corpus, qvec, k=10, index="sq",   train_vectors=cents)
+    search(corpus, qvec, k=10, index="bq",   train_vectors=cents)
 
 Every tier returns the same shape — the corpus row columns plus a
 ``dist`` column, best-first — so swapping ``index=`` is a one-word
@@ -21,7 +22,9 @@ Scale notes per tier (each inherits its operator's audited plan):
 ``flat`` = zero-shuffle TakeOrderedAndProject over the corpus scan;
 ``ivf`` = centroid IN-filter → parquet partition pruning (nprobe/k of
 the corpus read); ``pq`` = same zero-shuffle top-k over 32×-smaller
-code columns; ``sq`` = ditto over int8 codes. Training artifacts
+code columns; ``sq`` = ditto over int8 codes; ``bq`` = ditto over two
+packed-bit BIGINT halves (16 bytes/row, ``bit_count(xor)`` Hamming —
+staged r12, serving twin ``knn_join_arrow_hamming``). Training artifacts
 (centroids / codebooks / calibration bounds) are tiny driver-side
 lists — pass ``train_vectors`` explicitly for reproducible builds, or
 let the facade take the lowest-``n_train`` ids as the deterministic
@@ -44,7 +47,7 @@ from .operators.pq import (
     sq_train_bounds,
 )
 
-INDEX_KINDS = ("flat", "ivf", "pq", "sq")
+INDEX_KINDS = ("flat", "ivf", "pq", "sq", "bq")
 
 
 def _default_train_vectors(
@@ -149,6 +152,29 @@ def search(
         return pq_adc_topk(
             encoded, codebooks, q, k=k, id_col=id_col
         ).withColumnRenamed("adc_dist", "dist")
+
+    if index == "bq":
+        from .operators.pq import (
+            bq_encode_cols,
+            bq_encode_query,
+            bq_hamming,
+            bq_train_thresholds,
+        )
+
+        thr = bq_train_thresholds(train_vectors)
+        n_tr = len(train_vectors)
+        encoded = out
+        if not (reuse_codes and "bq_lo" in encoded.columns):
+            lo, hi = bq_encode_cols(thr, n_tr, vec_col)
+            encoded = encoded.withColumn("bq_lo", lo).withColumn("bq_hi", hi)
+        qh = bq_encode_query(q, thr, n_tr)
+        return (
+            encoded.withColumn(
+                "dist", bq_hamming(qh, ["bq_lo", "bq_hi"]).cast("double")
+            )
+            .orderBy(F.col("dist").asc(), F.col(id_col).asc())
+            .limit(k)
+        )
 
     # index == "sq"
     bounds = sq_train_bounds(train_vectors)
