@@ -133,16 +133,27 @@ def knn_join_arrow(
 
     Caveats vs the exact operator (same contract as
     :func:`~.ann.assign_centroids_arrow`): BLAS accumulation order
-    differs from the left-fold, so ranks can flip on ~1-ulp distance
-    ties (measure-zero on real embeddings), and per-partition ties at
-    the k boundary cut by ``argpartition`` before the id tie-break.
+    differs from the left-fold, so raw distances carry ~1-ulp noise —
+    including BETWEEN EXACT DUPLICATE VECTORS (GEMM micro-kernels vary
+    the accumulation path by row position; caught by the r12 serving
+    fuzz panel on generated corpora with a forced duplicate). Ties are
+    therefore handled at 6-decimal granularity, the same kept-rounded
+    class as the emitted display value: the global rank window orders
+    by (round(dist, 6), id), and each batch emits EVERY row whose
+    rounded distance ties the k-boundary (never an ``argpartition``
+    that cuts ties by raw ulps) — so two rows whose true distances tie
+    or differ below 5e-7 rank by id identically to the DuckDB oracle's
+    fold. Distinct rows separated by less than the rounding quantum but
+    straddling a rounding boundary remain the documented measure-zero
+    hazard.
     With ``exclude_self=True`` the masked self row carries dist=inf and
     can surface in the final top-k only when a partition holds ≤ k
     finite rows — unreachable for a flat scan of any real corpus
     (partitions ≫ k rows); the IVF kernel, whose probed subsets CAN be
     that small, filters non-finite rows before yielding.
     Use :func:`knn_join` where cross-engine exactness matters; this is
-    the throughput path. Output: (query_id, id_col, dist, rank).
+    the throughput path. Output: (query_id, id_col, dist, rank) with
+    ``dist`` RAW (callers round for display).
     """
     import numpy as np
     import pandas as pd
@@ -192,21 +203,34 @@ def knn_join_arrow(
             key = d if asc else -d
             kk = min(k, key.shape[0])
             part = np.argpartition(key, kk - 1, axis=0)[:kk]
+            # tie-safe cut: include EVERY row whose 6-decimal-rounded
+            # key ties the boundary — a raw argpartition cut breaks
+            # duplicate-vector ties by BLAS ulps, diverging from the
+            # oracle's (dist, id) order (r12 serving-fuzz catch)
+            kr = np.round(key, 6)
+            bound = np.take_along_axis(kr, part, axis=0).max(axis=0)
+            out_q, out_i, out_d = [], [], []
+            for q in range(d.shape[1]):
+                # isfinite: a batch smaller than k would otherwise pull
+                # the masked self row (key=inf) through an inf boundary
+                sel = np.flatnonzero(
+                    (kr[:, q] <= bound[q]) & np.isfinite(kr[:, q])
+                )
+                out_q.append(np.full(len(sel), qids[q], dtype=np.int64))
+                out_i.append(ids[sel])
+                out_d.append(d[sel, q])
             yield pd.DataFrame(
                 {
-                    "query_id": np.repeat(qids[None, :], kk, axis=0).ravel(
-                        order="F"
-                    ),
-                    id_col: np.take_along_axis(
-                        ids[:, None].repeat(d.shape[1], axis=1), part, axis=0
-                    ).ravel(order="F"),
-                    "dist": np.take_along_axis(d, part, axis=0).ravel(order="F"),
+                    "query_id": np.concatenate(out_q),
+                    id_col: np.concatenate(out_i),
+                    "dist": np.concatenate(out_d),
                 }
             )
 
     cand = corpus.mapInPandas(score, schema)
+    rdist = F.round(F.col("dist"), 6)
     order = [
-        F.col("dist").asc() if asc else F.col("dist").desc(),
+        rdist.asc() if asc else rdist.desc(),
         F.col(id_col).asc(),
     ]
     w = Window.partitionBy("query_id").orderBy(*order)
@@ -246,8 +270,9 @@ def knn_join_arrow_ivf(
        locally (its interpreted fold costs ~µs/pair); here the masked
        matmul keeps BLAS throughput.
 
-    Same exactness contract as :func:`knn_join_arrow` (BLAS ulps, ties
-    at the argpartition boundary); per-query recall is the nprobe curve
+    Same exactness contract as :func:`knn_join_arrow` (BLAS ulps;
+    ties handled at 6-decimal granularity — tie-safe batch cut +
+    rounded-key rank window); per-query recall is the nprobe curve
     (RECALL_CURVE.json). ``probe_sets[i]`` lists the centroid ids query
     ``i`` probes. Output: (query_id, id_col, dist, rank ≤ k), candidate
     volume ≤ batches·Q·k — independent of N."""
@@ -307,28 +332,36 @@ def knn_join_arrow_ivf(
                     d[ids[:, None] == qids[qsel][None, :]] = np.inf
                 kk = min(k, d.shape[0])
                 part = np.argpartition(d, kk - 1, axis=0)[:kk]
-                qcol = np.repeat(qids[qsel][None, :], kk, axis=0).ravel(
-                    order="F"
-                )
-                icol = np.take_along_axis(
-                    ids[:, None].repeat(d.shape[1], axis=1), part, axis=0
-                ).ravel(order="F")
-                dcol = np.take_along_axis(d, part, axis=0).ravel(order="F")
-                # drop inf rows (masked self-matches): a probed inverted
-                # list with ≤ k finite rows would otherwise surface the
-                # excluded self row in the final top-k — far more
-                # reachable here than in the flat kernel (e.g. nprobe=1
-                # on a small list).
-                fin = np.isfinite(dcol)
-                if not fin.all():
-                    qcol, icol, dcol = qcol[fin], icol[fin], dcol[fin]
+                # tie-safe cut at 6-decimal granularity + drop inf rows
+                # (masked self-matches): the raw-argpartition hazards
+                # are duplicate-vector BLAS-ulp tie breaks (r12
+                # serving-fuzz catch on the flat kernel — same GEMM
+                # here) and a probed inverted list with ≤ k finite rows
+                # surfacing the excluded self row (e.g. nprobe=1 on a
+                # small list).
+                dr = np.round(d, 6)
+                bound = np.take_along_axis(dr, part, axis=0).max(axis=0)
+                out_q, out_i, out_d = [], [], []
+                for j in range(d.shape[1]):
+                    sel = np.flatnonzero(
+                        (dr[:, j] <= bound[j]) & np.isfinite(dr[:, j])
+                    )
+                    out_q.append(
+                        np.full(len(sel), qids[qsel][j], dtype=np.int64)
+                    )
+                    out_i.append(ids[sel])
+                    out_d.append(d[sel, j])
                 yield pd.DataFrame(
-                    {"query_id": qcol, id_col: icol, "dist": dcol}
+                    {
+                        "query_id": np.concatenate(out_q),
+                        id_col: np.concatenate(out_i),
+                        "dist": np.concatenate(out_d),
+                    }
                 )
 
     cand = pruned.mapInPandas(score, schema)
     w = Window.partitionBy("query_id").orderBy(
-        F.col("dist").asc(), F.col(id_col).asc()
+        F.round(F.col("dist"), 6).asc(), F.col(id_col).asc()
     )
     return cand.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k

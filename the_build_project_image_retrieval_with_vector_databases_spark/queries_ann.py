@@ -1730,10 +1730,12 @@ def q_search_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _oracle_search_batch(
     k: int = SB_K, lo: int = SB_Q_LO, hi: int = SB_Q_HI
 ) -> str:
-    """Exact batched kNN: per-query window rank over L2 distance
-    (dist ASC, vec_id ASC — the same tie rule as the kernel's global
-    window), dist rounded to 6 decimals to absorb the BLAS/left-fold
-    accumulation divergence."""
+    """Exact batched kNN: per-query window rank over L2 distance at
+    6-decimal granularity (round(dist, 6) ASC, vec_id ASC — the SAME
+    tie rule as the kernel's global window since r12: BLAS gives
+    1-ulp-different distances even to exact duplicate vectors, so raw
+    ranking diverges on duplicate-bearing corpora — the r12
+    serving-fuzz catch)."""
     return f"""
 WITH qs AS MATERIALIZED (SELECT vec_id AS query_id, embedding AS qe
                          FROM embeddings
@@ -1744,7 +1746,8 @@ FROM (
   SELECT q.query_id, e.vec_id,
          {_dk_l2('e.embedding', 'q.qe')} AS dist,
          row_number() OVER (PARTITION BY q.query_id
-                            ORDER BY {_dk_l2('e.embedding', 'q.qe')} ASC,
+                            ORDER BY round({_dk_l2('e.embedding', 'q.qe')}, 6)
+                                       ASC,
                                      e.vec_id ASC) AS rank
   FROM embeddings e CROSS JOIN qs q
   WHERE e.vec_id <> q.query_id
