@@ -288,8 +288,31 @@ def main_single() -> None:
         ivf = sweep(lambda i: knn_join_arrow_ivf(
             layout, [pool[i % 32][0]], [pool[i % 32][1]],
             [nearest_centroids(cents, pool[i % 32][1], nprobe)], k=k))
-        section["corpus_2m"] = {"corpus": d2, "flat": flat, "ivf": ivf}
-        emb.unpersist(); layout.unpersist()
+        # BQ tier (staged r12): packed 16-byte codes through the Arrow
+        # Hamming kernel — the rescore-tier latency story at 2M
+        from the_build_project_image_retrieval_with_vector_databases_spark.operators.knn import (
+            knn_join_arrow_hamming,
+        )
+        from the_build_project_image_retrieval_with_vector_databases_spark.operators.pq import (
+            bq_encode_cols,
+            bq_encode_query,
+            bq_train_thresholds,
+        )
+
+        train = [v for _, v in pool[:16]]
+        thr = bq_train_thresholds(train)
+        lo, hi = bq_encode_cols(thr, len(train))
+        codes = emb.select(
+            "vec_id", lo.alias("bq_lo"), hi.alias("bq_hi")
+        ).cache()
+        codes.count()
+        qh = [bq_encode_query(v, thr, len(train)) for _, v in pool]
+        bq = sweep(lambda i: knn_join_arrow_hamming(
+            codes, [pool[i % 32][0]], [qh[i % 32]], k=k))
+        section["corpus_2m"] = {
+            "corpus": d2, "flat": flat, "ivf": ivf, "bq": bq,
+        }
+        emb.unpersist(); layout.unpersist(); codes.unpersist()
 
     out_path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "SERVE_LATENCY.json")
