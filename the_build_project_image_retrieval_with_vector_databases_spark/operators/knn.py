@@ -209,21 +209,17 @@ def knn_join_arrow(
             # oracle's (dist, id) order (r12 serving-fuzz catch)
             kr = np.round(key, 6)
             bound = np.take_along_axis(kr, part, axis=0).max(axis=0)
-            out_q, out_i, out_d = [], [], []
-            for q in range(d.shape[1]):
-                # isfinite: a batch smaller than k would otherwise pull
-                # the masked self row (key=inf) through an inf boundary
-                sel = np.flatnonzero(
-                    (kr[:, q] <= bound[q]) & np.isfinite(kr[:, q])
-                )
-                out_q.append(np.full(len(sel), qids[q], dtype=np.int64))
-                out_i.append(ids[sel])
-                out_d.append(d[sel, q])
+            # one vectorized mask for ALL queries (no per-query python
+            # loop in the serving hot path); isfinite: a batch smaller
+            # than k would otherwise pull the masked self row
+            # (key=inf) through an inf boundary
+            mask = (kr <= bound[None, :]) & np.isfinite(kr)
+            ri, qi = np.nonzero(mask)
             yield pd.DataFrame(
                 {
-                    "query_id": np.concatenate(out_q),
-                    id_col: np.concatenate(out_i),
-                    "dist": np.concatenate(out_d),
+                    "query_id": qids[qi],
+                    id_col: ids[ri],
+                    "dist": d[ri, qi],
                 }
             )
 
@@ -341,21 +337,14 @@ def knn_join_arrow_ivf(
                 # small list).
                 dr = np.round(d, 6)
                 bound = np.take_along_axis(dr, part, axis=0).max(axis=0)
-                out_q, out_i, out_d = [], [], []
-                for j in range(d.shape[1]):
-                    sel = np.flatnonzero(
-                        (dr[:, j] <= bound[j]) & np.isfinite(dr[:, j])
-                    )
-                    out_q.append(
-                        np.full(len(sel), qids[qsel][j], dtype=np.int64)
-                    )
-                    out_i.append(ids[sel])
-                    out_d.append(d[sel, j])
+                # one vectorized mask for the whole group's query set
+                mask = (dr <= bound[None, :]) & np.isfinite(dr)
+                ri, qi = np.nonzero(mask)
                 yield pd.DataFrame(
                     {
-                        "query_id": np.concatenate(out_q),
-                        id_col: np.concatenate(out_i),
-                        "dist": np.concatenate(out_d),
+                        "query_id": qids[qsel][qi],
+                        id_col: ids[ri],
+                        "dist": d[ri, qi],
                     }
                 )
 
