@@ -46,17 +46,37 @@ BASE_DEFAULT = "/root/testdata/sf0.001"
 
 FORBIDDEN = ("CartesianProduct", "BatchEvalPython")
 
-# Self-join queries whose aliased sides are canonically identical: AQE
-# feeds side b from a ReusedExchange AT RUNTIME, so the static
-# exchange/BNLJ counts below over-state the executed plan ~2×. For
-# these, the lint ALSO executes the query (sf0.001 — sub-second) and
-# records the final adaptive plan's counts as final_* columns.
-# final_exchanges counts Exchange nodes of ANY partitioning (the tree
-# section omits the partitioning detail); measured r12:
-# ngram_jaccard_dedup static 7 hash exchanges / 2 BNLJ -> executed 6
-# exchanges / 1 BNLJ / 1 ReusedExchange subsuming side b's entire
-# pipeline (scan+tokenize+md5+df-window run once, not twice).
-ADAPTIVE_FINAL = {"ngram_jaccard_dedup"}
+# Queries whose STATIC plan over-states the executed one: AQE feeds
+# canonically-identical aliased subplans from a ReusedExchange AT
+# RUNTIME (the r11→r12 ngram_jaccard lesson — static exchange counts
+# over-state such plans ~2×), and runtime stats re-plan joins. For
+# the cohort below, the lint ALSO executes the query (sf0.001 —
+# sub-second) and records the final adaptive plan's counts as
+# final_* columns. final_exchanges counts Exchange nodes of ANY
+# partitioning (the tree section omits the partitioning detail);
+# measured r12: ngram_jaccard_dedup static 7 hash exchanges / 2 BNLJ
+# -> executed 6 exchanges / 1 BNLJ / 1 ReusedExchange subsuming side
+# b's entire pipeline (scan+tokenize+md5+df-window run once).
+#
+# Cohort rule (r13, VERDICT r12 #6 — standard, not special case):
+#   1. any query whose static plan scans the SAME parquet location
+#      more than once (self-join shape — the ReusedExchange class), OR
+#   2. any query with >= FINAL_EXCHANGE_FLOOR static hash exchanges
+#      (enough shuffle structure that the static/adaptive gap can
+#      mislead a plan audit).
+# ADAPTIVE_FINAL_EXTRA pins names the rules might miss.
+FINAL_EXCHANGE_FLOOR = 4
+ADAPTIVE_FINAL_EXTRA = {"ngram_jaccard_dedup"}
+
+
+def _self_join_scan(plan: str) -> bool:
+    """True iff the static plan scans one parquet location twice —
+    the aliased self-join shape where AQE's ReusedExchange makes
+    static counts over-state the executed plan."""
+    import re
+
+    locs = re.findall(r"Location: \S+ \[([^\]]*)\]", plan)
+    return len(locs) != len(set(locs)) and bool(locs)
 
 
 def _final_counts(df) -> dict:
@@ -118,7 +138,12 @@ def main() -> None:
         try:
             df = fn(spark, sf_dir)
             row = lint_one(df)
-            if name in ADAPTIVE_FINAL:
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            if (
+                name in ADAPTIVE_FINAL_EXTRA
+                or row["hash_exchanges"] >= FINAL_EXCHANGE_FLOOR
+                or _self_join_scan(plan)
+            ):
                 row.update(_final_counts(df))
         except Exception as exc:  # construction failure is a violation too
             out[name] = {"error": str(exc)[:200]}
@@ -138,6 +163,9 @@ def main() -> None:
         ),
         "queries_with_zero_hash_exchanges": sorted(
             n for n, r in out.items() if r.get("hash_exchanges") == 0
+        ),
+        "executed_plan_cohort": sorted(
+            n for n, r in out.items() if "final_exchanges" in r
         ),
     }
     artifact = {"metric": "plan_lint", "sf_dir": sf_dir,

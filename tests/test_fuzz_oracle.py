@@ -42,13 +42,16 @@ DOC_QUERIES = [
     "top_docs_per_lang",
     "salted_term_counts",
     "passage_dedup",
-    "simhash",
     "clean_corpus",
     "bm25",
     "vocab_filter",
     "seq_packing",
     "weighted_sample",
     "mixture_sample",
+    # r13 registrations (staged panels below keep their dedicated
+    # generators; these rows run them against the shared corpus too):
+    "temperature_mix",
+    "passage_chunking",
     # the whole near-dup family: 1-2-token docs have no 3-shingles,
     # duplicate/case-variant docs force real pairs through every blocker
     "minhash_lsh_dedup",
@@ -64,9 +67,10 @@ EMB_QUERIES = [
     "vector_norms",
     "embedding_stats",
     "knn_l2_topk",
-    "label_counts",
     "distinct_labels",
     "grouped_ids",
+    "bq_hamming_topk",      # r13 registration — integer BQ pipeline,
+                            # re-derived end-to-end by its oracle
     "kmeans_step",
     "semantic_dedup",
     "label_category_join",

@@ -233,8 +233,14 @@ def test_ivf_topk_batch_shares_one_pruned_scan(spark):
     """The batched IVF join must amortize ONE partition-pruned scan
     across the whole query batch: centroid INSET filter at the scan,
     two-phase WindowGroupLimit for per-query top-k, and exactly one
-    hash exchange (the rank window) — no per-query scan jobs."""
-    df = entrymod.queries()["ivf_topk_batch"](spark, SF_SMOKE)
+    hash exchange (the rank window) — no per-query scan jobs. (The
+    registry row retired r13; the plan shape stays pinned here via the
+    kept query function.)"""
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_ann import (
+        q_ivf_topk_batch,
+    )
+
+    df = q_ivf_topk_batch(spark, SF_SMOKE)
     plan = _physical(df)
     assert re.search(r"PartitionFilters: \[.*centroid.* INSET ", plan)
     assert "WindowGroupLimit" in plan

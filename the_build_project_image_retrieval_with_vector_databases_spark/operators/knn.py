@@ -128,8 +128,13 @@ def knn_join_arrow(
     closure; each Arrow batch scores ALL queries with one B×D @ D×Q
     matmul and forwards only its per-query top-k (``argpartition``) —
     per-partition heaps, exactly the FAISS block-scan — then one tiny
-    window rank over ≤ partitions·Q·k candidate rows picks the global
-    top-k. Corpus never shuffles; candidate volume is independent of N.
+    window rank over the per-partition candidates picks the global
+    top-k. Corpus never shuffles; candidate volume is
+    partitions·Q·(k + boundary-tie multiplicity) — the tie-safe cut
+    emits every row whose rounded key ties the k-boundary, so on a
+    corpus where many rows share one rounded distance the tie term is
+    unbounded in principle (the window still cuts exactly); for
+    non-degenerate corpora it is O(partitions·Q·k), independent of N.
 
     Caveats vs the exact operator (same contract as
     :func:`~.ann.assign_centroids_arrow`): BLAS accumulation order
@@ -212,8 +217,14 @@ def knn_join_arrow(
             # one vectorized mask for ALL queries (no per-query python
             # loop in the serving hot path); isfinite: a batch smaller
             # than k would otherwise pull the masked self row
-            # (key=inf) through an inf boundary
-            mask = (kr <= bound[None, :]) & np.isfinite(kr)
+            # (key=inf) through an inf boundary.  The boundary is
+            # padded by ONE rounding quantum: np.round is half-to-even
+            # while the global window key (F.round) and the DuckDB
+            # oracle round HALF_UP, and at an exact .5 landing the two
+            # rules differ by exactly one quantum — the pad makes the
+            # emitted set a superset under EITHER rule, and the exact
+            # global window re-cuts to the true top-k for free.
+            mask = (kr <= bound[None, :] + 1e-6) & np.isfinite(kr)
             ri, qi = np.nonzero(mask)
             yield pd.DataFrame(
                 {
@@ -271,7 +282,9 @@ def knn_join_arrow_ivf(
     rounded-key rank window); per-query recall is the nprobe curve
     (RECALL_CURVE.json). ``probe_sets[i]`` lists the centroid ids query
     ``i`` probes. Output: (query_id, id_col, dist, rank ≤ k), candidate
-    volume ≤ batches·Q·k — independent of N."""
+    volume ≈ batches·Q·k plus boundary-tie multiplicity (see
+    :func:`knn_join_arrow` — unbounded only on rounded-distance-
+    degenerate corpora) — independent of N otherwise."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
@@ -337,8 +350,10 @@ def knn_join_arrow_ivf(
                 # small list).
                 dr = np.round(d, 6)
                 bound = np.take_along_axis(dr, part, axis=0).max(axis=0)
-                # one vectorized mask for the whole group's query set
-                mask = (dr <= bound[None, :]) & np.isfinite(dr)
+                # one vectorized mask for the whole group's query set;
+                # boundary padded one quantum (np.round half-to-even vs
+                # the window/oracle's HALF_UP — see knn_join_arrow)
+                mask = (dr <= bound[None, :] + 1e-6) & np.isfinite(dr)
                 ri, qi = np.nonzero(mask)
                 yield pd.DataFrame(
                     {
@@ -870,12 +885,13 @@ def knn_join_arrow_hamming(
     query_codes: list[list[int]],
     k: int = 5,
     id_col: str = "vec_id",
-    code_cols: tuple[str, str] = ("bq_lo", "bq_hi"),
+    code_cols: tuple[str, ...] = ("bq_lo", "bq_hi"),
 ) -> DataFrame:
     """Arrow Hamming kNN join over BQ packed codes — the serving path
     of the binary-quantization tier (:func:`~.pq.bq_encode_cols`). Per
-    Arrow batch: XOR the two packed int64 halves against every query's
-    halves, popcount via a 256-entry byte LUT, per-query exact
+    Arrow batch: XOR each packed int64 half (``code_cols`` — dim/32 of
+    them; two at 64-D) against every query's halves, popcount via a
+    256-entry byte LUT, per-query exact
     (hamming, id) selection — a batch scans 16 BYTES per corpus row
     (vs 256 for the float32 flat kernel), so at 100 TB the Hamming
     rescore tier reads 6% of the flat tier's bytes at memory-bandwidth
@@ -894,9 +910,18 @@ def knn_join_arrow_hamming(
     from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
     qids = np.asarray(query_ids, dtype=np.int64)
-    qc = np.asarray(query_codes, dtype=np.uint64)  # Q × 2 halves
-    if qc.ndim != 2 or qc.shape[0] != len(qids) or len(qids) == 0:
-        raise ValueError("query_codes must be a non-empty Q×2 matrix")
+    qc = np.asarray(query_codes, dtype=np.uint64)  # Q × n_halves
+    n_halves = len(code_cols)
+    if (
+        qc.ndim != 2
+        or qc.shape[0] != len(qids)
+        or qc.shape[1] != n_halves
+        or len(qids) == 0
+    ):
+        raise ValueError(
+            f"query_codes must be a non-empty Q×{n_halves} matrix "
+            "matching code_cols"
+        )
     lut = np.frombuffer(_POPCNT8, dtype=np.uint8)
 
     id_field = next(f for f in codes.schema.fields if f.name == id_col)
@@ -907,8 +932,7 @@ def knn_join_arrow_hamming(
             StructField("hamming", IntegerType(), False),
         ]
     )
-    lo_c, hi_c = code_cols
-    codes = codes.select(id_col, lo_c, hi_c)
+    codes = codes.select(id_col, *code_cols)
 
     def popcnt64(x: "np.ndarray") -> "np.ndarray":
         # view each int64 as 8 bytes, LUT-popcount, sum the bytes
@@ -920,12 +944,12 @@ def knn_join_arrow_hamming(
             if len(pdf) == 0:
                 continue
             ids = pdf[id_col].to_numpy()
-            lo = pdf[lo_c].to_numpy().astype(np.int64).view(np.uint64)
-            hi = pdf[hi_c].to_numpy().astype(np.int64).view(np.uint64)
-            # B×Q XOR per half, byte-LUT popcount
-            d = popcnt64(lo[:, None] ^ qc[None, :, 0]) + popcnt64(
-                hi[:, None] ^ qc[None, :, 1]
-            )
+            # B×Q XOR per half, byte-LUT popcount, summed over halves
+            d = None
+            for h, col in enumerate(code_cols):
+                half = pdf[col].to_numpy().astype(np.int64).view(np.uint64)
+                dh = popcnt64(half[:, None] ^ qc[None, :, h])
+                d = dh if d is None else d + dh
             kk = min(k, d.shape[0])
             out_q, out_i, out_d = [], [], []
             for q in range(d.shape[1]):

@@ -315,12 +315,20 @@ def temperature_mix(
     wgt = F.floor(F.sqrt(F.col("__n").cast("double"))).cast("long")
     # __wgt/__wtot, not __w/__W: Spark's default case-INSENSITIVE
     # resolver treats those as one ambiguous name
-    q0 = counts.select(
-        source_col, "__n", wgt.alias("__wgt")
-    ).withColumn("__wtot", F.sum("__wgt").over(w_all))
-    num = F.lit(int(budget)).cast("long") * F.col("__wgt")
-    base = F.floor(num / F.col("__wtot")).cast("long")
-    rem = num - base * F.col("__wtot")
+    q0 = (
+        counts.select(source_col, "__n", wgt.alias("__wgt"))
+        .withColumn("__wtot", F.sum("__wgt").over(w_all))
+        .withColumn(
+            "__num", F.lit(int(budget)).cast("long") * F.col("__wgt")
+        )
+    )
+    # `div` is Spark's INTEGRAL long/long division — exact at any
+    # magnitude, matching the docstring's "(budget·w_s) div W" and the
+    # DuckDB oracle's `//`. (The previous floor(num / wtot) was
+    # long/long → DOUBLE division, which can disagree with integer
+    # division once budget·w_s exceeds 2^53.)
+    base = F.expr("__num div __wtot").cast("long")
+    rem = F.col("__num") - base * F.col("__wtot")
     q1 = q0.select(
         source_col, "__n", base.alias("__base"), rem.alias("__rem")
     )

@@ -356,11 +356,13 @@ def bq_encode_cols(
     vec_col: str = "embedding",
     scale: int = 1 << 20,
 ):
-    """(lo, hi) packed-code column expressions: bit i of the 64-dim
-    vector lands in half i//32, position i%32. Pure Catalyst — a
-    zip_with bit test against the literal threshold array, then a
-    weighted sum against literal powers of two; codegen'd, zero
-    shuffle, no UDF. Returns a 2-tuple of Columns."""
+    """Packed-code column expressions: bit i of the dim-D vector lands
+    in half i//32, position i%32. Pure Catalyst — a zip_with bit test
+    against the literal threshold array, then a weighted sum against
+    literal powers of two; codegen'd, zero shuffle, no UDF. Returns a
+    (dim/32)-tuple of Columns — (lo, hi) for the 64-dim corpus; every
+    consumer (:func:`~.knn.knn_join_arrow_hamming`, ``bq_hamming``,
+    the ``search`` facade) handles n halves generically."""
     from pyspark.sql import functions as F
 
     dim = len(thresholds)

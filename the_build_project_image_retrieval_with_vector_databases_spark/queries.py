@@ -247,15 +247,6 @@ SELECT vec_id, label FROM (
 """
 
 
-def q_label_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1/A2: per-label cardinality."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    return emb.groupBy("label").agg(F.count("*").alias("n"))
-
-
-ORACLE_LABEL_COUNTS = "SELECT label, count(*) AS n FROM embeddings GROUP BY label"
-
-
 def q_distinct_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3+T2: distinct labels, sorted lexicographically as category names
     (mirrors ``app.py:97-106``)."""
@@ -573,7 +564,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vector_norms": q_vector_norms,
     "radius_pairs": q_radius_pairs,
     "stratified_sample": q_stratified_sample,
-    "label_counts": q_label_counts,
     "distinct_labels": q_distinct_labels,
     "label_category_join": q_label_category_join,
     "suffix_join_equi": q_suffix_join_equi,
@@ -592,7 +582,6 @@ ORACLES: dict[str, str] = {
     "vector_norms": ORACLE_NORMS,
     "radius_pairs": ORACLE_RADIUS,
     "stratified_sample": ORACLE_STRAT_SAMPLE,
-    "label_counts": ORACLE_LABEL_COUNTS,
     "distinct_labels": ORACLE_DISTINCT_LABELS,
     "label_category_join": ORACLE_LABEL_CATEGORY,
     "suffix_join_equi": ORACLE_SUFFIX_JOIN_EQUI,
@@ -616,60 +605,106 @@ ORACLES: dict[str, str] = {
 # a sibling still inside the window covers.
 # ---------------------------------------------------------------------------
 
-# Round-12 rotation (VERDICT r11 #1, executed exactly per the r11
-# write-ahead plan). Capacity math: the r12 window re-checks the
-# r10-checked half — 50 entries last green in CORRECTNESS_r10 — minus
-# the three retirees (each from THAT half, so each frees a real r12
-# window slot AND a registry slot), plus the three r11-staged
+# Round-13 rotation (VERDICT r12 #1, executed exactly per the r12
+# write-ahead plan). Capacity math: the r13 window re-checks the
+# r11-checked half — 50 entries last green in CORRECTNESS_r11 — minus
+# the three retirees (each from THAT half, so each frees a real r13
+# window slot AND a registry slot), plus the three r12-staged
 # registrations (never driver-checked): 47 + 3 = exactly 50. The
-# other half — all 50 checked green in r11 — rotates out. Registry
+# other half — all 50 checked green in r12 — rotates out. Registry
 # stays at 100, the 2×window hard cap. Executed pairings:
-#   dsir_importance        ↔ split_counts  retired (splitter surface
-#       covered by stratified_sample — same multiplicative hash, plus
-#       the per-class exact-k bound; deterministic_split stays tested)
-#   perplexity_buckets     ↔ knn_display   retired (top-k surface
-#       covered by search_batch; the P8/T3 display projection lives on
-#       as queries_pipeline.score_grid, unit-pinned in
-#       tests/test_pipeline_queries.py)
-#   semantic_decontaminate ↔ sq_topk       retired (quantized-tier
-#       surface covered by ivfpq_topk / pq_rerank_topk; the SQ
-#       operators stay recall-tested in tests/test_pq.py)
+#   bq_hamming_topk  ↔ ivf_topk_batch retired (the batched-IVF Arrow
+#       kernel stays under oracle via hard_negatives, the pruned-scan
+#       single-query plan via ivf_topk; the expression batched plan
+#       keeps its ReusedExchange pin in tests/test_plans.py). This
+#       closes the 5-tier quantization family (Flat/IVF/PQ/SQ/BQ) as
+#       driver-verified.
+#   passage_chunking ↔ label_counts   retired (per-label n is a
+#       projection of grouped_ids' (label, n, ids) output)
+#   temperature_mix  ↔ simhash        retired (simhash_near_dup
+#       computes the same 32-bit sketch, then bands + joins — a
+#       strict superset; D.simhash stays unit/fuzz-covered)
 #
-# ROUND-13 WINDOW PLAN (write-ahead, per the r7→r8 handoff
-# discipline): r13's window must hold the 50 entries in _ROTATE_OUT
-# below (last checked r11) — ZERO free slots. Any r13 registration or
-# implementation change to an r12-checked entry requires retiring
-# from THAT half (the r11-checked 50), one-for-one, BEFORE adding.
+# ROUND-14 WINDOW PLAN (write-ahead, per the r7→r8 handoff
+# discipline): r14's window must hold the 50 entries in _ROTATE_OUT
+# below (last checked r12) — ZERO free slots. Any r14 registration or
+# implementation change to an r13-checked entry requires retiring
+# from THAT half (the r12-checked 50), one-for-one, BEFORE adding.
 # Pre-agreed retirement candidates from that half, each with a
 # registered sibling covering its semantics (see COVERAGE.md):
-#   1. simhash       → simhash_near_dup (the near-dup row computes the
-#      same 32-bit sketch, then bands + joins — a strict superset)
-#   2. label_counts  → grouped_ids (per-label n is a projection of
-#      grouped_ids' (label, n, ids) output)
-#   3. ivf_topk_batch → hard_negatives + ivf_topk (the batched-IVF
-#      Arrow kernel and the pruned-scan single-query plan both stay
-#      under oracle; the expression batched plan keeps its plan-pin in
-#      tests/test_plans.py)
-# Retiring k of these frees exactly k r13 window slots and k registry
+#   1. kmeans_step   → kmeans_train_assign (runs the SAME quantized
+#      Lloyd step 10×, then assigns — a strict superset of one step)
+#   2. tumbling_window → sliding_window (tumbling ≡ sliding with
+#      step = width; the stateful machinery is shared)
+#   3. semantic_dedup_incremental → semantic_dedup + incremental_dedup
+#      (the cluster-blocked metric and the batch/corpus split are each
+#      covered standalone; the composition stays unit-tested)
+# Retiring k of these frees exactly k r14 window slots and k registry
 # slots. Do NOT retire from the _CHECK_FIRST list directly below
-# instead: those rows rotate out of r13 WITHOUT a check, so retiring
-# one frees registry capacity but ZERO r13 window slots — the
+# instead: those rows rotate out of r14 WITHOUT a check, so retiring
+# one frees registry capacity but ZERO r14 window slots — the
 # capacity-math failure of the r6→r7 handoff.
-#
-# Staged registration candidates for r13 (all 3-SF oracle-verified in
-# tests/test_staged_ops.py and fuzz-verified on generated corpora in
-# tests/test_fuzz_oracle.py, staged r12; pair each one-for-one with a
-# retirement from the list above):
-#   bq_hamming_topk  ↔ ivf_topk_batch (binary-quantization Hamming
-#       tier — the 5th quantization tier, zero-shuffle
-#       TakeOrderedAndProject; scale rows in CHANGES_r12)
-#   passage_chunking ↔ label_counts   (overlapping token-window RAG/
-#       pretraining splitter; zero-shuffle single-tokenize projection)
-#   temperature_mix  ↔ simhash        (√n sampling-temperature quotas,
-#       integer largest-remainder; one corpus shuffle)
 _CHECK_FIRST: list[str] = [
-    # the 47 surviving r10-checked entries (split_counts, knn_display,
-    # sq_topk retired), one round stale — re-verified this round:
+    # the 47 surviving r11-checked entries (ivf_topk_batch,
+    # label_counts, simhash retired), one round stale — re-verified
+    # this round:
+    "clean_corpus",
+    "dedup_components",
+    "distinct_labels",
+    "doc_fingerprint",
+    "embedding_stats",
+    "gap_fill",
+    "gopher_quality",
+    "grouped_ids",
+    "idle_customers",
+    "image_decode_jpeg",
+    "image_knn_pipeline",
+    "important_stock",
+    "incremental_dedup",
+    "interval_join",
+    "ivf_topk",
+    "json_extract_agg",
+    "knn_l2_topk",
+    "knn_two_phase",
+    "label_category_join",
+    "large_orders",
+    "manifest_scan",
+    "matryoshka_topk",
+    "minhash_lsh_dedup",
+    "mixture_sample",
+    "ngram_jaccard_dedup",
+    "ntile_segments",
+    "passage_dedup",
+    "path_normalize",
+    "pricing_summary",
+    "radius_pairs",
+    "revenue_growth",
+    "simhash_near_dup",
+    "sliding_window",
+    "stratified_sample",
+    "token_stats",
+    "top_revenue_customers",
+    "top_terms",
+    "vector_norms",
+    "waiting_suppliers",
+    "weighted_sample",
+    "zorder_keys",
+    "ann_recall_eval",
+    "mmr_rerank",
+    "dedup_keep_best",
+    "dedup_recall_eval",
+    "search_batch",
+    "hard_negatives",
+    # registered in round 13, never driver-checked → in-window:
+    "bq_hamming_topk",
+    "passage_chunking",
+    "temperature_mix",
+]
+
+# The 50 entries checked green in r12 rotate out this round. Across
+# r12+r13 every registry entry again has a green row ≤1 round old,
+# preserving the rotation invariant.
+_ROTATE_OUT: list[str] = [
     "quality_score",
     "train_metrics",
     "set_ops",
@@ -717,66 +752,9 @@ _CHECK_FIRST: list[str] = [
     "batch_assignments",
     "embedding_outliers",
     "quantized_recall_eval",
-    # registered in round 12, never driver-checked → in-window:
     "dsir_importance",
     "perplexity_buckets",
     "semantic_decontaminate",
-]
-
-# The 50 entries checked green in r11 rotate out this round. Across
-# r11+r12 every registry entry again has a green row ≤1 round old,
-# preserving the rotation invariant.
-_ROTATE_OUT: list[str] = [
-    "clean_corpus",
-    "dedup_components",
-    "distinct_labels",
-    "doc_fingerprint",
-    "embedding_stats",
-    "gap_fill",
-    "gopher_quality",
-    "grouped_ids",
-    "idle_customers",
-    "image_decode_jpeg",
-    "image_knn_pipeline",
-    "important_stock",
-    "incremental_dedup",
-    "interval_join",
-    "ivf_topk",
-    "ivf_topk_batch",
-    "json_extract_agg",
-    "knn_l2_topk",
-    "knn_two_phase",
-    "label_category_join",
-    "label_counts",
-    "large_orders",
-    "manifest_scan",
-    "matryoshka_topk",
-    "minhash_lsh_dedup",
-    "mixture_sample",
-    "ngram_jaccard_dedup",
-    "ntile_segments",
-    "passage_dedup",
-    "path_normalize",
-    "pricing_summary",
-    "radius_pairs",
-    "revenue_growth",
-    "simhash",
-    "simhash_near_dup",
-    "sliding_window",
-    "stratified_sample",
-    "token_stats",
-    "top_revenue_customers",
-    "top_terms",
-    "vector_norms",
-    "waiting_suppliers",
-    "weighted_sample",
-    "zorder_keys",
-    "ann_recall_eval",
-    "mmr_rerank",
-    "dedup_keep_best",
-    "dedup_recall_eval",
-    "search_batch",
-    "hard_negatives",
 ]
 
 

@@ -1026,7 +1026,10 @@ ANN_QUERIES = {
     "ivf_topk": q_ivf_topk,
     "ann_search": q_ann_search,
     "matryoshka_topk": q_matryoshka_topk,
-    "ivf_topk_batch": q_ivf_topk_batch,
+    # ivf_topk_batch retired r13 (registry entry only): the batched-IVF
+    # Arrow kernel stays under oracle via hard_negatives, the
+    # pruned-scan single-query plan via ivf_topk, and the expression
+    # batched plan keeps its ReusedExchange pin in tests/test_plans.py.
     "pq_rerank_topk": q_pq_rerank_topk,
     "ivfpq_topk": q_ivfpq_topk,
     "lsh_near_dup": q_lsh_near_dup,
@@ -1210,7 +1213,6 @@ ANN_ORACLES = {
     "ivf_topk": ORACLE_IVF_TOPK,
     "ann_search": ORACLE_ANN_SEARCH,
     "matryoshka_topk": ORACLE_MATRYOSHKA_TOPK,
-    "ivf_topk_batch": ORACLE_IVF_TOPK_BATCH,
     "pq_rerank_topk": _oracle_pq_rerank_topk(),
     "ivfpq_topk": _oracle_ivfpq_topk(),
     "lsh_near_dup": _oracle_lsh_near_dup(0.2),
@@ -2240,10 +2242,10 @@ BQ_K = 10
 
 
 def q_bq_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STAGED (r12) — NOT registered. r13 registration candidate: per
-    the write-ahead plan above ``_CHECK_FIRST`` (queries.py), pair with
-    a retirement from the r11-checked half (``ivf_topk_batch`` is the
-    pre-agreed quantized/batched-tier candidate).
+    """Registered r13 per the write-ahead plan (staged r12; paired
+    with the ``ivf_topk_batch`` retirement from the r11-checked half —
+    the pre-agreed quantized/batched-tier pairing). Closes the 5-tier
+    quantization family (Flat/IVF/PQ/SQ/BQ) as driver-verified.
 
     Binary-quantization Hamming top-10 — the 5th quantization tier
     (Flat/IVF/PQ/SQ/BQ; FAISS ``IndexBinaryFlat`` analogue, the 32×
@@ -2357,6 +2359,7 @@ ANN_QUERIES.update(
         "quantized_recall_eval": q_quantized_recall_eval,
         "hard_negatives": q_hard_negatives,
         "semantic_decontaminate": q_semantic_decontaminate,
+        "bq_hamming_topk": q_bq_hamming_topk,
     }
 )
 ANN_ORACLES.update(
@@ -2373,5 +2376,6 @@ ANN_ORACLES.update(
         "quantized_recall_eval": _oracle_quantized_recall_eval(),
         "hard_negatives": _oracle_hard_negatives(),
         "semantic_decontaminate": ORACLE_SEMANTIC_DECONTAMINATE,
+        "bq_hamming_topk": _oracle_bq_hamming_topk(),
     }
 )

@@ -388,29 +388,11 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return materialize_and_release(pairs, handles, "minhash-pairs-")
 
 
-def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return D.simhash(docs, bits=32, pinned=D.pins_for(sf_dir))
-
-
-def _oracle_simhash(bits: int = 32) -> str:
-    votes = ", ".join(
-        f"sum(CASE WHEN CAST(floor(x / {1 << j}) AS BIGINT) % 2 = 1 "
-        f"THEN 1 ELSE -1 END) AS v{j}"
-        for j in range(bits)
-    )
-    fp = " + ".join(
-        f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits)
-    )
-    return f"""
-WITH t AS (SELECT doc_id, {_dk_toks()} AS toks FROM documents),
-e AS (SELECT doc_id, unnest(toks) AS tok FROM t),
-xs AS (SELECT doc_id, {_dk_hex2long('md5(tok)')} AS x FROM e),
-v AS (SELECT doc_id, {votes} FROM xs GROUP BY doc_id),
-f AS (SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM v)
-SELECT d.doc_id, coalesce(f.simhash, 0) AS simhash
-FROM (SELECT doc_id FROM documents) d LEFT JOIN f USING (doc_id)
-"""
+# q_simhash / _oracle_simhash retired r13 (registry entry only —
+# D.simhash stays the fingerprint engine of simhash_near_dup, whose
+# oracle re-derives the identical vote/pack CTE and whose banding is a
+# strict superset of the bare-sketch projection; the operator stays
+# unit- and fuzz-covered through that row and tests/test_dedup.py).
 
 
 def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1402,10 +1384,8 @@ TM_BUDGET = 120
 
 
 def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STAGED (r12) — NOT registered. r13 registration candidate: per
-    the write-ahead plan above ``_CHECK_FIRST`` (queries.py), pair with
-    a retirement from the r11-checked half (``simhash`` is the
-    pre-agreed candidate).
+    """Registered r13 per the write-ahead plan (staged r12; paired
+    with the ``simhash`` retirement from the r11-checked half).
 
     Temperature-scaled mix assembly (operators/mixing.py::
     temperature_mix, α = 1/2, budget 120): per-source quotas ∝ √n_s
@@ -1456,10 +1436,8 @@ PC_WINDOW, PC_STRIDE = 32, 24
 
 
 def q_passage_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STAGED (r12) — NOT registered. r13 registration candidate: per
-    the write-ahead plan above ``_CHECK_FIRST`` (queries.py), pair with
-    a retirement from the r11-checked half (``label_counts`` is the
-    pre-agreed candidate).
+    """Registered r13 per the write-ahead plan (staged r12; paired
+    with the ``label_counts`` retirement from the r11-checked half).
 
     Overlapping token-window chunking (operators/textops.py::
     passage_chunks, window 32 / stride 24): the RAG-retrieval and
@@ -1509,7 +1487,6 @@ TEXT_QUERIES = {
     "exact_dedup": q_exact_dedup,
     "ngram_jaccard_dedup": q_ngram_jaccard,
     "minhash_lsh_dedup": q_minhash_lsh,
-    "simhash": q_simhash,
     "simhash_near_dup": q_simhash_near_dup,
     "salted_term_counts": q_salted_term_counts,
     "clean_corpus": q_clean_corpus,
@@ -1529,6 +1506,8 @@ TEXT_QUERIES = {
     "dedup_recall_eval": q_dedup_recall_eval,
     "dsir_importance": q_dsir_importance,
     "perplexity_buckets": q_perplexity_buckets,
+    "temperature_mix": q_temperature_mix,
+    "passage_chunking": q_passage_chunking,
 }
 
 TEXT_ORACLES = {
@@ -1541,7 +1520,6 @@ TEXT_ORACLES = {
     "exact_dedup": ORACLE_EXACT_DEDUP,
     "ngram_jaccard_dedup": _oracle_jaccard_capped(0.8, 0.01, 10),
     "minhash_lsh_dedup": _oracle_jaccard(0.5, lsh=True),
-    "simhash": _oracle_simhash(32),
     "simhash_near_dup": _oracle_simhash_near_dup(32, 4, 3),
     "salted_term_counts": ORACLE_SALTED_TERM_COUNTS,
     "clean_corpus": _oracle_clean_corpus(0.7),
@@ -1561,4 +1539,6 @@ TEXT_ORACLES = {
     "dedup_recall_eval": _oracle_dedup_recall_eval(),
     "dsir_importance": ORACLE_DSIR_IMPORTANCE,
     "perplexity_buckets": ORACLE_PERPLEXITY_BUCKETS,
+    "temperature_mix": _oracle_temperature_mix(),
+    "passage_chunking": _oracle_passage_chunking(),
 }

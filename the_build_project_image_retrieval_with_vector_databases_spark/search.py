@@ -163,14 +163,23 @@ def search(
 
         thr = bq_train_thresholds(train_vectors)
         n_tr = len(train_vectors)
+        # n halves, not a hardcoded (lo, hi) unpack: dims beyond 64
+        # pack into dim/32 halves (named bq_lo/bq_hi at 64-D for the
+        # established reuse_codes column contract, bq_h{i} otherwise)
+        n_halves = len(thr) // 32
+        names = (
+            ["bq_lo", "bq_hi"]
+            if n_halves == 2
+            else [f"bq_h{i}" for i in range(n_halves)]
+        )
         encoded = out
-        if not (reuse_codes and "bq_lo" in encoded.columns):
-            lo, hi = bq_encode_cols(thr, n_tr, vec_col)
-            encoded = encoded.withColumn("bq_lo", lo).withColumn("bq_hi", hi)
+        if not (reuse_codes and all(c in encoded.columns for c in names)):
+            for name, col in zip(names, bq_encode_cols(thr, n_tr, vec_col)):
+                encoded = encoded.withColumn(name, col)
         qh = bq_encode_query(q, thr, n_tr)
         return (
             encoded.withColumn(
-                "dist", bq_hamming(qh, ["bq_lo", "bq_hi"]).cast("double")
+                "dist", bq_hamming(qh, names).cast("double")
             )
             .orderBy(F.col("dist").asc(), F.col(id_col).asc())
             .limit(k)

@@ -276,20 +276,36 @@ def serve_loop_rate(
     )
 
 
-# Per-session registry of cached IVF serving layouts, keyed by path —
-# serve_loop_rate_ivf reuses one cached DataFrame per path instead of
-# pinning a fresh copy per invocation (executor storage memory has no
-# other release path once the returned StreamingQuery is stopped).
-_LAYOUT_CACHE: dict[str, DataFrame] = {}
+# Registry of cached IVF serving layouts, keyed by (application id,
+# path) — serve_loop_rate_ivf reuses one cached DataFrame per path
+# instead of pinning a fresh copy per invocation (executor storage
+# memory has no other release path once the returned StreamingQuery is
+# stopped). The application-id component makes a stop/recreate of the
+# SparkSession a cache MISS rather than a DataFrame bound to a dead
+# JVM context. A rewrite of the layout AT THE SAME PATH in the same
+# session must still be preceded by ``release_layout_cache(path)`` —
+# the cache cannot see the storage change (the snapshot it pinned is
+# the one it serves), which is also why ``build_ivf_layout``-style
+# rebuilds in scripts call the release first.
+_LAYOUT_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def release_layout_cache(layout_path: str | None = None) -> None:
-    """Unpersist cached serving layout(s): the given path, or all."""
-    paths = [layout_path] if layout_path is not None else list(_LAYOUT_CACHE)
-    for p in paths:
-        df = _LAYOUT_CACHE.pop(p, None)
+    """Unpersist cached serving layout(s): every entry for the given
+    path (across any sessions this process has run), or all entries.
+    Call before rebuilding a layout at a cached path."""
+    keys = [
+        key
+        for key in list(_LAYOUT_CACHE)
+        if layout_path is None or key[1] == layout_path
+    ]
+    for key in keys:
+        df = _LAYOUT_CACHE.pop(key, None)
         if df is not None:
-            df.unpersist()
+            try:
+                df.unpersist()
+            except Exception:
+                pass  # session already stopped — nothing pinned anymore
 
 
 def serve_loop_rate_ivf(
@@ -347,10 +363,11 @@ def serve_loop_rate_ivf(
     from ..operators.knn import knn_join_arrow_ivf
 
     if cache_layout:
-        layout = _LAYOUT_CACHE.get(layout_path)
+        cache_key = (spark.sparkContext.applicationId, layout_path)
+        layout = _LAYOUT_CACHE.get(cache_key)
         if layout is None:
             layout = spark.read.parquet(layout_path).cache()
-            _LAYOUT_CACHE[layout_path] = layout
+            _LAYOUT_CACHE[cache_key] = layout
     else:
         layout = spark.read.parquet(layout_path)
     pool_rows = (
