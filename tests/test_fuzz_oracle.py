@@ -107,6 +107,23 @@ EMB_SERVE_QUERIES = [
     "hard_negatives",
 ]
 
+# The materialized-index tiers (VERDICT r12 #3a): these entries BUILD
+# a real IVF/PQ/SQ layout per generated corpus (the content-addressed
+# `_layout` machinery fingerprints the table, so each seed gets a
+# fresh build) and search it — exactly the input class where the r12
+# duplicate-vector serving bug hid for four rounds (the parquet
+# fixtures carry no duplicate vectors; the generator forces one, plus
+# a zero vector). Spans: train vec_id<16, ann_search query row 3,
+# eval queries 16<=vec_id<48 — n_vecs >= 66 covers every constant.
+EMB_INDEX_QUERIES = [
+    "ivf_topk",
+    "ann_search",
+    "ivfpq_topk",
+    "pq_rerank_topk",
+    "ann_recall_eval",
+    "quantized_recall_eval",
+]
+
 # Every relational registry query except bucketed_revenue: its
 # content-addressed bucketed-layout sink would leave one permanent
 # warehouse table per generated corpus (the plain l_orderkey join path
@@ -527,6 +544,140 @@ def test_fuzz_embeddings_serving_panel(spark, tmp_path_factory, seed, n_vecs):
         _gen_embeddings(rng, n_vecs), os.path.join(tmpdir, "embeddings.parquet")
     )
     _run_panel(spark, tmpdir, EMB_SERVE_QUERIES)
+
+
+def _cleanup_layouts(tmpdir: str) -> None:
+    """Drop the content-addressed index layouts a generated corpus
+    left behind (and their in-process memo entries) — the fuzz panels
+    mint a fresh corpus per seed, so without this the layout root
+    accumulates one dir per seed forever."""
+    import hashlib
+    import shutil
+
+    from the_build_project_image_retrieval_with_vector_databases_spark import (
+        queries_ann as QA,
+    )
+
+    sfh = hashlib.sha256(os.path.abspath(tmpdir).encode()).hexdigest()[:8]
+    if os.path.isdir(QA._LAYOUT_ROOT):
+        for d in os.listdir(QA._LAYOUT_ROOT):
+            if f"-{sfh}-" in d:
+                shutil.rmtree(
+                    os.path.join(QA._LAYOUT_ROOT, d), ignore_errors=True
+                )
+    for key in [k for k in QA._LAYOUTS if k[1] == tmpdir]:
+        QA._LAYOUTS.pop(key, None)
+
+
+@settings(max_examples=3, deadline=None, derandomize=True)
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    n_vecs=st.integers(min_value=66, max_value=96),
+)
+def test_fuzz_index_tier_panel(spark, tmp_path_factory, seed, n_vecs):
+    """VERDICT r12 #3a: build a small materialized IVF/PQ/SQ layout
+    per generated corpus and run every index-tier registry entry
+    against its re-derived oracle — the fixture-free twin of the
+    serving panel that caught the r12 GEMM tie-break bug."""
+    rng = np.random.default_rng(seed)
+    tmpdir = str(tmp_path_factory.mktemp(f"fuzz_idx_{seed}_{n_vecs}"))
+    pq.write_table(
+        _gen_embeddings(rng, n_vecs), os.path.join(tmpdir, "embeddings.parquet")
+    )
+    try:
+        _run_panel(spark, tmpdir, EMB_INDEX_QUERIES)
+    finally:
+        _cleanup_layouts(tmpdir)
+
+
+def _gen_ppm_tree(rng: np.random.Generator, root: str, n_imgs: int) -> None:
+    """Generated Netpbm fixtures in the fixed 17-byte header layout the
+    registered oracle parses (``P6\\n{w:04d} {h:04d}\\n255\\n`` +
+    raster), across the corruption classes both engines can express:
+    valid P6 (RGB), valid P5 (gray — decode replicates to RGB),
+    truncated raster (header intact), and an undecodable magic."""
+    for i in range(n_imgs):
+        w, h = int(rng.integers(1, 9)), int(rng.integers(1, 9))
+        gray = bool(rng.integers(0, 2))
+        magic, ch = (b"P5", 1) if gray else (b"P6", 3)
+        raster = rng.integers(0, 256, size=w * h * ch, dtype=np.uint8)
+        blob = magic + f"\n{w:04d} {h:04d}\n255\n".encode() + raster.tobytes()
+        cls = int(rng.integers(0, 4))
+        if cls == 0:
+            blob = blob[: 17 + int(rng.integers(0, len(raster)))]  # cut raster
+        elif cls == 1:
+            blob = b"XY" + blob[2:]  # dead magic — no codec claims it
+        cat = os.path.join(root, f"cat{i % 2}")
+        os.makedirs(cat, exist_ok=True)
+        with open(os.path.join(cat, f"img{i:03d}.ppm"), "wb") as f:
+            f.write(blob)
+
+
+def _oracle_generated_ppm(root: str) -> str:
+    """Generated-tree twin of ORACLE_IMAGE_DECODE_REAL: the same
+    fixed-offset hex parse (w at byte 4, h at byte 9, raster at byte
+    18), extended with the magic dispatch the generator exercises —
+    '50360a' = P6 (3 channels), '50350a' = P5 (1 channel, decode
+    replicates gray to RGB so r0=g0=b0 and n_channels reports 3)."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_pipeline import (
+        _hx_byte,
+        _hx_digits,
+    )
+
+    return f"""
+WITH b AS (
+  SELECT filename, lower(hex(content)) AS hx, octet_length(content) AS n
+  FROM read_blob('{root}/*/*.ppm')
+),
+hdr AS (
+  SELECT filename, hx, n,
+         CASE WHEN n >= 17 AND substr(hx, 1, 6) = '50360a' THEN 3
+              WHEN n >= 17 AND substr(hx, 1, 6) = '50350a' THEN 1
+         END AS ch,
+         CASE WHEN n >= 17 THEN {_hx_digits(4, 4)} END AS w,
+         CASE WHEN n >= 17 THEN {_hx_digits(9, 4)} END AS h
+  FROM b
+),
+ok AS (SELECT *,
+         ch IS NOT NULL AND n >= 17 + w * h * ch AS good
+       FROM hdr)
+SELECT list_extract(string_split(filename, '/'), -1) AS basename,
+       list_extract(string_split(filename, '/'), -2) AS category,
+       CASE WHEN good THEN w END AS width,
+       CASE WHEN good THEN h END AS height,
+       CASE WHEN good THEN 3 END AS n_channels,
+       CASE WHEN good THEN {_hx_byte(18)} END AS r0,
+       CASE WHEN good THEN
+         CASE WHEN ch = 3 THEN {_hx_byte(19)} ELSE {_hx_byte(18)} END
+       END AS g0,
+       CASE WHEN good THEN
+         CASE WHEN ch = 3 THEN {_hx_byte(20)} ELSE {_hx_byte(18)} END
+       END AS b0,
+       good AS decode_ok
+FROM ok
+"""
+
+
+@settings(max_examples=3, deadline=None, derandomize=True)
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    n_imgs=st.integers(min_value=4, max_value=24),
+)
+def test_fuzz_image_decode_panel(spark, tmp_path_factory, seed, n_imgs):
+    """VERDICT r12 #3b: generated image blobs (random dims/rasters,
+    truncations, dead magics, the P5 gray path) through the REAL
+    decode query surface vs a blob-hex oracle — the fixture PPMs only
+    ever exercise one happy path plus one truncation."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_pipeline import (
+        _decode_rows_query,
+    )
+
+    rng = np.random.default_rng(seed)
+    root = str(tmp_path_factory.mktemp(f"fuzz_img_{seed}_{n_imgs}"))
+    _gen_ppm_tree(rng, root, n_imgs)
+    df = _decode_rows_query(spark, root, "*.ppm", with_md5=False)
+    ok, msg = compare(df, _oracle_generated_ppm(root), root, "image_decode_gen")
+    assert ok, f"generated-image corpus diverged: {msg}"
 
 
 @settings(max_examples=2, deadline=None, derandomize=True)
