@@ -157,6 +157,72 @@ def main_ivf() -> None:
     release_layout_cache()
 
 
+def run_one_bq(spark, window_s: int, rate: int, corpus) -> dict:
+    from the_build_project_image_retrieval_with_vector_databases_spark.streaming.queries import (
+        serve_loop_rate_bq,
+    )
+
+    latencies: list[float] = []
+    cache: list = []
+    q = serve_loop_rate_bq(
+        spark, corpus, k=5, rows_per_second=rate, latencies=latencies,
+        trigger_ms=1000, code_cache=cache,
+    )
+    try:
+        time.sleep(window_s)
+    finally:
+        q.stop()
+        for df in cache:
+            df.unpersist()
+    warm = latencies[2:]
+    return {
+        "rows_per_second": rate,
+        "window_s": window_s,
+        "n_batches": len(latencies),
+        "warm_batches": len(warm),
+        "p50_s": round(pct(warm, 0.50), 3) if warm else None,
+        "p95_s": round(pct(warm, 0.95), 3) if warm else None,
+        "max_s": round(max(warm), 3) if warm else None,
+        "cold_first_batch_s": round(latencies[0], 3) if latencies else None,
+    }
+
+
+def main_bq() -> None:
+    """BQ-tier rate loop (VERDICT r12 #4): the packed-code Hamming
+    scan under the SAME protocol as the ivf_tier sweep — 2M×64-D
+    corpus, 1 s trigger, 256-vector payload pool, warm-up run
+    discarded, rates 250/500/1000. Merges a ``bq_tier`` section into
+    SERVE_LATENCY.json next to the flat/ivf numbers, completing the
+    5-tier serving story."""
+    args = [a for a in sys.argv[2:]]
+    corpus_dir = args.pop(0) if args and not args[0].isdigit() else BASE
+    window_s = int(args.pop(0)) if args else 35
+    rates = [int(x) for x in args] or [250, 500, 1000]
+
+    spark = get_spark(app_name="serve-latency-bq", shuffle_partitions=8)
+    corpus = spark.read.parquet(
+        os.path.join(corpus_dir, "embeddings.parquet")
+    )
+    # warm-up run, discarded (same C2-ramp rationale as the flat sweep)
+    run_one_bq(spark, min(window_s, 15), rates[0], corpus)
+    section = {
+        "corpus_dir": corpus_dir,
+        "trigger_ms": 1000,
+        "warmup": f"{min(window_s, 15)}s@{rates[0]}qps discarded",
+        "runs": [run_one_bq(spark, window_s, r, corpus) for r in rates],
+    }
+    out_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "SERVE_LATENCY.json")
+    art = {}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            art = json.load(f)
+    art["bq_tier"] = section
+    with open(out_path, "w") as f:
+        json.dump(art, f, indent=1, sort_keys=True)
+    print(json.dumps({"metric": "serve_latency_bq", **section}))
+
+
 def main() -> None:
     window_s = int(sys.argv[1]) if len(sys.argv) > 1 else 35
     rates = [int(x) for x in sys.argv[2:]] or [100, 500]
@@ -331,5 +397,7 @@ if __name__ == "__main__":
         main_ivf()
     elif len(sys.argv) > 1 and sys.argv[1] == "--single":
         main_single()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--bq":
+        main_bq()
     else:
         main()

@@ -418,6 +418,120 @@ def serve_loop_rate_ivf(
     )
 
 
+def serve_loop_rate_bq(
+    spark,
+    corpus: DataFrame,
+    k: int = 5,
+    rows_per_second: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    latencies: list | None = None,
+    sink: Callable[[DataFrame, int], None] | None = None,
+    trigger_ms: int = 500,
+    payload_pool: int = 256,
+    train_n: int = 16,
+    code_cache: list | None = None,
+) -> StreamingQuery:
+    """Binary-quantization-tier continuous serving — the 5th tier of
+    the rate-loop family (:func:`serve_loop_rate` = flat,
+    :func:`serve_loop_rate_ivf` = inverted lists). Setup, ONCE per
+    loop: train per-dim integer thresholds on the ``train_n`` lowest-id
+    corpus rows, project the corpus to dim/32 packed BIGINT halves
+    (:func:`~..operators.pq.bq_encode_cols` — codegen'd, zero shuffle)
+    and CACHE the code table (16 bytes/row at 64-D vs 256 for floats —
+    the BQ memory model is the tier's point: 6% of the flat tier's
+    cached bytes). Per epoch: encode is already done, so the batch is
+    one XOR/popcount pass (:func:`~..operators.knn.
+    knn_join_arrow_hamming`) over the cached codes — no float matmul
+    at all. Harness contract identical to the flat loop: bounded
+    payload pool of real corpus rows, query codes precomputed
+    driver-side (pool × dim/32 ints), END-TO-END per-batch latency
+    appended to ``latencies``.
+
+    Per-epoch FLOP shape vs the other tiers at corpus size N: flat
+    does N·Q·D multiply-adds; IVF (nprobe/k_cents)·N·Q·D; BQ does
+    N·Q·(D/32) XOR+popcounts over 16× fewer bytes — the bandwidth
+    lever FAISS's ``IndexBinaryFlat`` rescoring tiers use. Recall is
+    the BQ curve (sign quantization), not exact — production rescores
+    the Hamming shortlist with full floats (``pq_rerank_topk``'s
+    pattern); this loop measures the shortlist scan itself."""
+    import time
+
+    from ..operators.knn import knn_join_arrow_hamming
+    from ..operators.pq import (
+        bq_encode_cols,
+        bq_encode_query,
+        bq_train_thresholds,
+    )
+
+    pool_rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.col(id_col).asc())
+        .limit(payload_pool)
+        .collect()
+    )
+    pool_ids = [int(r[0]) for r in pool_rows]
+    payload = [list(r[1]) for r in pool_rows]
+    n = len(payload)
+    if n == 0:
+        raise ValueError("corpus is empty — nothing to serve")
+    train = payload[: min(train_n, n)]
+    thr = bq_train_thresholds(train)
+    halves = bq_encode_cols(thr, len(train), vec_col)
+    names = [f"bq_h{i}" for i in range(len(halves))]
+    # repartition to full parallelism before caching: the packed table
+    # inherits the float corpus' parquet split count, but each code
+    # partition is 16× smaller — without this, a 32-core box scans the
+    # cached codes on the parent scan's 8-16 partitions and leaves
+    # half the cores idle every epoch (one-time 48 MB shuffle at 2M)
+    codes = (
+        corpus.select(
+            id_col, *[c.alias(nm) for nm, c in zip(names, halves)]
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+        .cache()
+    )
+    codes.count()  # materialize the packed table before the loop starts
+    if code_cache is not None:
+        # hand the cached code table back so the caller can unpersist
+        # it once the loop stops (the loop itself cannot — the
+        # StreamingQuery outlives this call)
+        code_cache.append(codes)
+    pool_codes = [bq_encode_query(v, thr, len(train)) for v in payload]
+
+    def score_batch(batch: DataFrame, epoch_id: int) -> None:
+        agg = batch.agg(
+            F.min("timestamp").alias("t0"),
+            F.collect_list(F.col("value") % n).alias("qids"),
+        ).first()
+        if agg.t0 is None:
+            return
+        qidx = sorted(set(int(v) for v in agg.qids))
+        out = knn_join_arrow_hamming(
+            codes,
+            [pool_ids[q] for q in qidx],
+            [pool_codes[q] for q in qidx],
+            k=k,
+            id_col=id_col,
+            code_cols=tuple(names),
+        )
+        if sink is not None:
+            sink(out, epoch_id)
+        else:
+            out.write.format("noop").mode("overwrite").save()
+        if latencies is not None:
+            latencies.append(time.time() - agg.t0.timestamp())
+
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+        .writeStream.foreachBatch(score_batch)
+        .trigger(processingTime=f"{trigger_ms} milliseconds")
+        .start()
+    )
+
+
 def ingest_dedup_loop(
     batch_stream: DataFrame,
     corpus_source: Callable[[], DataFrame] | DataFrame,
