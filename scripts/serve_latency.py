@@ -223,6 +223,153 @@ def main_bq() -> None:
     print(json.dumps({"metric": "serve_latency_bq", **section}))
 
 
+def main_attrib() -> None:
+    """Attribute the ~0.5-0.7 s single-query fixed cost (VERDICT r12
+    #5): time each layer of one flat Arrow-kernel call on the cached
+    200k corpus and difference them. Layers, each min-of-N warm:
+      scheduler_floor  — a 32-task no-op job on a cached 32-row df
+                         (task scheduling + py4j round-trip, no data)
+      arrow_ship       — mapInPandas over the SAME projected corpus
+                         returning empty frames (Arrow serialization
+                         of 200k x (id + 64-D vector) to the Python
+                         workers + worker turnaround, no math)
+      reexec_same_df   — .collect() of an ALREADY-PLANNED kNN call
+                         (execution only: no analysis, codegen cached)
+      full_call        — build + analyze + plan + execute + collect
+      kernel_math      — driver-side numpy twin of the per-call matmul
+    Attribution: plan_compile = full - reexec; scoring = reexec -
+    arrow_ship (kernel math + candidate rank window + result
+    collect); arrow_ship - scheduler_floor = serialization proper.
+    Merges ``single_query_cost_breakdown`` into SERVE_LATENCY.json."""
+    import numpy as np
+
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.knn import (
+        knn_join_arrow,
+    )
+
+    corpus_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/spark_graft_scale100x"
+    n_runs = int(sys.argv[3]) if len(sys.argv) > 3 else 15
+    warm = 3
+    spark = get_spark(app_name="serve-attrib", shuffle_partitions=8)
+    emb = spark.read.parquet(
+        os.path.join(corpus_dir, "embeddings.parquet")
+    ).cache()
+    n_corpus = emb.count()
+    pool_rows = (
+        emb.select("vec_id", "embedding")
+        .orderBy(F.col("vec_id").asc()).limit(32).collect()
+    )
+    pool = [(int(r[0]), [float(x) for x in r[1]]) for r in pool_rows]
+
+    def timed(fn) -> dict:
+        xs = []
+        for i in range(warm + n_runs):
+            t0 = time.perf_counter()
+            fn(i)
+            if i >= warm:
+                xs.append(time.perf_counter() - t0)
+        return {
+            "min_s": round(min(xs), 4),
+            "p50_s": round(pct(xs, 0.50), 4),
+            "max_s": round(max(xs), 4),
+        }
+
+    tiny = spark.range(32, numPartitions=32).cache()
+    tiny.count()
+    floor = timed(lambda i: tiny.count())
+
+    proj = emb.select("vec_id", "embedding")
+
+    def passthrough(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame({"n": [len(pdf)]})
+
+    ship = timed(
+        lambda i: proj.mapInPandas(passthrough, "n long").collect()
+    )
+    # pre-built passthrough: NO shuffle in this plan, so every
+    # re-collect re-runs the whole Arrow ship + Python worker pass —
+    # ship WITHOUT the per-call plan compile
+    pass_fixed = proj.mapInPandas(passthrough, "n long")
+    pass_fixed.collect()
+    ship_exec = timed(lambda i: pass_fixed.collect())
+
+    fixed = knn_join_arrow(emb, [pool[0][0]], [pool[0][1]], k=5)
+    fixed.collect()  # analyze + codegen once
+    # NOTE: the kNN plan ends in a rank-window EXCHANGE; re-collecting
+    # the SAME DataFrame skips the completed shuffle-map stage (the
+    # scan+score mapInPandas — shuffle files ARE its materialization),
+    # so this times the result stage alone, not a repeat of the scan.
+    reexec = timed(lambda i: fixed.collect())
+
+    full = timed(
+        lambda i: knn_join_arrow(
+            emb, [pool[i % 32][0]], [pool[i % 32][1]], k=5
+        ).collect()
+    )
+
+    mat = np.asarray([v for _, v in pool], dtype=np.float64)
+    xs_np = []
+    x_all = np.random.default_rng(0).standard_normal((n_corpus, 64))
+    for i in range(warm + n_runs):
+        q = mat[i % 32][None, :]
+        t0 = time.perf_counter()
+        d = ((x_all * x_all).sum(1)[:, None] - 2.0 * (x_all @ q.T)
+             + (q * q).sum())
+        np.argpartition(d[:, 0], 5)
+        if i >= warm:
+            xs_np.append(time.perf_counter() - t0)
+    kernel_math = {"min_s": round(min(xs_np), 4),
+                   "p50_s": round(pct(xs_np, 0.50), 4)}
+
+    section = {
+        "corpus": f"{corpus_dir} ({n_corpus} x 64-D, cached)",
+        "n_runs": n_runs,
+        "scheduler_floor": floor,
+        "arrow_ship_fresh_plan": ship,
+        "arrow_ship_prebuilt_plan": ship_exec,
+        "reexec_same_knn_df_result_stage_only": reexec,
+        "full_call": full,
+        "kernel_math_numpy_single_thread": kernel_math,
+        "attribution_p50_s": {
+            "task_scheduling_py4j_floor": floor["p50_s"],
+            "arrow_ship_and_python_worker": round(
+                ship_exec["p50_s"] - floor["p50_s"], 4
+            ),
+            "plan_compile_simple_mapinpandas": round(
+                ship["p50_s"] - ship_exec["p50_s"], 4
+            ),
+            "knn_over_passthrough_delta": round(
+                full["p50_s"] - ship["p50_s"], 4
+            ),
+            "rank_window_result_stage": reexec["p50_s"],
+        },
+        "reading": (
+            "full_call p50 - prebuilt passthrough p50 isolates what a "
+            "fresh kNN call adds over a fresh trivial Arrow pass: the "
+            "bigger plan's analysis/codegen plus kernel math plus the "
+            "rank-window stage. reexec_same_knn_df shows Spark skips "
+            "the completed shuffle-map stage on re-collect (shuffle "
+            "files are the materialization) — a REPEATED query on a "
+            "kept DataFrame serves from the rank stage alone. The "
+            "amortization lever for distinct queries is batching "
+            "(search_batch: one plan for Q queries), not plan reuse."
+        ),
+    }
+    out_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "SERVE_LATENCY.json")
+    art = {}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            art = json.load(f)
+    art["single_query_cost_breakdown"] = section
+    with open(out_path, "w") as f:
+        json.dump(art, f, indent=1, sort_keys=True)
+    print(json.dumps({"metric": "single_query_cost_breakdown", **section}))
+
+
 def main() -> None:
     window_s = int(sys.argv[1]) if len(sys.argv) > 1 else 35
     rates = [int(x) for x in sys.argv[2:]] or [100, 500]
@@ -399,5 +546,7 @@ if __name__ == "__main__":
         main_single()
     elif len(sys.argv) > 1 and sys.argv[1] == "--bq":
         main_bq()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--attrib":
+        main_attrib()
     else:
         main()
