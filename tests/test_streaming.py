@@ -215,6 +215,51 @@ def test_serve_loop_rate_latency_and_self_hit(spark):
     assert results and all(r.query_id == r.vec_id for r in results)
 
 
+def test_serve_loop_rate_bq_latency_and_self_hit(spark):
+    """BQ-tier rate loop (registered r13): packed-code Hamming serving
+    over the cached code table — batches score, latencies bound, and
+    every query finds ITSELF at hamming 0 (its own code XOR itself);
+    the kernel ↔ expression bit-identity is pinned in test_ann.py."""
+    import time
+
+    from the_build_project_image_retrieval_with_vector_databases_spark.streaming.queries import (
+        serve_loop_rate_bq,
+    )
+
+    corpus = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    latencies: list = []
+    results: list = []
+    cache: list = []
+    q = serve_loop_rate_bq(
+        spark,
+        corpus,
+        k=3,
+        rows_per_second=40,
+        latencies=latencies,
+        sink=lambda df, epoch: results.extend(
+            df.filter(F.col("hamming") == 0)
+            .select("query_id", "vec_id")
+            .collect()
+        ),
+        trigger_ms=250,
+        code_cache=cache,
+    )
+    try:
+        deadline = time.time() + 30
+        while len(latencies) < 3 and time.time() < deadline:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+        for df in cache:
+            df.unpersist()
+    assert len(latencies) >= 3, "stream produced too few scored batches"
+    assert all(lt < 20 for lt in latencies), latencies
+    assert results, "no hamming-0 rows — self codes must match"
+    hit0 = {r.query_id for r in results if r.query_id == r.vec_id}
+    asked = {r.query_id for r in results}
+    assert hit0 == asked, "some query missed its own code at hamming 0"
+
+
 def test_streaming_cms_accumulates_to_batch_sketch(spark, events_dir, tmp_path):
     """CMS under streaming: each microbatch builds its own grid inside
     foreachBatch and merges cell-wise into a running accumulator; after
