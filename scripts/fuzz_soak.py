@@ -25,13 +25,17 @@ sys.path.insert(
 
 from tests.test_fuzz_oracle import (  # noqa: E402
     DOC_QUERIES,
+    EMB_INDEX_QUERIES,
     EMB_QUERIES,
     EMB_SERVE_QUERIES,
     EVENT_FUZZ_QUERIES,
     REL_QUERIES,
+    _cleanup_layouts,
     _gen_documents,
     _gen_embeddings,
+    _gen_ppm_tree,
     _gen_relational,
+    _oracle_generated_ppm,
     _run_panel,
 )
 
@@ -43,41 +47,34 @@ from tests.oracle_harness import compare  # noqa: E402
 
 
 def _staged_pairs():
-    """(name, query_fn, oracle_sql) per panel: the r11 trio (REGISTERED
-    r12 but not in the test-side panel lists — kept covered here) plus
-    the r12-staged r13 candidates, which face the registry fuzz gate
-    once registered."""
+    """(name, query_fn, oracle_sql) per panel: the r11 trio registered
+    r12 whose generated-corpus constraints differ from the generic
+    panel ranges — kept covered here with the shared corpus. (The r12
+    trio registered r13 — bq_hamming_topk, passage_chunking,
+    temperature_mix — now rides the panel lists directly.)"""
     from the_build_project_image_retrieval_with_vector_databases_spark.queries_ann import (
         ORACLE_SEMANTIC_DECONTAMINATE,
-        _oracle_bq_hamming_topk,
-        q_bq_hamming_topk,
         q_semantic_decontaminate,
     )
     from the_build_project_image_retrieval_with_vector_databases_spark.queries_text import (
         ORACLE_DSIR_IMPORTANCE,
         ORACLE_PERPLEXITY_BUCKETS,
-        _oracle_passage_chunking,
-        _oracle_temperature_mix,
         q_dsir_importance,
-        q_passage_chunking,
         q_perplexity_buckets,
-        q_temperature_mix,
     )
 
     return {
         "docs": [
             ("dsir_importance", q_dsir_importance, ORACLE_DSIR_IMPORTANCE),
             ("perplexity_buckets", q_perplexity_buckets, ORACLE_PERPLEXITY_BUCKETS),
-            ("passage_chunking", q_passage_chunking, _oracle_passage_chunking()),
-            ("temperature_mix", q_temperature_mix, _oracle_temperature_mix()),
         ],
         "emb": [
             ("semantic_decontaminate", q_semantic_decontaminate,
              ORACLE_SEMANTIC_DECONTAMINATE),
-            ("bq_hamming_topk", q_bq_hamming_topk, _oracle_bq_hamming_topk()),
         ],
         "rel": [],
         "serve": [],
+        "idx": [],
     }
 
 
@@ -93,6 +90,8 @@ def main() -> int:
         n_cust = int(rng.integers(25, 121))
         n_orders = int(rng.integers(10, 201))
         n_vecs_srv = int(rng.integers(66, 91))
+        n_vecs_idx = int(rng.integers(66, 97))
+        n_imgs = int(rng.integers(4, 25))
         for panel, names, write in [
             ("docs", DOC_QUERIES,
              lambda d: pq.write_table(_gen_documents(rng, n_docs),
@@ -102,6 +101,9 @@ def main() -> int:
                                       os.path.join(d, "embeddings.parquet"))),
             ("serve", EMB_SERVE_QUERIES,
              lambda d: pq.write_table(_gen_embeddings(rng, n_vecs_srv),
+                                      os.path.join(d, "embeddings.parquet"))),
+            ("idx", EMB_INDEX_QUERIES,
+             lambda d: pq.write_table(_gen_embeddings(rng, n_vecs_idx),
                                       os.path.join(d, "embeddings.parquet"))),
             ("rel", REL_QUERIES + EVENT_FUZZ_QUERIES,
              lambda d: [pq.write_table(t, os.path.join(d, f"{k}.parquet"))
@@ -118,6 +120,23 @@ def main() -> int:
                 except AssertionError as exc:
                     failures.append(f"seed={seed} panel={panel}: {exc}")
                     print(failures[-1], flush=True)
+                finally:
+                    if panel == "idx":
+                        _cleanup_layouts(d)
+        # generated-image panel (own compare — not a registry table)
+        with tempfile.TemporaryDirectory(prefix=f"soak_{seed}_img_") as d:
+            _gen_ppm_tree(rng, d, n_imgs)
+            from the_build_project_image_retrieval_with_vector_databases_spark.queries_pipeline import (
+                _decode_rows_query,
+            )
+
+            df = _decode_rows_query(spark, d, "*.ppm", with_md5=False)
+            ok, msg = compare(df, _oracle_generated_ppm(d), d, "image_decode_gen")
+            if ok:
+                print(f"seed={seed} panel=img: OK", flush=True)
+            else:
+                failures.append(f"seed={seed} panel=img: {msg}")
+                print(failures[-1], flush=True)
     print(f"SOAK DONE: {n} seeds, failures={len(failures)}")
     for f in failures:
         print(f)
