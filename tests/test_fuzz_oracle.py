@@ -802,3 +802,42 @@ def test_fuzz_staged_bq_hamming(spark, tmp_path_factory, seed, n_vecs):
         "bq_hamming_topk",
     )
     assert ok, f"fuzz corpus diverged: {msg}"
+
+
+@settings(max_examples=3, deadline=None, derandomize=True)
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    n_docs=st.integers(min_value=3, max_value=60),
+)
+def test_fuzz_staged_r13_pipeline_ops(spark, tmp_path_factory, seed, n_docs):
+    """The r13-staged candidates face the registry gate once registered
+    — pre-verify on generated corpora. Shapes the fixtures never hit:
+    source counts small enough that UniMax's epoch cap binds (cap
+    2·n_s < equal share), zero-token docs (bucket batching must drop
+    them), widths whose buckets hold fewer rows than one batch
+    (per-width drop-last empties the bucket), and corpora with no
+    near-dup pairs at all (every split component is a singleton)."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_text import (
+        _oracle_leakage_safe_split,
+        _oracle_length_bucket_batches,
+        _oracle_unimax_mix,
+        q_leakage_safe_split,
+        q_length_bucket_batches,
+        q_unimax_mix,
+    )
+
+    rng = np.random.default_rng(seed)
+    tmpdir = str(tmp_path_factory.mktemp(f"fuzz_r13p_{seed}_{n_docs}"))
+    pq.write_table(
+        _gen_documents(rng, n_docs), os.path.join(tmpdir, "documents.parquet")
+    )
+    sized = _sized_oracles(tmpdir)
+    for name, q, o in [
+        ("unimax_mix", q_unimax_mix, _oracle_unimax_mix()),
+        ("length_bucket_batches", q_length_bucket_batches,
+         _oracle_length_bucket_batches()),
+        ("leakage_safe_split", q_leakage_safe_split,
+         sized.get("leakage_safe_split", _oracle_leakage_safe_split())),
+    ]:
+        ok, msg = compare(q(spark, tmpdir), o, tmpdir, name)
+        assert ok, f"fuzz corpus diverged: {msg}"

@@ -1796,8 +1796,8 @@ def test_semantic_screen_empty_eval_slice_raises_clearly(spark):
 
 
 # ---------------------------------------------------------------------------
-# bq_hamming_topk — STAGED r12, r13 registration candidate (pair with
-# the ivf_topk_batch retirement per the write-ahead plan in queries.py).
+# bq_hamming_topk — staged r12, REGISTERED r13 (paired with the
+# ivf_topk_batch retirement per the write-ahead plan in queries.py).
 # ---------------------------------------------------------------------------
 
 
@@ -1928,8 +1928,8 @@ def test_bq_hamming_plan_and_near_dup_retrieval(spark):
 
 
 # ---------------------------------------------------------------------------
-# passage_chunking — STAGED r12, r13 registration candidate (pair with
-# the label_counts retirement per the write-ahead plan in queries.py).
+# passage_chunking — staged r12, REGISTERED r13 (paired with the
+# label_counts retirement per the write-ahead plan in queries.py).
 # ---------------------------------------------------------------------------
 
 
@@ -2000,8 +2000,8 @@ def test_passage_chunking_plan_zero_shuffle_one_tokenize(spark):
 
 
 # ---------------------------------------------------------------------------
-# temperature_mix — STAGED r12, r13 registration candidate (pair with
-# the simhash retirement per the write-ahead plan in queries.py).
+# temperature_mix — staged r12, REGISTERED r13 (paired with the
+# simhash retirement per the write-ahead plan in queries.py).
 # ---------------------------------------------------------------------------
 
 
@@ -2095,3 +2095,298 @@ def test_temperature_mix_plan_shape(spark):
     assert "BatchEvalPython" not in plan
     # corpus-keyed exchanges: source-rank window + the count aggregate
     assert plan.count("Exchange hashpartitioning") == 2
+
+
+# ---------------------------------------------------------------------------
+# unimax_mix — STAGED r13, r14 registration candidate (pair with the
+# kmeans_step retirement per the write-ahead plan in queries.py).
+# ---------------------------------------------------------------------------
+
+
+def test_unimax_quotas_matches_paper_fold():
+    """The integer UniMax fold: ascending order, equal integer shares,
+    epoch caps bind for small sources, an uncapped tail absorbs
+    crumbs, and an all-capped corpus leaves budget unspent."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.mixing import (
+        unimax_quotas,
+    )
+
+    # mixed: 'a' caps (2*3=6 < share), the rest split what remains
+    q = unimax_quotas([("a", 3), ("b", 50), ("c", 40)], budget=90, epoch_cap=2)
+    assert q["a"] == 6            # capped at 2 epochs
+    assert q["c"] == (90 - 6) // 2  # share of the remainder
+    assert q["b"] == 90 - 6 - q["c"]  # last (largest) absorbs crumbs
+    assert sum(q.values()) == 90
+    # all capped: leftover deliberately unspent
+    q2 = unimax_quotas([("x", 2), ("y", 3)], budget=100, epoch_cap=1)
+    assert q2 == {"x": 2, "y": 3}
+    # determinism: tie on n broken by source name ascending
+    q3 = unimax_quotas([("n2", 5), ("n1", 5)], budget=7, epoch_cap=9)
+    assert q3["n1"] == 3 and q3["n2"] == 4
+
+
+def test_unimax_mix_matches_python_reference(spark):
+    """Per-doc epoch counts agree exactly with a single-threaded
+    reference: quota fold, q div n base copies, first q mod n
+    hash-ordered docs get one more, zero-copy docs dropped."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.mixing import (
+        unimax_mix,
+        unimax_quotas,
+    )
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.sample import (
+        HASH_MOD,
+        HASH_MULT,
+    )
+
+    budget, epochs = 57, 3  # NOT the registry constants — generality
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    rows = [(r.doc_id, r.source) for r in docs.collect()]
+    counts: dict = {}
+    for _, s in rows:
+        counts[s] = counts.get(s, 0) + 1
+    quotas = unimax_quotas(sorted(counts.items()), budget, epochs)
+
+    def hkey(i):
+        return ((i + 42) * HASH_MULT) % HASH_MOD
+
+    by_src: dict = {}
+    for did, s in rows:
+        by_src.setdefault(s, []).append(did)
+    expect = {}
+    for s, ids in by_src.items():
+        ids.sort(key=lambda i: (hkey(i), i))
+        full, partial = quotas[s] // counts[s], quotas[s] % counts[s]
+        for rk, did in enumerate(ids, start=1):
+            n_copies = full + (1 if rk <= partial else 0)
+            if n_copies >= 1:
+                expect[(s, did)] = (rk, n_copies)
+
+    got = {
+        (r.source, r.doc_id): (r.mix_rank, r.n_copies)
+        for r in unimax_mix(docs, budget, epochs).collect()
+    }
+    assert got == expect
+    # total allocated copies == Σ quotas (nothing lost to the div/mod)
+    assert sum(n for _, n in got.values()) == sum(quotas.values())
+
+
+def test_unimax_mix_oracle_parity_staged(spark, sf_dir):
+    """The staged unimax_mix DuckDB oracle passes the driver-faithful
+    comparison (verified by hand at sf0.001/sf0.01/sf0.1 in r13)."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_text import (
+        _oracle_unimax_mix,
+        q_unimax_mix,
+    )
+    from .oracle_harness import compare
+
+    ok, msg = compare(
+        q_unimax_mix(spark, sf_dir), _oracle_unimax_mix(), sf_dir,
+        "unimax_mix",
+    )
+    assert ok, msg
+
+
+def test_unimax_mix_plan_shape(spark):
+    """Plan contract: ONE corpus-keyed exchange (the per-source rank
+    window) plus the count aggregate's; the quota table is a BROADCAST
+    local relation (driver fold output, never a corpus-derived
+    shuffle). No cartesian/BNLJ/Python."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_text import (
+        q_unimax_mix,
+    )
+
+    df = q_unimax_mix(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    # the rank window's source exchange is the ONLY corpus shuffle —
+    # quotas arrive as a broadcast driver-local relation (the fold's
+    # createDataFrame output), not a corpus-derived aggregate
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan
+
+
+# ---------------------------------------------------------------------------
+# length_bucket_batches — STAGED r13, r14 registration candidate (pair
+# with the tumbling_window retirement per the write-ahead plan).
+# ---------------------------------------------------------------------------
+
+
+def test_length_bucket_batches_matches_python_reference(spark):
+    """Width assignment, capacity, batch ids, positions, and drop-last
+    agree exactly with a single-threaded reference."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.batching import (
+        length_bucket_batches,
+    )
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.sample import (
+        HASH_MOD,
+        HASH_MULT,
+    )
+
+    T, G, C = 96, 8, 64  # NOT the registry constants
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    rows = [
+        (r.doc_id, len([t for t in r.text.lower().split() if t]))
+        for r in docs.collect()
+    ]
+
+    def hkey(i):
+        return ((i + 42) * HASH_MULT) % HASH_MOD
+
+    by_width: dict = {}
+    for did, n in rows:
+        if n == 0:
+            continue
+        width = ((min(n, C) + G - 1) // G) * G
+        by_width.setdefault(width, []).append((did, n))
+    expect = {}
+    for width, members in by_width.items():
+        members.sort(key=lambda t: (hkey(t[0]), t[0]))
+        capacity = T // width
+        keep = len(members) - (len(members) % capacity)
+        for rk, (did, n) in enumerate(members[:keep]):
+            expect[did] = (
+                n, width, rk // capacity, rk % capacity, width - min(n, C)
+            )
+
+    got = {
+        r.doc_id: (r.n_tokens, r.width, r.batch_id, r.pos, r.pad_tokens)
+        for r in length_bucket_batches(
+            docs, token_budget=T, granule=G, cap=C
+        ).collect()
+    }
+    assert got == expect
+    # every kept batch is exactly full (drop_last) and within budget
+    from collections import Counter
+
+    sizes = Counter((w, b) for _, (n, w, b, p, pd) in got.items())
+    for (w, b), cnt in sizes.items():
+        assert cnt == T // w
+        assert cnt * w <= T
+
+
+def test_length_bucket_batches_oracle_parity_staged(spark, sf_dir):
+    """The staged length_bucket_batches DuckDB oracle passes the
+    driver-faithful comparison (verified by hand at
+    sf0.001/sf0.01/sf0.1 in r13)."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_text import (
+        _oracle_length_bucket_batches,
+        q_length_bucket_batches,
+    )
+    from .oracle_harness import compare
+
+    ok, msg = compare(
+        q_length_bucket_batches(spark, sf_dir),
+        _oracle_length_bucket_batches(),
+        sf_dir,
+        "length_bucket_batches",
+    )
+    assert ok, msg
+
+
+def test_length_bucket_batches_plan_two_phase(spark):
+    """Plan contract: the per-width rank uses the two-phase bucketed
+    scheme — the corpus-keyed exchange partitions by (width, _bkt),
+    NEVER by width alone (≤ 8 hot keys at the registry knobs), and the
+    offsets/totals tables join back by BROADCAST."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_text import (
+        q_length_bucket_batches,
+    )
+
+    df = q_length_bucket_batches(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    import re
+
+    # the corpus rank window must PARTITION by (width, _bkt) — in the
+    # windowspecdefinition arg list, partition columns precede the
+    # ordered (ASC/DESC) columns, so a width-only-partition rank would
+    # print `windowspecdefinition(width#N, _key#M ASC ...)`
+    assert re.search(
+        r"row_number\(\) windowspecdefinition\(width#\d+, _bkt#\d+L?, _key",
+        plan,
+    ), "per-width rank window must partition by (width, _bkt)"
+    assert not re.search(
+        r"row_number\(\) windowspecdefinition\(width#\d+, _key", plan
+    ), "corpus rank window partitions by width alone (8 hot keys)"
+
+
+# ---------------------------------------------------------------------------
+# leakage_safe_split — STAGED r13, r14 registration candidate (pair
+# with the semantic_dedup_incremental retirement per the write-ahead
+# plan).
+# ---------------------------------------------------------------------------
+
+
+def test_leakage_safe_split_no_pair_straddles(spark):
+    """The guarantee itself: every doc appears exactly once, members of
+    one component share one split side, and therefore NO near-dup pair
+    (or transitive chain) straddles train/eval; split fractions are
+    sane (hash % 10 < 8)."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators import (
+        dedup as D,
+    )
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.graph import (
+        leakage_safe_split,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    handles: list = []
+    pairs = D.minhash_lsh_pairs(
+        docs, threshold=0.5, cache_handles=handles,
+        pinned=D.pins_for(SF_SMOKE),
+    )
+    pair_rows = [(r.left_id, r.right_id) for r in pairs.collect()]
+    out = leakage_safe_split(docs, pairs).collect()
+    for h in handles:
+        h.unpersist()
+    assert pair_rows, "fixture must produce near-dup pairs"
+    side = {r.doc_id: r.split for r in out}
+    comp = {r.doc_id: r.component for r in out}
+    assert len(side) == docs.count()
+    for a, b in pair_rows:
+        assert side[a] == side[b], f"pair ({a},{b}) straddles the split"
+        assert comp[a] == comp[b]
+    # unpaired docs are their own singleton component
+    paired = {x for ab in pair_rows for x in ab}
+    assert all(comp[d] == d for d in side if d not in paired)
+    frac = sum(1 for s in side.values() if s == "train") / len(side)
+    assert 0.6 < frac < 0.95
+
+
+def test_leakage_safe_split_oracle_parity_staged(spark, sf_dir):
+    """The staged leakage_safe_split DuckDB oracle passes the
+    driver-faithful comparison (verified by hand at
+    sf0.001/sf0.01/sf0.1 in r13)."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_text import (
+        _oracle_leakage_safe_split,
+        q_leakage_safe_split,
+    )
+    from .oracle_harness import compare
+
+    ok, msg = compare(
+        q_leakage_safe_split(spark, sf_dir),
+        _oracle_leakage_safe_split(),
+        sf_dir,
+        "leakage_safe_split",
+    )
+    assert ok, msg
+
+
+def test_leakage_safe_split_zero_cache_footprint(spark):
+    """Inherits connected_components' contract: no cached blocks
+    outlive the call (the pair cache is the caller's, released in the
+    query wrapper)."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_text import (
+        q_leakage_safe_split,
+    )
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    rows = q_leakage_safe_split(spark, SF_SMOKE).collect()
+    assert rows
+    assert jsc.getPersistentRDDs().size() == before

@@ -213,3 +213,108 @@ def batch_assignments(
         F.floor(F.col("_rank") / batch_size).cast("long").alias("batch_id"),
         (F.col("_rank") % F.lit(batch_size)).cast("int").alias("pos"),
     )
+
+
+def length_bucket_batches(
+    df: DataFrame,
+    token_budget: int = 512,
+    granule: int = 16,
+    cap: int = 128,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    drop_last: bool = True,
+    bucket_width: int = 1 << 22,
+) -> DataFrame:
+    """Length-bucketed DataLoader batching — the PAD-side batching
+    policy (dynamic padding / bucketing by sequence length, the
+    standard alternative to :func:`pack_sequences`' concat-and-chunk):
+    docs are grouped by padded width (token count rounded UP to the
+    next ``granule`` multiple, capped at ``cap`` — over-cap docs
+    truncate to ``cap``), each width's batch holds
+    ``token_budget div width`` rows (a fixed token budget per batch,
+    so short-doc batches are wide and long-doc batches are narrow),
+    and batch membership comes from the deterministic
+    multiplicative-hash order — a pure function of (ids, seed,
+    knobs), reproducible across engines and cluster sizes. Output one
+    row per kept doc: (id, n_tokens, width, batch_id, pos,
+    pad_tokens); ``drop_last`` removes each width's trailing partial
+    batch. Zero-token docs are excluded (nothing to train on).
+
+    Integer-exact cross-engine: width is ``((min(n, cap) + granule-1)
+    div granule) · granule``, capacity is ``token_budget div width``,
+    batch_id/pos are div/mod of the per-width rank — every step
+    integral division on non-negatives (Spark ``div`` ≡ DuckDB
+    ``//``), no float anywhere.
+
+    Scale shape: the per-width rank runs the SAME two-phase bucketed
+    scheme as :func:`batch_assignments`, keyed by (width, key-bucket)
+    — a naive ``row_number() OVER (PARTITION BY width)`` would funnel
+    the corpus through ≤ cap/granule partitions (8 hot keys at the
+    defaults, a single-machine bottleneck at 100 TB). Per-(width,
+    bucket) counts aggregate map-side; the offsets table is ≤
+    widths × 512 rows (broadcast); within-bucket ranks run
+    partition-parallel. One corpus shuffle total.
+    """
+    from ..functions.text import tokens
+
+    n_tok = F.size(tokens(text_col))
+    g, c, t = int(granule), int(cap), int(token_budget)
+    base = (
+        df.select(F.col(id_col), n_tok.alias("n_tokens"))
+        .filter(F.col("n_tokens") > 0)
+        .withColumn(
+            "width",
+            F.expr(
+                f"CAST(((least(n_tokens, {c}) + {g - 1}) div {g}) * {g} "
+                "AS INT)"
+            ),
+        )
+    )
+    key = shuffle_key(id_col, seed)
+    base = base.select(
+        id_col, "n_tokens", "width",
+        key.alias("_key"),
+        F.floor(key / F.lit(bucket_width)).cast("long").alias("_bkt"),
+    )
+    counts = base.groupBy("width", "_bkt").agg(F.count("*").alias("_bn"))
+    offsets = counts.withColumn(
+        "_off",
+        F.coalesce(
+            F.sum("_bn").over(
+                Window.partitionBy("width")
+                .orderBy("_bkt")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("width", "_bkt", "_off")
+    totals = counts.groupBy("width").agg(F.sum("_bn").alias("_total"))
+
+    ranked = base.join(F.broadcast(offsets), ["width", "_bkt"]).withColumn(
+        "_rank",
+        F.col("_off")
+        + F.row_number().over(
+            Window.partitionBy("width", "_bkt").orderBy(
+                F.col("_key").asc(), F.col(id_col).asc()
+            )
+        )
+        - F.lit(1),
+    )
+    capacity = F.expr(f"CAST({t} div width AS LONG)")
+    ranked = ranked.withColumn("_capacity", capacity)
+    if drop_last:
+        ranked = ranked.join(F.broadcast(totals), "width").filter(
+            F.col("_rank")
+            < F.col("_total") - (F.col("_total") % F.col("_capacity"))
+        )
+    return ranked.select(
+        F.col(id_col),
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.col("width"),
+        F.expr("CAST(_rank div _capacity AS LONG)").alias("batch_id"),
+        (F.col("_rank") % F.col("_capacity")).cast("int").alias("pos"),
+        F.expr(f"CAST(width - least(n_tokens, {c}) AS INT)").alias(
+            "pad_tokens"
+        ),
+    )

@@ -156,3 +156,62 @@ def dedup_components(
         F.count("*").alias("n_docs"),
         F.sum("node").alias("id_checksum"),
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    left_col: str = "left_id",
+    right_col: str = "right_id",
+    mod: int = 10,
+    train_parts: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup-aware train/eval split — the leakage guard a benchmark
+    pipeline needs BEFORE holding out an eval set: a naive per-doc
+    hash split puts near-duplicate pairs on opposite sides (the eval
+    copy "leaks" into training, Lee et al. 2022's core warning), so
+    the split unit here is the CONNECTED COMPONENT of the near-dup
+    pair graph. Every member of a component shares the component's
+    min-id label, the split hashes THAT label (multiplicative hash,
+    ``hash % mod < train_parts`` → train), and unpaired docs are their
+    own singleton components — by construction no pair, and no
+    transitive chain of pairs, can straddle the split. Output one row
+    per doc: (id, component, split).
+
+    Scale shape: components via :func:`connected_components`
+    (pointer jumping, O(log n) rounds, parquet-checkpointed — zero
+    cached blocks after the call); the label table holds only nodes
+    that APPEAR in pairs (dup-involved docs, ≪ corpus for real
+    crawls), joined back id-keyed in one shuffle; the hash split is a
+    codegen'd projection. Integer-exact cross-engine: the hash is the
+    engine-portable multiplicative form, components agree with the
+    oracle's recursive-CTE closure by the fixpoint argument on
+    :func:`connected_components`."""
+    from .sample import HASH_MOD, HASH_MULT
+
+    cc = connected_components(pairs, left_col, right_col)
+    comp = (
+        docs.select(F.col(id_col))
+        .join(
+            cc.withColumnRenamed("node", id_col), id_col, "left"
+        )
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("comp"), F.col(id_col))
+            .cast("long")
+            .alias("component"),
+        )
+    )
+    h = (
+        (F.col("component") + F.lit(int(seed))) * F.lit(HASH_MULT)
+    ) % F.lit(HASH_MOD)
+    return comp.select(
+        F.col(id_col),
+        F.col("component"),
+        F.when(h % F.lit(int(mod)) < F.lit(int(train_parts)), "train")
+        .otherwise("eval")
+        .alias("split"),
+    )

@@ -361,3 +361,100 @@ def temperature_mix(
             F.col("n_source").cast("long").alias("n_source"),
         )
     )
+
+
+def unimax_quotas(
+    counts: list[tuple[str, int]], budget: int, epoch_cap: int
+) -> dict[str, int]:
+    """Integer UniMax allocation (Chung et al. 2023, "UniMax: Fairer
+    and More Effective Language Sampling for Large-Scale Multilingual
+    Pretraining"): process sources ASCENDING by size (ties by name),
+    give each min(epoch_cap·n_s, equal share of the remaining budget),
+    where the share is the INTEGER quotient remaining div m. Pure
+    python ints over ≤ |sources| rows, so the same fold is re-derived
+    verbatim by the DuckDB oracle's recursive CTE — deterministic at
+    any magnitude (no float division anywhere). Division crumbs roll
+    forward: an uncapped final source absorbs the full remainder; if
+    EVERY source caps, the leftover budget is deliberately unspent
+    (the paper's semantics — more budget than epoch_cap epochs of the
+    whole corpus cannot be allocated without exceeding the cap)."""
+    ordered = sorted(counts, key=lambda t: (t[1], t[0]))
+    remaining, m = int(budget), len(ordered)
+    quotas: dict[str, int] = {}
+    for source, n in ordered:
+        share = remaining // m
+        q = min(int(epoch_cap) * int(n), share)
+        quotas[source] = q
+        remaining -= q
+        m -= 1
+    return quotas
+
+
+def unimax_mix(
+    df: DataFrame,
+    budget: int,
+    epoch_cap: int = 2,
+    *,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """UniMax training-mix assembly — the epoch-capped alternative to
+    :func:`temperature_mix`: per-source budgets come from the
+    :func:`unimax_quotas` fold (equal shares, capped at ``epoch_cap``
+    epochs of each source — low-resource sources are never oversampled
+    past the cap, high-resource sources absorb the slack), and a
+    source's quota q_s over its n_s docs becomes PER-DOC epoch counts:
+    every doc gets q_s div n_s copies, and the first q_s mod n_s docs
+    in the multiplicative-hash order get one more. Output one row per
+    doc with ≥ 1 copies: (source, doc_id, mix_rank, n_copies, quota,
+    n_source) — the repetition manifest a training loader consumes.
+
+    Scale shape: ONE map-side-partial count aggregate collected
+    driver-side (≤ |sources| rows — the same bounded-collect class as
+    temperature_mix's quota table), the integer fold on the driver,
+    quotas broadcast back, and the same single source-keyed rank
+    window as mixture_sample. Division happens ONLY in the driver fold
+    (python ints) — nothing in-engine divides, so there is no
+    cross-engine division semantics to reconcile."""
+    from .sample import shuffle_key
+
+    counts = [
+        (r[0], int(r[1]))
+        for r in df.groupBy(source_col).agg(F.count("*").alias("__n")).collect()
+    ]
+    quotas = unimax_quotas(counts, budget, epoch_cap)
+    ncount = dict(counts)
+    spark = df.sparkSession
+    qdf = spark.createDataFrame(
+        [
+            (s, int(ncount[s]), int(quotas[s]),
+             int(quotas[s]) // int(ncount[s]),
+             int(quotas[s]) % int(ncount[s]))
+            for s, _ in counts
+        ],
+        f"{source_col} string, n_source long, quota long, "
+        "__full long, __partial long",
+    )
+    w = Window.partitionBy(source_col).orderBy(
+        shuffle_key(id_col, seed).asc(), F.col(id_col).asc()
+    )
+    ranked = df.select(source_col, id_col).withColumn(
+        "__rank", F.row_number().over(w)
+    )
+    n_copies = F.col("__full") + (
+        F.col("__rank") <= F.col("__partial")
+    ).cast("long")
+    return (
+        ranked.join(F.broadcast(qdf), source_col)
+        .withColumn("n_copies", n_copies)
+        .filter(F.col("n_copies") >= 1)
+        .select(
+            F.col(source_col),
+            F.col(id_col),
+            F.col("__rank").alias("mix_rank"),
+            F.col("n_copies"),
+            F.col("quota"),
+            F.col("n_source"),
+        )
+    )

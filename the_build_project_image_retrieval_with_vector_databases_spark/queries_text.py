@@ -1542,3 +1542,165 @@ TEXT_ORACLES = {
     "temperature_mix": _oracle_temperature_mix(),
     "passage_chunking": _oracle_passage_chunking(),
 }
+
+
+# ---------------------------------------------------------------------------
+# STAGED (r13) — NOT registered. r14 registration candidates: per the
+# write-ahead plan above ``_CHECK_FIRST`` (queries.py), pair each with
+# a retirement from the r12-checked half (pre-agreed candidates:
+# kmeans_step → kmeans_train_assign, tumbling_window → sliding_window,
+# semantic_dedup_incremental → semantic_dedup + incremental_dedup).
+# ---------------------------------------------------------------------------
+
+UM_BUDGET, UM_EPOCHS = 333, 2
+
+
+def q_unimax_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED (r13) — NOT registered. UniMax epoch-capped mix assembly
+    (operators/mixing.py::unimax_mix; Chung et al. 2023): per-source
+    quotas from the ascending equal-share fold capped at 2 epochs per
+    source, per-doc epoch counts (q div n copies each, first q mod n
+    hash-ordered docs get one more). The integer fold runs driver-side
+    over ≤ |sources| rows and the oracle re-derives it with a
+    recursive CTE — no in-engine division anywhere."""
+    from .operators.mixing import unimax_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unimax_mix(docs, UM_BUDGET, UM_EPOCHS)
+
+
+def _oracle_unimax_mix(
+    budget: int = UM_BUDGET, epochs: int = UM_EPOCHS, seed: int = 42
+) -> str:
+    """Mirror of unimax_mix: the same ascending (n, source) fold with
+    integer shares (rem // m_remaining ≡ python //), then the same
+    div/mod epoch-count expansion and multiplicative-hash rank."""
+    return f"""
+WITH RECURSIVE
+counts AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+ord AS (SELECT source, n,
+          row_number() OVER (ORDER BY n ASC, source ASC) AS i
+        FROM counts),
+tot AS (SELECT count(*) AS m FROM ord),
+alloc(i, source, n, quota, rem) AS (
+  SELECT o.i, o.source, o.n,
+         least({epochs} * o.n, {budget} // t.m),
+         {budget} - least({epochs} * o.n, {budget} // t.m)
+  FROM ord o, tot t WHERE o.i = 1
+  UNION ALL
+  SELECT o.i, o.source, o.n,
+         least({epochs} * o.n, a.rem // (t.m - a.i)),
+         a.rem - least({epochs} * o.n, a.rem // (t.m - a.i))
+  FROM alloc a, ord o, tot t WHERE o.i = a.i + 1
+),
+r AS (SELECT source, doc_id,
+        row_number() OVER (PARTITION BY source
+          ORDER BY ((doc_id + {seed}) * {HASH_MULT_TXT})
+                     % {HASH_MOD_TXT} ASC, doc_id ASC) AS rk
+      FROM documents)
+SELECT r.source, r.doc_id, CAST(r.rk AS INT) AS mix_rank,
+       CAST(a.quota // a.n
+            + CASE WHEN r.rk <= a.quota % a.n THEN 1 ELSE 0 END
+         AS BIGINT) AS n_copies,
+       CAST(a.quota AS BIGINT) AS quota,
+       CAST(a.n AS BIGINT) AS n_source
+FROM r JOIN alloc a USING (source)
+WHERE a.quota // a.n
+      + CASE WHEN r.rk <= a.quota % a.n THEN 1 ELSE 0 END >= 1
+"""
+
+
+LB_BUDGET, LB_GRANULE, LB_CAP = 512, 16, 128
+
+
+def q_length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED (r13) — NOT registered. Length-bucketed DataLoader
+    batching (operators/batching.py::length_bucket_batches): pad-width
+    buckets (granule 16, cap 128), fixed 512-token batch budget →
+    per-width capacity, two-phase bucketed rank (never a ≤8-partition
+    window), global per-width drop-last. Every step integral division
+    on non-negatives — integer-exact cross-engine."""
+    from .operators.batching import length_bucket_batches
+
+    docs = load_table(spark, sf_dir, "documents")
+    return length_bucket_batches(
+        docs, token_budget=LB_BUDGET, granule=LB_GRANULE, cap=LB_CAP
+    )
+
+
+def _oracle_length_bucket_batches(
+    budget: int = LB_BUDGET,
+    granule: int = LB_GRANULE,
+    cap: int = LB_CAP,
+    seed: int = 42,
+) -> str:
+    return f"""
+WITH t AS (SELECT doc_id, len({_dk_toks()}) AS n_tokens FROM documents),
+s AS (SELECT doc_id, n_tokens,
+        ((least(n_tokens, {cap}) + {granule - 1}) // {granule})
+          * {granule} AS width
+      FROM t WHERE n_tokens > 0),
+r AS (SELECT *, row_number() OVER (PARTITION BY width
+        ORDER BY ((doc_id + {seed}) * {HASH_MULT_TXT})
+                   % {HASH_MOD_TXT} ASC, doc_id ASC) - 1 AS rk
+      FROM s),
+tt AS (SELECT width, count(*) AS total FROM s GROUP BY width)
+SELECT r.doc_id, CAST(r.n_tokens AS INT) AS n_tokens,
+       CAST(r.width AS INT) AS width,
+       CAST(r.rk // ({budget} // r.width) AS BIGINT) AS batch_id,
+       CAST(r.rk % ({budget} // r.width) AS INT) AS pos,
+       CAST(r.width - least(r.n_tokens, {cap}) AS INT) AS pad_tokens
+FROM r JOIN tt USING (width)
+WHERE r.rk < tt.total - (tt.total % ({budget} // r.width))
+"""
+
+
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED (r13) — NOT registered. Near-dup-aware train/eval split
+    (operators/graph.py::leakage_safe_split): MinHash-LSH pairs →
+    connected components → component-hash 80/20 split, singletons
+    hash their own id — no near-dup pair (or transitive chain) ever
+    straddles the split (Lee et al. 2022's leakage guard). Owns the
+    pair cache like dedup_components."""
+    from .operators.graph import leakage_safe_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    handles: list = []
+    pairs = D.minhash_lsh_pairs(
+        docs, threshold=0.5, cache_handles=handles, pinned=D.pins_for(sf_dir)
+    )
+    out = leakage_safe_split(docs, pairs)  # components materialize here
+    for h in handles:
+        h.unpersist()
+    return out
+
+
+def _oracle_leakage_safe_split(
+    mod: int = 10, train_parts: int = 8, seed: int = 42
+) -> str:
+    pairs_sql = _oracle_jaccard(0.5, lsh=True)
+    return f"""
+WITH RECURSIVE
+edges AS (SELECT left_id, right_id FROM ({pairs_sql})),
+und AS (
+  SELECT left_id AS a, right_id AS b FROM edges
+  UNION
+  SELECT right_id, left_id FROM edges
+),
+reach(a, b) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+),
+comp AS (
+  SELECT a AS node, least(a, min(b)) AS component
+  FROM reach GROUP BY a
+)
+SELECT d.doc_id,
+       CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS component,
+       CASE WHEN ((coalesce(c.component, d.doc_id) + {seed})
+                   * {HASH_MULT_TXT}) % {HASH_MOD_TXT} % {mod}
+                 < {train_parts}
+            THEN 'train' ELSE 'eval' END AS split
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+"""
