@@ -644,6 +644,20 @@ ORACLES: dict[str, str] = {
 # instead: those rows rotate out of r14 WITHOUT a check, so retiring
 # one frees registry capacity but ZERO r14 window slots — the
 # capacity-math failure of the r6→r7 handoff.
+#
+# Staged registration candidates for r14 (all 3-SF oracle-verified in
+# tests/test_staged_ops.py and fuzz-verified on generated corpora in
+# tests/test_fuzz_oracle.py, staged r13; pair each one-for-one with a
+# retirement from the list above):
+#   unimax_mix            ↔ kmeans_step (UniMax epoch-capped language
+#       sampling, Chung et al. 2023 — driver-side integer quota fold
+#       over ≤|sources| rows, one corpus shuffle)
+#   length_bucket_batches ↔ tumbling_window (pad-width bucketed
+#       DataLoader batching, fixed token budget per batch; two-phase
+#       (width, bucket) rank, one corpus shuffle)
+#   leakage_safe_split    ↔ semantic_dedup_incremental (near-dup-
+#       component train/eval split — the Lee et al. 2022 leakage
+#       guard; pointer-jumping components + one id-keyed join)
 _CHECK_FIRST: list[str] = [
     # the 47 surviving r11-checked entries (ivf_topk_batch,
     # label_counts, simhash retired), one round stale — re-verified
