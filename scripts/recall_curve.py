@@ -225,6 +225,146 @@ def lsh_curve(spark, sf_dir: str) -> list[dict]:
     return rows
 
 
+def bq_curve(spark, sf_dir: str) -> list[dict]:
+    """Mean recall@10 of the BQ tier vs the Hamming-shortlist
+    overfetch factor ov ∈ {1, 4, 16} — BOTH raw (take Hamming top-10
+    directly) and the production shape (Hamming top-(10·ov) shortlist
+    → exact float rescore → top-10). Same 32 held-out queries and the
+    same exact-kNN ground truth as the other curves. This is the third
+    axis of the BQ story: INDEX_FOOTPRINT has bytes (0.07× flat),
+    SERVE_LATENCY `bq_tier` has the rate-loop answer, this prices the
+    sign-quantization recall and how fast rescoring buys it back."""
+    from pyspark.sql import functions as F
+
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.knn import (
+        knn_join,
+        knn_join_arrow_hamming,
+    )
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.pq import (
+        bq_encode_cols,
+        bq_encode_query,
+        bq_train_thresholds,
+    )
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_ann import (
+        ANN_EVAL_Q_HI,
+        ANN_EVAL_Q_LO,
+    )
+    from the_build_project_image_retrieval_with_vector_databases_spark.sources.tables import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    train = [
+        [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    ]
+    thr = bq_train_thresholds(train)
+    halves = bq_encode_cols(thr, len(train))
+    names = [f"bq_h{i}" for i in range(len(halves))]
+    codes = emb.select(
+        "vec_id", *[c.alias(n) for n, c in zip(names, halves)]
+    ).cache()
+    codes.count()
+
+    qrows = (
+        emb.filter(
+            (F.col("vec_id") >= ANN_EVAL_Q_LO)
+            & (F.col("vec_id") < ANN_EVAL_Q_HI)
+        )
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    queries = [(int(r.vec_id), [float(x) for x in r.embedding]) for r in qrows]
+    qcodes = [bq_encode_query(v, thr, len(train)) for _, v in queries]
+    qdf = spark.createDataFrame(
+        queries, "query_id long, embedding array<double>"
+    )
+    exact_rows = (
+        knn_join(emb, qdf, k=K, metric="l2", exclude_self=True)
+        .select("query_id", "vec_id")
+        .collect()
+    )
+    truth: dict[int, set] = {}
+    for r in exact_rows:
+        truth.setdefault(int(r.query_id), set()).add(int(r.vec_id))
+    n_q = len(queries)
+
+    rows = []
+    for ov in (1, 4, 16):
+        short = knn_join_arrow_hamming(
+            codes,
+            [q for q, _ in queries],
+            qcodes,
+            k=K * ov + 1,  # +1 absorbs the self row (hamming 0)
+            code_cols=tuple(names),
+        ).filter(F.col("query_id") != F.col("vec_id"))
+
+        # raw: Hamming order is the final order (only meaningful at ov=1)
+        raw_hits = None
+        if ov == 1:
+            raw = short.filter(F.col("rank") <= K + 1).collect()
+            by_q: dict[int, list] = {}
+            for r in raw:
+                by_q.setdefault(int(r.query_id), []).append(
+                    (int(r.rank), int(r.vec_id))
+                )
+            raw_hits = sum(
+                len({v for _, v in sorted(hits)[:K]} & truth[q])
+                for q, hits in by_q.items()
+            )
+
+        # production shape: exact float rescore of the shortlist
+        resc = (
+            short.join(
+                emb.select(
+                    F.col("vec_id"), F.col("embedding").alias("__cv")
+                ),
+                "vec_id",
+            )
+            .join(
+                qdf.select(
+                    F.col("query_id"), F.col("embedding").alias("__qv")
+                ),
+                "query_id",
+            )
+            .withColumn(
+                "__d2",
+                F.aggregate(
+                    F.zip_with(
+                        F.col("__cv").cast("array<double>"),
+                        F.col("__qv"),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+            )
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("__d2").asc(), F.col("vec_id").asc()
+        )
+        top = (
+            resc.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= K)
+            .select("query_id", "vec_id")
+            .collect()
+        )
+        hits = sum(1 for r in top if int(r.vec_id) in truth[int(r.query_id)])
+        row = {
+            "overfetch": ov,
+            "shortlist": K * ov,
+            "mean_recall_rescored": round(hits / (n_q * K), 4),
+        }
+        if raw_hits is not None:
+            row["mean_recall_raw_hamming"] = round(raw_hits / (n_q * K), 4)
+        rows.append(row)
+    codes.unpersist()
+    return rows
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else BASE_DEFAULT
     spark = get_spark(app_name="recall-curve")
@@ -235,6 +375,7 @@ def main() -> None:
         "ivf_nprobe": ivf_curve(spark, sf_dir),
         "lsh_bands": lsh_curve(spark, sf_dir),
         "pq_m": pq_m_curve(spark, sf_dir),
+        "bq_overfetch": bq_curve(spark, sf_dir),
     }
     line = json.dumps(out)
     print(line)
