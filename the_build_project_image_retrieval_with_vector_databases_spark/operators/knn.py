@@ -873,11 +873,6 @@ def mmr_rerank(
     return shortlist.groupBy(query_id_col).applyInPandas(rerank, out_schema)
 
 
-# 256-entry popcount lookup table (numpy < 2.0 has no bitwise_count);
-# built once at import, shipped to executors inside the mapInPandas
-# closure (256 bytes).
-
-
 def knn_join_arrow_hamming(
     codes: DataFrame,
     query_ids: list[int],
@@ -889,8 +884,8 @@ def knn_join_arrow_hamming(
     """Arrow Hamming kNN join over BQ packed codes — the serving path
     of the binary-quantization tier (:func:`~.pq.bq_encode_cols`). Per
     Arrow batch: XOR each packed int64 half (``code_cols`` — dim/32 of
-    them; two at 64-D) against every query's halves, popcount via a
-    256-entry byte LUT, per-query exact
+    them; two at 64-D) against every query's halves, SWAR popcount
+    (numpy 1.x has no ``bitwise_count``), per-query exact
     (hamming, id) selection — a batch scans 16 BYTES per corpus row
     (vs 256 for the float32 flat kernel), so at 100 TB the Hamming
     rescore tier reads 6% of the flat tier's bytes at memory-bandwidth
