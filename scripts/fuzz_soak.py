@@ -137,6 +137,16 @@ def main() -> int:
             else:
                 failures.append(f"seed={seed} panel=img: {msg}")
                 print(failures[-1], flush=True)
+        # generated manifest/jsonl/video panel (file-format intake)
+        with tempfile.TemporaryDirectory(prefix=f"soak_{seed}_files_") as d:
+            from tests.test_fuzz_oracle import _run_file_formats_panel
+
+            try:
+                _run_file_formats_panel(spark, d, rng, n_docs)
+                print(f"seed={seed} panel=files: OK", flush=True)
+            except AssertionError as exc:
+                failures.append(f"seed={seed} panel=files: {exc}")
+                print(failures[-1], flush=True)
     print(f"SOAK DONE: {n} seeds, failures={len(failures)}")
     for f in failures:
         print(f)

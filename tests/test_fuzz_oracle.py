@@ -841,3 +841,169 @@ def test_fuzz_staged_r13_pipeline_ops(spark, tmp_path_factory, seed, n_docs):
     ]:
         ok, msg = compare(q(spark, tmpdir), o, tmpdir, name)
         assert ok, f"fuzz corpus diverged: {msg}"
+
+
+def _gen_manifest(rng: np.random.Generator, path: str) -> None:
+    """train_val.json-shaped manifest with the dirty-vocabulary edge
+    set: out-of-bounds labels (negative and past the end → 'Unknown'),
+    relpaths with and without the caltech prefix, unicode and
+    DUPLICATE category names (resolution is positional, so dup names
+    must survive verbatim)."""
+    import json as _json
+
+    n_cats = int(rng.integers(1, 8))
+    cats = [str(rng.choice(_WORDS)) for _ in range(n_cats)]
+    n_pairs = int(rng.integers(1, 30))
+    train = []
+    for i in range(n_pairs):
+        label = int(rng.integers(-2, n_cats + 3))  # OOB both sides
+        rel = f"dir{i % 3}/img{i:03d}.jpg"
+        if rng.integers(0, 2):
+            rel = "caltech101/101_ObjectCategories/" + rel
+        train.append([label, rel])
+    with open(path, "w") as f:
+        _json.dump({"train": train, "categories": cats}, f)
+
+
+def _gen_jsonl(rng: np.random.Generator, path: str, n_docs: int) -> None:
+    """Newline-delimited corpus with forced exact duplicates (same
+    text, different doc_id/source — the global dup window must count
+    them), empty/whitespace texts, and unicode."""
+    import json as _json
+
+    lines = []
+    for i in range(n_docs):
+        ln = int(rng.integers(0, 20))
+        text = (
+            " ".join(str(w) for w in rng.choice(_WORDS, size=ln))
+            if ln
+            else str(rng.choice(["", " "]))
+        )
+        lines.append(
+            {"doc_id": i, "source": f"src{int(rng.integers(0, 3))}",
+             "text": text}
+        )
+    if n_docs >= 4:
+        lines[n_docs - 1]["text"] = lines[0]["text"]   # cross-source dup
+        lines[n_docs - 2]["text"] = lines[1]["text"]
+    with open(path, "w") as f:
+        for row in lines:
+            f.write(_json.dumps(row) + "\n")
+
+
+def _run_file_formats_panel(spark, root: str, rng, n_docs: int) -> None:
+    """Generated file-format fixtures through the manifest/JSONL/video
+    intake surfaces (the registered queries hardcode the package
+    fixture paths, so this drives the same code bodies at generated
+    paths and substitutes the path into the registered oracle SQL
+    verbatim). Shared by the hypothesis test below and fuzz_soak."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from the_build_project_image_retrieval_with_vector_databases_spark.functions.text import (
+        tokens,
+    )
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_pipeline import (
+        CORPUS_JSONL,
+        MANIFEST_PATH,
+        ORACLE_MANIFEST_SCAN,
+        _oracle_jsonl_ingest,
+    )
+    from the_build_project_image_retrieval_with_vector_databases_spark.sources.manifest import (
+        read_manifest,
+    )
+
+    # manifest — the q_manifest_scan body over a generated path
+    mpath = os.path.join(root, "train_val.json")
+    _gen_manifest(rng, mpath)
+    train, categories = read_manifest(spark, mpath)
+    out = (
+        train.join(F.broadcast(categories), "label", "left")
+        .withColumn("category", F.coalesce("category", F.lit("Unknown")))
+        .withColumn(
+            "relpath",
+            F.regexp_replace(
+                "relpath", r"^caltech101/101_ObjectCategories/", ""
+            ),
+        )
+        .select("label", "relpath", "category")
+    )
+    ok, msg = compare(
+        out, ORACLE_MANIFEST_SCAN.replace(MANIFEST_PATH, mpath), root,
+        "manifest_scan_gen",
+    )
+    assert ok, f"generated manifest diverged: {msg}"
+
+    # jsonl — the q_jsonl_ingest body over a generated path
+    jpath = os.path.join(root, "corpus.jsonl")
+    _gen_jsonl(rng, jpath, n_docs)
+    docs = spark.read.json(jpath).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source", "text"
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy(F.col("doc_id").asc())
+    enriched = docs.select(
+        "doc_id",
+        "source",
+        F.size(tokens("text")).alias("n_tokens"),
+        (F.row_number().over(w) > 1).alias("is_dup"),
+    )
+    agg = enriched.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_dups"),
+    )
+    ok, msg = compare(
+        agg, _oracle_jsonl_ingest().replace(CORPUS_JSONL, jpath), root,
+        "jsonl_ingest_gen",
+    )
+    assert ok, f"generated jsonl diverged: {msg}"
+
+    # videos — the q_frame_sample body over generated binary blobs
+    # (stub codec: n_frames = n div 256, md5 frame digests; blobs
+    # under 256 bytes must surface as decode_ok=false error rows)
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_pipeline import (
+        VIDEOS_ROOT,
+        _oracle_frame_sample,
+    )
+    from the_build_project_image_retrieval_with_vector_databases_spark.sources.media import (
+        sample_frames,
+    )
+
+    vdir = os.path.join(root, "videos")
+    os.makedirs(vdir)
+    n_vids = int(rng.integers(1, 6))
+    for i in range(n_vids):
+        size = int(rng.integers(10, 2000))  # some < 256 → error rows
+        with open(os.path.join(vdir, f"clip{i}.mp4"), "wb") as f:
+            f.write(rng.integers(0, 256, size=size, dtype=np.uint8).tobytes())
+    scanned = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.mp4")
+        .load(vdir)
+    )
+    frames = sample_frames(scanned, stride=2).select(
+        F.element_at(F.split("path", "/"), -1).alias("basename"),
+        "n_frames",
+        "frame_idx",
+        "frame_ms",
+        "frame_hash",
+        "decode_ok",
+    )
+    ok, msg = compare(
+        frames, _oracle_frame_sample().replace(VIDEOS_ROOT, vdir), root,
+        "frame_sample_gen",
+    )
+    assert ok, f"generated videos diverged: {msg}"
+
+
+@settings(max_examples=3, deadline=None, derandomize=True)
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    n_docs=st.integers(min_value=1, max_value=40),
+)
+def test_fuzz_manifest_jsonl_video_panel(spark, tmp_path_factory, seed, n_docs):
+    rng = np.random.default_rng(seed)
+    root = str(tmp_path_factory.mktemp(f"fuzz_files_{seed}_{n_docs}"))
+    _run_file_formats_panel(spark, root, rng, n_docs)
