@@ -2390,3 +2390,20 @@ def test_leakage_safe_split_zero_cache_footprint(spark):
     rows = q_leakage_safe_split(spark, SF_SMOKE).collect()
     assert rows
     assert jsc.getPersistentRDDs().size() == before
+
+
+def test_length_bucket_batches_rejects_degenerate_knobs(spark):
+    """token_budget < cap would floor some width's capacity to 0 and
+    NULL the div/mod chain (silent row loss) — must refuse loudly;
+    ditto a cap that is not a granule multiple."""
+    import pytest
+
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.batching import (
+        length_bucket_batches,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    with pytest.raises(ValueError, match="token_budget"):
+        length_bucket_batches(docs, token_budget=64, granule=16, cap=128)
+    with pytest.raises(ValueError, match="multiple"):
+        length_bucket_batches(docs, token_budget=512, granule=16, cap=100)

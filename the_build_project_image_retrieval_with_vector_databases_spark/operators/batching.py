@@ -258,8 +258,18 @@ def length_bucket_batches(
     """
     from ..functions.text import tokens
 
-    n_tok = F.size(tokens(text_col))
     g, c, t = int(granule), int(cap), int(token_budget)
+    if g <= 0 or c <= 0 or c % g:
+        raise ValueError("cap must be a positive multiple of granule")
+    if t < c:
+        # width can reach cap, and a width whose capacity floors to 0
+        # would NULL the div/mod chain and silently drop every row in
+        # that bucket — refuse loudly instead
+        raise ValueError(
+            f"token_budget ({t}) must be >= cap ({c}) so every width "
+            "holds at least one row per batch"
+        )
+    n_tok = F.size(tokens(text_col))
     base = (
         df.select(F.col(id_col), n_tok.alias("n_tokens"))
         .filter(F.col("n_tokens") > 0)
