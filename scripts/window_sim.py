@@ -35,6 +35,16 @@ def main() -> int:
     spark = get_spark(app_name="window-sim", shuffle_partitions=32)
     qs = entry.queries()
     oracles = entry.oracle_sql()
+    # Corpus-sized oracles (lsh plane count, semantic-dedup k) embed
+    # the sf0.01 derivation in their REGISTERED strings; at any other
+    # corpus the comparison must re-derive them — the same structural
+    # override the SF-sweep parity and fuzz panels use. At the
+    # driver's sf0.01 the re-derivation IS the registered string
+    # (pinned by test_sized_oracles_match_registered_at_driver_scale),
+    # so this changes nothing for the driver-faithful run.
+    from tests.test_oracle_parity import _sized_oracles
+
+    oracles = {**oracles, **_sized_oracles(sf_dir)}
     t0 = time.time()
     failures = []
     for i, (name, fn) in enumerate(qs.items()):
