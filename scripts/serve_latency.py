@@ -223,6 +223,87 @@ def main_bq() -> None:
     print(json.dumps({"metric": "serve_latency_bq", **section}))
 
 
+def run_one_bq_ivf(
+    spark, window_s: int, rate: int, layout_path: str, centroids, nprobe: int
+) -> dict:
+    from the_build_project_image_retrieval_with_vector_databases_spark.streaming.queries import (
+        serve_loop_rate_bq_ivf,
+    )
+
+    latencies: list[float] = []
+    cache: list = []
+    q = serve_loop_rate_bq_ivf(
+        spark, layout_path, centroids, k=5, nprobe=nprobe,
+        rows_per_second=rate, latencies=latencies, trigger_ms=1000,
+        code_cache=cache,
+    )
+    try:
+        time.sleep(window_s)
+    finally:
+        q.stop()
+        for df in cache:
+            df.unpersist()
+    warm = latencies[2:]
+    return {
+        "rows_per_second": rate,
+        "nprobe": nprobe,
+        "window_s": window_s,
+        "n_batches": len(latencies),
+        "warm_batches": len(warm),
+        "p50_s": round(pct(warm, 0.50), 3) if warm else None,
+        "p95_s": round(pct(warm, 0.95), 3) if warm else None,
+        "max_s": round(max(warm), 3) if warm else None,
+        "cold_first_batch_s": round(latencies[0], 3) if latencies else None,
+    }
+
+
+def main_bq_ivf() -> None:
+    """Composed BQ×IVF rate loop: the Hamming scan restricted to each
+    query's probed inverted lists — the production composition the
+    bq_tier null result points at. Same protocol as the other tier
+    sweeps; merges a ``bq_ivf_tier`` section into SERVE_LATENCY.json."""
+    args = [a for a in sys.argv[2:]]
+    corpus_dir = args.pop(0) if args and not args[0].isdigit() else BASE
+    window_s = int(args.pop(0)) if args else 35
+    rates = [int(x) for x in args] or [250, 500, 1000]
+    nprobe = int(os.environ.get("SPARK_GRAFT_NPROBE", "4"))
+
+    spark = get_spark(app_name="serve-latency-bqivf", shuffle_partitions=8)
+    lp = os.path.join(corpus_dir, "ivf_layout")
+    if os.path.exists(os.path.join(corpus_dir, "centroids.json")):
+        with open(os.path.join(corpus_dir, "centroids.json")) as f:
+            centroids = json.load(f)
+    else:
+        from the_build_project_image_retrieval_with_vector_databases_spark.queries_ann import (
+            _ivf_layout,
+        )
+
+        lp, centroids = _ivf_layout(spark, corpus_dir)
+    run_one_bq_ivf(spark, min(window_s, 15), rates[0], lp, centroids, nprobe)
+    section = {
+        "corpus_dir": corpus_dir,
+        "layout": lp,
+        "k_centroids": len(centroids),
+        "nprobe": nprobe,
+        "trigger_ms": 1000,
+        "warmup": f"{min(window_s, 15)}s@{rates[0]}qps discarded",
+        "runs": [
+            run_one_bq_ivf(spark, window_s, r, lp, centroids, nprobe)
+            for r in rates
+        ],
+    }
+    out_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "SERVE_LATENCY.json")
+    art = {}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            art = json.load(f)
+    art["bq_ivf_tier"] = section
+    with open(out_path, "w") as f:
+        json.dump(art, f, indent=1, sort_keys=True)
+    print(json.dumps({"metric": "serve_latency_bq_ivf", **section}))
+
+
 def main_attrib() -> None:
     """Attribute the ~0.5-0.7 s single-query fixed cost (VERDICT r12
     #5): time each layer of one flat Arrow-kernel call on the cached
@@ -546,6 +627,8 @@ if __name__ == "__main__":
         main_single()
     elif len(sys.argv) > 1 and sys.argv[1] == "--bq":
         main_bq()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--bqivf":
+        main_bq_ivf()
     elif len(sys.argv) > 1 and sys.argv[1] == "--attrib":
         main_attrib()
     else:

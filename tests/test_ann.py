@@ -925,3 +925,82 @@ def test_search_facade_bq_tier(emb, emb_np):
     # cosine on a bq structure must refuse, like the other code tiers
     with pytest.raises(ValueError, match="L2-metric"):
         search(emb, qvec, index="bq", metric="cosine")
+
+
+def test_knn_join_arrow_hamming_ivf_matches_flat_on_probed_lists(spark):
+    """The composed BQ×IVF kernel (r13): per query, its result equals
+    the flat Hamming kernel run over ONLY its probed inverted lists;
+    with probe_sets = ALL centroids it is bit-identical to the flat
+    kernel over the whole layout; duplicate probe ids must not double-
+    emit candidates."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.ann import (
+        nearest_centroids,
+    )
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.knn import (
+        knn_join_arrow_hamming,
+        knn_join_arrow_hamming_ivf,
+    )
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.pq import (
+        bq_encode_cols,
+        bq_encode_query,
+        bq_train_thresholds,
+    )
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_ann import (
+        _ivf_layout,
+    )
+
+    path, centroids = _ivf_layout(spark, SF_SMOKE)
+    layout = spark.read.parquet(path)
+    rows = sorted(
+        (
+            (int(r.vec_id), [float(x) for x in r.embedding])
+            for r in layout.select("vec_id", "embedding").collect()
+        )
+    )
+    train = [v for _, v in rows[:16]]
+    thr = bq_train_thresholds(train)
+    lo, hi = bq_encode_cols(thr, len(train))
+    codes = layout.select(
+        "vec_id", "centroid", lo.alias("bq_lo"), hi.alias("bq_hi")
+    )
+
+    qs = rows[:8]
+    qids = [vid for vid, _ in qs]
+    qcodes = [bq_encode_query(v, thr, len(train)) for _, v in qs]
+    probes = [nearest_centroids(centroids, v, 4) for _, v in qs]
+    k = 5
+
+    got = {
+        (r.query_id, r.rank): (r.vec_id, r.hamming)
+        for r in knn_join_arrow_hamming_ivf(
+            codes, qids, qcodes, probes, k=k
+        ).collect()
+    }
+    # per query: flat Hamming kernel over exactly its probed lists
+    for qid, qc, pr in zip(qids, qcodes, probes):
+        sub = codes.filter(F.col("centroid").isin([int(c) for c in pr]))
+        want = {
+            (r.rank): (r.vec_id, r.hamming)
+            for r in knn_join_arrow_hamming(
+                sub.drop("centroid"), [qid], [qc], k=k
+            ).collect()
+        }
+        for rank, ev in want.items():
+            assert got[(qid, rank)] == ev, (qid, rank)
+
+    # probing every centroid == the flat kernel over the whole layout;
+    # a duplicated probe id must not double-emit
+    all_probes = [list(range(len(centroids))) + [0] for _ in qs]
+    full_ivf = {
+        (r.query_id, r.rank): (r.vec_id, r.hamming)
+        for r in knn_join_arrow_hamming_ivf(
+            codes, qids, qcodes, all_probes, k=k
+        ).collect()
+    }
+    full_flat = {
+        (r.query_id, r.rank): (r.vec_id, r.hamming)
+        for r in knn_join_arrow_hamming(
+            codes.drop("centroid"), qids, qcodes, k=k
+        ).collect()
+    }
+    assert full_ivf == full_flat

@@ -978,3 +978,119 @@ def knn_join_arrow_hamming(
     return cand.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def knn_join_arrow_hamming_ivf(
+    layout: DataFrame,
+    query_ids: list[int],
+    query_codes: list[list[int]],
+    probe_sets: list[list[int]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    code_cols: tuple[str, ...] = ("bq_lo", "bq_hi"),
+    centroid_col: str = "centroid",
+) -> DataFrame:
+    """Composed BQ×IVF serving kernel — Hamming scan WITHIN probed
+    inverted lists: :func:`knn_join_arrow_hamming` with
+    :func:`knn_join_arrow_ivf`'s per-query list masking. This is the
+    production shape the bq_tier measurement points at
+    (SERVE_LATENCY.json): the two tiers' levers MULTIPLY — IVF prunes
+    which lists are read at all (at 100 TB, unprobed lists never leave
+    storage; over a materialized ``partitionBy(centroid)`` code layout
+    the centroid INSET filter is parquet partition pruning) and BQ
+    cuts the bytes per probed row 16× (16 vs 256 at 64-D), so probed
+    scan bytes drop by (nprobe/k_cents)·(1/16) vs a flat float scan.
+    Per-epoch popcount work likewise drops to
+    Σ_c |rows_c|·|probers_c| ≈ (nprobe/k_cents)·N·Q word-ops.
+
+    Exactness contract of the Hamming kernel (integer distances, all
+    k-boundary ties emitted, global (hamming, id) rank window);
+    recall is the IVF nprobe curve × the BQ sign-quantization curve
+    (RECALL_CURVE.json prices both). Output:
+    (query_id, id_col, hamming, rank ≤ k)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    qids = np.asarray(query_ids, dtype=np.int64)
+    qc = np.asarray(query_codes, dtype=np.uint64)
+    n_halves = len(code_cols)
+    if (
+        qc.ndim != 2
+        or qc.shape[0] != len(qids)
+        or qc.shape[1] != n_halves
+        or len(qids) == 0
+    ):
+        raise ValueError(
+            f"query_codes must be a non-empty Q×{n_halves} matrix "
+            "matching code_cols"
+        )
+    if len(probe_sets) != len(qids):
+        raise ValueError("probe_sets must align with query_ids")
+    by_cent: dict[int, "np.ndarray"] = {}
+    for qi, probes in enumerate(probe_sets):
+        for c in dict.fromkeys(int(c) for c in probes):
+            by_cent.setdefault(c, []).append(qi)
+    by_cent = {c: np.asarray(v, dtype=np.int64) for c, v in by_cent.items()}
+    union_probes = sorted(by_cent)
+
+    id_field = next(f for f in layout.schema.fields if f.name == id_col)
+    schema = StructType(
+        [
+            StructField("query_id", LongType(), False),
+            id_field,
+            StructField("hamming", IntegerType(), False),
+        ]
+    )
+    pruned = layout.filter(
+        F.col(centroid_col).isin(union_probes)
+    ).select(id_col, centroid_col, *code_cols)
+
+    def popcnt64(x: "np.ndarray") -> "np.ndarray":
+        # same SWAR form as knn_join_arrow_hamming
+        x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+        x = (x & np.uint64(0x3333333333333333)) + (
+            (x >> np.uint64(2)) & np.uint64(0x3333333333333333)
+        )
+        x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+        return (
+            (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
+        ).astype(np.int64)
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cents = pdf[centroid_col].to_numpy()
+            for c in np.unique(cents):
+                qsel = by_cent.get(int(c))
+                if qsel is None:
+                    continue
+                sub = pdf[cents == c]
+                ids = sub[id_col].to_numpy()
+                d = None
+                for h, col in enumerate(code_cols):
+                    half = (
+                        sub[col].to_numpy().astype(np.int64).view(np.uint64)
+                    )
+                    dh = popcnt64(half[:, None] ^ qc[qsel][None, :, h])
+                    d = dh if d is None else d + dh
+                kk = min(k, d.shape[0])
+                part = np.argpartition(d, kk - 1, axis=0)[:kk]
+                bound = np.take_along_axis(d, part, axis=0).max(axis=0)
+                ri, qi = np.nonzero(d <= bound[None, :])
+                yield pd.DataFrame(
+                    {
+                        "query_id": qids[qsel][qi],
+                        id_col: ids[ri],
+                        "hamming": d[ri, qi].astype(np.int32),
+                    }
+                )
+
+    cand = pruned.mapInPandas(score, schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col(id_col).asc()
+    )
+    return cand.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -532,6 +532,109 @@ def serve_loop_rate_bq(
     )
 
 
+def serve_loop_rate_bq_ivf(
+    spark,
+    layout_path: str,
+    centroids: list[list[float]],
+    k: int = 5,
+    nprobe: int = 4,
+    rows_per_second: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_col: str = "centroid",
+    latencies: list | None = None,
+    sink: Callable[[DataFrame, int], None] | None = None,
+    trigger_ms: int = 500,
+    payload_pool: int = 256,
+    train_n: int = 16,
+    code_cache: list | None = None,
+) -> StreamingQuery:
+    """Composed BQ×IVF continuous serving — the production shape the
+    bq_tier measurement points at: encode the materialized
+    ``partitionBy(centroid)`` layout to packed codes ONCE (keeping the
+    centroid column), cache, and per epoch run the Hamming scan only
+    within each query's probed inverted lists
+    (:func:`~..operators.knn.knn_join_arrow_hamming_ivf`). The two
+    tiers' levers multiply: per-epoch popcount work ≈
+    (nprobe/k_cents)·N·Q word-ops, and at storage scale probed scan
+    bytes are (nprobe/k_cents)·(1/16) of a flat float scan (over a
+    packed-code parquet layout the centroid INSET filter is partition
+    pruning). Harness contract identical to the other rate loops."""
+    import time
+
+    from ..operators.ann import nearest_centroids
+    from ..operators.knn import knn_join_arrow_hamming_ivf
+    from ..operators.pq import (
+        bq_encode_cols,
+        bq_encode_query,
+        bq_train_thresholds,
+    )
+
+    layout = spark.read.parquet(layout_path)
+    pool_rows = (
+        layout.select(id_col, vec_col)
+        .orderBy(F.col(id_col).asc())
+        .limit(payload_pool)
+        .collect()
+    )
+    pool_ids = [int(r[0]) for r in pool_rows]
+    payload = [list(r[1]) for r in pool_rows]
+    n = len(payload)
+    if n == 0:
+        raise ValueError("layout is empty — nothing to serve")
+    train = payload[: min(train_n, n)]
+    thr = bq_train_thresholds(train)
+    halves = bq_encode_cols(thr, len(train), vec_col)
+    names = [f"bq_h{i}" for i in range(len(halves))]
+    codes = (
+        layout.select(
+            id_col, centroid_col,
+            *[c.alias(nm) for nm, c in zip(names, halves)],
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+        .cache()
+    )
+    codes.count()
+    if code_cache is not None:
+        code_cache.append(codes)
+    pool_codes = [bq_encode_query(v, thr, len(train)) for v in payload]
+    pool_probes = [nearest_centroids(centroids, v, nprobe) for v in payload]
+
+    def score_batch(batch: DataFrame, epoch_id: int) -> None:
+        agg = batch.agg(
+            F.min("timestamp").alias("t0"),
+            F.collect_list(F.col("value") % n).alias("qids"),
+        ).first()
+        if agg.t0 is None:
+            return
+        qidx = sorted(set(int(v) for v in agg.qids))
+        out = knn_join_arrow_hamming_ivf(
+            codes,
+            [pool_ids[q] for q in qidx],
+            [pool_codes[q] for q in qidx],
+            [pool_probes[q] for q in qidx],
+            k=k,
+            id_col=id_col,
+            code_cols=tuple(names),
+            centroid_col=centroid_col,
+        )
+        if sink is not None:
+            sink(out, epoch_id)
+        else:
+            out.write.format("noop").mode("overwrite").save()
+        if latencies is not None:
+            latencies.append(time.time() - agg.t0.timestamp())
+
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+        .writeStream.foreachBatch(score_batch)
+        .trigger(processingTime=f"{trigger_ms} milliseconds")
+        .start()
+    )
+
+
 def ingest_dedup_loop(
     batch_stream: DataFrame,
     corpus_source: Callable[[], DataFrame] | DataFrame,
