@@ -590,3 +590,54 @@ def test_serve_loop_rate_ivf_latency_and_self_hit(spark):
     assert all(0 < l < 30 for l in latencies)
     assert results, "sink must observe scored batches"
     assert all(qid == vid for qid, vid in results), "rank-1 must be self"
+
+
+def test_serve_loop_rate_bq_ivf_latency_and_self_hit(spark):
+    """Composed BQ×IVF rate loop (r13): packed-code Hamming serving
+    restricted to probed inverted lists — batches score, latencies
+    bound, and every query finds ITSELF at hamming 0 (its own list is
+    always among its probes; kernel ↔ flat-Hamming parity is pinned in
+    test_ann.py)."""
+    import time
+
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_ann import (
+        _ivf_layout,
+    )
+    from the_build_project_image_retrieval_with_vector_databases_spark.streaming.queries import (
+        serve_loop_rate_bq_ivf,
+    )
+
+    path, centroids = _ivf_layout(spark, SF_SMOKE)
+    latencies: list = []
+    results: list = []
+    cache: list = []
+    q = serve_loop_rate_bq_ivf(
+        spark,
+        path,
+        centroids,
+        k=3,
+        nprobe=4,
+        rows_per_second=40,
+        latencies=latencies,
+        sink=lambda df, epoch: results.extend(
+            df.filter(F.col("hamming") == 0)
+            .select("query_id", "vec_id")
+            .collect()
+        ),
+        trigger_ms=250,
+        code_cache=cache,
+    )
+    try:
+        deadline = time.time() + 30
+        while len(latencies) < 3 and time.time() < deadline:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+        for df in cache:
+            df.unpersist()
+    assert len(latencies) >= 3, "stream produced too few scored batches"
+    assert all(lt < 20 for lt in latencies), latencies
+    assert results, "no hamming-0 rows — self codes must match"
+    hit0 = {r.query_id for r in results if r.query_id == r.vec_id}
+    asked = {r.query_id for r in results}
+    assert hit0 == asked, "some query missed its own code at hamming 0"
