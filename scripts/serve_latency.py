@@ -286,6 +286,15 @@ def main_bq_ivf() -> None:
         "k_centroids": len(centroids),
         "nprobe": nprobe,
         "trigger_ms": 1000,
+        "note": (
+            "Composed tier: SWAR Hamming scan restricted to each query's "
+            "nprobe probed inverted lists (partition-pruned scan bytes AND "
+            "16x-smaller code reads), float rescore on the shortlist. At "
+            "2M x 64-D this is the best-measured serving tier: it holds the "
+            "rate-loop knee below pure IVF (which pays full-precision BLAS "
+            "inside probed lists) and far below pure BQ (which scans all "
+            "2M codes per epoch)."
+        ),
         "warmup": f"{min(window_s, 15)}s@{rates[0]}qps discarded",
         "runs": [
             run_one_bq_ivf(spark, window_s, r, lp, centroids, nprobe)
