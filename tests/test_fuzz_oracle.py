@@ -1007,3 +1007,42 @@ def test_fuzz_manifest_jsonl_video_panel(spark, tmp_path_factory, seed, n_docs):
     rng = np.random.default_rng(seed)
     root = str(tmp_path_factory.mktemp(f"fuzz_files_{seed}_{n_docs}"))
     _run_file_formats_panel(spark, root, rng, n_docs)
+
+
+@settings(max_examples=3, deadline=None, derandomize=True)
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    n_docs=st.integers(min_value=3, max_value=60),
+)
+def test_fuzz_staged_r15_text_ops(spark, tmp_path_factory, seed, n_docs):
+    """The r15-staged candidates face the registry gate once registered
+    — pre-verify on generated corpora. Shapes the fixtures never hit:
+    sub-k and token-less docs (winnowing emits nothing), docs shorter
+    than the window (single short-window winnowing), duplicate texts
+    (identical fingerprint sets; Bloom exact-hit paths), punctuation
+    and single-char words ('a', '...' — pairless under the BPE split),
+    and tiny corpora where the benchmark slice swallows every doc
+    (empty Bloom corpus side → empty on BOTH engines)."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_text import (
+        _oracle_bloom_decontaminate,
+        _oracle_bpe_merge_step,
+        _oracle_winnowing_fingerprint,
+        q_bloom_decontaminate,
+        q_bpe_merge_step,
+        q_winnowing_fingerprint,
+    )
+
+    rng = np.random.default_rng(seed)
+    tmpdir = str(tmp_path_factory.mktemp(f"fuzz_r15t_{seed}_{n_docs}"))
+    pq.write_table(
+        _gen_documents(rng, n_docs), os.path.join(tmpdir, "documents.parquet")
+    )
+    for name, q, o in [
+        ("winnowing_fingerprint", q_winnowing_fingerprint,
+         _oracle_winnowing_fingerprint()),
+        ("bloom_decontaminate", q_bloom_decontaminate,
+         _oracle_bloom_decontaminate()),
+        ("bpe_merge_step", q_bpe_merge_step, _oracle_bpe_merge_step()),
+    ]:
+        ok, msg = compare(q(spark, tmpdir), o, tmpdir, name)
+        assert ok, f"fuzz corpus diverged: {msg}"

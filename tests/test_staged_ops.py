@@ -2407,3 +2407,295 @@ def test_length_bucket_batches_rejects_degenerate_knobs(spark):
         length_bucket_batches(docs, token_budget=64, granule=16, cap=128)
     with pytest.raises(ValueError, match="multiple"):
         length_bucket_batches(docs, token_budget=512, granule=16, cap=100)
+
+
+# ---------------------------------------------------------------------------
+# winnowing_fingerprint / bloom_decontaminate / bpe_merge_step — STAGED
+# r13, r15 registration candidates (write-ahead pairings in queries.py
+# above _CHECK_FIRST: winnowing_fingerprint ↔ doc_fingerprint,
+# bloom_decontaminate ↔ mixture_sample, bpe_merge_step ↔ top_terms).
+# ---------------------------------------------------------------------------
+
+
+def _md5_long_py(s: str, salt: str = "", digits: int = 8) -> int:
+    import hashlib
+
+    return int(hashlib.md5((salt + s).encode()).hexdigest()[:digits], 16)
+
+
+def _winnow_py(toks, k, w):
+    """Single-threaded winnowing reference: positional k-gram md5
+    hashes, w-wide windows (single short window when grams < w),
+    rightmost-minimal selection, distinct (pos, hash)."""
+    hs = [
+        _md5_long_py(" ".join(toks[i : i + k]))
+        for i in range(len(toks) - k + 1)
+    ]
+    out = set()
+    if not hs:
+        return out
+    for j in range(1, max(len(hs) - w + 1, 1) + 1):
+        sub = hs[j - 1 : j - 1 + w]
+        m = min(sub)
+        rp = len(sub) - 1 - sub[::-1].index(m)  # rightmost min, 0-based
+        out.add((j + rp, m))
+    return out
+
+
+def test_winnowing_matches_python_reference(spark):
+    """Selections agree exactly with the single-threaded reference at
+    NON-registry (k, w)."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.textops import (
+        winnowing_fingerprints,
+    )
+
+    k, w = 2, 3  # NOT the registry constants — generality
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    expect = set()
+    for r in docs.collect():
+        toks = [t for t in r.text.lower().split() if t]
+        for pos, h in _winnow_py(toks, k, w):
+            expect.add((r.doc_id, pos, h))
+    got = {
+        (x.doc_id, x.fp_pos, x.fp_hash)
+        for x in winnowing_fingerprints(docs, k=k, w=w).collect()
+    }
+    assert got == expect
+    assert len(got) > 0
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    """The paper's core guarantee: two documents sharing a run of at
+    least w + k − 1 tokens share at least one fingerprint HASH — and a
+    pair with no shared k-gram at all shares none."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.textops import (
+        winnowing_fingerprints,
+    )
+
+    k, w = 3, 4
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 = w + k - 1 tokens
+    rows = [
+        (1, f"one two three {shared} four five"),
+        (2, f"{shared} six seven eight nine ten eleven"),
+        (3, "completely disjoint vocabulary with no overlap here at all"),
+        (4, "tiny"),  # sub-k: no grams, no fingerprints
+        (5, ""),  # token-less
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnowing_fingerprints(df, k=k, w=w).collect()
+    by_doc: dict = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp_hash)
+    assert by_doc[1] & by_doc[2], "shared substring must share a fingerprint"
+    assert not (by_doc[3] & by_doc[1])
+    assert 4 not in by_doc and 5 not in by_doc
+
+
+def test_winnowing_plan_zero_shuffle(spark):
+    """Plan contract: ONE codegen'd projection chain — explode over a
+    per-row array, ZERO exchanges, no Python, no join."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_text import (
+        q_winnowing_fingerprint,
+    )
+
+    df = q_winnowing_fingerprint(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "Join" not in plan
+    assert "Generate explode" in plan
+
+
+def test_winnowing_oracle_parity_staged(spark, sf_dir):
+    """The staged winnowing DuckDB oracle passes the driver-faithful
+    comparison (verified by hand at sf0.001/sf0.01/sf0.1 in r13)."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_text import (
+        _oracle_winnowing_fingerprint,
+        q_winnowing_fingerprint,
+    )
+    from .oracle_harness import compare
+
+    ok, msg = compare(
+        q_winnowing_fingerprint(spark, sf_dir),
+        _oracle_winnowing_fingerprint(),
+        sf_dir,
+        "winnowing_fingerprint",
+    )
+    assert ok, msg
+
+
+def test_bloom_decontaminate_matches_python_reference(spark):
+    """Flagged docs and per-doc maybe-counts agree exactly with a
+    single-threaded Bloom simulation at NON-registry (n, m_bits)."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.decontam import (
+        BLOOM_SALTS,
+        bloom_decontaminate,
+    )
+
+    n, m = 3, 1024  # NOT the registry constants; small m forces FPs
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    rows = [(r.doc_id, r.text) for r in docs.collect()]
+
+    def grams(text):
+        toks = [t for t in text.lower().split() if t]
+        return {
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        }
+
+    def positions(g):
+        return tuple(_md5_long_py(g, salt=s) % m for s in BLOOM_SALTS)
+
+    bits = set()
+    for did, text in rows:
+        if did < 20:
+            for g in grams(text):
+                bits.update(positions(g))
+    expect = {}
+    for did, text in rows:
+        if did < 20:
+            continue
+        gs = grams(text)
+        n_maybe = sum(1 for g in gs if all(p in bits for p in positions(g)))
+        if n_maybe >= 1:
+            expect[did] = (len(gs), n_maybe)
+
+    corpus = docs.filter(F.col("doc_id") >= 20)
+    bench = docs.filter(F.col("doc_id") < 20)
+    got = {
+        r.doc_id: (r.n_grams, r.n_maybe)
+        for r in bloom_decontaminate(corpus, bench, n=n, m_bits=m).collect()
+    }
+    assert got == expect
+    assert len(got) > 0
+
+
+def test_bloom_decontaminate_superset_of_exact(spark):
+    """No false negatives: every doc the exact gram join flags is
+    Bloom-flagged with n_maybe ≥ n_shared; at the registry knobs the
+    filter also produces SOME deterministic false positives (that is
+    what makes it a prefilter, not a re-implementation)."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.decontam import (
+        bloom_decontaminate,
+        ngram_overlap,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") >= 20)
+    bench = docs.filter(F.col("doc_id") < 20)
+    exact = {
+        r.doc_id: r.n_shared
+        for r in ngram_overlap(corpus, bench, n=4, min_hits=1).collect()
+    }
+    bloom = {
+        r.doc_id: r.n_maybe
+        for r in bloom_decontaminate(corpus, bench, n=4, m_bits=65536).collect()
+    }
+    for did, n_shared in exact.items():
+        assert did in bloom and bloom[did] >= n_shared
+    assert set(bloom) - set(exact), "expected deterministic false positives"
+
+
+def test_bloom_decontaminate_plan_shape(spark):
+    """Plan contract: the probe checks are broadcast LEFT SEMI joins
+    (the fixed-size position set is the ONLY broadcast state); no
+    cartesian, no Python, corpus-keyed exchanges bounded."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_text import (
+        q_bloom_decontaminate,
+    )
+
+    df = q_bloom_decontaminate(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("LeftSemi") == 2
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_bloom_decontaminate_oracle_parity_staged(spark, sf_dir):
+    """The staged bloom_decontaminate DuckDB oracle passes the
+    driver-faithful comparison (verified by hand at
+    sf0.001/sf0.01/sf0.1 in r13)."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_text import (
+        _oracle_bloom_decontaminate,
+        q_bloom_decontaminate,
+    )
+    from .oracle_harness import compare
+
+    ok, msg = compare(
+        q_bloom_decontaminate(spark, sf_dir),
+        _oracle_bloom_decontaminate(),
+        sf_dir,
+        "bloom_decontaminate",
+    )
+    assert ok, msg
+
+
+def test_bpe_merge_step_matches_python_reference(spark):
+    """Pair counts (per-occurrence, frequency-weighted) and the
+    (count desc, pair asc) top-N agree with a Counter reference."""
+    import re
+    from collections import Counter
+
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.textops import (
+        BPE_PATTERN,
+        bpe_merge_step,
+    )
+
+    top_n = 10  # NOT the registry constant
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    wf: Counter = Counter()
+    for r in docs.collect():
+        wf.update(re.findall(BPE_PATTERN, r.text.lower()))
+    pc: Counter = Counter()
+    for word, freq in wf.items():
+        for i in range(len(word) - 1):
+            pc[word[i : i + 2]] += freq
+    expect = sorted(pc.items(), key=lambda t: (-t[1], t[0]))[:top_n]
+    got = [
+        (r.pair, r.pair_count)
+        for r in bpe_merge_step(docs, top_n=top_n)
+        .orderBy(F.col("pair_count").desc(), F.col("pair").asc())
+        .collect()
+    ]
+    assert got == expect
+    # duplicate pairs within one word count once per occurrence
+    one = spark.createDataFrame([(1, "aaa")], "doc_id long, text string")
+    rows = bpe_merge_step(one, top_n=4).collect()
+    assert [(r.pair, r.pair_count) for r in rows] == [("aa", 2)]
+
+
+def test_bpe_merge_step_plan_vocab_collapse(spark):
+    """Plan contract: exactly TWO hash exchanges (word key, pair key —
+    both map-side partial) and a TakeOrderedAndProject; the per-char
+    explode runs on the VOCABULARY side of the first aggregate."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_text import (
+        q_bpe_merge_step,
+    )
+
+    df = q_bpe_merge_step(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
+    assert "partial_count" in plan and "partial_sum" in plan
+
+
+def test_bpe_merge_step_oracle_parity_staged(spark, sf_dir):
+    """The staged bpe_merge_step DuckDB oracle passes the
+    driver-faithful comparison (verified by hand at
+    sf0.001/sf0.01/sf0.1 in r13)."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_text import (
+        _oracle_bpe_merge_step,
+        q_bpe_merge_step,
+    )
+    from .oracle_harness import compare
+
+    ok, msg = compare(
+        q_bpe_merge_step(spark, sf_dir),
+        _oracle_bpe_merge_step(),
+        sf_dir,
+        "bpe_merge_step",
+    )
+    assert ok, msg

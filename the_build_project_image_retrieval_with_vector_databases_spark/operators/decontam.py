@@ -203,3 +203,95 @@ def semantic_screen(
         .select(id_col, F.col("query_id").alias("eval_id"), "dist")
     )
     return best.orderBy(F.col("dist").asc(), F.col(id_col).asc()).limit(k)
+
+
+# Salt prefixes for the Bloom probe hashes — two INDEPENDENT md5-derived
+# positions per gram (double hashing). Cross-engine contract: DuckDB
+# oracles recompute md5('<salt>' || gram) with the same prefixes.
+BLOOM_SALTS: tuple[str, ...] = ("bloom0:", "bloom1:")
+
+
+def bloom_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 4,
+    m_bits: int = 65536,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Bloom-filter decontamination prefilter (Bloom, CACM 1970) — the
+    APPROXIMATE-membership companion to :func:`ngram_overlap` for when
+    the benchmark's exact gram set is too large to broadcast as longs:
+    insert every benchmark n-gram into an ``m_bits``-position filter
+    (``len(BLOOM_SALTS)`` salted md5 probes per gram), then flag corpus
+    documents whose grams have ALL probe positions set.
+
+    Guarantees, both deterministic and oracle-replayable:
+    - NO false negatives: every document ``ngram_overlap`` flags is
+      flagged here too (a truly shared gram sets its own positions).
+    - False positives at the classic rate ≈ (1 − e^(−h·G/m))^h for G
+      benchmark grams and h probes — deterministic given the salts, so
+      the DuckDB oracle reproduces the SAME false positives bit-exactly.
+
+    Returns ``(doc_id, n_grams, n_maybe, maybe_frac)`` for corpus docs
+    with ≥ ``min_hits`` maybe-contaminated grams; downstream, hits go to
+    the exact pass (``ngram_overlap``) for confirmation — the standard
+    two-tier hygiene pipeline.
+
+    Scale shape (the reason this exists): the filter state is the
+    DISTINCT SET-POSITION relation — **≤ m_bits rows no matter how many
+    grams the benchmark holds** (a fixed broadcast; the exact path's
+    broadcast grows with the benchmark). The corpus is never shuffled:
+    probe checks are two broadcast LEFT SEMI joins against the position
+    set, and the only corpus-keyed exchange is the per-doc aggregate.
+    Size ``m_bits ≈ 10 · h · |benchmark grams|`` for a ~1% FP rate.
+    """
+    def _gram_positions(df: DataFrame) -> DataFrame:
+        # one row per distinct n-gram per document, with its probe
+        # positions (token_shingles dedups within doc)
+        g = df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(token_shingles(tokens(F.col(text_col)), n=n)).alias("_g"),
+        )
+        return g.select(
+            "_id",
+            *[
+                (md5_long(F.col("_g"), salt=s) % m_bits).alias(f"p{i}")
+                for i, s in enumerate(BLOOM_SALTS)
+            ],
+        )
+
+    probes = [f"p{i}" for i in range(len(BLOOM_SALTS))]
+    bits = (
+        _gram_positions(benchmark)
+        .select(F.explode(F.array(*probes)).alias("pos"))
+        .distinct()
+    )
+    maybe = _gram_positions(corpus)
+    for i, p in enumerate(probes):
+        maybe = maybe.join(
+            F.broadcast(bits.select(F.col("pos").alias(f"_b{i}"))),
+            F.col(p) == F.col(f"_b{i}"),
+            "left_semi",
+        )
+    hits = (
+        maybe.groupBy("_id")
+        .agg(F.count("*").alias("n_maybe"))
+        .filter(F.col("n_maybe") >= min_hits)
+    )
+    # gram counts only for flagged docs (the ngram_overlap lesson: the
+    # second tokenize pass touches hits, not the corpus)
+    grams = token_shingles(tokens(F.col(text_col)), n=n)
+    frac = F.col("n_maybe").cast("double") / F.col("n_grams").cast("double")
+    return (
+        corpus.select(F.col(id_col).alias("_id"), F.col(text_col))
+        .join(hits, "_id")
+        .select(
+            F.col("_id").alias(id_col),
+            F.size(grams).alias("n_grams"),
+            "n_maybe",
+        )
+        .select(id_col, "n_grams", "n_maybe", frac.alias("maybe_frac"))
+    )

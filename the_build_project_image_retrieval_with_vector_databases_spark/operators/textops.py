@@ -517,3 +517,114 @@ def passage_chunks(
         F.size(sl).cast("int").alias("n_tokens"),
         F.array_join(sl, " ").alias("chunk_text"),
     )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every word k-gram, slide a
+    w-hash window over the positional hash stream, and in each window
+    select the RIGHTMOST minimal hash; the distinct (position, hash)
+    selections are the document's fingerprints.
+
+    The guarantee that makes this the robust companion to
+    ``fingerprint``'s single min-hash: any shared substring of at least
+    w + k − 1 tokens between two documents yields at least one IDENTICAL
+    fingerprint hash in both — matching on fingerprints finds local
+    (substring-level) overlap, not just whole-document similarity, at a
+    gap-bounded density of selections (≈ 2/(w+1) of all grams).
+
+    Positional note: canonical winnowing breaks window ties toward the
+    RIGHTMOST minimum (fewer distinct selections as the window slides);
+    implemented as ``size(sub) − position(min, reverse(sub)) + start``
+    — pure integer/string arithmetic the DuckDB oracle replays exactly.
+
+    Documents with fewer than w grams (but ≥ 1) winnow their single
+    short window — one fingerprint, the global min — matching the
+    paper's short-input degeneration. Token-less / sub-k docs emit
+    nothing.
+
+    Scale shape: ONE codegen'd projection chain — tokenize → positional
+    gram hashes → per-window argmin → array_distinct → explode — with
+    ZERO shuffles and no UDF; output is ≤ grams/⌈(w+1)/2⌉ rows per doc.
+    At 100 TB this is embarrassingly parallel per input split. The
+    tokenize stays in its own projection (the doc_shingles contract —
+    see passage_chunks)."""
+    toked = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    g = F.size("__toks") - F.lit(k - 1)  # positional gram count
+    # positional (NOT distinct) gram hashes: position is part of the
+    # fingerprint identity, so token_shingles' array_distinct is wrong here
+    hashes = F.transform(
+        F.sequence(F.lit(1), g),
+        lambda i: md5_long(F.concat_ws(" ", F.slice(F.col("__toks"), i, k))),
+    )
+    n_windows = F.greatest(g - F.lit(w - 1), F.lit(1))
+
+    def _pick(j):
+        sub = F.slice(hashes, j, w)  # clamps at the tail (short last window)
+        m = F.array_min(sub)
+        # rightmost minimal hash: first hit in the REVERSED window
+        rpos = F.array_position(F.reverse(sub), m)
+        return F.struct(
+            (j + F.size(sub) - rpos).cast("int").alias("fp_pos"),
+            m.alias("fp_hash"),
+        )
+
+    sel = F.array_distinct(F.transform(F.sequence(F.lit(1), n_windows), _pick))
+    # sub-k docs: NULL (not empty-array) so the explode emits zero rows
+    # without a filter that would re-inline the tokenize subtree below
+    # the projection (the passage_chunks lesson)
+    fp = toked.select(
+        F.col(id_col),
+        F.explode(F.when(g >= 1, sel)).alias("__fp"),
+    )
+    return fp.select(
+        F.col(id_col),
+        F.col("__fp.fp_pos").alias("fp_pos"),
+        F.col("__fp.fp_hash").alias("fp_hash"),
+    )
+
+
+def bpe_merge_step(
+    df: DataFrame, top_n: int = 32, text_col: str = "text"
+) -> DataFrame:
+    """One distributed BPE merge iteration (Sennrich, Haddow & Birch,
+    ACL 2016): pre-tokenize the corpus with ``BPE_PATTERN``, count word
+    frequencies, then count ADJACENT CHARACTER PAIRS weighted by word
+    frequency — the top-``top_n`` pairs (count desc, pair asc) are the
+    merge candidates a tokenizer trainer would fuse this round.
+
+    Duplicate pairs within a word count once per occurrence ("aaa"
+    contributes "aa" twice), exactly as the published algorithm counts.
+
+    Scale shape — why this is THE way to train a tokenizer on 100 TB:
+    the corpus collapses to its VOCABULARY after the first aggregate
+    (distinct words ≪ corpus tokens; both aggregates are map-side
+    partial), so the expensive explode-per-character work runs on the
+    vocabulary, not the corpus. Two bounded shuffles (word key, pair
+    key) and a TakeOrderedAndProject — no window, no driver loop."""
+    words = df.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(BPE_PATTERN), 0)
+        ).alias("word")
+    )
+    wf = words.groupBy("word").agg(F.count("*").alias("freq"))
+    pairs_arr = F.transform(
+        F.sequence(F.lit(1), F.length("word") - F.lit(1)),
+        lambda i: F.col("word").substr(i, F.lit(2)),
+    )
+    pe = (
+        wf.filter(F.length("word") >= 2)
+        .select(F.explode(pairs_arr).alias("pair"), "freq")
+    )
+    return (
+        pe.groupBy("pair")
+        .agg(F.sum("freq").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), F.col("pair").asc())
+        .limit(top_n)
+    )

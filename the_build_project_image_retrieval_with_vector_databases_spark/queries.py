@@ -658,6 +658,27 @@ ORACLES: dict[str, str] = {
 #   leakage_safe_split    ↔ semantic_dedup_incremental (near-dup-
 #       component train/eval split — the Lee et al. 2022 leakage
 #       guard; pointer-jumping components + one id-keyed join)
+#
+# ROUND-15 WINDOW PLAN (provisional write-ahead): r15's window re-checks
+# the r13-checked half (the _CHECK_FIRST list below). Staged candidates
+# (staged r13 under the full discipline — 3-SF oracle parity + Python
+# reference + plan pin in tests/test_staged_ops.py, generated-corpus
+# fuzz in tests/test_fuzz_oracle.py::test_fuzz_staged_r15_text_ops);
+# each pairs one-for-one with a retiree FROM THE LIST BELOW (the
+# r13-checked half — the half that rotates into the r15 window, so each
+# retirement frees a real r15 window slot):
+#   winnowing_fingerprint ↔ doc_fingerprint (winnowing selects per-
+#       window rightmost-minimal gram hashes — the substring-robust
+#       superset of the single corpus-wide min-token-hash fingerprint,
+#       which stays covered by fingerprint()'s unit tests)
+#   bloom_decontaminate   ↔ mixture_sample (temperature_mix, registered
+#       r13, is the published generalization of fixed-weight mixture
+#       sampling — same quota/rank machinery at τ≠1; mixture_sample
+#       keeps its unit + property tests)
+#   bpe_merge_step        ↔ top_terms (salted_term_counts covers the
+#       corpus term-count aggregate — same explode→count shape, skew-
+#       hardened; top_terms' TakeOrderedAndProject surface also lives
+#       in bpe_merge_step itself)
 _CHECK_FIRST: list[str] = [
     # the 47 surviving r11-checked entries (ivf_topk_batch,
     # label_counts, simhash retired), one round stale — re-verified

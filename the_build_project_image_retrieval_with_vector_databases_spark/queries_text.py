@@ -1704,3 +1704,131 @@ SELECT d.doc_id,
             THEN 'train' ELSE 'eval' END AS split
 FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
 """
+
+
+# ---------------------------------------------------------------------------
+# r15 registration candidates — STAGED r13 (write-ahead pairings in
+# queries.py above _CHECK_FIRST): winnowing_fingerprint ↔ doc_fingerprint,
+# bloom_decontaminate ↔ mixture_sample, bpe_merge_step ↔ top_terms — all
+# three retirees sit in the r13-checked half, so each frees a real r15
+# window slot. Staging discipline: Python-reference + 3-SF oracle parity
+# + plan pin in tests/test_staged_ops.py, generated-corpus fuzz rows in
+# tests/test_fuzz_oracle.py.
+# ---------------------------------------------------------------------------
+
+WN_K, WN_W = 3, 4
+
+
+def q_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED (r13) — NOT registered. Winnowing fingerprints (operators/
+    textops.py::winnowing_fingerprints; Schleimer et al. SIGMOD 2003):
+    per-window rightmost-minimal k-gram hash selection — local
+    (substring-level) overlap detection, the robust superset of
+    doc_fingerprint's single corpus-wide min-hash. Zero-shuffle
+    codegen'd projection chain."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.winnowing_fingerprints(spread(docs), k=WN_K, w=WN_W)
+
+
+def _oracle_winnowing_fingerprint(k: int = WN_K, w: int = WN_W) -> str:
+    """Mirror: positional gram md5-prefix hashes, w-wide windows (short
+    single window when grams < w), rightmost-min via reversed
+    list_position, distinct (pos, hash) selections. The gram-index
+    lambda var is ``gi`` — _dk_hex2long binds ``i`` internally and
+    DuckDB's inner lambda would shadow an outer ``i``."""
+    gram_h = _dk_hex2long(
+        f"md5(array_to_string(list_slice(toks, gi, gi + {k - 1}), ' '))"
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {_dk_toks()} AS toks FROM documents),
+h AS (SELECT doc_id,
+        list_transform(range(1, greatest(len(toks) - {k - 1}, 0) + 1),
+                       gi -> {gram_h}) AS hs
+      FROM t),
+w AS (SELECT doc_id, hs,
+        unnest(range(1, greatest(len(hs) - {w - 1}, 1) + 1)) AS j
+      FROM h WHERE len(hs) >= 1),
+s AS (SELECT doc_id, j, list_slice(hs, j, j + {w - 1}) AS sub FROM w)
+SELECT DISTINCT doc_id,
+       CAST(j + len(sub)
+            - list_position(list_reverse(sub), list_min(sub)) AS INT)
+         AS fp_pos,
+       CAST(list_min(sub) AS BIGINT) AS fp_hash
+FROM s
+"""
+
+
+BLOOM_M_BITS = 65536
+
+
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED (r13) — NOT registered. Bloom-filter decontamination
+    prefilter (operators/decontam.py::bloom_decontaminate; Bloom 1970):
+    the benchmark slice's (doc_id < 20) 4-grams set positions in a
+    65536-position double-hash filter; corpus docs (doc_id ≥ 20) whose
+    grams have BOTH probe positions set are flagged. No false
+    negatives; deterministic false positives the oracle replays
+    bit-exactly. The filter state is ≤ m_bits rows at ANY benchmark
+    size — the fixed-broadcast scale path the exact gram join lacks."""
+    from .operators.decontam import bloom_decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = spread(docs).filter(F.col("doc_id") >= 20)
+    bench = docs.filter(F.col("doc_id") < 20)
+    return bloom_decontaminate(corpus, bench, n=4, m_bits=BLOOM_M_BITS)
+
+
+def _oracle_bloom_decontaminate(n: int = 4, m_bits: int = BLOOM_M_BITS) -> str:
+    """Mirror: same salted md5 probe positions ('bloom0:'/'bloom1:'
+    prefixes — operators/decontam.py::BLOOM_SALTS), same distinct
+    position set, same all-probes-set test, same per-doc counts."""
+    p0 = _dk_hex2long("md5('bloom0:' || g)")
+    p1 = _dk_hex2long("md5('bloom1:' || g)")
+    return f"""
+WITH t AS (SELECT doc_id, {_dk_toks()} AS toks FROM documents),
+sh AS (SELECT doc_id, unnest({_dk_shingles('toks', n)}) AS g FROM t),
+hp AS (SELECT doc_id, {p0} % {m_bits} AS p0, {p1} % {m_bits} AS p1 FROM sh),
+bits AS (SELECT DISTINCT pos FROM (
+           SELECT p0 AS pos FROM hp WHERE doc_id < 20
+           UNION ALL
+           SELECT p1 AS pos FROM hp WHERE doc_id < 20)),
+corpus AS (SELECT doc_id, p0, p1 FROM hp WHERE doc_id >= 20),
+sizes AS (SELECT doc_id, count(*) AS n_grams FROM corpus GROUP BY 1),
+hits AS (SELECT doc_id, count(*) AS n_maybe FROM corpus
+         WHERE p0 IN (SELECT pos FROM bits)
+           AND p1 IN (SELECT pos FROM bits)
+         GROUP BY 1)
+SELECT h.doc_id, s.n_grams, h.n_maybe,
+       h.n_maybe::DOUBLE / s.n_grams::DOUBLE AS maybe_frac
+FROM hits h JOIN sizes s USING (doc_id)
+"""
+
+
+BPE_TOP_N = 32
+
+
+def q_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED (r13) — NOT registered. One distributed BPE merge
+    iteration (operators/textops.py::bpe_merge_step; Sennrich et al.
+    2016): word frequencies → adjacent-char-pair counts weighted by
+    frequency → top-32 merge candidates. The corpus collapses to its
+    vocabulary after the first aggregate — the tokenizer-training
+    shape for 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.bpe_merge_step(spread(docs), top_n=BPE_TOP_N)
+
+
+def _oracle_bpe_merge_step(top_n: int = BPE_TOP_N) -> str:
+    return f"""
+WITH w AS (SELECT unnest(regexp_extract_all(lower(text),
+             '[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\f\\r]')) AS word
+           FROM documents),
+wf AS (SELECT word, count(*) AS freq FROM w GROUP BY word),
+p AS (SELECT unnest(list_transform(range(1, length(word)),
+        i -> substr(word, CAST(i AS INT), 2))) AS pair, freq
+      FROM wf WHERE length(word) >= 2)
+SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_count
+FROM p GROUP BY pair
+ORDER BY pair_count DESC, pair ASC
+LIMIT {top_n}
+"""
