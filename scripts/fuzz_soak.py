@@ -49,9 +49,16 @@ from tests.oracle_harness import compare  # noqa: E402
 def _staged_pairs():
     """(name, query_fn, oracle_sql) per panel: the r11 trio registered
     r12 whose generated-corpus constraints differ from the generic
-    panel ranges — kept covered here with the shared corpus. (The r12
-    trio registered r13 — bq_hamming_topk, passage_chunking,
-    temperature_mix — now rides the panel lists directly.)"""
+    panel ranges — kept covered here with the shared corpus — PLUS
+    every currently-staged registration candidate (the r14 and r15
+    trios), so the many-seed soak exercises them before their window
+    flip, not just the 3-example derandomized hypothesis rows. The
+    oracle slot may be a callable(dir) -> sql for corpus-sized
+    oracles (leakage_safe_split re-derives its LSH plane count from
+    the generated corpus's footer row count, like lsh_near_dup).
+    (The r12 trio registered r13 — bq_hamming_topk, passage_chunking,
+    temperature_mix — rides the panel lists directly.)"""
+    from tests.test_oracle_parity import _sized_oracles
     from the_build_project_image_retrieval_with_vector_databases_spark.queries_ann import (
         ORACLE_SEMANTIC_DECONTAMINATE,
         q_semantic_decontaminate,
@@ -59,14 +66,37 @@ def _staged_pairs():
     from the_build_project_image_retrieval_with_vector_databases_spark.queries_text import (
         ORACLE_DSIR_IMPORTANCE,
         ORACLE_PERPLEXITY_BUCKETS,
+        _oracle_bloom_decontaminate,
+        _oracle_bpe_merge_step,
+        _oracle_leakage_safe_split,
+        _oracle_length_bucket_batches,
+        _oracle_unimax_mix,
+        _oracle_winnowing_fingerprint,
+        q_bloom_decontaminate,
+        q_bpe_merge_step,
         q_dsir_importance,
+        q_leakage_safe_split,
+        q_length_bucket_batches,
         q_perplexity_buckets,
+        q_unimax_mix,
+        q_winnowing_fingerprint,
     )
 
     return {
         "docs": [
             ("dsir_importance", q_dsir_importance, ORACLE_DSIR_IMPORTANCE),
             ("perplexity_buckets", q_perplexity_buckets, ORACLE_PERPLEXITY_BUCKETS),
+            ("unimax_mix", q_unimax_mix, _oracle_unimax_mix()),
+            ("length_bucket_batches", q_length_bucket_batches,
+             _oracle_length_bucket_batches()),
+            ("leakage_safe_split", q_leakage_safe_split,
+             lambda d: _sized_oracles(d).get(
+                 "leakage_safe_split", _oracle_leakage_safe_split())),
+            ("winnowing_fingerprint", q_winnowing_fingerprint,
+             _oracle_winnowing_fingerprint()),
+            ("bloom_decontaminate", q_bloom_decontaminate,
+             _oracle_bloom_decontaminate()),
+            ("bpe_merge_step", q_bpe_merge_step, _oracle_bpe_merge_step()),
         ],
         "emb": [
             ("semantic_decontaminate", q_semantic_decontaminate,
@@ -114,7 +144,8 @@ def main() -> int:
                 try:
                     _run_panel(spark, d, names)
                     for sname, qfn, osql in _staged_pairs()[panel]:
-                        ok, msg = compare(qfn(spark, d), osql, d, sname)
+                        osql_s = osql(d) if callable(osql) else osql
+                        ok, msg = compare(qfn(spark, d), osql_s, d, sname)
                         assert ok, f"staged {msg}"
                     print(f"seed={seed} panel={panel}: OK", flush=True)
                 except AssertionError as exc:
