@@ -549,24 +549,39 @@ def winnowing_fingerprints(
     paper's short-input degeneration. Token-less / sub-k docs emit
     nothing.
 
-    Scale shape: ONE codegen'd projection chain — tokenize → positional
-    gram hashes → per-window argmin → array_distinct → explode — with
-    ZERO shuffles and no UDF; output is ≤ grams/⌈(w+1)/2⌉ rows per doc.
-    At 100 TB this is embarrassingly parallel per input split. The
-    tokenize stays in its own projection (the doc_shingles contract —
-    see passage_chunks)."""
+    Scale shape: a projection chain — tokenize → positional gram hashes
+    → per-window argmin → array_distinct → explode — with ZERO shuffles
+    and no UDF; output is ≤ grams/⌈(w+1)/2⌉ rows per doc. At 100 TB
+    this is embarrassingly parallel per input split. BOTH the tokenize
+    and the gram-hash array live in their OWN projections (the
+    doc_shingles contract — see passage_chunks): the hash array is
+    consumed once per WINDOW, and inlining it would re-evaluate the
+    full md5 transform per window — measured 37× the whole query's
+    cost at sf0.1 (25.1 s inlined → 0.67 s materialized, same
+    scale_proof protocol). Remaining cost is the per-gram md5 itself —
+    inherent to the cross-engine-verifiable hash contract — so wall
+    time scales with corpus CPU (measured 4.6× @10×, 43× @100×: the
+    linear-CPU class, like ngram_jaccard_dedup's tokenize)."""
     toked = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
-    g = F.size("__toks") - F.lit(k - 1)  # positional gram count
+    g0 = F.size("__toks") - F.lit(k - 1)  # positional gram count
     # positional (NOT distinct) gram hashes: position is part of the
-    # fingerprint identity, so token_shingles' array_distinct is wrong here
-    hashes = F.transform(
-        F.sequence(F.lit(1), g),
-        lambda i: md5_long(F.concat_ws(" ", F.slice(F.col("__toks"), i, k))),
+    # fingerprint identity, so token_shingles' array_distinct is wrong
+    # here. NULL (not empty) for sub-k docs — the guard keeps
+    # sequence(1, g<=0) descending-range semantics out, and NULL
+    # propagates through size/when below so the explode emits nothing.
+    hashes = F.when(
+        g0 >= 1,
+        F.transform(
+            F.sequence(F.lit(1), g0),
+            lambda i: md5_long(F.concat_ws(" ", F.slice(F.col("__toks"), i, k))),
+        ),
     )
+    hashed = toked.select(F.col(id_col), hashes.alias("__hs"))
+    g = F.size("__hs")
     n_windows = F.greatest(g - F.lit(w - 1), F.lit(1))
 
     def _pick(j):
-        sub = F.slice(hashes, j, w)  # clamps at the tail (short last window)
+        sub = F.slice(F.col("__hs"), j, w)  # clamps at the tail (short last window)
         m = F.array_min(sub)
         # rightmost minimal hash: first hit in the REVERSED window
         rpos = F.array_position(F.reverse(sub), m)
@@ -576,10 +591,10 @@ def winnowing_fingerprints(
         )
 
     sel = F.array_distinct(F.transform(F.sequence(F.lit(1), n_windows), _pick))
-    # sub-k docs: NULL (not empty-array) so the explode emits zero rows
-    # without a filter that would re-inline the tokenize subtree below
-    # the projection (the passage_chunks lesson)
-    fp = toked.select(
+    # sub-k docs: __hs is NULL → g is NULL → the when yields NULL and
+    # the explode emits zero rows, without a filter that would re-inline
+    # the hash subtree below the projection (the passage_chunks lesson)
+    fp = hashed.select(
         F.col(id_col),
         F.explode(F.when(g >= 1, sel)).alias("__fp"),
     )
