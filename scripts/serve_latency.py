@@ -289,11 +289,13 @@ def main_bq_ivf() -> None:
         "note": (
             "Composed tier: SWAR Hamming scan restricted to each query's "
             "nprobe probed inverted lists (partition-pruned scan bytes AND "
-            "16x-smaller code reads), float rescore on the shortlist. At "
-            "2M x 64-D this is the best-measured serving tier: it holds the "
-            "rate-loop knee below pure IVF (which pays full-precision BLAS "
-            "inside probed lists) and far below pure BQ (which scans all "
-            "2M codes per epoch)."
+            "16x-smaller code reads); ranks are raw Hamming within probed "
+            "lists — no float rescore stage (recall = the nprobe curve x "
+            "the sign-quantization curve, priced in RECALL_CURVE.json "
+            "bq_ivf). At 2M x 64-D this is the best-measured serving tier: "
+            "it holds the rate-loop knee below pure IVF (which pays "
+            "full-precision BLAS inside probed lists) and far below pure "
+            "BQ (which scans all 2M codes per epoch)."
         ),
         "warmup": f"{min(window_s, 15)}s@{rates[0]}qps discarded",
         "runs": [
