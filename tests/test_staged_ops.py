@@ -2528,7 +2528,7 @@ def test_bloom_decontaminate_matches_python_reference(spark):
     """Flagged docs and per-doc maybe-counts agree exactly with a
     single-threaded Bloom simulation at NON-registry (n, m_bits)."""
     from the_build_project_image_retrieval_with_vector_databases_spark.operators.decontam import (
-        BLOOM_SALTS,
+        BLOOM_HEX_STARTS,
         bloom_decontaminate,
     )
 
@@ -2543,7 +2543,12 @@ def test_bloom_decontaminate_matches_python_reference(spark):
         }
 
     def positions(g):
-        return tuple(_md5_long_py(g, salt=s) % m for s in BLOOM_SALTS)
+        import hashlib
+
+        h = hashlib.md5(g.encode()).hexdigest()
+        return tuple(
+            int(h[s - 1 : s + 7], 16) % m for s in BLOOM_HEX_STARTS
+        )
 
     bits = set()
     for did, text in rows:

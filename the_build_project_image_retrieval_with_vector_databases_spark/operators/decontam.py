@@ -205,10 +205,14 @@ def semantic_screen(
     return best.orderBy(F.col("dist").asc(), F.col(id_col).asc()).limit(k)
 
 
-# Salt prefixes for the Bloom probe hashes — two INDEPENDENT md5-derived
-# positions per gram (double hashing). Cross-engine contract: DuckDB
-# oracles recompute md5('<salt>' || gram) with the same prefixes.
-BLOOM_SALTS: tuple[str, ...] = ("bloom0:", "bloom1:")
+# Probe-position derivation — TWO independent positions from ONE md5
+# digest per gram: hex windows [1..8] and [9..16] of the same 32-char
+# digest (the Kirsch-Mitzenmacher observation that a Bloom filter's k
+# probes can all derive from one strong hash). ONE md5 per gram instead
+# of k salted re-hashes — at 100 TB the corpus-side gram hashing is the
+# op's dominant cost. Cross-engine contract: DuckDB oracles slice the
+# same digest at the same offsets.
+BLOOM_HEX_STARTS: tuple[int, ...] = (1, 9)
 
 
 def bloom_decontaminate(
@@ -225,15 +229,17 @@ def bloom_decontaminate(
     APPROXIMATE-membership companion to :func:`ngram_overlap` for when
     the benchmark's exact gram set is too large to broadcast as longs:
     insert every benchmark n-gram into an ``m_bits``-position filter
-    (``len(BLOOM_SALTS)`` salted md5 probes per gram), then flag corpus
-    documents whose grams have ALL probe positions set.
+    (``len(BLOOM_HEX_STARTS)`` probe positions sliced from ONE md5
+    digest per gram), then flag corpus documents whose grams have ALL
+    probe positions set.
 
     Guarantees, both deterministic and oracle-replayable:
     - NO false negatives: every document ``ngram_overlap`` flags is
       flagged here too (a truly shared gram sets its own positions).
     - False positives at the classic rate ≈ (1 − e^(−h·G/m))^h for G
-      benchmark grams and h probes — deterministic given the salts, so
-      the DuckDB oracle reproduces the SAME false positives bit-exactly.
+      benchmark grams and h probes — deterministic given the digest
+      windows, so the DuckDB oracle reproduces the SAME false
+      positives bit-exactly.
 
     Returns ``(doc_id, n_grams, n_maybe, maybe_frac)`` for corpus docs
     with ≥ ``min_hits`` maybe-contaminated grams; downstream, hits go to
@@ -250,20 +256,27 @@ def bloom_decontaminate(
     """
     def _gram_positions(df: DataFrame) -> DataFrame:
         # one row per distinct n-gram per document, with its probe
-        # positions (token_shingles dedups within doc)
+        # positions (token_shingles dedups within doc). The digest is
+        # materialized in its own projection (the doc_shingles
+        # contract) and sliced twice — ONE md5 evaluation per gram.
         g = df.select(
             F.col(id_col).alias("_id"),
             F.explode(token_shingles(tokens(F.col(text_col)), n=n)).alias("_g"),
         )
-        return g.select(
+        hexed = g.select("_id", F.md5(F.col("_g")).alias("_h"))
+        return hexed.select(
             "_id",
             *[
-                (md5_long(F.col("_g"), salt=s) % m_bits).alias(f"p{i}")
-                for i, s in enumerate(BLOOM_SALTS)
+                (
+                    F.conv(F.substring(F.col("_h"), start, 8), 16, 10)
+                    .cast("long")
+                    % m_bits
+                ).alias(f"p{i}")
+                for i, start in enumerate(BLOOM_HEX_STARTS)
             ],
         )
 
-    probes = [f"p{i}" for i in range(len(BLOOM_SALTS))]
+    probes = [f"p{i}" for i in range(len(BLOOM_HEX_STARTS))]
     bits = (
         _gram_positions(benchmark)
         .select(F.explode(F.array(*probes)).alias("pos"))

@@ -1779,15 +1779,17 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_bloom_decontaminate(n: int = 4, m_bits: int = BLOOM_M_BITS) -> str:
-    """Mirror: same salted md5 probe positions ('bloom0:'/'bloom1:'
-    prefixes — operators/decontam.py::BLOOM_SALTS), same distinct
-    position set, same all-probes-set test, same per-doc counts."""
-    p0 = _dk_hex2long("md5('bloom0:' || g)")
-    p1 = _dk_hex2long("md5('bloom1:' || g)")
+    """Mirror: both probe positions sliced from ONE md5 digest per gram
+    (hex windows [1..8] and [9..16] — operators/decontam.py::
+    BLOOM_HEX_STARTS), same distinct position set, same all-probes-set
+    test, same per-doc counts."""
+    p0 = _dk_hex2long("h")
+    p1 = _dk_hex2long("substr(h, 9, 8)")
     return f"""
 WITH t AS (SELECT doc_id, {_dk_toks()} AS toks FROM documents),
 sh AS (SELECT doc_id, unnest({_dk_shingles('toks', n)}) AS g FROM t),
-hp AS (SELECT doc_id, {p0} % {m_bits} AS p0, {p1} % {m_bits} AS p1 FROM sh),
+hx AS (SELECT doc_id, md5(g) AS h FROM sh),
+hp AS (SELECT doc_id, {p0} % {m_bits} AS p0, {p1} % {m_bits} AS p1 FROM hx),
 bits AS (SELECT DISTINCT pos FROM (
            SELECT p0 AS pos FROM hp WHERE doc_id < 20
            UNION ALL
