@@ -558,9 +558,12 @@ def winnowing_fingerprints(
     consumed once per WINDOW, and inlining it would re-evaluate the
     full md5 transform per window — measured 37× the whole query's
     cost at sf0.1 (25.1 s inlined → 0.67 s materialized, same
-    scale_proof protocol). Remaining cost is the per-gram md5 itself —
-    inherent to the cross-engine-verifiable hash contract — so wall
-    time scales with corpus CPU (measured 4.6× @10×, 43× @100×: the
+    scale_proof protocol). Remaining cost is the per-window stage
+    (profiled: slice/array_min/reverse/array_position are NATIVE
+    Catalyst array ops — the gram-md5 stage alone is ~0.14 s of the
+    total; an interpreted one-pass `aggregate` argmin would be
+    SLOWER than these native calls) — per-row CPU, so wall time
+    scales with the corpus (measured 4.6× @10×, 43× @100×: the
     linear-CPU class, like ngram_jaccard_dedup's tokenize)."""
     toked = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
     g0 = F.size("__toks") - F.lit(k - 1)  # positional gram count
