@@ -264,13 +264,21 @@ def bloom_decontaminate(
             F.explode(token_shingles(tokens(F.col(text_col)), n=n)).alias("_g"),
         )
         hexed = g.select("_id", F.md5(F.col("_g")).alias("_h"))
+        # coalesce is a pure nullability annotation: the position is
+        # never null (md5 of a non-null gram), but conv() is nullable
+        # in the schema, and the semi joins below would otherwise
+        # infer an isnotnull(p_i) filter that Catalyst pushes BELOW
+        # this projection — re-evaluating the md5 once more per gram
+        # (observed in the executed plan). Non-nullable keys → no
+        # inferred filter → exactly ONE md5 evaluation per gram.
         return hexed.select(
             "_id",
             *[
-                (
+                F.coalesce(
                     F.conv(F.substring(F.col("_h"), start, 8), 16, 10)
                     .cast("long")
-                    % m_bits
+                    % m_bits,
+                    F.lit(-1),
                 ).alias(f"p{i}")
                 for i, start in enumerate(BLOOM_HEX_STARTS)
             ],
