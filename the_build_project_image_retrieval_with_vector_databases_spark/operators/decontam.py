@@ -29,13 +29,27 @@ from ..functions.text import md5_long, token_shingles, tokens
 
 
 def _gram_hashes(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """(id, h) — one row per distinct n-gram hash per document."""
+    """(id, h) — one row per distinct n-gram hash per document.
+
+    The coalesce is a pure nullability annotation (md5 of a non-null
+    gram is never null, so the -1 sentinel is unreachable): conv() is
+    nullable in the schema, and a nullable join key makes the gram
+    join infer an isnotnull(h) filter that Catalyst pushes BELOW this
+    projection — re-evaluating the full 15-digit md5 fold once more
+    per gram on BOTH sides (observed in the executed plan; the
+    corpus-side tokenize+hash is this operator's dominant cost).
+    Non-nullable key → no inferred filter → one evaluation per gram."""
     return (
         df.select(
             F.col(id_col).alias("_id"),
             F.explode(token_shingles(tokens(F.col(text_col)), n=n)).alias("_g"),
         )
-        .select("_id", md5_long(F.col("_g"), digits=15).alias("h"))
+        .select(
+            "_id",
+            F.coalesce(
+                md5_long(F.col("_g"), digits=15), F.lit(-1)
+            ).alias("h"),
+        )
     )
 
 
