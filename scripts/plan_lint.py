@@ -15,6 +15,10 @@ the patterns that are NEVER acceptable at 100 TB:
   engine's contract is Arrow-only Python (`MapInPandas` /
   `FlatMapGroupsInPandas`), verified here structurally instead of by
   source grep alone.
+- a Filter evaluating an md5/conv hash chain — the nullable-join-key
+  class (r13): a nullable hash key makes joins infer isnotnull(key),
+  pushed below the projection that computes it, double-evaluating the
+  hash per row. Keys must be coalesce-annotated non-nullable.
 
 Also recorded per query (trend data, not gates): hash-exchange count,
 BNLJ count, Arrow-Python operator count, and whole-stage-codegen span
@@ -124,6 +128,19 @@ def lint_one(df) -> dict:
             "arrow_python": plan.count("MapInPandas")
             + plan.count("FlatMapGroupsInPandas"),
             "codegen_spans": plan.count("WholeStageCodegen"),
+            # the nullable-join-key class (found r13 on decontaminate):
+            # joins infer isnotnull(key) on a NULLABLE hash key and
+            # Catalyst pushes the filter BELOW the projection computing
+            # it — the plan then evaluates the md5/conv chain in both
+            # the Filter and the Project (codegen does not share
+            # subexpressions across operators). Fix at the source:
+            # coalesce the key to an unreachable sentinel so the
+            # schema is non-nullable and no filter is synthesized.
+            "filter_recomputed_hash": sum(
+                1
+                for line in plan.splitlines()
+                if "Filter" in line and ("md5(" in line or "conv(" in line)
+            ),
         }
     )
     return row
@@ -150,7 +167,7 @@ def main() -> None:
             violations.append(name)
             continue
         out[name] = row
-        if row["forbidden_total"]:
+        if row["forbidden_total"] or row["filter_recomputed_hash"]:
             violations.append(name)
         print(f"# lint {name}: {row}", file=sys.stderr)
 
