@@ -180,6 +180,9 @@ _WORDS = [
     # unmapped A7Cx block) are deliberately absent — the oracle harness
     # cannot express Java's folding for those (documented boundary).
     "straße", "ñoño", "中文", "σιγμα", "офис", "ışık", "été",
+    # long tokens: exercise bpe_merge_step's per-word pair explosion
+    # (19 pairs from one word) and mixed letter/digit run splitting
+    "internationalization", "v2beta3rc1",
 ]
 
 
