@@ -168,6 +168,29 @@ def main() -> int:
             else:
                 failures.append(f"seed={seed} panel=img: {msg}")
                 print(failures[-1], flush=True)
+        # generated-JPEG panel: the REAL Huffman+IDCT decode over fresh
+        # rasters vs the registry oracle re-rooted (r13 — closes the
+        # fixture-only blind spot on image_decode_jpeg)
+        with tempfile.TemporaryDirectory(prefix=f"soak_{seed}_jpg_") as d:
+            from tests.test_fuzz_oracle import _gen_jpeg_tree
+            from the_build_project_image_retrieval_with_vector_databases_spark.queries_pipeline import (
+                JPEG_ROOT,
+                ORACLE_IMAGE_DECODE_JPEG,
+            )
+
+            _gen_jpeg_tree(rng, d)
+            df = _decode_rows_query(spark, d, "*.jpg", with_md5=True)
+            ok, msg = compare(
+                df,
+                ORACLE_IMAGE_DECODE_JPEG.replace(JPEG_ROOT, d),
+                d,
+                "image_decode_jpeg_gen",
+            )
+            if ok:
+                print(f"seed={seed} panel=jpg: OK", flush=True)
+            else:
+                failures.append(f"seed={seed} panel=jpg: {msg}")
+                print(failures[-1], flush=True)
         # generated manifest/jsonl/video panel (file-format intake)
         with tempfile.TemporaryDirectory(prefix=f"soak_{seed}_files_") as d:
             from tests.test_fuzz_oracle import _run_file_formats_panel

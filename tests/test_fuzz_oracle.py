@@ -1049,3 +1049,107 @@ def test_fuzz_staged_r15_text_ops(spark, tmp_path_factory, seed, n_docs):
     ]:
         ok, msg = compare(q(spark, tmpdir), o, tmpdir, name)
         assert ok, f"fuzz corpus diverged: {msg}"
+
+
+def _gen_jpeg_tree(rng: np.random.Generator, root: str) -> None:
+    """Generated baseline-JPEG tree + expected.csv sidecar, the exact
+    shape of scripts/make_jpeg_fixtures.py: random rasters through the
+    test-side encoder, pixel truths from the INDEPENDENT direct-IDCT
+    reference (never the engine's decoder), a progressive (SOF2-swap)
+    file for the decode_ok=false path, and the same first-'ffc0'-is-
+    SOF0 alignment pin the registry oracle assumes (content retried on
+    the vanishingly-rare straddle)."""
+    import csv
+    import hashlib
+
+    from .test_jpeg import _reconstruct, encode_jpeg
+
+    fields = [
+        "basename", "category", "width", "height", "n_channels",
+        "r0", "g0", "b0", "pixel_md5", "decode_ok",
+    ]
+    rows = []
+    n_imgs = int(rng.integers(2, 6))
+    for i in range(n_imgs):
+        h = int(rng.integers(8, 41))
+        w = int(rng.integers(8, 41))
+        kw = {}
+        if rng.integers(0, 2):
+            kw["subsample"] = True
+        if rng.integers(0, 3) == 0:
+            kw["restart_interval"] = int(rng.integers(1, 4))
+        for _bump in range(5):
+            rgb = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+            jpeg, coefs, sampling = encode_jpeg(rgb, **kw)
+            if jpeg.hex().index("ffc0") == 2 * jpeg.index(b"\xff\xc0"):
+                break
+        else:  # pragma: no cover — straddle 5x in a row
+            continue
+        want = _reconstruct(coefs, sampling, h, w)
+        cat = f"cat{i % 2}"
+        d = os.path.join(root, cat)
+        os.makedirs(d, exist_ok=True)
+        name = f"g{i:02d}.jpg"
+        with open(os.path.join(d, name), "wb") as f:
+            f.write(jpeg)
+        rows.append(
+            dict(
+                basename=name, category=cat, width=w, height=h,
+                n_channels=3,
+                r0=int(want[0, 0, 0]), g0=int(want[0, 0, 1]),
+                b0=int(want[0, 0, 2]),
+                pixel_md5=hashlib.md5(want.tobytes()).hexdigest(),
+                decode_ok=True,
+            )
+        )
+    # progressive (SOF2) swap: well-formed container, unsupported
+    # coding — the F2 error-tolerance row, exactly like the fixture
+    base, _, _ = encode_jpeg(
+        np.full((8, 8, 3), int(rng.integers(0, 256)), dtype=np.uint8)
+    )
+    bad = base.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    d = os.path.join(root, "cat0")
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "prog.jpg"), "wb") as f:
+        f.write(bad)
+    rows.append(
+        dict(
+            basename="prog.jpg", category="cat0", width="", height="",
+            n_channels="", r0="", g0="", b0="", pixel_md5="",
+            decode_ok=False,
+        )
+    )
+    with open(os.path.join(root, "expected.csv"), "w", newline="") as f:
+        wr = csv.DictWriter(f, fieldnames=fields)
+        wr.writeheader()
+        wr.writerows(rows)
+
+
+@settings(max_examples=2, deadline=None, derandomize=True)
+@given(seed=st.integers(min_value=0, max_value=10_000))
+def test_fuzz_generated_jpeg_panel(spark, tmp_path_factory, seed):
+    """The REAL baseline-JPEG decode surface (Huffman + IDCT + color
+    transform) over generated rasters — random dims (not multiples of
+    8), random 4:2:0 subsampling, random restart intervals — against
+    the registry oracle re-rooted at the generated tree (SOF0 dims
+    parsed from the blob in SQL; pixel truths from the independent
+    direct-IDCT sidecar). Closes the fixture-only blind spot on
+    image_decode_jpeg: the committed fixtures pin 3 rasters forever,
+    this panel draws new ones per seed."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_pipeline import (
+        JPEG_ROOT,
+        ORACLE_IMAGE_DECODE_JPEG,
+        _decode_rows_query,
+    )
+
+    rng = np.random.default_rng(seed)
+    root = str(tmp_path_factory.mktemp(f"fuzz_jpg_{seed}"))
+    _gen_jpeg_tree(rng, root)
+    df = _decode_rows_query(spark, root, "*.jpg", with_md5=True)
+    ok, msg = compare(
+        df,
+        ORACLE_IMAGE_DECODE_JPEG.replace(JPEG_ROOT, root),
+        root,
+        "image_decode_jpeg_gen",
+    )
+    assert ok, f"generated-jpeg corpus diverged: {msg}"
