@@ -191,6 +191,28 @@ def main() -> int:
             else:
                 failures.append(f"seed={seed} panel=jpg: {msg}")
                 print(failures[-1], flush=True)
+        # FLAGSHIP end-to-end panel: scan → decode → integer embed →
+        # exact-int64 cosine kNN over generated P6 rasters vs the full
+        # raster-bytes-to-ranks oracle (r13 — the last composed surface)
+        with tempfile.TemporaryDirectory(prefix=f"soak_{seed}_iknn_") as d:
+            from tests.test_fuzz_oracle import _gen_ppm_p6_tree
+            from the_build_project_image_retrieval_with_vector_databases_spark.queries_pipeline import (
+                _oracle_image_knn_pipeline,
+                q_image_knn_pipeline,
+            )
+
+            _gen_ppm_p6_tree(rng, d, n_imgs=int(rng.integers(3, 9)))
+            ok, msg = compare(
+                q_image_knn_pipeline(spark, d, root=d),
+                _oracle_image_knn_pipeline(root=d),
+                d,
+                "image_knn_pipeline_gen",
+            )
+            if ok:
+                print(f"seed={seed} panel=iknn: OK", flush=True)
+            else:
+                failures.append(f"seed={seed} panel=iknn: {msg}")
+                print(failures[-1], flush=True)
         # generated manifest/jsonl/video panel (file-format intake)
         with tempfile.TemporaryDirectory(prefix=f"soak_{seed}_files_") as d:
             from tests.test_fuzz_oracle import _run_file_formats_panel

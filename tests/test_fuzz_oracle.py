@@ -1153,3 +1153,53 @@ def test_fuzz_generated_jpeg_panel(spark, tmp_path_factory, seed):
         "image_decode_jpeg_gen",
     )
     assert ok, f"generated-jpeg corpus diverged: {msg}"
+
+
+def _gen_ppm_p6_tree(rng: np.random.Generator, root: str, n_imgs: int) -> None:
+    """P6-only generated tree for the FLAGSHIP pipeline panel: valid
+    3-channel rasters plus one truncated file (the F2 drop-out). No P5
+    / dead-magic classes here — the flagship oracle's raster-size gate
+    (n ≥ 17 + w·h·3) encodes 3-channel semantics, same scope as the
+    committed fixtures (the broader corruption classes are covered by
+    the decode-surface panel)."""
+    for i in range(n_imgs):
+        w, h = int(rng.integers(1, 13)), int(rng.integers(1, 13))
+        raster = rng.integers(0, 256, size=w * h * 3, dtype=np.uint8)
+        blob = b"P6" + f"\n{w:04d} {h:04d}\n255\n".encode() + raster.tobytes()
+        if i == n_imgs - 1 and n_imgs > 2:
+            blob = blob[: 17 + int(rng.integers(0, len(raster)))]
+        cat = os.path.join(root, f"cat{i % 2}")
+        os.makedirs(cat, exist_ok=True)
+        with open(os.path.join(cat, f"img{i:03d}.ppm"), "wb") as f:
+            f.write(blob)
+
+
+@settings(max_examples=2, deadline=None, derandomize=True)
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    n_imgs=st.integers(min_value=3, max_value=8),
+)
+def test_fuzz_image_knn_pipeline_panel(spark, tmp_path_factory, seed, n_imgs):
+    """The FLAGSHIP end-to-end flow — scan → real decode → integer
+    resize/pool/projection embed → exact-int64 cosine kNN — over fresh
+    generated rasters, against its full raster-bytes-to-ranks oracle
+    re-rooted at the generated tree. The last un-fuzzed composed
+    surface: the committed PPM fixtures pin one raster set forever;
+    new sizes (non-square, 1-pixel-wide), new pixel bytes, and a
+    truncated drop-out per seed exercise the nearest-resize index
+    arithmetic and the F2 gate across both engines."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_pipeline import (
+        _oracle_image_knn_pipeline,
+        q_image_knn_pipeline,
+    )
+
+    rng = np.random.default_rng(seed)
+    root = str(tmp_path_factory.mktemp(f"fuzz_iknn_{seed}_{n_imgs}"))
+    _gen_ppm_p6_tree(rng, root, n_imgs)
+    ok, msg = compare(
+        q_image_knn_pipeline(spark, root, root=root),
+        _oracle_image_knn_pipeline(root=root),
+        root,
+        "image_knn_pipeline_gen",
+    )
+    assert ok, f"generated flagship corpus diverged: {msg}"

@@ -309,7 +309,9 @@ FROM dims d JOIN exp e USING (basename)
 """
 
 
-def q_image_knn_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_image_knn_pipeline(
+    spark: SparkSession, sf_dir: str, root: str | None = None
+) -> DataFrame:
     """The reference's ENTIRE flagship flow end-to-end with real pixel
     math and zero stubs: image-folder scan → dependency-free decode →
     resize → pool → projection embed → cosine kNN among the decoded
@@ -326,11 +328,16 @@ def q_image_knn_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cosine ranking is computed from exact int64 dots
     (``functions.vector.int_dot`` ≡ BIGINT ``list_reduce``) with one
     identical double division at the end. Pixel bytes → top-k ranks,
-    value-exact across engines."""
+    value-exact across engines.
+
+    ``root`` parameterizes the image tree (default: the committed PPM
+    fixtures) so the generated-corpus fuzz panel can drive the SAME
+    end-to-end body over fresh rasters (P6 + truncated classes — the
+    oracle's raster-size gate assumes 3-channel rasters)."""
     from .functions.vector import int_dot
     from .sources.images import embed_images_int, scan_image_folder
 
-    scanned = scan_image_folder(spark, PPM_ROOT, glob="*.ppm")
+    scanned = scan_image_folder(spark, root or PPM_ROOT, glob="*.ppm")
     embedded = (
         embed_images_int(scanned, dim=16)
         .filter(F.col("decode_ok"))
@@ -376,11 +383,14 @@ def q_image_knn_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("query_id", "neighbor", "category", "cos_sim", "rank")
 
 
-def _oracle_image_knn_pipeline(dim: int = 16, size: int = 32, pool: int = 8) -> str:
+def _oracle_image_knn_pipeline(
+    dim: int = 16, size: int = 32, pool: int = 8, root: str | None = None
+) -> str:
     """Mirror of the flagship pipeline, raster bytes to ranks: PPM
     header + per-pixel hex parse → nearest-resize index arithmetic →
     block sums → the SAME quantized weights as SQL literals → exact
-    BIGINT dots → one double division → rank."""
+    BIGINT dots → one double division → rank. ``root`` re-roots the
+    blob scan for the generated-corpus fuzz panel."""
     from .sources.images import int_projection_weights
 
     block = size // pool
@@ -408,7 +418,7 @@ def _oracle_image_knn_pipeline(dim: int = 16, size: int = 32, pool: int = 8) -> 
     return f"""
 WITH b AS (
   SELECT filename, lower(hex(content)) AS hx, octet_length(content) AS n
-  FROM read_blob('{PPM_ROOT}/*/*.ppm')
+  FROM read_blob('{root or PPM_ROOT}/*/*.ppm')
 ),
 hdr AS (
   SELECT filename, hx, n,
