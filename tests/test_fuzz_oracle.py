@@ -467,6 +467,35 @@ def _gen_relational(
     }
 
 
+def _retired_surfaces() -> tuple[dict, dict]:
+    """Registry entries retired by window rotation (r14: kmeans_step,
+    tumbling_window, semantic_dedup_incremental) keep their fuzz rows:
+    the q_/oracle surfaces stay in the codebase, and the generated-corpus
+    panels keep exercising them against DuckDB even though the driver
+    window no longer carries them. semantic_dedup_incremental's oracle
+    arrives corpus-sized via ``_sized_oracles`` like before."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_ann import (
+        _oracle_kmeans_step,
+        q_kmeans_step,
+        q_semantic_dedup_incremental,
+    )
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_events import (
+        ORACLE_TUMBLING,
+        q_tumbling_window,
+    )
+
+    retired_q = {
+        "kmeans_step": q_kmeans_step,
+        "tumbling_window": q_tumbling_window,
+        "semantic_dedup_incremental": q_semantic_dedup_incremental,
+    }
+    retired_o = {
+        "kmeans_step": _oracle_kmeans_step(),
+        "tumbling_window": ORACLE_TUMBLING,
+    }
+    return retired_q, retired_o
+
+
 def _run_panel(spark, tmpdir: str, names: list[str]) -> None:
     from the_build_project_image_retrieval_with_vector_databases_spark.queries import (
         ORACLES,
@@ -478,13 +507,11 @@ def _run_panel(spark, tmpdir: str, names: list[str]) -> None:
     # the comparison must re-derive them — the same structural override
     # the SF-sweep parity tests use (tests/test_oracle_parity.py).
     sized = _sized_oracles(tmpdir)
+    retired_q, retired_o = _retired_surfaces()
     for name in names:
-        ok, msg = compare(
-            QUERIES[name](spark, tmpdir),
-            sized.get(name, ORACLES[name]),
-            tmpdir,
-            name,
-        )
+        qfn = QUERIES.get(name) or retired_q[name]
+        oracle = sized.get(name) or ORACLES.get(name) or retired_o[name]
+        ok, msg = compare(qfn(spark, tmpdir), oracle, tmpdir, name)
         assert ok, f"fuzz corpus diverged: {msg}"
 
 

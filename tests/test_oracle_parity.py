@@ -51,9 +51,18 @@ def _sized_oracles(sf_dir: str) -> dict[str, str]:
 
 def test_sized_oracles_match_registered_at_driver_scale():
     """The re-derivation at the driver's sf0.01 scale IS the registered
-    SQL, byte for byte — the sweep override cannot hide drift."""
-    for name, sql in _sized_oracles(_DRIVER_SF).items():
-        assert sql == _ORACLES[name], name
+    SQL, byte for byte — the sweep override cannot hide drift.
+    semantic_dedup_incremental retired from the registry r14; its sized
+    oracle stays here for the fuzz panels' retired-surface rows, so only
+    still-registered names carry the byte-for-byte pin."""
+    sized = _sized_oracles(_DRIVER_SF)
+    assert {n for n in sized if n in _ORACLES} == {
+        "lsh_near_dup",
+        "semantic_dedup",
+    }
+    for name, sql in sized.items():
+        if name in _ORACLES:
+            assert sql == _ORACLES[name], name
 
 
 @pytest.mark.parametrize("name", sorted(_QUERIES))

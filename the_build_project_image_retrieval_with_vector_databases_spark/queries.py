@@ -605,68 +605,38 @@ ORACLES: dict[str, str] = {
 # a sibling still inside the window covers.
 # ---------------------------------------------------------------------------
 
-# Round-13 rotation (VERDICT r12 #1, executed exactly per the r12
-# write-ahead plan). Capacity math: the r13 window re-checks the
-# r11-checked half — 50 entries last green in CORRECTNESS_r11 — minus
-# the three retirees (each from THAT half, so each frees a real r13
-# window slot AND a registry slot), plus the three r12-staged
+# Round-14 rotation (VERDICT r13 #1, executed exactly per the r13
+# write-ahead plan). Capacity math: the r14 window re-checks the
+# r12-checked half — 50 entries last green in CORRECTNESS_r12 — minus
+# the three retirees (each from THAT half, so each frees a real r14
+# window slot AND a registry slot), plus the three r13-staged
 # registrations (never driver-checked): 47 + 3 = exactly 50. The
-# other half — all 50 checked green in r12 — rotates out. Registry
+# other half — all 50 checked green in r13 — rotates out. Registry
 # stays at 100, the 2×window hard cap. Executed pairings:
-#   bq_hamming_topk  ↔ ivf_topk_batch retired (the batched-IVF Arrow
-#       kernel stays under oracle via hard_negatives, the pruned-scan
-#       single-query plan via ivf_topk; the expression batched plan
-#       keeps its ReusedExchange pin in tests/test_plans.py). This
-#       closes the 5-tier quantization family (Flat/IVF/PQ/SQ/BQ) as
-#       driver-verified.
-#   passage_chunking ↔ label_counts   retired (per-label n is a
-#       projection of grouped_ids' (label, n, ids) output)
-#   temperature_mix  ↔ simhash        retired (simhash_near_dup
-#       computes the same 32-bit sketch, then bands + joins — a
-#       strict superset; D.simhash stays unit/fuzz-covered)
+#   unimax_mix            ↔ kmeans_step retired (kmeans_train_assign
+#       runs the SAME quantized Lloyd step 10×, then assigns — a
+#       strict superset of one step; q_kmeans_step stays parity-
+#       covered in tests)
+#   length_bucket_batches ↔ tumbling_window retired (tumbling ≡
+#       sliding with step = width; sliding_window stays registered
+#       and the stateful machinery is shared)
+#   leakage_safe_split    ↔ semantic_dedup_incremental retired (the
+#       cluster-blocked metric and the batch/corpus split are each
+#       registered standalone as semantic_dedup + incremental_dedup;
+#       the composition stays unit-tested)
 #
-# ROUND-14 WINDOW PLAN (write-ahead, per the r7→r8 handoff
-# discipline): r14's window must hold the 50 entries in _ROTATE_OUT
-# below (last checked r12) — ZERO free slots. Any r14 registration or
-# implementation change to an r13-checked entry requires retiring
-# from THAT half (the r12-checked 50), one-for-one, BEFORE adding.
-# Pre-agreed retirement candidates from that half, each with a
-# registered sibling covering its semantics (see COVERAGE.md):
-#   1. kmeans_step   → kmeans_train_assign (runs the SAME quantized
-#      Lloyd step 10×, then assigns — a strict superset of one step)
-#   2. tumbling_window → sliding_window (tumbling ≡ sliding with
-#      step = width; the stateful machinery is shared)
-#   3. semantic_dedup_incremental → semantic_dedup + incremental_dedup
-#      (the cluster-blocked metric and the batch/corpus split are each
-#      covered standalone; the composition stays unit-tested)
-# Retiring k of these frees exactly k r14 window slots and k registry
-# slots. Do NOT retire from the _CHECK_FIRST list directly below
-# instead: those rows rotate out of r14 WITHOUT a check, so retiring
-# one frees registry capacity but ZERO r14 window slots — the
-# capacity-math failure of the r6→r7 handoff.
-#
-# Staged registration candidates for r14 (all 3-SF oracle-verified in
-# tests/test_staged_ops.py and fuzz-verified on generated corpora in
-# tests/test_fuzz_oracle.py, staged r13; pair each one-for-one with a
-# retirement from the list above):
-#   unimax_mix            ↔ kmeans_step (UniMax epoch-capped language
-#       sampling, Chung et al. 2023 — driver-side integer quota fold
-#       over ≤|sources| rows, one corpus shuffle)
-#   length_bucket_batches ↔ tumbling_window (pad-width bucketed
-#       DataLoader batching, fixed token budget per batch; two-phase
-#       (width, bucket) rank, one corpus shuffle)
-#   leakage_safe_split    ↔ semantic_dedup_incremental (near-dup-
-#       component train/eval split — the Lee et al. 2022 leakage
-#       guard; pointer-jumping components + one id-keyed join)
-#
-# ROUND-15 WINDOW PLAN (provisional write-ahead): r15's window re-checks
-# the r13-checked half (the _CHECK_FIRST list below). Staged candidates
-# (staged r13 under the full discipline — 3-SF oracle parity + Python
-# reference + plan pin in tests/test_staged_ops.py, generated-corpus
-# fuzz in tests/test_fuzz_oracle.py::test_fuzz_staged_r15_text_ops);
-# each pairs one-for-one with a retiree FROM THE LIST BELOW (the
-# r13-checked half — the half that rotates into the r15 window, so each
-# retirement frees a real r15 window slot):
+# ROUND-15 WINDOW PLAN (write-ahead, per the r7→r8 handoff
+# discipline): r15's window must hold the 50 entries in _ROTATE_OUT
+# below (last checked r13) — ZERO free slots. Any r15 registration or
+# implementation change to an r14-checked entry requires retiring
+# from THAT half (the r13-checked 50), one-for-one, BEFORE adding.
+# Staged registration candidates (staged r13 under the full
+# discipline — 3-SF oracle parity + Python reference + plan pin in
+# tests/test_staged_ops.py, generated-corpus fuzz in
+# tests/test_fuzz_oracle.py::test_fuzz_staged_r15_text_ops); each
+# pairs one-for-one with a retiree FROM THE LIST BELOW (the
+# r13-checked half — the half that rotates into the r15 window, so
+# each retirement frees a real r15 window slot):
 #   winnowing_fingerprint ↔ doc_fingerprint (winnowing selects per-
 #       window rightmost-minimal gram hashes — the substring-robust
 #       superset of the single corpus-wide min-token-hash fingerprint,
@@ -679,10 +649,90 @@ ORACLES: dict[str, str] = {
 #       corpus term-count aggregate — same explode→count shape, skew-
 #       hardened; top_terms' TakeOrderedAndProject surface also lives
 #       in bpe_merge_step itself)
+# Retiring k of these frees exactly k r15 window slots and k registry
+# slots. Do NOT retire from the _CHECK_FIRST list directly below
+# instead: those rows rotate out of r15 WITHOUT a check, so retiring
+# one frees registry capacity but ZERO r15 window slots — the
+# capacity-math failure of the r6→r7 handoff.
+#
+# ROUND-16 WINDOW PLAN (provisional write-ahead): r16's window
+# re-checks the r14-checked half (the _CHECK_FIRST list below).
+# Staged candidates (staged r14 under the full discipline, see
+# tests/test_staged_ops.py); each pairs with a retiree from the
+# r14-checked half (this _CHECK_FIRST list — the half that rotates
+# into the r16 window):
+#   url_host_dedup        ↔ exact_dedup (URL-normalized key dedup is
+#       the key-normalized superset of the md5-keyed exact dedup;
+#       the md5 key machinery stays registered via
+#       streaming_dedup_batch and unit-covered)
+#   contamination_overlap ↔ decontaminate (graded n-gram overlap
+#       scoring à la GPT-3 Appendix C generalizes the boolean
+#       decontaminate gate; bloom_decontaminate registers r15 and
+#       the exact-join path keeps its unit + fuzz rows)
+#   repetition_quality    ↔ quality_score (Gopher-style repetition
+#       rates extend the length/punct/stopword ratio family;
+#       gopher_quality stays registered as the ratio-gate sibling)
 _CHECK_FIRST: list[str] = [
-    # the 47 surviving r11-checked entries (ivf_topk_batch,
-    # label_counts, simhash retired), one round stale — re-verified
-    # this round:
+    # the 47 surviving r12-checked entries (kmeans_step,
+    # tumbling_window, semantic_dedup_incremental retired), one round
+    # stale — re-verified this round:
+    "quality_score",
+    "train_metrics",
+    "set_ops",
+    "kmv_distinct_sketch",
+    "value_quantiles",
+    "streaming_dedup_batch",
+    "pq_rerank_topk",
+    "exact_dedup",
+    "sessionize",
+    "frame_sample",
+    "jsonl_ingest",
+    "part_profit",
+    "forecast_revenue",
+    "running_revenue",
+    "order_priority_semi",
+    "customers_without_orders",
+    "supplier_rollup",
+    "asof_join",
+    "image_decode_real",
+    "funnel_conversion",
+    "order_count_distribution",
+    "bucketed_revenue",
+    "suffix_join_equi",
+    "language_id",
+    "salted_term_counts",
+    "bpe_token_counts",
+    "top_docs_per_lang",
+    "ivfpq_topk",
+    "ann_search",
+    "seq_packing",
+    "vocab_filter",
+    "retention_cohorts",
+    "min_cost_order",
+    "dominant_suppliers",
+    "decontaminate",
+    "cms_heavy_hitters",
+    "lsh_near_dup",
+    "pii_scrub",
+    "bm25",
+    "kmeans_train_assign",
+    "semantic_dedup",
+    "batch_assignments",
+    "embedding_outliers",
+    "quantized_recall_eval",
+    "dsir_importance",
+    "perplexity_buckets",
+    "semantic_decontaminate",
+    # registered in round 14, never driver-checked → in-window:
+    "unimax_mix",
+    "length_bucket_batches",
+    "leakage_safe_split",
+]
+
+# The 50 entries checked green in r13 rotate out this round. Across
+# r13+r14 every registry entry again has a green row ≤1 round old,
+# preserving the rotation invariant.
+_ROTATE_OUT: list[str] = [
     "clean_corpus",
     "dedup_components",
     "distinct_labels",
@@ -730,66 +780,9 @@ _CHECK_FIRST: list[str] = [
     "dedup_recall_eval",
     "search_batch",
     "hard_negatives",
-    # registered in round 13, never driver-checked → in-window:
     "bq_hamming_topk",
     "passage_chunking",
     "temperature_mix",
-]
-
-# The 50 entries checked green in r12 rotate out this round. Across
-# r12+r13 every registry entry again has a green row ≤1 round old,
-# preserving the rotation invariant.
-_ROTATE_OUT: list[str] = [
-    "quality_score",
-    "train_metrics",
-    "set_ops",
-    "kmv_distinct_sketch",
-    "value_quantiles",
-    "streaming_dedup_batch",
-    "pq_rerank_topk",
-    "exact_dedup",
-    "tumbling_window",
-    "sessionize",
-    "frame_sample",
-    "jsonl_ingest",
-    "part_profit",
-    "forecast_revenue",
-    "running_revenue",
-    "order_priority_semi",
-    "customers_without_orders",
-    "supplier_rollup",
-    "asof_join",
-    "image_decode_real",
-    "funnel_conversion",
-    "order_count_distribution",
-    "bucketed_revenue",
-    "suffix_join_equi",
-    "language_id",
-    "salted_term_counts",
-    "bpe_token_counts",
-    "top_docs_per_lang",
-    "ivfpq_topk",
-    "ann_search",
-    "seq_packing",
-    "vocab_filter",
-    "retention_cohorts",
-    "min_cost_order",
-    "dominant_suppliers",
-    "decontaminate",
-    "cms_heavy_hitters",
-    "lsh_near_dup",
-    "pii_scrub",
-    "bm25",
-    "kmeans_step",
-    "kmeans_train_assign",
-    "semantic_dedup",
-    "semantic_dedup_incremental",
-    "batch_assignments",
-    "embedding_outliers",
-    "quantized_recall_eval",
-    "dsir_importance",
-    "perplexity_buckets",
-    "semantic_decontaminate",
 ]
 
 

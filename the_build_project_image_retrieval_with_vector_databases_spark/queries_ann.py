@@ -2347,10 +2347,16 @@ LIMIT {k}
 
 ANN_QUERIES.update(
     {
-        "kmeans_step": q_kmeans_step,
+        # kmeans_step retired r14 (registry entry only, per the r13
+        # write-ahead plan): kmeans_train_assign runs the SAME quantized
+        # Lloyd step 10×, then assigns — a strict superset of one step;
+        # q_kmeans_step stays unit/parity-covered in tests.
         "kmeans_train_assign": q_kmeans_train_assign,
         "semantic_dedup": q_semantic_dedup,
-        "semantic_dedup_incremental": q_semantic_dedup_incremental,
+        # semantic_dedup_incremental retired r14 (registry entry only):
+        # the cluster-blocked metric (semantic_dedup) and the
+        # batch/corpus incremental split (incremental_dedup) are each
+        # registered standalone; the composition stays unit-tested.
         "ann_recall_eval": q_ann_recall_eval,
         "mmr_rerank": q_mmr_rerank,
         "search_batch": q_search_batch,
@@ -2364,10 +2370,8 @@ ANN_QUERIES.update(
 )
 ANN_ORACLES.update(
     {
-        "kmeans_step": _oracle_kmeans_step(),
         "kmeans_train_assign": _oracle_kmeans_train_assign(),
         "semantic_dedup": _oracle_semantic_dedup(),
-        "semantic_dedup_incremental": _oracle_semantic_dedup_incremental(),
         "ann_recall_eval": _oracle_ann_recall_eval(),
         "mmr_rerank": _oracle_mmr_rerank(),
         "search_batch": _oracle_search_batch(),

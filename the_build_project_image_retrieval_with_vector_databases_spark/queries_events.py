@@ -523,7 +523,10 @@ FROM grid g LEFT JOIN best b ON g.user_id = b.user_id AND g.slot = b.slot
 
 
 EVENT_QUERIES = {
-    "tumbling_window": q_tumbling_window,
+    # tumbling_window retired r14 (registry entry only, per the r13
+    # write-ahead plan): tumbling ≡ sliding with step = width, and
+    # sliding_window stays registered; the stateful machinery is shared
+    # and q_tumbling_window keeps its unit/streaming tests.
     "funnel_conversion": q_funnel_conversion,
     "sliding_window": q_sliding_window,
     "sessionize": q_sessionize,
@@ -539,7 +542,6 @@ EVENT_QUERIES = {
 }
 
 EVENT_ORACLES = {
-    "tumbling_window": ORACLE_TUMBLING,
     "funnel_conversion": ORACLE_FUNNEL,
     "sliding_window": ORACLE_SLIDING,
     "sessionize": ORACLE_SESSIONIZE,

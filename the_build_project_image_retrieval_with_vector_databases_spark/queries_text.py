@@ -1545,18 +1545,19 @@ TEXT_ORACLES = {
 
 
 # ---------------------------------------------------------------------------
-# STAGED (r13) — NOT registered. r14 registration candidates: per the
-# write-ahead plan above ``_CHECK_FIRST`` (queries.py), pair each with
-# a retirement from the r12-checked half (pre-agreed candidates:
-# kmeans_step → kmeans_train_assign, tumbling_window → sliding_window,
-# semantic_dedup_incremental → semantic_dedup + incremental_dedup).
+# Registered r14 (staged r13 under the full discipline). Executed exactly
+# per the r13 write-ahead plan above ``_CHECK_FIRST`` (queries.py):
+# unimax_mix ↔ kmeans_step retired, length_bucket_batches ↔
+# tumbling_window retired, leakage_safe_split ↔
+# semantic_dedup_incremental retired — all three retirees from the
+# r12-checked half, so each freed a real r14 window slot.
 # ---------------------------------------------------------------------------
 
 UM_BUDGET, UM_EPOCHS = 333, 2
 
 
 def q_unimax_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STAGED (r13) — NOT registered. UniMax epoch-capped mix assembly
+    """Registered r14 (staged r13). UniMax epoch-capped mix assembly
     (operators/mixing.py::unimax_mix; Chung et al. 2023): per-source
     quotas from the ascending equal-share fold capped at 2 epochs per
     source, per-doc epoch counts (q div n copies each, first q mod n
@@ -1614,7 +1615,7 @@ LB_BUDGET, LB_GRANULE, LB_CAP = 512, 16, 128
 
 
 def q_length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STAGED (r13) — NOT registered. Length-bucketed DataLoader
+    """Registered r14 (staged r13). Length-bucketed DataLoader
     batching (operators/batching.py::length_bucket_batches): pad-width
     buckets (granule 16, cap 128), fixed 512-token batch budget →
     per-width capacity, two-phase bucketed rank (never a ≤8-partition
@@ -1656,7 +1657,7 @@ WHERE r.rk < tt.total - (tt.total % ({budget} // r.width))
 
 
 def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STAGED (r13) — NOT registered. Near-dup-aware train/eval split
+    """Registered r14 (staged r13). Near-dup-aware train/eval split
     (operators/graph.py::leakage_safe_split): MinHash-LSH pairs →
     connected components → component-hash 80/20 split, singletons
     hash their own id — no near-dup pair (or transitive chain) ever
@@ -1704,6 +1705,22 @@ SELECT d.doc_id,
             THEN 'train' ELSE 'eval' END AS split
 FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
 """
+
+
+TEXT_QUERIES.update(
+    {
+        "unimax_mix": q_unimax_mix,
+        "length_bucket_batches": q_length_bucket_batches,
+        "leakage_safe_split": q_leakage_safe_split,
+    }
+)
+TEXT_ORACLES.update(
+    {
+        "unimax_mix": _oracle_unimax_mix(),
+        "length_bucket_batches": _oracle_length_bucket_batches(),
+        "leakage_safe_split": _oracle_leakage_safe_split(),
+    }
+)
 
 
 # ---------------------------------------------------------------------------
