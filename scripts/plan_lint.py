@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -115,6 +116,43 @@ def _final_counts(df) -> dict:
     }
 
 
+def _hash_calls(line: str) -> set[str]:
+    """Balanced-paren extraction of every md5(...)/conv(...) call
+    substring on a plan line — the unit the recomputation check
+    compares across Filter and Project nodes."""
+    out: set[str] = set()
+    for m in re.finditer(r"\b(md5|conv)\(", line):
+        depth, i = 0, m.start()
+        for j in range(m.end() - 1, len(line)):
+            if line[j] == "(":
+                depth += 1
+            elif line[j] == ")":
+                depth -= 1
+                if depth == 0:
+                    out.add(line[i : j + 1])
+                    break
+    return out
+
+
+def _recomputed_hash_filters(plan: str) -> int:
+    """Count Filter lines whose md5/conv subtree ALSO appears in a
+    Project line — the recomputed-pushed-down-hash class. A Filter
+    that merely consumes a hash-derived predicate (no twin Project
+    evaluation) is legitimate and not counted."""
+    project_calls: set[str] = set()
+    filter_lines: list[str] = []
+    for line in plan.splitlines():
+        if "md5(" not in line and "conv(" not in line:
+            continue
+        if "Project" in line:
+            project_calls |= _hash_calls(line)
+        if "Filter" in line:
+            filter_lines.append(line)
+    return sum(
+        1 for line in filter_lines if _hash_calls(line) & project_calls
+    )
+
+
 def lint_one(df) -> dict:
     plan = df._jdf.queryExecution().executedPlan().toString()
     # the violation gate is driven by FORBIDDEN — extend the list and
@@ -136,11 +174,12 @@ def lint_one(df) -> dict:
             # subexpressions across operators). Fix at the source:
             # coalesce the key to an unreachable sentinel so the
             # schema is non-nullable and no filter is synthesized.
-            "filter_recomputed_hash": sum(
-                1
-                for line in plan.splitlines()
-                if "Filter" in line and ("md5(" in line or "conv(" in line)
-            ),
+            # The gate counts a Filter hash call ONLY when the same
+            # md5/conv subtree also appears in a Project — a query
+            # that legitimately FILTERS on a hash-derived predicate
+            # (without recomputing it next to a projection) is not a
+            # violation (ADVICE r13 tightening).
+            "filter_recomputed_hash": _recomputed_hash_filters(plan),
         }
     )
     return row

@@ -218,13 +218,17 @@ def knn_join_arrow(
             # loop in the serving hot path); isfinite: a batch smaller
             # than k would otherwise pull the masked self row
             # (key=inf) through an inf boundary.  The boundary is
-            # padded by ONE rounding quantum: np.round is half-to-even
+            # padded by 1.5 rounding quanta: np.round is half-to-even
             # while the global window key (F.round) and the DuckDB
             # oracle round HALF_UP, and at an exact .5 landing the two
             # rules differ by exactly one quantum — the pad makes the
             # emitted set a superset under EITHER rule, and the exact
-            # global window re-cuts to the true top-k for free.
-            mask = (kr <= bound[None, :] + 1e-6) & np.isfinite(kr)
+            # global window re-cuts to the true top-k for free. 1.5
+            # (not 1.0) quanta so ulp-level rounding of `bound + pad`
+            # can never land one ulp BELOW a needed lattice point,
+            # while still admitting no second lattice step (ADVICE
+            # r13: strictly between one and two quanta).
+            mask = (kr <= bound[None, :] + 1.5e-6) & np.isfinite(kr)
             ri, qi = np.nonzero(mask)
             yield pd.DataFrame(
                 {
@@ -351,9 +355,10 @@ def knn_join_arrow_ivf(
                 dr = np.round(d, 6)
                 bound = np.take_along_axis(dr, part, axis=0).max(axis=0)
                 # one vectorized mask for the whole group's query set;
-                # boundary padded one quantum (np.round half-to-even vs
-                # the window/oracle's HALF_UP — see knn_join_arrow)
-                mask = (dr <= bound[None, :] + 1e-6) & np.isfinite(dr)
+                # boundary padded 1.5 quanta (np.round half-to-even vs
+                # the window/oracle's HALF_UP, ulp-safe sum — see
+                # knn_join_arrow)
+                mask = (dr <= bound[None, :] + 1.5e-6) & np.isfinite(dr)
                 ri, qi = np.nonzero(mask)
                 yield pd.DataFrame(
                     {
@@ -949,7 +954,7 @@ def knn_join_arrow_hamming(
             if len(pdf) == 0:
                 continue
             ids = pdf[id_col].to_numpy()
-            # B×Q XOR per half, byte-LUT popcount, summed over halves
+            # B×Q XOR per half, SWAR popcount, summed over halves
             d = None
             for h, col in enumerate(code_cols):
                 half = pdf[col].to_numpy().astype(np.int64).view(np.uint64)
@@ -1033,6 +1038,11 @@ def knn_join_arrow_hamming_ivf(
             by_cent.setdefault(c, []).append(qi)
     by_cent = {c: np.asarray(v, dtype=np.int64) for c, v in by_cent.items()}
     union_probes = sorted(by_cent)
+    if not union_probes:
+        # all-empty probe sets would silently return an empty result
+        # (isin([]) filters every row) — fail loudly like the other
+        # degenerate-input guards (ADVICE r13)
+        raise ValueError("every probe set is empty — nothing to scan")
 
     id_field = next(f for f in layout.schema.fields if f.name == id_col)
     schema = StructType(
