@@ -475,15 +475,131 @@ def bq_ivf_curve(spark, sf_dir: str) -> list[dict]:
     return rows
 
 
+def bq_ivf_rescored_curve(spark, sf_dir: str) -> list[dict]:
+    """Mean recall@10 of the PRODUCTION composed tier (r14):
+    Hamming shortlist at k·overfetch WITHIN probed lists → exact float
+    rescore of the shortlist — exactly what
+    ``serve_loop_rate_bq_ivf(rescore_overfetch=...)`` serves. The grid
+    prices BOTH knobs (nprobe × overfetch) so a deployment reads its
+    operating point directly: the raw-Hamming ``bq_ivf`` rows are the
+    overfetch→1 floor, and at nprobe=16/overfetch→∞ the row collapses
+    to exact search by construction."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.ann import (
+        nearest_centroids,
+    )
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.knn import (
+        knn_join,
+        knn_join_arrow_hamming_ivf_rescored,
+    )
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.pq import (
+        bq_encode_cols,
+        bq_encode_query,
+        bq_train_thresholds,
+    )
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_ann import (
+        ANN_EVAL_Q_HI,
+        ANN_EVAL_Q_LO,
+        _ivf_layout,
+    )
+    from the_build_project_image_retrieval_with_vector_databases_spark.sources.tables import (
+        load_table,
+    )
+
+    path, centroids = _ivf_layout(spark, sf_dir)
+    layout = spark.read.parquet(path)
+    emb = load_table(spark, sf_dir, "embeddings")
+    train = [
+        [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    ]
+    thr = bq_train_thresholds(train)
+    halves = bq_encode_cols(thr, len(train))
+    names = [f"bq_h{i}" for i in range(len(halves))]
+    codes = layout.select(
+        "vec_id", "centroid", *[c.alias(n) for n, c in zip(names, halves)]
+    ).cache()
+    codes.count()
+
+    qrows = (
+        emb.filter(
+            (F.col("vec_id") >= ANN_EVAL_Q_LO)
+            & (F.col("vec_id") < ANN_EVAL_Q_HI)
+        )
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    queries = [(int(r.vec_id), [float(x) for x in r.embedding]) for r in qrows]
+    qcodes = [bq_encode_query(v, thr, len(train)) for _, v in queries]
+    qdf = spark.createDataFrame(
+        queries, "query_id long, embedding array<double>"
+    )
+    exact_rows = (
+        knn_join(emb, qdf, k=K, metric="l2", exclude_self=True)
+        .select("query_id", "vec_id")
+        .collect()
+    )
+    truth: dict[int, set] = {}
+    for r in exact_rows:
+        truth.setdefault(int(r.query_id), set()).add(int(r.vec_id))
+    n_q = len(queries)
+
+    rows = []
+    for nprobe in (4, 8):
+        probes = [nearest_centroids(centroids, v, nprobe) for _, v in queries]
+        for ov in (4, 8, 16):
+            got = (
+                knn_join_arrow_hamming_ivf_rescored(
+                    codes,
+                    layout,
+                    [q for q, _ in queries],
+                    [v for _, v in queries],
+                    qcodes,
+                    probes,
+                    k=K + 1,  # +1 absorbs the self row (dist 0)
+                    overfetch=ov,
+                    code_cols=tuple(names),
+                )
+                .filter(F.col("query_id") != F.col("vec_id"))
+                .collect()
+            )
+            by_q: dict[int, list] = {}
+            for r in got:
+                by_q.setdefault(int(r.query_id), []).append(
+                    (int(r.rank), int(r.vec_id))
+                )
+            hits = sum(
+                len({v for _, v in sorted(cand)[:K]} & truth[q])
+                for q, cand in by_q.items()
+            )
+            rows.append(
+                {
+                    "nprobe": nprobe,
+                    "overfetch": ov,
+                    "shortlist": (K + 1) * ov,
+                    "scan_fraction": round(nprobe / len(centroids), 4),
+                    "mean_recall_rescored": round(hits / (n_q * K), 4),
+                }
+            )
+            print(
+                f"# bq_ivf_rescored nprobe={nprobe} ov={ov}: "
+                f"recall={rows[-1]['mean_recall_rescored']}",
+                file=sys.stderr,
+            )
+    codes.unpersist()
+    return rows
+
+
 def main() -> None:
     argv = sys.argv[1:]
     only_bq_ivf = "--bq-ivf" in argv
-    argv = [a for a in argv if a != "--bq-ivf"]
+    only_rescored = "--bq-ivf-rescored" in argv
+    argv = [a for a in argv if a not in ("--bq-ivf", "--bq-ivf-rescored")]
     sf_dir = argv[0] if argv else BASE_DEFAULT
     spark = get_spark(app_name="recall-curve")
     out_path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "RECALL_CURVE.json")
-    if only_bq_ivf:
+    if only_bq_ivf or only_rescored:
         # incremental: merge the composed-tier curve into the artifact
         out = {}
         if os.path.exists(out_path):
@@ -492,7 +608,10 @@ def main() -> None:
         out.setdefault("metric", "recall_curves")
         out.setdefault("sf_dir", sf_dir)
         out.setdefault("k", K)
-        out["bq_ivf"] = bq_ivf_curve(spark, sf_dir)
+        if only_bq_ivf:
+            out["bq_ivf"] = bq_ivf_curve(spark, sf_dir)
+        if only_rescored:
+            out["bq_ivf_rescored"] = bq_ivf_rescored_curve(spark, sf_dir)
     else:
         out = {
             "metric": "recall_curves",
@@ -503,6 +622,7 @@ def main() -> None:
             "pq_m": pq_m_curve(spark, sf_dir),
             "bq_overfetch": bq_curve(spark, sf_dir),
             "bq_ivf": bq_ivf_curve(spark, sf_dir),
+            "bq_ivf_rescored": bq_ivf_rescored_curve(spark, sf_dir),
         }
     line = json.dumps(out)
     print(line)

@@ -224,7 +224,8 @@ def main_bq() -> None:
 
 
 def run_one_bq_ivf(
-    spark, window_s: int, rate: int, layout_path: str, centroids, nprobe: int
+    spark, window_s: int, rate: int, layout_path: str, centroids,
+    nprobe: int, rescore_overfetch: int | None = None,
 ) -> dict:
     from the_build_project_image_retrieval_with_vector_databases_spark.streaming.queries import (
         serve_loop_rate_bq_ivf,
@@ -235,7 +236,7 @@ def run_one_bq_ivf(
     q = serve_loop_rate_bq_ivf(
         spark, layout_path, centroids, k=5, nprobe=nprobe,
         rows_per_second=rate, latencies=latencies, trigger_ms=1000,
-        code_cache=cache,
+        code_cache=cache, rescore_overfetch=rescore_overfetch,
     )
     try:
         time.sleep(window_s)
@@ -313,6 +314,128 @@ def main_bq_ivf() -> None:
     with open(out_path, "w") as f:
         json.dump(art, f, indent=1, sort_keys=True)
     print(json.dumps({"metric": "serve_latency_bq_ivf", **section}))
+
+
+def main_bq_ivf_rescored() -> None:
+    """PRODUCTION composed tier (VERDICT r13 #3): Hamming shortlist at
+    k·overfetch within probed lists → exact float rescore — the shape
+    the raw bq_ivf_tier's recall note points at. Same protocol as the
+    other tier sweeps; merges a ``bq_ivf_rescored_tier`` section. The
+    comparison the section answers: p50 vs pure IVF at the MATCHED
+    recall point (nprobe=4, ov=16 rescoring recovers ~96% of the
+    nprobe=4 IVF ceiling — RECALL_CURVE.json ``bq_ivf_rescored``)."""
+    args = [a for a in sys.argv[2:]]
+    corpus_dir = args.pop(0) if args and not args[0].isdigit() else BASE
+    window_s = int(args.pop(0)) if args else 35
+    rates = [int(x) for x in args] or [250, 500, 1000]
+    nprobe = int(os.environ.get("SPARK_GRAFT_NPROBE", "4"))
+    ov = int(os.environ.get("SPARK_GRAFT_RESCORE_OV", "16"))
+
+    spark = get_spark(app_name="serve-latency-bqivf-resc", shuffle_partitions=8)
+    lp = os.path.join(corpus_dir, "ivf_layout")
+    if os.path.exists(os.path.join(corpus_dir, "centroids.json")):
+        with open(os.path.join(corpus_dir, "centroids.json")) as f:
+            centroids = json.load(f)
+    else:
+        from the_build_project_image_retrieval_with_vector_databases_spark.queries_ann import (
+            _ivf_layout,
+        )
+
+        lp, centroids = _ivf_layout(spark, corpus_dir)
+    run_one_bq_ivf(
+        spark, min(window_s, 15), rates[0], lp, centroids, nprobe,
+        rescore_overfetch=ov,
+    )
+    section = {
+        "corpus_dir": corpus_dir,
+        "layout": lp,
+        "k_centroids": len(centroids),
+        "nprobe": nprobe,
+        "rescore_overfetch": ov,
+        "trigger_ms": 1000,
+        "note": (
+            "Production composed tier: SWAR Hamming shortlist at "
+            "k*overfetch within each query's probed inverted lists, then "
+            "exact float re-rank of the shortlist only (Catalyst "
+            "zip_with/aggregate over a broadcast shortlist join -- no "
+            "second Python hop). Float work per epoch is Q*k*ov*D on the "
+            "shortlist instead of pure IVF's (nprobe/k_cents)*N*Q*D over "
+            "the probed lists; popcount work unchanged from bq_ivf_tier. "
+            "Recall at this operating point: RECALL_CURVE.json "
+            "bq_ivf_rescored (nprobe=4, ov=16 recovers ~96% of the "
+            "nprobe=4 IVF ceiling on the fixture corpus)."
+        ),
+        "warmup": f"{min(window_s, 15)}s@{rates[0]}qps discarded",
+        "runs": [
+            run_one_bq_ivf(
+                spark, window_s, r, lp, centroids, nprobe,
+                rescore_overfetch=ov,
+            )
+            for r in rates
+        ],
+    }
+    out_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "SERVE_LATENCY.json")
+    art = {}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            art = json.load(f)
+    art["bq_ivf_rescored_tier"] = section
+    with open(out_path, "w") as f:
+        json.dump(art, f, indent=1, sort_keys=True)
+    print(json.dumps({"metric": "serve_latency_bq_ivf_rescored", **section}))
+
+
+def main_build2m() -> None:
+    """Rebuild the 2M×64-D serve corpus (/tmp/spark_graft_serve2m) the
+    tier sweeps measure against — /tmp does not survive rounds, so the
+    builder is committed. Construction (as in r11): the 100× derived
+    corpus (scripts/scale_proof.py build, 200k vectors, distance-
+    preserving rotation replicas) replicated 10× with id offsets;
+    IVF layout (16 lowest-id centroids, partitionBy(centroid)) +
+    centroids.json written next to it."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "scale_proof",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "scale_proof.py"),
+    )
+    sp = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sp)
+
+    spark = get_spark(app_name="build-serve2m", shuffle_partitions=32)
+    d100 = "/tmp/spark_graft_scale100x"
+    ver = os.path.join(d100, "VERSION")
+    if not (os.path.exists(ver) and open(ver).read() == sp.BUILD_VERSION):
+        sp.REPLICAS = 100
+        sp.build_scaled(spark, d100)
+    d2 = "/tmp/spark_graft_serve2m"
+    emb = spark.read.parquet(os.path.join(d100, "embeddings.parquet"))
+    m = emb.count()
+    parts = [
+        emb.withColumn("vec_id", F.col("vec_id") + F.lit(r * m))
+        for r in range(10)
+    ]
+    scaled = parts[0]
+    for p in parts[1:]:
+        scaled = scaled.unionAll(p)
+    scaled.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(d2, "embeddings.parquet")
+    )
+    emb2 = spark.read.parquet(os.path.join(d2, "embeddings.parquet"))
+    cents = [
+        [float(x) for x in r.embedding]
+        for r in emb2.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    ]
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.ann import (
+        write_ivf_index,
+    )
+
+    write_ivf_index(emb2, os.path.join(d2, "ivf_layout"), cents)
+    with open(os.path.join(d2, "centroids.json"), "w") as f:
+        json.dump(cents, f)
+    print(json.dumps({"metric": "build2m", "n_vectors": m * 10, "dir": d2}))
 
 
 def main_attrib() -> None:
@@ -640,6 +763,10 @@ if __name__ == "__main__":
         main_bq()
     elif len(sys.argv) > 1 and sys.argv[1] == "--bqivf":
         main_bq_ivf()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--bqivf-rescored":
+        main_bq_ivf_rescored()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--build2m":
+        main_build2m()
     elif len(sys.argv) > 1 and sys.argv[1] == "--attrib":
         main_attrib()
     else:

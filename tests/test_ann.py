@@ -1004,3 +1004,96 @@ def test_knn_join_arrow_hamming_ivf_matches_flat_on_probed_lists(spark):
         ).collect()
     }
     assert full_ivf == full_flat
+
+
+def test_knn_join_arrow_hamming_ivf_rescored_matches_exact_in_probed(spark):
+    """The PRODUCTION composed tier (r14): Hamming shortlist within
+    probed lists -> exact float rescore. Contracts:
+    (a) with probe_sets = ALL centroids and overfetch covering the
+        whole corpus, the result IS the exact kNN (numpy reference) —
+        the rescore stage fully undoes the sign-quantization ranking;
+    (b) with nprobe=4, every returned id lies in the query's probed
+        lists and ranks are exact-L2-ordered within the shortlist;
+    (c) degenerate inputs fail loudly (overfetch < 1, all-empty
+        probe sets — the r13 ADVICE guard on the underlying kernel)."""
+    import numpy as np
+
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.ann import (
+        nearest_centroids,
+    )
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.knn import (
+        knn_join_arrow_hamming_ivf_rescored,
+    )
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.pq import (
+        bq_encode_cols,
+        bq_encode_query,
+        bq_train_thresholds,
+    )
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_ann import (
+        _ivf_layout,
+    )
+
+    path, centroids = _ivf_layout(spark, SF_SMOKE)
+    layout = spark.read.parquet(path)
+    rows = sorted(
+        (
+            (int(r.vec_id), [float(x) for x in r.embedding], int(r.centroid))
+            for r in layout.select("vec_id", "embedding", "centroid").collect()
+        )
+    )
+    n = len(rows)
+    train = [v for _, v, _ in rows[:16]]
+    thr = bq_train_thresholds(train)
+    lo, hi = bq_encode_cols(thr, len(train))
+    codes = layout.select(
+        "vec_id", "centroid", lo.alias("bq_lo"), hi.alias("bq_hi")
+    )
+
+    qs = rows[:6]
+    qids = [vid for vid, _, _ in qs]
+    qvecs = [v for _, v, _ in qs]
+    qcodes = [bq_encode_query(v, thr, len(train)) for v in qvecs]
+    k = 5
+
+    # (a) all probes + overfetch >= n/k: rescored == exact kNN
+    all_probes = [list(range(len(centroids))) for _ in qs]
+    got = {
+        (r.query_id, r.rank): r.vec_id
+        for r in knn_join_arrow_hamming_ivf_rescored(
+            codes, layout, qids, qvecs, qcodes, all_probes,
+            k=k, overfetch=(n // k) + 1,
+        ).collect()
+    }
+    ids = np.array([vid for vid, _, _ in rows])
+    mat = np.array([v for _, v, _ in rows], dtype=np.float64)
+    for qid, qv in zip(qids, qvecs):
+        d = np.sqrt(((mat - np.asarray(qv)) ** 2).sum(axis=1))
+        order = sorted(zip(np.round(d, 6), ids))
+        want = [int(v) for _, v in order[:k]]
+        assert [got[(qid, r)] for r in range(1, k + 1)] == want, qid
+
+    # (b) nprobe=4: containment in probed lists, exact-L2 order
+    cent_of = {vid: c for vid, _, c in rows}
+    probes = [nearest_centroids(centroids, v, 4) for v in qvecs]
+    out = knn_join_arrow_hamming_ivf_rescored(
+        codes, layout, qids, qvecs, qcodes, probes, k=k, overfetch=4
+    ).collect()
+    by_q: dict[int, list] = {}
+    for r in out:
+        by_q.setdefault(int(r.query_id), []).append(r)
+    for qid, pr in zip(qids, probes):
+        mine = sorted(by_q[qid], key=lambda r: r.rank)
+        assert 1 <= len(mine) <= k
+        assert all(cent_of[int(r.vec_id)] in set(pr) for r in mine)
+        keys = [(round(r.dist, 6), r.vec_id) for r in mine]
+        assert keys == sorted(keys)
+
+    # (c) loud failures on degenerate inputs
+    with pytest.raises(ValueError, match="overfetch"):
+        knn_join_arrow_hamming_ivf_rescored(
+            codes, layout, qids, qvecs, qcodes, probes, k=k, overfetch=0
+        )
+    with pytest.raises(ValueError, match="probe set"):
+        knn_join_arrow_hamming_ivf_rescored(
+            codes, layout, qids, qvecs, qcodes, [[] for _ in qs], k=k
+        )

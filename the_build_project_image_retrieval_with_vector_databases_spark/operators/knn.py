@@ -1104,3 +1104,95 @@ def knn_join_arrow_hamming_ivf(
     return cand.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def knn_join_arrow_hamming_ivf_rescored(
+    codes: DataFrame,
+    floats: DataFrame,
+    query_ids: list[int],
+    query_vecs: list[list[float]],
+    query_codes: list[list[int]],
+    probe_sets: list[list[int]],
+    k: int = 5,
+    overfetch: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_cols: tuple[str, ...] = ("bq_lo", "bq_hi"),
+    centroid_col: str = "centroid",
+) -> DataFrame:
+    """PRODUCTION composed BQ×IVF serving shape — the rescore stage the
+    raw-Hamming tier (:func:`knn_join_arrow_hamming_ivf`) is missing:
+
+    1. Hamming SHORTLIST: scan only each query's probed inverted lists
+       over the 16×-smaller packed codes, keep the top ``k·overfetch``
+       per query (integer-exact, all boundary ties emitted).
+    2. Float RESCORE: join the shortlist ids back to the FULL-PRECISION
+       vectors (pruned to the same probed partitions — at 100 TB the
+       float fetch is id-lookups inside already-probed lists, never a
+       full scan) and re-rank by exact L2, the ``pq_rerank_topk``
+       two-phase pattern applied to the binary tier.
+
+    Cost model at corpus size N, Q queries: popcount work is the
+    composed tier's (nprobe/k_cents)·N·Q word-ops; float work drops
+    from the IVF tier's (nprobe/k_cents)·N·Q·D multiply-adds to
+    Q·k·overfetch·D — the shortlist, not the probed lists. Recall is
+    the nprobe curve × the BQ-overfetch rescore curve (both priced in
+    RECALL_CURVE.json; ``bq_overfetch`` shows rescore at ov=16 buying
+    raw Hamming's 0.33 back to ≈0.70 on the fixture corpus).
+
+    The rescore stage is pure Catalyst (broadcast the tiny shortlist,
+    ``zip_with``/``aggregate`` left-fold in codegen) — no second
+    Python/Arrow hop. Exactness contract of the exact kernels: rank
+    window on (round(dist, 6), id). Output:
+    (query_id, id_col, dist, rank ≤ k) with ``dist`` the exact L2
+    recomputed in double — RAW, callers round for display.
+    """
+    if overfetch < 1:
+        raise ValueError(f"overfetch must be >= 1, got {overfetch}")
+    if len(query_vecs) != len(query_ids):
+        raise ValueError("query_vecs must align with query_ids")
+    short = knn_join_arrow_hamming_ivf(
+        codes,
+        query_ids,
+        query_codes,
+        probe_sets,
+        k=k * overfetch,
+        id_col=id_col,
+        code_cols=code_cols,
+        centroid_col=centroid_col,
+    )
+    union_probes = sorted({int(c) for ps in probe_sets for c in ps})
+    spark = floats.sparkSession
+    qdf = spark.createDataFrame(
+        [(int(q), [float(x) for x in v]) for q, v in zip(query_ids, query_vecs)],
+        schema="query_id long, __qv array<double>",
+    )
+    pruned = floats.filter(F.col(centroid_col).isin(union_probes)).select(
+        id_col, vec_col
+    )
+    resc = (
+        pruned.join(F.broadcast(short.select("query_id", id_col)), id_col)
+        .join(F.broadcast(qdf), "query_id")
+        .withColumn(
+            "dist",
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(
+                        F.col(vec_col).cast("array<double>"),
+                        F.col("__qv"),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("dist"), 6).asc(), F.col(id_col).asc()
+    )
+    return (
+        resc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "dist", "rank")
+    )

@@ -548,6 +548,7 @@ def serve_loop_rate_bq_ivf(
     payload_pool: int = 256,
     train_n: int = 16,
     code_cache: list | None = None,
+    rescore_overfetch: int | None = None,
 ) -> StreamingQuery:
     """Composed BQ×IVF continuous serving — the production shape the
     bq_tier measurement points at: encode the materialized
@@ -559,11 +560,24 @@ def serve_loop_rate_bq_ivf(
     (nprobe/k_cents)·N·Q word-ops, and at storage scale probed scan
     bytes are (nprobe/k_cents)·(1/16) of a flat float scan (over a
     packed-code parquet layout the centroid INSET filter is partition
-    pruning). Harness contract identical to the other rate loops."""
+    pruning). Harness contract identical to the other rate loops.
+
+    ``rescore_overfetch`` (r14) turns on the PRODUCTION shape: Hamming
+    shortlist at ``k·rescore_overfetch`` within probed lists → exact
+    float re-rank of the shortlist
+    (:func:`~..operators.knn.knn_join_arrow_hamming_ivf_rescored`).
+    The float layout is cached alongside the codes for the loop (the
+    steady-state serving memory model matches the IVF tier; at storage
+    scale only shortlist rows inside already-probed lists are
+    fetched). Recall at the measured operating point is priced in
+    RECALL_CURVE.json ``bq_ivf_rescored``."""
     import time
 
     from ..operators.ann import nearest_centroids
-    from ..operators.knn import knn_join_arrow_hamming_ivf
+    from ..operators.knn import (
+        knn_join_arrow_hamming_ivf,
+        knn_join_arrow_hamming_ivf_rescored,
+    )
     from ..operators.pq import (
         bq_encode_cols,
         bq_encode_query,
@@ -597,6 +611,16 @@ def serve_loop_rate_bq_ivf(
     codes.count()
     if code_cache is not None:
         code_cache.append(codes)
+    floats = None
+    if rescore_overfetch is not None:
+        floats = (
+            layout.select(id_col, centroid_col, vec_col)
+            .repartition(spark.sparkContext.defaultParallelism)
+            .cache()
+        )
+        floats.count()
+        if code_cache is not None:
+            code_cache.append(floats)
     pool_codes = [bq_encode_query(v, thr, len(train)) for v in payload]
     pool_probes = [nearest_centroids(centroids, v, nprobe) for v in payload]
 
@@ -608,16 +632,32 @@ def serve_loop_rate_bq_ivf(
         if agg.t0 is None:
             return
         qidx = sorted(set(int(v) for v in agg.qids))
-        out = knn_join_arrow_hamming_ivf(
-            codes,
-            [pool_ids[q] for q in qidx],
-            [pool_codes[q] for q in qidx],
-            [pool_probes[q] for q in qidx],
-            k=k,
-            id_col=id_col,
-            code_cols=tuple(names),
-            centroid_col=centroid_col,
-        )
+        if rescore_overfetch is not None:
+            out = knn_join_arrow_hamming_ivf_rescored(
+                codes,
+                floats,
+                [pool_ids[q] for q in qidx],
+                [payload[q] for q in qidx],
+                [pool_codes[q] for q in qidx],
+                [pool_probes[q] for q in qidx],
+                k=k,
+                overfetch=rescore_overfetch,
+                id_col=id_col,
+                vec_col=vec_col,
+                code_cols=tuple(names),
+                centroid_col=centroid_col,
+            )
+        else:
+            out = knn_join_arrow_hamming_ivf(
+                codes,
+                [pool_ids[q] for q in qidx],
+                [pool_codes[q] for q in qidx],
+                [pool_probes[q] for q in qidx],
+                k=k,
+                id_col=id_col,
+                code_cols=tuple(names),
+                centroid_col=centroid_col,
+            )
         if sink is not None:
             sink(out, epoch_id)
         else:
