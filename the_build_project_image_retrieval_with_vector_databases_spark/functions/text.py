@@ -22,8 +22,13 @@ def tokens(text: Column | str, lowercase: bool = True) -> Column:
     return F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != "")
 
 
-def token_shingles(toks: Column | str, n: int = 3, sep: str = " ") -> Column:
-    """Distinct n-gram shingles over a token array → ``array<string>``.
+def token_shingles(
+    toks: Column | str, n: int = 3, sep: str = " ", distinct: bool = True
+) -> Column:
+    """n-gram shingles over a token array → ``array<string>`` —
+    DISTINCT by default (the dedup/decontam join unit); pass
+    ``distinct=False`` to keep every positional occurrence (the
+    repetition-counting unit, where multiplicity IS the signal).
 
     Implemented with ``sequence`` + ``slice`` (built-in, no UDF): shingle i
     is ``concat_ws(sep, slice(toks, i, n))`` for i in 1..len-n+1.
@@ -36,8 +41,10 @@ def token_shingles(toks: Column | str, n: int = 3, sep: str = " ") -> Column:
     count = F.size(toks) - F.lit(n - 1)
     idx = F.sequence(F.lit(1), count)
     sh = F.transform(idx, lambda i: F.concat_ws(sep, F.slice(toks, i, n)))
+    if distinct:
+        sh = F.array_distinct(sh)
     empty = F.array().cast("array<string>")
-    return F.when(count >= 1, F.array_distinct(sh)).otherwise(empty)
+    return F.when(count >= 1, sh).otherwise(empty)
 
 
 def char_ngrams(text: Column | str, n: int = 3) -> Column:

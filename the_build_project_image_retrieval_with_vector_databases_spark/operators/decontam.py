@@ -330,3 +330,60 @@ def bloom_decontaminate(
         )
         .select(id_col, "n_grams", "n_maybe", frac.alias("maybe_frac"))
     )
+
+
+def contamination_eval_split(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 4,
+    dirty_min_hits: int = 1,
+) -> DataFrame:
+    """GPT-3 Appendix-C dirty/clean EVAL split (staged r14, r16
+    registration candidate) — the REVERSE direction of
+    :func:`ngram_overlap`: instead of flagging training documents that
+    leak benchmark text, score each EVALUATION example by its n-gram
+    overlap with the training corpus and split the benchmark into a
+    ``dirty`` subset (≥ ``dirty_min_hits`` grams seen in training —
+    GPT-3 used "any collision") and its ``clean`` complement, on which
+    honest held-out metrics are reported (Brown et al. 2020, App. C;
+    word n-grams here vs their 13-gram character spans — the fixture
+    docs are ~30-80 tokens).
+
+    Output: one row per eval document —
+    ``(doc_id, n_grams, n_dirty_grams, dirty)``; ``dirty_frac`` is the
+    integer-ratio double (bit-exact cross-engine).
+
+    Scale shape (corpus 100 TB, benchmark MBs): the corpus side is one
+    tokenize→shingle→hash projection fused into its scan and is NEVER
+    shuffled — the exploded corpus grams broadcast-join the eval-gram
+    set, and the only exchange is the per-eval-doc aggregate whose key
+    space is ≤ the benchmark's gram count (map-side partial distinct
+    absorbs hot grams matched by millions of corpus rows)."""
+    ev_g = _gram_hashes(eval_df, id_col, text_col, n)
+    corp_g = _gram_hashes(corpus, id_col, text_col, n).select("h")
+    hits = (
+        corp_g.join(F.broadcast(ev_g), "h")
+        .groupBy("_id")
+        .agg(F.countDistinct("h").alias("n_dirty_grams"))
+    )
+    grams = token_shingles(tokens(F.col(text_col)), n=n)
+    n_dirty = F.coalesce(F.col("n_dirty_grams"), F.lit(0))
+    return (
+        eval_df.select(
+            F.col(id_col).alias("_id"), F.size(grams).alias("n_grams")
+        )
+        .join(hits, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "n_grams",
+            n_dirty.alias("n_dirty_grams"),
+            (n_dirty >= dirty_min_hits).alias("dirty"),
+            (
+                n_dirty.cast("double")
+                / F.greatest(F.col("n_grams"), F.lit(1)).cast("double")
+            ).alias("dirty_frac"),
+        )
+    )

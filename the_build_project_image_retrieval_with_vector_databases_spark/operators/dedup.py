@@ -1114,3 +1114,90 @@ def semantic_dedup_incremental(
         )
 
     return flagged.groupBy("cid").applyInPandas(greedy, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# URL/host-level dedup (staged r14, r16 registration candidate)
+# ---------------------------------------------------------------------------
+
+_TRACKING_PARAM_RE = (
+    r"^(utm_[a-z]+|gclid|fbclid|msclkid|mc_cid|mc_eid|ref|ref_src)="
+)
+
+
+def normalize_url(url) -> tuple["F.Column", "F.Column"]:
+    """Canonical (host, url_key) expressions for a URL column — the
+    normalization step of URL-level dedup (the CCNet/C4-style "one
+    document per canonical URL" rule; every crawl pipeline dedups by
+    normalized URL before any content pass because it is free: no
+    tokenize, no shingle, one shuffle on a short key).
+
+    Normalization, all pure Catalyst string expressions (zero UDF):
+    lowercase + trim, strip scheme, strip fragment, strip a leading
+    ``www``/``www2``-style label, strip default ports (:80/:443), strip
+    trailing slashes (empty path → "/"), drop tracking query params
+    (utm_*, gclid, fbclid, msclkid, mc_cid/mc_eid, ref/ref_src), sort
+    the surviving params so ``?a=1&b=2`` ≡ ``?b=2&a=1``.
+
+    Returns ``(host, key)`` where ``key = host + path[?canonical_query]``.
+    """
+    c = F.col(url) if isinstance(url, str) else url
+    u = F.lower(F.trim(c))
+    u = F.regexp_replace(u, r"^[a-z][a-z0-9+.-]*://", "")
+    u = F.regexp_replace(u, r"#.*$", "")
+    host = F.regexp_extract(u, r"^([^/?]+)", 1)
+    host = F.regexp_replace(host, r"^www\d*\.", "")
+    host = F.regexp_replace(host, r":(80|443)$", "")
+    rest = F.regexp_replace(u, r"^[^/?]+", "")
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    path = F.regexp_replace(path, r"/+$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(rest, r"\?(.*)$", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(_TRACKING_PARAM_RE),
+    )
+    canon_q = F.array_join(F.array_sort(params), "&")
+    key = F.concat(
+        host,
+        path,
+        F.when(canon_q != "", F.concat(F.lit("?"), canon_q)).otherwise(
+            F.lit("")
+        ),
+    )
+    return host, key
+
+
+def url_host_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """URL-level exact dedup over the canonical key of
+    :func:`normalize_url`: one row per input document with its
+    normalized ``host``/``url_key``, the canonical-group size
+    ``n_copies``, and ``is_kept`` (lowest id per key survives — the
+    same keep rule as :func:`exact_dedup`).
+
+    Scale shape at 100 TB: the normalization is a codegen'd projection
+    fused into the scan; the ONLY exchange is one shuffle keyed by the
+    short canonical-key string (same single-shuffle budget as
+    content-hash exact dedup, but ~100 bytes/row instead of a
+    tokenize+md5 pass — which is why crawl pipelines run it first).
+    Key cardinality ≈ N with crawl-shaped skew on hot hosts; the
+    window partitions by the full (host, path, query) key, so hot
+    HOSTS do not make hot KEYS."""
+    host, key = normalize_url(url_col)
+    w = Window.partitionBy("url_key")
+    return (
+        df.select(
+            F.col(id_col),
+            host.alias("host"),
+            key.alias("url_key"),
+        )
+        .withColumn("n_copies", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "is_kept",
+            F.row_number().over(w.orderBy(F.col(id_col).asc())) == 1,
+        )
+    )

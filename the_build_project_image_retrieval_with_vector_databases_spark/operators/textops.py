@@ -646,3 +646,119 @@ def bpe_merge_step(
         .orderBy(F.col("pair_count").desc(), F.col("pair").asc())
         .limit(top_n)
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher char-fraction repetition suite (staged r14, r16 registration
+# candidate)
+# ---------------------------------------------------------------------------
+
+# (n, kind, threshold) — Rae et al. 2021 Table A1: a document is
+# repetition-flagged when the fraction of characters in the most
+# frequent n-gram exceeds 0.20/0.18/0.16 (n = 2/3/4), or the fraction
+# of characters in DUPLICATED n-grams exceeds 0.15/0.14/0.13
+# (n = 5/6/7; the paper runs dup out to n=10 — the fixture docs are
+# 30-80 tokens, so 8-10-grams would be all-zero rows).
+REPETITION_RULES: tuple[tuple[int, str, float], ...] = (
+    (2, "top", 0.20),
+    (3, "top", 0.18),
+    (4, "top", 0.16),
+    (5, "dup", 0.15),
+    (6, "dup", 0.14),
+    (7, "dup", 0.13),
+)
+
+
+def repetition_ngram_fractions(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rules: tuple[tuple[int, str, float], ...] = REPETITION_RULES,
+) -> DataFrame:
+    """Gopher repetition gate, the char-fraction half (Rae et al. 2021
+    §A1.1): per document and n-gram size, the fraction of characters
+    covered by (a) the MOST FREQUENT n-gram ("top") or (b) all
+    n-grams occurring more than once ("dup"), with the published
+    per-(n, kind) threshold flag. Complements
+    :func:`gopher_quality`'s token-count signals (top-word fraction,
+    dup-2-gram token fraction) — these are the character-mass rules
+    that catch long-span boilerplate the token counts miss.
+
+    Measure contract (cross-engine exact): tokens are the engine-wide
+    ``tokens()`` fold (lower, trim, split ``\\s+``); an n-gram's char
+    mass is ``count × length(gram)`` with the single-space joiner
+    counted (the paper is agnostic on separators); the denominator is
+    ``length(trim(text))``; "top" ties break by larger char mass (so
+    the numerator is well-defined without comparing gram strings);
+    "dup" char mass is capped at the denominator (overlapping
+    occurrences can over-count). All fractions are integer-ratio
+    doubles — bit-exact cross-engine, no rounding.
+
+    Output (long format): ``(doc_id, n, kind, n_chars, gram_chars,
+    frac, flagged)`` — one row per document per rule.
+
+    Scale shape: one explode of Σ|rules| shingle passes fused into the
+    scan; exchange 1 keys (doc, n, gram) — cardinality ≈ tokens ×
+    |rules|, uniformly spread (the gram string is in the key, so a hot
+    template never makes a hot key); exchange 2 keys (doc, n) with
+    map-side partial aggregation. No window, no UDF, no driver state.
+    """
+    from ..functions.text import token_shingles
+
+    toks = tokens(F.col(text_col))
+    nc = F.length(F.trim(F.col(text_col)))
+    base = df.select(
+        F.col(id_col).alias("_id"), nc.alias("_nc"), toks.alias("_t")
+    )
+    parts = []
+    for n, kind, _thr in rules:
+        parts.append(
+            base.select(
+                "_id",
+                "_nc",
+                F.lit(n).alias("n"),
+                F.lit(kind).alias("kind"),
+                F.explode(
+                    token_shingles(F.col("_t"), n=n, distinct=False)
+                ).alias("_g"),
+            )
+        )
+    exploded = parts[0]
+    for p in parts[1:]:
+        exploded = exploded.unionAll(p)
+    counted = exploded.groupBy("_id", "n", "kind", "_g").agg(
+        F.count(F.lit(1)).alias("_cnt"), F.max("_nc").alias("_nc2")
+    )
+    gram_mass = F.col("_cnt") * F.length(F.col("_g"))
+    per_doc = counted.groupBy("_id", "n", "kind").agg(
+        F.max("_nc2").alias("n_chars"),
+        # top: lexicographic struct max = among max-count grams, the
+        # largest char mass — deterministic without gram-string order
+        F.max(F.struct(F.col("_cnt"), gram_mass.alias("_m"))).alias("_top"),
+        F.sum(F.when(F.col("_cnt") >= 2, gram_mass).otherwise(F.lit(0))).alias(
+            "_dup"
+        ),
+    )
+    thr_expr = None
+    for n, kind, thr in rules:
+        cond = (F.col("n") == n) & (F.col("kind") == kind)
+        thr_expr = (
+            F.when(cond, F.lit(thr))
+            if thr_expr is None
+            else thr_expr.when(cond, F.lit(thr))
+        )
+    gram_chars = F.when(
+        F.col("kind") == "top", F.col("_top._m")
+    ).otherwise(F.least(F.col("_dup"), F.col("n_chars")))
+    frac = gram_chars.cast("double") / F.greatest(
+        F.col("n_chars"), F.lit(1)
+    ).cast("double")
+    return per_doc.select(
+        F.col("_id").alias(id_col),
+        "n",
+        "kind",
+        "n_chars",
+        gram_chars.cast("long").alias("gram_chars"),
+        frac.alias("frac"),
+        (frac > thr_expr).alias("flagged"),
+    )

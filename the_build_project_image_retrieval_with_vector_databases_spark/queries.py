@@ -661,17 +661,17 @@ ORACLES: dict[str, str] = {
 # tests/test_staged_ops.py); each pairs with a retiree from the
 # r14-checked half (this _CHECK_FIRST list — the half that rotates
 # into the r16 window):
-#   url_host_dedup        ↔ exact_dedup (URL-normalized key dedup is
-#       the key-normalized superset of the md5-keyed exact dedup;
+#   url_host_dedup           ↔ exact_dedup (URL-normalized key dedup
+#       is the key-normalized superset of the md5-keyed exact dedup;
 #       the md5 key machinery stays registered via
 #       streaming_dedup_batch and unit-covered)
-#   contamination_overlap ↔ decontaminate (graded n-gram overlap
-#       scoring à la GPT-3 Appendix C generalizes the boolean
-#       decontaminate gate; bloom_decontaminate registers r15 and
-#       the exact-join path keeps its unit + fuzz rows)
-#   repetition_quality    ↔ quality_score (Gopher-style repetition
-#       rates extend the length/punct/stopword ratio family;
-#       gopher_quality stays registered as the ratio-gate sibling)
+#   contamination_eval_split ↔ decontaminate (GPT-3 Appendix C's
+#       dirty/clean EVAL split — the reverse direction of the corpus-
+#       side overlap scorer; bloom_decontaminate registers r15 and
+#       the exact-join corpus path keeps its unit + fuzz rows)
+#   repetition_quality       ↔ quality_score (Gopher Table-A1 char-
+#       fraction repetition rules extend the ratio family;
+#       gopher_quality stays registered as the token-count sibling)
 _CHECK_FIRST: list[str] = [
     # the 47 surviving r12-checked entries (kmeans_step,
     # tumbling_window, semantic_dedup_incremental retired), one round

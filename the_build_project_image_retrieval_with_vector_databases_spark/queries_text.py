@@ -1851,3 +1851,204 @@ FROM p GROUP BY pair
 ORDER BY pair_count DESC, pair ASC
 LIMIT {top_n}
 """
+
+
+# ---------------------------------------------------------------------------
+# r16 registration candidates — STAGED r14 (provisional pairings in the
+# queries.py write-ahead plan): url_host_dedup ↔ exact_dedup,
+# contamination_eval_split ↔ decontaminate, repetition_quality ↔
+# quality_score — all three retirees sit in the r14-checked half, so
+# each frees a real r16 window slot. Staging discipline: Python
+# reference + 3-SF oracle parity + plan pin in tests/test_staged_ops.py,
+# generated-corpus fuzz rows in tests/test_fuzz_oracle.py.
+# ---------------------------------------------------------------------------
+
+_URL_TRACKING_RE_SQL = (
+    "^(utm_[a-z]+|gclid|fbclid|msclkid|mc_cid|mc_eid|ref|ref_src)="
+)
+
+
+def _synth_url_expr():
+    """Deterministic URL column synthesized from the documents table
+    (the fixture has no url column; the OPERATOR is general). Variants
+    keyed by doc_id exercise every normalization branch — scheme
+    presence/case, www label, default port, trailing slash, param
+    order, tracking params, fragment — while the canonical key
+    collapses to (source, lang, doc_id % 40), giving real dup groups."""
+    d = F.col("doc_id")
+    scheme = (
+        F.when(d % 3 == 0, F.lit("http://"))
+        .when(d % 3 == 1, F.lit("HTTPS://"))
+        .otherwise(F.lit(""))
+    )
+    www = F.when(d % 2 == 0, F.lit("WWW.")).otherwise(F.lit(""))
+    port = F.when(d % 5 == 0, F.lit(":443")).otherwise(F.lit(""))
+    slash = F.when(d % 7 == 0, F.lit("/")).otherwise(F.lit(""))
+    q = (
+        F.when(d % 2 == 0, F.lit("?b=2&utm_source=feed&a=1"))
+        .otherwise(F.lit("?a=1&b=2"))
+    )
+    frag = F.when(d % 4 == 0, F.lit("#sec")).otherwise(F.lit(""))
+    return F.concat(
+        scheme, www, F.col("source"), F.lit(".Example.COM"), port,
+        F.lit("/"), F.col("lang"), F.lit("/item/"),
+        (d % 40).cast("string"), slash, q, frag,
+    )
+
+
+_SYNTH_URL_SQL = """
+  (CASE WHEN doc_id % 3 = 0 THEN 'http://'
+        WHEN doc_id % 3 = 1 THEN 'HTTPS://' ELSE '' END)
+  || (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END)
+  || source || '.Example.COM'
+  || (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END)
+  || '/' || lang || '/item/' || CAST(doc_id % 40 AS VARCHAR)
+  || (CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END)
+  || (CASE WHEN doc_id % 2 = 0 THEN '?b=2&utm_source=feed&a=1'
+      ELSE '?a=1&b=2' END)
+  || (CASE WHEN doc_id % 4 = 0 THEN '#sec' ELSE '' END)
+"""
+
+
+def q_url_host_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED (r14) — NOT registered. URL-level exact dedup
+    (operators/dedup.py::url_host_dedup): canonical-URL key
+    normalization (scheme/www/port/fragment/tracking-param/param-order
+    invariant, pure Catalyst regexp expressions) + one shuffle keyed by
+    the canonical key — the free first pass every crawl pipeline runs
+    before any content dedup (C4/CCNet). The oracle re-derives the
+    synthesized URLs AND the full normalization chain step for step."""
+    from .operators.dedup import url_host_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return url_host_dedup(
+        docs.select("doc_id", _synth_url_expr().alias("url")), "url"
+    )
+
+
+def _oracle_url_host_dedup() -> str:
+    return f"""
+WITH raw AS (SELECT doc_id, {_SYNTH_URL_SQL} AS url FROM documents),
+u1 AS (SELECT doc_id,
+         regexp_replace(regexp_replace(lower(trim(url)),
+           '^[a-z][a-z0-9+.-]*://', ''), '#.*$', '') AS u
+       FROM raw),
+u2 AS (SELECT doc_id, u,
+         regexp_replace(regexp_replace(regexp_extract(u, '^([^/?]+)', 1),
+           '^www\\d*\\.', ''), ':(80|443)$', '') AS host,
+         regexp_replace(u, '^[^/?]+', '') AS rest
+       FROM u1),
+u3 AS (SELECT doc_id, host,
+         regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/+$', '')
+           AS path0,
+         regexp_extract(rest, '\\?(.*)$', 1) AS query
+       FROM u2),
+u4 AS (SELECT doc_id, host,
+         (CASE WHEN path0 = '' THEN '/' ELSE path0 END) AS path,
+         array_to_string(list_sort(list_filter(string_split(query, '&'),
+           p -> p <> '' AND NOT regexp_matches(p,
+             '{_URL_TRACKING_RE_SQL}'))), '&') AS canon_q
+       FROM u3),
+k AS (SELECT doc_id, host,
+        host || path ||
+          (CASE WHEN canon_q <> '' THEN '?' || canon_q ELSE '' END)
+          AS url_key
+      FROM u4)
+SELECT doc_id, host, url_key,
+       count(*) OVER (PARTITION BY url_key) AS n_copies,
+       row_number() OVER (PARTITION BY url_key ORDER BY doc_id ASC) = 1
+         AS is_kept
+FROM k
+"""
+
+
+def q_contamination_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED (r14) — NOT registered. GPT-3 Appendix-C dirty/clean EVAL
+    split (operators/decontam.py::contamination_eval_split): per eval
+    document (doc_id < 20, the decontaminate benchmark slice), its
+    4-gram overlap with the training corpus (doc_id >= 20) and the
+    dirty flag at any-collision — the reverse direction of
+    `decontaminate` (which scores the CORPUS side). Corpus grams never
+    shuffle; the eval-gram set broadcasts."""
+    from .operators.decontam import contamination_eval_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = spread(docs).filter(F.col("doc_id") >= 20)
+    ev = docs.filter(F.col("doc_id") < 20)
+    return contamination_eval_split(corpus, ev, n=4)
+
+
+def _oracle_contamination_eval_split(n: int = 4) -> str:
+    return f"""
+WITH t AS (SELECT doc_id, {_dk_toks()} AS toks FROM documents),
+sh AS (SELECT doc_id, unnest({_dk_shingles('toks', n)}) AS shingle FROM t),
+hx AS (SELECT doc_id, {_dk_hex15_to_long('md5(shingle)')} AS h FROM sh),
+ev AS (SELECT doc_id, h FROM hx WHERE doc_id < 20),
+corp AS (SELECT DISTINCT h FROM hx WHERE doc_id >= 20),
+sizes AS (SELECT doc_id, len({_dk_shingles('toks', n)}) AS n_grams
+          FROM t WHERE doc_id < 20),
+hits AS (SELECT e.doc_id, count(DISTINCT e.h) AS n_dirty
+         FROM ev e JOIN corp c USING (h) GROUP BY 1)
+SELECT s.doc_id,
+       CAST(s.n_grams AS INT) AS n_grams,
+       CAST(coalesce(h.n_dirty, 0) AS BIGINT) AS n_dirty_grams,
+       coalesce(h.n_dirty, 0) >= 1 AS dirty,
+       CAST(coalesce(h.n_dirty, 0) AS DOUBLE)
+         / CAST(greatest(s.n_grams, 1) AS DOUBLE) AS dirty_frac
+FROM sizes s LEFT JOIN hits h USING (doc_id)
+"""
+
+
+def q_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED (r14) — NOT registered. Gopher char-fraction repetition
+    suite (operators/textops.py::repetition_ngram_fractions; Rae et
+    al. 2021 Table A1): per (doc, n, kind), the fraction of characters
+    in the most frequent n-gram (n=2/3/4) or in duplicated n-grams
+    (n=5/6/7), flagged at the published thresholds. The character-mass
+    complement of `gopher_quality`'s token-count signals."""
+    from .operators.textops import repetition_ngram_fractions
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_ngram_fractions(spread(docs))
+
+
+def _oracle_repetition_quality() -> str:
+    from .operators.textops import REPETITION_RULES
+
+    branches = " UNION ALL ".join(
+        f"""SELECT doc_id, nc, {n} AS n, '{kind}' AS kind,
+          CAST({thr} AS DOUBLE) AS thr,
+          unnest(list_transform(
+            range(1, greatest(len(toks) - {n - 1}, 0) + 1),
+            i -> array_to_string(list_slice(toks, i, i + {n - 1}), ' ')))
+            AS gram
+        FROM t"""
+        for n, kind, thr in REPETITION_RULES
+    )
+    return f"""
+WITH t AS (SELECT doc_id, length(trim(text)) AS nc, {_dk_toks()} AS toks
+           FROM documents),
+g AS ({branches}),
+c AS (SELECT doc_id, n, kind, thr, max(nc) AS nc, gram, count(*) AS cnt
+      FROM g GROUP BY doc_id, n, kind, thr, gram),
+p1 AS (SELECT doc_id, n, kind, thr, max(nc) AS n_chars, max(cnt) AS mx,
+         sum(CASE WHEN cnt >= 2 THEN cnt * length(gram) ELSE 0 END)
+           AS dup_mass
+       FROM c GROUP BY doc_id, n, kind, thr),
+p2 AS (SELECT c.doc_id, c.n, c.kind,
+         max(c.cnt * length(c.gram)) AS top_mass
+       FROM c JOIN p1 USING (doc_id, n, kind)
+       WHERE c.cnt = p1.mx GROUP BY c.doc_id, c.n, c.kind)
+SELECT p1.doc_id, CAST(p1.n AS INT) AS n, p1.kind,
+       CAST(p1.n_chars AS INT) AS n_chars,
+       CAST(CASE WHEN p1.kind = 'top' THEN p2.top_mass
+            ELSE least(p1.dup_mass, p1.n_chars) END AS BIGINT)
+         AS gram_chars,
+       CAST(CASE WHEN p1.kind = 'top' THEN p2.top_mass
+            ELSE least(p1.dup_mass, p1.n_chars) END AS DOUBLE)
+         / CAST(greatest(p1.n_chars, 1) AS DOUBLE) AS frac,
+       CAST(CASE WHEN p1.kind = 'top' THEN p2.top_mass
+            ELSE least(p1.dup_mass, p1.n_chars) END AS DOUBLE)
+         / CAST(greatest(p1.n_chars, 1) AS DOUBLE) > p1.thr AS flagged
+FROM p1 JOIN p2 USING (doc_id, n, kind)
+"""

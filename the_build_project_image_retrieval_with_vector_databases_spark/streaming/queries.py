@@ -613,9 +613,17 @@ def serve_loop_rate_bq_ivf(
         code_cache.append(codes)
     floats = None
     if rescore_overfetch is not None:
+        # range-partition the float cache BY CENTROID: in-memory scans
+        # cannot partition-prune like parquet, but cached-batch min/max
+        # stats do skip batches whose centroid range misses the isin
+        # predicate — round-robin caching would put every centroid in
+        # every batch and force a full 2M-row decode per epoch (the
+        # first rescored sweep measured exactly that: +2 s/epoch)
         floats = (
             layout.select(id_col, centroid_col, vec_col)
-            .repartition(spark.sparkContext.defaultParallelism)
+            .repartitionByRange(
+                spark.sparkContext.defaultParallelism, F.col(centroid_col)
+            )
             .cache()
         )
         floats.count()
