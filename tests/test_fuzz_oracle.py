@@ -1230,3 +1230,43 @@ def test_fuzz_image_knn_pipeline_panel(spark, tmp_path_factory, seed, n_imgs):
         "image_knn_pipeline_gen",
     )
     assert ok, f"generated flagship corpus diverged: {msg}"
+
+
+@settings(max_examples=3, deadline=None, derandomize=True)
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    n_docs=st.integers(min_value=3, max_value=60),
+)
+def test_fuzz_staged_r16_text_ops(spark, tmp_path_factory, seed, n_docs):
+    """The r16-staged candidates face the registry gate once registered
+    — pre-verify on generated corpora. Shapes the fixtures never hit:
+    corpora smaller than the eval slice (contamination's corpus side
+    EMPTY → every eval doc clean on BOTH engines), token-less and
+    sub-n docs (repetition emits no row for that (doc, n)), duplicate
+    and case-variant texts (repetition counts unaffected by doc
+    identity; URL groups keyed by (source, lang, id%40) still form),
+    and random source/lang mixes driving the synthesized-URL key
+    structure."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_text import (
+        _oracle_contamination_eval_split,
+        _oracle_repetition_quality,
+        _oracle_url_host_dedup,
+        q_contamination_eval_split,
+        q_repetition_quality,
+        q_url_host_dedup,
+    )
+
+    rng = np.random.default_rng(seed)
+    tmpdir = str(tmp_path_factory.mktemp(f"fuzz_r16t_{seed}_{n_docs}"))
+    pq.write_table(
+        _gen_documents(rng, n_docs), os.path.join(tmpdir, "documents.parquet")
+    )
+    for name, q, o in [
+        ("url_host_dedup", q_url_host_dedup, _oracle_url_host_dedup()),
+        ("contamination_eval_split", q_contamination_eval_split,
+         _oracle_contamination_eval_split()),
+        ("repetition_quality", q_repetition_quality,
+         _oracle_repetition_quality()),
+    ]:
+        ok, msg = compare(q(spark, tmpdir), o, tmpdir, name)
+        assert ok, f"fuzz corpus diverged: {msg}"

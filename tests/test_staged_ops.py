@@ -2704,3 +2704,241 @@ def test_bpe_merge_step_oracle_parity_staged(spark, sf_dir):
         "bpe_merge_step",
     )
     assert ok, msg
+
+
+# ---------------------------------------------------------------------------
+# url_host_dedup / contamination_eval_split / repetition_quality —
+# STAGED r14, r16 registration candidates (write-ahead pairings in
+# queries.py above _CHECK_FIRST: url_host_dedup ↔ exact_dedup,
+# contamination_eval_split ↔ decontaminate, repetition_quality ↔
+# quality_score).
+# ---------------------------------------------------------------------------
+
+
+def _norm_url_py(url: str) -> tuple[str, str]:
+    """Single-threaded mirror of operators.dedup.normalize_url."""
+    import re
+
+    u = url.strip().lower()
+    u = re.sub(r"^[a-z][a-z0-9+.-]*://", "", u)
+    u = re.sub(r"#.*$", "", u)
+    m = re.match(r"^([^/?]+)", u)
+    host = m.group(1) if m else ""
+    host = re.sub(r"^www\d*\.", "", host)
+    host = re.sub(r":(80|443)$", "", host)
+    rest = re.sub(r"^[^/?]+", "", u, count=1)
+    path = re.sub(r"/+$", "", re.match(r"^([^?]*)", rest).group(1))
+    if path == "":
+        path = "/"
+    qm = re.search(r"\?(.*)$", rest)
+    query = qm.group(1) if qm else ""
+    params = [
+        p
+        for p in query.split("&")
+        if p
+        and not re.match(
+            r"^(utm_[a-z]+|gclid|fbclid|msclkid|mc_cid|mc_eid|ref|ref_src)=",
+            p,
+        )
+    ]
+    canon = "&".join(sorted(params))
+    return host, host + path + (("?" + canon) if canon else "")
+
+
+def test_url_host_dedup_matches_python_reference(spark):
+    """Hand-built URLs covering every normalization branch (scheme
+    case/absence, www2 label, default + NON-default ports, nested
+    paths, repeated slashes, fragments, tracking-only query, param
+    reordering, bare host) normalize and dedup exactly like the
+    single-threaded reference."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.dedup import (
+        url_host_dedup,
+    )
+
+    urls = [
+        (0, "HTTPS://WWW.Example.COM:443/a/b/?b=2&a=1#frag"),
+        (1, "http://example.com/a/b?a=1&b=2"),
+        (2, "example.com/a/b/?utm_source=x&b=2&a=1"),
+        (3, "https://www2.example.com:443/a/b"),
+        (4, "http://example.com:8080/a/b"),  # NON-default port survives
+        (5, "ftp://files.example.com/pub//data//"),
+        (6, "https://Example.com"),
+        (7, "example.com/?utm_campaign=z&gclid=abc"),  # tracking-only
+        (8, "https://sub.example.com/a/b?ref=home&c=3"),
+        (9, "http://example.com/a/b?c=3&d=4&c=3"),  # dup param kept twice
+    ]
+    df = spark.createDataFrame(urls, "doc_id long, url string")
+    got = {
+        r.doc_id: (r.host, r.url_key, r.n_copies, r.is_kept)
+        for r in url_host_dedup(df).collect()
+    }
+    keys = {i: _norm_url_py(u) for i, u in urls}
+    from collections import Counter
+
+    sizes = Counter(k for _, k in keys.values())
+    firsts = {}
+    for i in sorted(keys):
+        firsts.setdefault(keys[i][1], i)
+    for i, u in urls:
+        host, key = keys[i]
+        assert got[i] == (host, key, sizes[key], firsts[key] == i), (i, u)
+    # branch sanity: 0-2 collapse to one canonical key (scheme case,
+    # www label, default port, trailing slash, tracking param, param
+    # order); 3 differs ONLY by its missing query; 4 keeps its
+    # NON-default port
+    assert got[0][1] == got[1][1] == got[2][1] == "example.com/a/b?a=1&b=2"
+    assert got[3][1] == "example.com/a/b"
+    assert got[4][1] != got[0][1] and ":8080" in got[4][0]
+    assert got[7][1] == "example.com/"  # tracking-only query drops
+
+
+def test_contamination_eval_split_matches_python_reference(spark):
+    """Per-eval-doc dirty-gram counts equal the single-threaded mirror
+    (same 60-bit md5-prefix gram hashes) at a NON-registry n."""
+    import hashlib
+
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.decontam import (
+        contamination_eval_split,
+    )
+
+    n = 3  # NOT the registry constant — generality
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    corpus = docs.filter("doc_id >= 20")
+    ev = docs.filter("doc_id < 20")
+
+    def grams(text):
+        toks = [t for t in text.lower().split() if t]
+        return {
+            int(
+                hashlib.md5(
+                    " ".join(toks[i : i + n]).encode()
+                ).hexdigest()[:15],
+                16,
+            )
+            for i in range(len(toks) - n + 1)
+        }
+
+    rows = {r.doc_id: r.text for r in docs.collect()}
+    corpus_g = set()
+    for i, t in rows.items():
+        if i >= 20:
+            corpus_g |= grams(t)
+    got = {
+        r.doc_id: (r.n_grams, r.n_dirty_grams, r.dirty)
+        for r in contamination_eval_split(corpus, ev, n=n).collect()
+    }
+    assert set(got) == {i for i in rows if i < 20}
+    for i in got:
+        g = grams(rows[i])
+        dirty = len(g & corpus_g)
+        assert got[i] == (len(g), dirty, dirty >= 1), i
+    assert any(v[2] for v in got.values())  # fixture has real overlap
+
+
+def test_repetition_quality_matches_python_reference(spark):
+    """Char-mass fractions and flags equal the single-threaded mirror,
+    including forced pathological docs (pure repetition → top-2-gram
+    frac near 1 and flagged; all-distinct tokens → dup mass 0)."""
+    from collections import Counter
+
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.textops import (
+        REPETITION_RULES,
+        repetition_ngram_fractions,
+    )
+
+    rows = [
+        (0, "spam spam spam spam spam spam spam spam"),
+        (1, "one two three four five six seven eight nine ten"),
+        (2, "a b a b a b a b a b a b"),
+        (3, "x y z x y z x y z x y z x y z"),
+        (4, "only two"),
+        (5, "solo"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.n, r.kind): (r.n_chars, r.gram_chars, r.frac, r.flagged)
+        for r in repetition_ngram_fractions(df).collect()
+    }
+    for i, text in rows:
+        toks = [t for t in text.lower().split() if t]
+        nc = len(text.strip())
+        for n, kind, thr in REPETITION_RULES:
+            g = [" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)]
+            if not g:
+                assert (i, n, kind) not in got
+                continue
+            cnt = Counter(g)
+            if kind == "top":
+                mass = max((c, c * len(s)) for s, c in cnt.items())[1]
+            else:
+                mass = min(
+                    sum(c * len(s) for s, c in cnt.items() if c >= 2), nc
+                )
+            frac = mass / max(nc, 1)
+            assert got[(i, n, kind)] == (nc, mass, frac, frac > thr), (
+                i, n, kind,
+            )
+    assert got[(0, 2, "top")][3]  # pure repetition flags
+    assert got[(1, 5, "dup")][1] == 0  # all-distinct: zero dup mass
+
+
+def test_staged_r16_oracle_parity(spark, sf_dir):
+    """The staged r16 DuckDB oracles pass the driver-faithful
+    comparison (verified by hand at sf0.001/sf0.01/sf0.1 in r14)."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_text import (
+        _oracle_contamination_eval_split,
+        _oracle_repetition_quality,
+        _oracle_url_host_dedup,
+        q_contamination_eval_split,
+        q_repetition_quality,
+        q_url_host_dedup,
+    )
+    from .oracle_harness import compare
+
+    for name, q, o in [
+        ("url_host_dedup", q_url_host_dedup, _oracle_url_host_dedup()),
+        (
+            "contamination_eval_split",
+            q_contamination_eval_split,
+            _oracle_contamination_eval_split(),
+        ),
+        (
+            "repetition_quality",
+            q_repetition_quality,
+            _oracle_repetition_quality(),
+        ),
+    ]:
+        ok, msg = compare(q(spark, sf_dir), o, sf_dir, name)
+        assert ok, msg
+
+
+def test_staged_r16_plan_shapes(spark):
+    """Plan contracts: url_host_dedup — ONE exchange (the canonical-key
+    window), pure expressions; contamination_eval_split — the eval-gram
+    set broadcasts, the corpus side never shuffles before the join;
+    repetition_quality — exactly the two aggregate exchanges
+    ((doc,n,kind,gram) then (doc,n,kind)). All: no cartesian, no BNLJ,
+    no row-Python."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_text import (
+        q_contamination_eval_split,
+        q_repetition_quality,
+        q_url_host_dedup,
+    )
+
+    plans = {}
+    for name, q in [
+        ("url", q_url_host_dedup),
+        ("cont", q_contamination_eval_split),
+        ("rep", q_repetition_quality),
+    ]:
+        plan = q(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        plans[name] = plan
+    assert plans["url"].count("Exchange hashpartitioning") == 1
+    assert "BroadcastHashJoin" in plans["cont"]
+    # corpus side: the only hash exchanges are the per-eval-doc
+    # distinct aggregate (expand) — never a corpus-gram shuffle join
+    assert "SortMergeJoin" not in plans["cont"]
+    assert plans["rep"].count("Exchange hashpartitioning") == 2

@@ -375,7 +375,9 @@ def contamination_eval_split(
         eval_df.select(
             F.col(id_col).alias("_id"), F.size(grams).alias("n_grams")
         )
-        .join(hits, "_id", "left")
+        # hits ≤ |benchmark| rows by construction — broadcast, so the
+        # final assembly never sorts/shuffles the (already tiny) sides
+        .join(F.broadcast(hits), "_id", "left")
         .select(
             F.col("_id").alias(id_col),
             "n_grams",

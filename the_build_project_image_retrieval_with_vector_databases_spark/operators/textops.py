@@ -549,58 +549,105 @@ def winnowing_fingerprints(
     paper's short-input degeneration. Token-less / sub-k docs emit
     nothing.
 
-    Scale shape: a projection chain — tokenize → positional gram hashes
-    → per-window argmin → array_distinct → explode — with ZERO shuffles
-    and no UDF; output is ≤ grams/⌈(w+1)/2⌉ rows per doc. At 100 TB
-    this is embarrassingly parallel per input split. BOTH the tokenize
-    and the gram-hash array live in their OWN projections (the
-    doc_shingles contract — see passage_chunks): the hash array is
-    consumed once per WINDOW, and inlining it would re-evaluate the
-    full md5 transform per window — measured 37× the whole query's
-    cost at sf0.1 (25.1 s inlined → 0.67 s materialized, same
-    scale_proof protocol). Remaining cost is the per-window stage
-    (profiled: slice/array_min/reverse/array_position are NATIVE
-    Catalyst array ops — the gram-md5 stage alone is ~0.14 s of the
-    total; an interpreted one-pass `aggregate` argmin would be
-    SLOWER than these native calls) — per-row CPU, so wall time
-    scales with the corpus (measured 4.6× @10×, 43× @100×: the
-    linear-CPU class, like ngram_jaccard_dedup's tokenize)."""
+    Scale shape: a projection chain — tokenize → position-ENCODED gram
+    hashes → sparse-table sliding min → decode → array_distinct →
+    explode — with ZERO shuffles and no UDF; output is
+    ≤ grams/⌈(w+1)/2⌉ rows per doc. At 100 TB this is embarrassingly
+    parallel per input split. BOTH the tokenize and the hash array
+    live in their OWN projections (the doc_shingles contract — see
+    passage_chunks): inlining the hash transform would re-evaluate the
+    full md5 chain per consumer — measured 37× the whole query's cost
+    at sf0.1 (25.1 s inlined → 0.67 s materialized, same scale_proof
+    protocol).
+
+    Per-window cost (the r13 verdict's 43×@100× item): the original
+    form re-sliced the hash array per window
+    (slice/array_min/reverse/array_position = O(g·w) element ops per
+    doc). This form is the "precomputed min positions" plan: each
+    positional hash is encoded as ``hash·2²⁰ + (g − pos)`` — a single
+    BIGINT whose MINIMUM over any window IS the rightmost-minimal
+    selection (smaller hash dominates the 2²⁰ scale; among equal
+    hashes the smaller ``g − pos`` means the larger pos) — then a
+    sparse-table doubling ladder (level j holds width-2ʲ mins, each
+    level one O(g) zip of the previous) gives every width-w window min
+    as ``least(m_p[j], m_p[j + w − p])`` with p = 2^⌊log₂w⌋: O(g·log w)
+    integer ops total, and the md5 work is unchanged. Bound: positions
+    occupy 20 bits (docs ≤ ~1M grams) under the 8-hex-digit (32-bit)
+    gram hash — 52 bits total, inside long. Wall time remains per-row
+    CPU (the linear class, like ngram_jaccard_dedup's tokenize), at a
+    ~w/log₂w-smaller constant."""
+    import math
+
+    POS_BITS = 20
+    enc_scale = 1 << POS_BITS
     toked = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
     g0 = F.size("__toks") - F.lit(k - 1)  # positional gram count
-    # positional (NOT distinct) gram hashes: position is part of the
-    # fingerprint identity, so token_shingles' array_distinct is wrong
-    # here. NULL (not empty) for sub-k docs — the guard keeps
+    # positional (NOT distinct) encoded gram hashes: position is part
+    # of the fingerprint identity, so token_shingles' array_distinct is
+    # wrong here. NULL (not empty) for sub-k docs — the guard keeps
     # sequence(1, g<=0) descending-range semantics out, and NULL
     # propagates through size/when below so the explode emits nothing.
-    hashes = F.when(
+    enc0 = F.when(
         g0 >= 1,
         F.transform(
             F.sequence(F.lit(1), g0),
-            lambda i: md5_long(F.concat_ws(" ", F.slice(F.col("__toks"), i, k))),
+            lambda i: md5_long(F.concat_ws(" ", F.slice(F.col("__toks"), i, k)))
+            * F.lit(enc_scale)
+            + (g0 - i).cast("long"),
         ),
     )
-    hashed = toked.select(F.col(id_col), hashes.alias("__hs"))
-    g = F.size("__hs")
-    n_windows = F.greatest(g - F.lit(w - 1), F.lit(1))
+    cur = toked.select(F.col(id_col), enc0.alias("__m1"))
+    p = 1 << int(math.floor(math.log2(w)))
+    lvl, name = 1, "__m1"
+    while lvl < p:
+        nxt, prev = lvl * 2, name
+        cnt = F.size(F.col(prev)) - F.lit(lvl)  # next length = g - nxt + 1
 
-    def _pick(j):
-        sub = F.slice(F.col("__hs"), j, w)  # clamps at the tail (short last window)
-        m = F.array_min(sub)
-        # rightmost minimal hash: first hit in the REVERSED window
-        rpos = F.array_position(F.reverse(sub), m)
-        return F.struct(
-            (j + F.size(sub) - rpos).cast("int").alias("fp_pos"),
-            m.alias("fp_hash"),
+        def _zip_min_fn(_prev: str, _step: int):
+            # closure factory: F.transform inspects the callable's
+            # parameter COUNT, so default-arg binding would read as a
+            # two-arg (value, index) lambda
+            return lambda x: F.least(
+                F.element_at(F.col(_prev), x),
+                F.element_at(F.col(_prev), x + F.lit(_step)),
+            )
+
+        arr = F.when(
+            cnt >= 1, F.transform(F.sequence(F.lit(1), cnt), _zip_min_fn(prev, lvl))
         )
-
-    sel = F.array_distinct(F.transform(F.sequence(F.lit(1), n_windows), _pick))
-    # sub-k docs: __hs is NULL → g is NULL → the when yields NULL and
-    # the explode emits zero rows, without a filter that would re-inline
-    # the hash subtree below the projection (the passage_chunks lesson)
-    fp = hashed.select(
-        F.col(id_col),
-        F.explode(F.when(g >= 1, sel)).alias("__fp"),
+        name = f"__m{nxt}"
+        # each level in its OWN projection: the next level reads it
+        # twice per element (the doc_shingles materialization contract)
+        cur = cur.select(F.col(id_col), F.col("__m1"), arr.alias(name))
+        lvl = nxt
+    g = F.size("__m1")
+    mp = F.col(name)
+    n_windows = g - F.lit(w - 1)
+    win = F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda j: F.least(
+            F.element_at(mp, j), F.element_at(mp, j + F.lit(w - p))
+        ),
     )
+    # docs with 1 ≤ g < w winnow their single short window (the paper's
+    # short-input degeneration): the global min of the encoded stream
+    sel_enc = (
+        F.when(g >= w, win)
+        .when(g >= 1, F.array(F.array_min(F.col("__m1"))))
+    )
+    sel = F.array_distinct(
+        F.transform(
+            sel_enc,
+            lambda e: F.struct(
+                (g - (e % F.lit(enc_scale))).cast("int").alias("fp_pos"),
+                F.shiftright(e, POS_BITS).alias("fp_hash"),
+            ),
+        )
+    )
+    # sub-k docs: __m1 is NULL → g is NULL → sel_enc is NULL and the
+    # explode emits zero rows, without a filter that would re-inline
+    # the hash subtree below the projection (the passage_chunks lesson)
+    fp = cur.select(F.col(id_col), F.explode(sel).alias("__fp"))
     return fp.select(
         F.col(id_col),
         F.col("__fp.fp_pos").alias("fp_pos"),
