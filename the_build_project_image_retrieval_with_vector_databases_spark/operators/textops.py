@@ -757,22 +757,31 @@ def repetition_ngram_fractions(
     base = df.select(
         F.col(id_col).alias("_id"), nc.alias("_nc"), toks.alias("_t")
     )
-    parts = []
-    for n, kind, _thr in rules:
-        parts.append(
-            base.select(
-                "_id",
-                "_nc",
-                F.lit(n).alias("n"),
-                F.lit(kind).alias("kind"),
-                F.explode(
-                    token_shingles(F.col("_t"), n=n, distinct=False)
-                ).alias("_g"),
-            )
+
+    # ONE scan, ONE tokenize, ONE explode: the six rule branches are
+    # struct-tagged shingle arrays concatenated per row (a union of six
+    # selects would re-scan and re-tokenize the corpus six times — the
+    # staging 100× run measured exactly that, 30.8× vs this plan's).
+    # Each transform consumes the MATERIALIZED token array column (the
+    # doc_shingles contract).
+    def _branch(n: int, kind: str):
+        return F.transform(
+            token_shingles(F.col("_t"), n=n, distinct=False),
+            lambda s: F.struct(
+                F.lit(n).alias("n"), F.lit(kind).alias("kind"), s.alias("g")
+            ),
         )
-    exploded = parts[0]
-    for p in parts[1:]:
-        exploded = exploded.unionAll(p)
+
+    combined = F.concat(*[_branch(n, kind) for n, kind, _thr in rules])
+    exploded = base.select(
+        "_id", "_nc", F.explode(combined).alias("_x")
+    ).select(
+        "_id",
+        "_nc",
+        F.col("_x.n").alias("n"),
+        F.col("_x.kind").alias("kind"),
+        F.col("_x.g").alias("_g"),
+    )
     counted = exploded.groupBy("_id", "n", "kind", "_g").agg(
         F.count(F.lit(1)).alias("_cnt"), F.max("_nc").alias("_nc2")
     )
