@@ -1097,3 +1097,45 @@ def test_knn_join_arrow_hamming_ivf_rescored_matches_exact_in_probed(spark):
         knn_join_arrow_hamming_ivf_rescored(
             codes, layout, qids, qvecs, qcodes, [[] for _ in qs], k=k
         )
+
+
+def test_search_facade_bq_rerank_tier(emb, emb_np):
+    """index='bq', rerank>0 (r14): Hamming shortlist → exact float
+    re-rank. Contracts: same output shape best-first by EXACT L2; with
+    the shortlist covering the whole corpus the result IS the exact
+    flat top-k; rerank strictly improves (or equals) raw-Hamming
+    overlap with exact; the plan stays zero-shuffle (two
+    TakeOrderedAndProject cuts, no exchange)."""
+    import numpy as np
+
+    from the_build_project_image_retrieval_with_vector_databases_spark.search import search
+
+    ids, mat = emb_np
+    q = [float(x) for x in mat[ids.tolist().index(0)]]
+    n = len(ids)
+    k = 10
+
+    full = search(emb, q, k=k, index="bq", rerank=(n // k) + 1)
+    rows = full.collect()
+    assert len(rows) == k and rows[0].vec_id == 0 and rows[0].dist == 0.0
+    d = np.sqrt(((mat - np.asarray(q)) ** 2).sum(axis=1))
+    exact_ids = [int(v) for _, v in sorted(zip(np.round(d, 9), ids))[:k]]
+    # corpus-covering shortlist undoes the sign quantization entirely
+    assert {r.vec_id for r in rows} == set(exact_ids)
+    dists = [r.dist for r in rows]
+    assert dists == sorted(dists)
+
+    raw = {r.vec_id for r in search(emb, q, k=k, index="bq").collect()}
+    resc = {
+        r.vec_id for r in search(emb, q, k=k, index="bq", rerank=8).collect()
+    }
+    exact = set(exact_ids)
+    assert len(resc & exact) >= len(raw & exact)
+
+    plan = (
+        search(emb, q, k=k, index="bq", rerank=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "BatchEvalPython" not in plan

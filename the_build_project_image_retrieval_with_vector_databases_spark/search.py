@@ -13,6 +13,7 @@ with the index tier and the similarity metric as explicit parameters:
     search(corpus, qvec, k=10, index="pq",   train_vectors=cents, rerank=5)
     search(corpus, qvec, k=10, index="sq",   train_vectors=cents)
     search(corpus, qvec, k=10, index="bq",   train_vectors=cents)
+    search(corpus, qvec, k=10, index="bq",   train_vectors=cents, rerank=16)
 
 Every tier returns the same shape — the corpus row columns plus a
 ``dist`` column, best-first — so swapping ``index=`` is a one-word
@@ -177,6 +178,29 @@ def search(
             for name, col in zip(names, bq_encode_cols(thr, n_tr, vec_col)):
                 encoded = encoded.withColumn(name, col)
         qh = bq_encode_query(q, thr, n_tr)
+        if rerank > 0:
+            # production BQ shape (r14, the pq-tier rerank applied to
+            # the binary tier): Hamming shortlist of k·rerank → exact
+            # float re-rank of the shortlist only. Both cuts are
+            # zero-shuffle TakeOrderedAndProject; recall is the
+            # bq_overfetch curve (RECALL_CURVE.json — ov=16 buys raw
+            # Hamming's 0.17 back to ≈0.70 on the fixture corpus).
+            from .functions.vector import l2_dist
+
+            qlit = F.array(*[F.lit(float(x)) for x in q]).cast(
+                "array<double>"
+            )
+            short = (
+                encoded.withColumn("__h", bq_hamming(qh, names))
+                .orderBy(F.col("__h").asc(), F.col(id_col).asc())
+                .limit(k * rerank)
+            )
+            return (
+                short.withColumn("dist", l2_dist(F.col(vec_col), qlit))
+                .orderBy(F.col("dist").asc(), F.col(id_col).asc())
+                .limit(k)
+                .drop("__h")
+            )
         return (
             encoded.withColumn(
                 "dist", bq_hamming(qh, names).cast("double")
