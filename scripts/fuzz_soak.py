@@ -50,14 +50,16 @@ def _staged_pairs():
     """(name, query_fn, oracle_sql) per panel: the r11 trio registered
     r12 whose generated-corpus constraints differ from the generic
     panel ranges — kept covered here with the shared corpus — PLUS
-    every currently-staged registration candidate (the r14 and r15
-    trios), so the many-seed soak exercises them before their window
-    flip, not just the 3-example derandomized hypothesis rows. The
-    oracle slot may be a callable(dir) -> sql for corpus-sized
-    oracles (leakage_safe_split re-derives its LSH plane count from
-    the generated corpus's footer row count, like lsh_near_dup).
-    (The r12 trio registered r13 — bq_hamming_topk, passage_chunking,
-    temperature_mix — rides the panel lists directly.)"""
+    every currently-staged registration candidate (the r15 and r16
+    trios; the r13-staged trio registered r14 and its entries stay
+    here for the shared-corpus coverage), so the many-seed soak
+    exercises them before their window flip, not just the 3-example
+    derandomized hypothesis rows. The oracle slot may be a
+    callable(dir) -> sql for corpus-sized oracles (leakage_safe_split
+    re-derives its LSH plane count from the generated corpus's footer
+    row count, like lsh_near_dup). (The r12 trio registered r13 —
+    bq_hamming_topk, passage_chunking, temperature_mix — rides the
+    panel lists directly.)"""
     from tests.test_oracle_parity import _sized_oracles
     from the_build_project_image_retrieval_with_vector_databases_spark.queries_ann import (
         ORACLE_SEMANTIC_DECONTAMINATE,
@@ -68,17 +70,23 @@ def _staged_pairs():
         ORACLE_PERPLEXITY_BUCKETS,
         _oracle_bloom_decontaminate,
         _oracle_bpe_merge_step,
+        _oracle_contamination_eval_split,
         _oracle_leakage_safe_split,
         _oracle_length_bucket_batches,
+        _oracle_repetition_quality,
         _oracle_unimax_mix,
+        _oracle_url_host_dedup,
         _oracle_winnowing_fingerprint,
         q_bloom_decontaminate,
         q_bpe_merge_step,
+        q_contamination_eval_split,
         q_dsir_importance,
         q_leakage_safe_split,
         q_length_bucket_batches,
         q_perplexity_buckets,
+        q_repetition_quality,
         q_unimax_mix,
+        q_url_host_dedup,
         q_winnowing_fingerprint,
     )
 
@@ -97,6 +105,12 @@ def _staged_pairs():
             ("bloom_decontaminate", q_bloom_decontaminate,
              _oracle_bloom_decontaminate()),
             ("bpe_merge_step", q_bpe_merge_step, _oracle_bpe_merge_step()),
+            # r14-staged r16 candidates:
+            ("url_host_dedup", q_url_host_dedup, _oracle_url_host_dedup()),
+            ("contamination_eval_split", q_contamination_eval_split,
+             _oracle_contamination_eval_split()),
+            ("repetition_quality", q_repetition_quality,
+             _oracle_repetition_quality()),
         ],
         "emb": [
             ("semantic_decontaminate", q_semantic_decontaminate,

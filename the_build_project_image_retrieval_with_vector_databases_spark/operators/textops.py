@@ -750,37 +750,43 @@ def repetition_ngram_fractions(
     template never makes a hot key); exchange 2 keys (doc, n) with
     map-side partial aggregation. No window, no UDF, no driver state.
     """
-    from ..functions.text import token_shingles
-
     toks = tokens(F.col(text_col))
     nc = F.length(F.trim(F.col(text_col)))
     base = df.select(
         F.col(id_col).alias("_id"), nc.alias("_nc"), toks.alias("_t")
     )
 
-    # ONE scan, ONE tokenize, ONE explode: the six rule branches are
-    # struct-tagged shingle arrays concatenated per row (a union of six
-    # selects would re-scan and re-tokenize the corpus six times — the
-    # staging 100× run measured exactly that, 30.8× vs this plan's).
-    # Each transform consumes the MATERIALIZED token array column (the
-    # doc_shingles contract).
-    def _branch(n: int, kind: str):
-        return F.transform(
-            token_shingles(F.col("_t"), n=n, distinct=False),
-            lambda s: F.struct(
-                F.lit(n).alias("n"), F.lit(kind).alias("kind"), s.alias("g")
-            ),
-        )
-
-    combined = F.concat(*[_branch(n, kind) for n, kind, _thr in rules])
-    exploded = base.select(
-        "_id", "_nc", F.explode(combined).alias("_x")
-    ).select(
+    # ONE scan, ONE tokenize, TWO explodes: first explode the 6-row
+    # rule literal against each doc (the token array rides along), then
+    # build that row's n-grams with a DYNAMIC-n slice and explode them.
+    # Three plans were A/B-measured at staging (SCALE_100X r14 note):
+    # a 6-way UNION of per-n branches re-scans and re-tokenizes the
+    # corpus six times (9.3 s @10×); concatenating six struct-tagged
+    # shingle arrays into one giant per-row array before the explode
+    # pays its allocation at scale (14.6 s @10×, worse at 100×); this
+    # rules-first shape wins or ties everywhere (7.4 s @10×, tie @100×).
+    rules_arr = F.array(
+        *[
+            F.struct(F.lit(n).alias("n"), F.lit(kind).alias("kind"))
+            for n, kind, _thr in rules
+        ]
+    )
+    r = base.select("_id", "_nc", "_t", F.explode(rules_arr).alias("_r"))
+    ncol = F.col("_r.n")
+    cnt_g = F.size("_t") - ncol + F.lit(1)
+    sh = F.when(
+        cnt_g >= 1,
+        F.transform(
+            F.sequence(F.lit(1), cnt_g),
+            lambda i: F.concat_ws(" ", F.slice(F.col("_t"), i, ncol)),
+        ),
+    )
+    exploded = r.select(
         "_id",
         "_nc",
-        F.col("_x.n").alias("n"),
-        F.col("_x.kind").alias("kind"),
-        F.col("_x.g").alias("_g"),
+        ncol.alias("n"),
+        F.col("_r.kind").alias("kind"),
+        F.explode(sh).alias("_g"),
     )
     counted = exploded.groupBy("_id", "n", "kind", "_g").agg(
         F.count(F.lit(1)).alias("_cnt"), F.max("_nc").alias("_nc2")
