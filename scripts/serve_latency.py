@@ -737,10 +737,42 @@ def main_single() -> None:
         qh = [bq_encode_query(v, thr, len(train)) for _, v in pool]
         bq = sweep(lambda i: knn_join_arrow_hamming(
             codes, [pool[i % 32][0]], [qh[i % 32]], k=k))
+        # composed tiers (r14): Hamming within probed lists, raw and
+        # with the float-rescore stage — the single-query twins of the
+        # bq_ivf_tier / bq_ivf_rescored_tier rate loops
+        from the_build_project_image_retrieval_with_vector_databases_spark.operators.knn import (
+            knn_join_arrow_hamming_ivf,
+            knn_join_arrow_hamming_ivf_rescored,
+        )
+
+        ccodes = layout.select(
+            "vec_id", "centroid", lo.alias("bq_lo"), hi.alias("bq_hi")
+        ).cache()
+        ccodes.count()
+        floats = (
+            layout.select("vec_id", "centroid", "embedding")
+            .repartitionByRange(
+                spark.sparkContext.defaultParallelism, F.col("centroid")
+            )
+            .cache()
+        )
+        floats.count()
+        bq_ivf = sweep(lambda i: knn_join_arrow_hamming_ivf(
+            ccodes, [pool[i % 32][0]], [qh[i % 32]],
+            [nearest_centroids(cents, pool[i % 32][1], nprobe)], k=k))
+        ov = int(os.environ.get("SPARK_GRAFT_RESCORE_OV", "16"))
+        bq_ivf_resc = sweep(lambda i: knn_join_arrow_hamming_ivf_rescored(
+            ccodes, floats, [pool[i % 32][0]], [pool[i % 32][1]],
+            [qh[i % 32]],
+            [nearest_centroids(cents, pool[i % 32][1], nprobe)],
+            k=k, overfetch=ov))
         section["corpus_2m"] = {
             "corpus": d2, "flat": flat, "ivf": ivf, "bq": bq,
+            "bq_ivf": bq_ivf,
+            "bq_ivf_rescored": {**bq_ivf_resc, "overfetch": ov},
         }
         emb.unpersist(); layout.unpersist(); codes.unpersist()
+        ccodes.unpersist(); floats.unpersist()
 
     out_path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "SERVE_LATENCY.json")
