@@ -1270,3 +1270,37 @@ def test_fuzz_staged_r16_text_ops(spark, tmp_path_factory, seed, n_docs):
     ]:
         ok, msg = compare(q(spark, tmpdir), o, tmpdir, name)
         assert ok, f"fuzz corpus diverged: {msg}"
+
+
+@settings(max_examples=3, deadline=None, derandomize=True)
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    n_docs=st.integers(min_value=3, max_value=60),
+)
+def test_fuzz_staged_r17_text_ops(spark, tmp_path_factory, seed, n_docs):
+    """The r17-staged candidates on generated corpora: tiny corpora
+    where a single source holds every doc (source_overlap emits zero
+    pair rows — both engines agree on empty), sub-n/token-less docs
+    (novelty emits no row), exact duplicates (the later copy scores 0
+    novelty; duplicate sources share full sketches), and case-variant
+    texts driving distinct grams."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_text import (
+        _oracle_ngram_novelty_score,
+        _oracle_source_overlap_matrix,
+        q_ngram_novelty_score,
+        q_source_overlap_matrix,
+    )
+
+    rng = np.random.default_rng(seed)
+    tmpdir = str(tmp_path_factory.mktemp(f"fuzz_r17t_{seed}_{n_docs}"))
+    pq.write_table(
+        _gen_documents(rng, n_docs), os.path.join(tmpdir, "documents.parquet")
+    )
+    for name, q, o in [
+        ("source_overlap_matrix", q_source_overlap_matrix,
+         _oracle_source_overlap_matrix()),
+        ("ngram_novelty_score", q_ngram_novelty_score,
+         _oracle_ngram_novelty_score()),
+    ]:
+        ok, msg = compare(q(spark, tmpdir), o, tmpdir, name)
+        assert ok, f"fuzz corpus diverged: {msg}"

@@ -2942,3 +2942,184 @@ def test_staged_r16_plan_shapes(spark):
     # distinct aggregate (expand) — never a corpus-gram shuffle join
     assert "SortMergeJoin" not in plans["cont"]
     assert plans["rep"].count("Exchange hashpartitioning") == 2
+
+
+# ---------------------------------------------------------------------------
+# source_overlap_matrix / ngram_novelty_score — STAGED r14, r17
+# registration candidates (provisional pairings noted in queries_text.py;
+# final pairings belong to the r15/r16 write-ahead plans).
+# ---------------------------------------------------------------------------
+
+
+def _gram_hashes_py(text: str, n: int) -> set[int]:
+    import hashlib
+
+    toks = [t for t in text.lower().split() if t]
+    return {
+        int(
+            hashlib.md5(" ".join(toks[i : i + n]).encode()).hexdigest()[:15],
+            16,
+        )
+        for i in range(len(toks) - n + 1)
+    }
+
+
+def test_source_overlap_matrix_matches_python_reference(spark):
+    """Per-pair KMV slots and shared counts equal the single-threaded
+    mirror at a NON-registry (n, k); in the small-k regime the
+    estimator must differ from exact Jaccard only through the sketch
+    (same k-smallest-union rule), and with k covering every gram it IS
+    exact Jaccard."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.sketch import (
+        source_overlap_matrix,
+    )
+
+    n, k = 2, 8  # NOT the registry constants
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    rows = [(r.source, r.text) for r in docs.collect()]
+    by_src: dict[str, set] = {}
+    for s, t in rows:
+        by_src.setdefault(s, set()).update(_gram_hashes_py(t, n))
+
+    def expect(kk):
+        out = {}
+        for a in sorted(by_src):
+            for b in sorted(by_src):
+                if a >= b:
+                    continue
+                sa = set(sorted(by_src[a])[:kk])
+                sb = set(sorted(by_src[b])[:kk])
+                union_k = sorted(sa | sb)[:kk]
+                shared = sum(1 for h in union_k if h in sa and h in sb)
+                out[(a, b)] = (len(union_k), shared)
+        return out
+
+    got = {
+        (r.source_a, r.source_b): (r.n_slots, r.n_shared, r.jaccard_est)
+        for r in source_overlap_matrix(docs, n=n, k=k).collect()
+    }
+    want = expect(k)
+    assert set(got) == set(want)
+    for p, (slots, shared) in want.items():
+        assert got[p][:2] == (slots, shared), p
+        assert got[p][2] == shared / slots, p
+
+    # exact regime: k >= every union size → exact Jaccard
+    big_k = max(len(a | b) for a in by_src.values() for b in by_src.values())
+    got_big = {
+        (r.source_a, r.source_b): r.jaccard_est
+        for r in source_overlap_matrix(docs, n=n, k=big_k).collect()
+    }
+    for a in sorted(by_src):
+        for b in sorted(by_src):
+            if a >= b:
+                continue
+            sa, sb = by_src[a], by_src[b]
+            assert got_big[(a, b)] == len(sa & sb) / len(sa | sb), (a, b)
+
+
+def test_ngram_novelty_score_matches_python_reference(spark):
+    """Per-doc novel-gram counts equal the single-threaded min-doc_id
+    mirror at a NON-registry n; a doc that duplicates an earlier doc
+    scores 0 novelty and is flagged stale, the first doc scores 1."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.textops import (
+        ngram_novelty_score,
+    )
+
+    n = 2
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    rows = sorted((r.doc_id, r.text) for r in docs.collect())
+    first: dict[int, int] = {}
+    per_doc: dict[int, set] = {}
+    for i, t in rows:
+        g = _gram_hashes_py(t, n)
+        per_doc[i] = g
+        for h in g:
+            first.setdefault(h, i)
+    got = {
+        r.doc_id: (r.n_grams, r.n_novel, r.novelty_frac, r.is_stale)
+        for r in ngram_novelty_score(docs, n=n).collect()
+    }
+    assert set(got) == {i for i, g in per_doc.items() if g}
+    for i, g in per_doc.items():
+        if not g:
+            continue
+        novel = sum(1 for h in g if first[h] == i)
+        frac = novel / len(g)
+        assert got[i] == (len(g), novel, frac, frac < 0.5), i
+    lo = min(per_doc)
+    assert got[lo][2] == 1.0  # the first doc is all-novel
+
+    # forced duplicate: an exact copy of doc 0 appended later → 0 novelty
+    import pyspark.sql.functions as F
+
+    dup = docs.limit(0).unionAll(
+        spark.createDataFrame(
+            [(10_000, rows[0][1])], "doc_id long, text string"
+        ).select(
+            "doc_id", "text", *[
+                F.lit(None).cast(f.dataType).alias(f.name)
+                for f in docs.schema.fields
+                if f.name not in ("doc_id", "text")
+            ]
+        ).select(*docs.columns)
+    )
+    both = docs.unionAll(dup)
+    got2 = {
+        r.doc_id: (r.novelty_frac, r.is_stale)
+        for r in ngram_novelty_score(both, n=n).collect()
+    }
+    if per_doc[rows[0][0]]:
+        assert got2[10_000] == (0.0, True)
+
+
+def test_staged_r17_oracle_parity(spark, sf_dir):
+    """The staged r17 DuckDB oracles pass the driver-faithful
+    comparison (verified by hand at sf0.001/sf0.01/sf0.1 in r14)."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_text import (
+        _oracle_ngram_novelty_score,
+        _oracle_source_overlap_matrix,
+        q_ngram_novelty_score,
+        q_source_overlap_matrix,
+    )
+    from .oracle_harness import compare
+
+    for name, q, o in [
+        ("source_overlap_matrix", q_source_overlap_matrix,
+         _oracle_source_overlap_matrix()),
+        ("ngram_novelty_score", q_ngram_novelty_score,
+         _oracle_ngram_novelty_score()),
+    ]:
+        ok, msg = compare(q(spark, sf_dir), o, sf_dir, name)
+        assert ok, msg
+
+
+def test_staged_r17_plan_shapes(spark):
+    """Plan contracts: source_overlap_matrix — the per-source KMV rank
+    rides WindowGroupLimit (only ≤ k rows per split/source shuffle, the
+    kmv_distinct_sketch machinery) and everything after the slot table
+    is broadcast-joined; ngram_novelty_score — hash aggregates and one
+    gram-keyed equi-join, no window at all. Both: no cartesian, no
+    row-Python."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_text import (
+        q_ngram_novelty_score,
+        q_source_overlap_matrix,
+    )
+
+    p1 = (
+        q_source_overlap_matrix(spark, SF_SMOKE)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in p1
+    assert "BroadcastHashJoin" in p1 or "BroadcastNestedLoopJoin" in p1
+    assert "CartesianProduct" not in p1
+    assert "BatchEvalPython" not in p1
+
+    p2 = (
+        q_ngram_novelty_score(spark, SF_SMOKE)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in p2
+    assert "CartesianProduct" not in p2
+    assert "BroadcastNestedLoopJoin" not in p2
+    assert "BatchEvalPython" not in p2

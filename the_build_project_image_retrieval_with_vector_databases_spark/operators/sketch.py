@@ -139,3 +139,92 @@ def cms_estimate(
         .groupBy(key_col)
         .agg(F.min("cell").alias("cms_est"))
     )
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    n: int = 3,
+    k: int = 64,
+) -> DataFrame:
+    """Pairwise cross-source n-gram overlap matrix via per-source KMV
+    sketches (staged r14, r17 registration candidate) — the
+    mix-design question "how much do my sources repeat each other?"
+    answered without an all-pairs doc comparison: per source, the k
+    smallest distinct 60-bit gram hashes (a KMV sketch, Beyer et al.
+    2007); per source PAIR, the k smallest hashes of the sketch UNION
+    and the fraction of them present in BOTH sketches — the standard
+    KMV Jaccard estimator. When a pair's merged distinct-gram count is
+    below k the estimate is EXACT by construction (the sketch IS the
+    distinct set) — the fixture corpus sits in the exact regime, so
+    the oracle check is exact too.
+
+    Output: one row per unordered source pair (source_a < source_b) —
+    ``(source_a, source_b, n_slots, n_shared, jaccard_est)`` with
+    ``jaccard_est = n_shared / n_slots`` an integer-ratio double.
+
+    Scale shape at 100 TB: ONE tokenize→shingle→hash projection fused
+    into the scan; the distinct + per-source rank ≤ k ride the same
+    WindowGroupLimit plan as the registered ``kmv_distinct_sketch``
+    (only ≤ k rows per (input split, source) ever shuffle); everything
+    after operates on the ≤ |sources|·k slot table — pair expansion,
+    union ranking, and membership counting are broadcast joins and a
+    window over a sketch-sized input, never the corpus."""
+    from ..functions.text import token_shingles, tokens
+
+    grams = df.select(
+        F.col(source_col).alias("source"),
+        F.explode(token_shingles(tokens(F.col(text_col)), n=n)).alias("_g"),
+    ).select(
+        "source",
+        F.coalesce(md5_long(F.col("_g"), digits=15), F.lit(-1)).alias("h"),
+    )
+    hashes = grams.distinct()
+    w = Window.partitionBy("source").orderBy(F.col("h").asc())
+    slots = (
+        hashes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("source", "h")
+    )
+    srcs = slots.select("source").distinct()
+    pairs = (
+        srcs.select(F.col("source").alias("source_a"))
+        .join(
+            F.broadcast(srcs.select(F.col("source").alias("source_b"))),
+            F.col("source_a") < F.col("source_b"),
+        )
+    )
+    merged = (
+        pairs.join(
+            F.broadcast(slots.withColumnRenamed("source", "__s")),
+            (F.col("__s") == F.col("source_a"))
+            | (F.col("__s") == F.col("source_b")),
+        )
+        .groupBy("source_a", "source_b", "h")
+        .agg(
+            F.max((F.col("__s") == F.col("source_a")).cast("int")).alias("ia"),
+            F.max((F.col("__s") == F.col("source_b")).cast("int")).alias("ib"),
+        )
+    )
+    wp = Window.partitionBy("source_a", "source_b").orderBy(F.col("h").asc())
+    topk = merged.withColumn("__rn", F.row_number().over(wp)).filter(
+        F.col("__rn") <= k
+    )
+    agg = topk.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_slots"),
+        F.sum((F.col("ia") + F.col("ib") == 2).cast("long")).alias("n_shared"),
+    )
+    return agg.select(
+        "source_a",
+        "source_b",
+        "n_slots",
+        "n_shared",
+        # raw integer-ratio double: bit-exact cross-engine; rounding is
+        # the .5-tie hazard (min_cost_order class)
+        (
+            F.col("n_shared").cast("double") / F.col("n_slots").cast("double")
+        ).alias("jaccard_est"),
+    )

@@ -824,3 +824,62 @@ def repetition_ngram_fractions(
         frac.alias("frac"),
         (frac > thr_expr).alias("flagged"),
     )
+
+
+def ngram_novelty_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    stale_below: float = 0.5,
+) -> DataFrame:
+    """First-occurrence n-gram novelty (staged r14, r17 registration
+    candidate): for each document, the fraction of its DISTINCT
+    n-grams whose globally FIRST occurrence (minimum ``id_col``) is
+    this document — "how much new content does this doc add to the
+    corpus in ingestion order?", the per-document form of the
+    duplicate-text value argument in Lee et al. 2022. A doc whose
+    novelty falls below ``stale_below`` is flagged ``is_stale`` (most
+    of its content already exists earlier in the corpus — the
+    candidates exact/near dedup would keep only one of).
+
+    Output: ``(doc_id, n_grams, n_novel, novelty_frac, is_stale)``;
+    ``novelty_frac`` is the integer-ratio double.
+
+    Scale shape: ONE tokenize→shingle→hash pass fused into the scan;
+    exchange 1 = the distinct (doc, gram) aggregate, exchange 2 = the
+    gram-keyed min-doc aggregate (both map-side partial; the gram hash
+    is in the key so hot templates spread), exchange 3 = the gram-keyed
+    join of the two (co-partitioned with exchange 2's output), and a
+    final doc-keyed aggregate. No window, no UDF, no driver state;
+    every step linear in distinct grams."""
+    from ..functions.text import md5_long, token_shingles
+
+    grams = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(token_shingles(tokens(F.col(text_col)), n=n)).alias("_g"),
+    ).select(
+        "_id",
+        F.coalesce(md5_long(F.col("_g"), digits=15), F.lit(-1)).alias("h"),
+    )
+    e = grams.distinct()
+    first = e.groupBy("h").agg(F.min("_id").alias("_first"))
+    per_doc = (
+        e.join(first, "h")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("_first") == F.col("_id")).cast("long")).alias(
+                "n_novel"
+            ),
+        )
+    )
+    frac = F.col("n_novel").cast("double") / F.col("n_grams").cast("double")
+    return per_doc.select(
+        F.col("_id").alias(id_col),
+        "n_grams",
+        "n_novel",
+        # raw integer-ratio double (bit-exact cross-engine)
+        frac.alias("novelty_frac"),
+        (frac < F.lit(stale_below)).alias("is_stale"),
+    )

@@ -2052,3 +2052,101 @@ SELECT p1.doc_id, CAST(p1.n AS INT) AS n, p1.kind,
          / CAST(greatest(p1.n_chars, 1) AS DOUBLE) > p1.thr AS flagged
 FROM p1 JOIN p2 USING (doc_id, n, kind)
 """
+
+
+# ---------------------------------------------------------------------------
+# r17 registration candidates — STAGED r14 (ahead of the pipeline; the
+# r17 window re-checks the r15-checked half, so final pairings belong to
+# the r15/r16 write-ahead plans. Provisional sibling arguments:
+# source_overlap_matrix ↔ kmv_distinct_sketch-family (same WindowGroupLimit
+# KMV machinery, registered) and ngram_novelty_score ↔ the dedup family's
+# first-occurrence keep rule (exact_dedup/incremental_dedup keep-min-id).
+# Staging discipline: Python reference + 3-SF oracle parity + plan pin in
+# tests/test_staged_ops.py, generated-corpus fuzz rows in
+# tests/test_fuzz_oracle.py::test_fuzz_staged_r17_text_ops.)
+# ---------------------------------------------------------------------------
+
+SOM_N, SOM_K = 3, 64
+
+
+def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED (r14) — NOT registered. Pairwise cross-source n-gram
+    overlap via per-source KMV sketches
+    (operators/sketch.py::source_overlap_matrix; Beyer et al. 2007
+    KMV + the standard k-smallest-union Jaccard estimator): the
+    mix-design "how much do my sources repeat each other?" answer
+    with no all-pairs work — corpus collapses to |sources|·k sketch
+    slots. Exact when a pair's merged distinct grams < k (the fixture
+    regime, so the oracle comparison is exact)."""
+    from .operators.sketch import source_overlap_matrix
+
+    docs = load_table(spark, sf_dir, "documents")
+    return source_overlap_matrix(spread(docs), n=SOM_N, k=SOM_K)
+
+
+def _oracle_source_overlap_matrix(n: int = SOM_N, k: int = SOM_K) -> str:
+    return f"""
+WITH t AS (SELECT source, {_dk_toks()} AS toks FROM documents),
+sh AS (SELECT source, unnest({_dk_shingles('toks', n)}) AS shingle FROM t),
+hx AS (SELECT DISTINCT source,
+         {_dk_hex15_to_long('md5(shingle)')} AS h FROM sh),
+slots AS (SELECT source, h FROM (
+    SELECT source, h,
+           row_number() OVER (PARTITION BY source ORDER BY h ASC) AS rn
+    FROM hx) WHERE rn <= {k}),
+srcs AS (SELECT DISTINCT source FROM slots),
+pairs AS (SELECT a.source AS source_a, b.source AS source_b
+          FROM srcs a JOIN srcs b ON a.source < b.source),
+m AS (SELECT p.source_a, p.source_b, s.h,
+        max(CASE WHEN s.source = p.source_a THEN 1 ELSE 0 END) AS ia,
+        max(CASE WHEN s.source = p.source_b THEN 1 ELSE 0 END) AS ib
+      FROM pairs p JOIN slots s ON s.source IN (p.source_a, p.source_b)
+      GROUP BY 1, 2, 3),
+tk AS (SELECT * FROM (
+    SELECT m.*, row_number() OVER (PARTITION BY source_a, source_b
+                                   ORDER BY h ASC) AS rn
+    FROM m) WHERE rn <= {k})
+SELECT source_a, source_b,
+       CAST(count(*) AS BIGINT) AS n_slots,
+       CAST(sum(CASE WHEN ia + ib = 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shared,
+       CAST(sum(CASE WHEN ia + ib = 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS jaccard_est
+FROM tk GROUP BY 1, 2
+"""
+
+
+NOV_N, NOV_STALE = 3, 0.5
+
+
+def q_ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED (r14) — NOT registered. First-occurrence n-gram novelty
+    (operators/textops.py::ngram_novelty_score): per doc, the fraction
+    of its distinct 3-grams whose global min-doc_id first occurrence
+    is this doc — the per-document form of Lee et al. 2022's
+    duplicate-text value argument; is_stale below 0.5."""
+    from .operators.textops import ngram_novelty_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_novelty_score(spread(docs), n=NOV_N, stale_below=NOV_STALE)
+
+
+def _oracle_ngram_novelty_score(
+    n: int = NOV_N, stale_below: float = NOV_STALE
+) -> str:
+    return f"""
+WITH t AS (SELECT doc_id, {_dk_toks()} AS toks FROM documents),
+sh AS (SELECT doc_id, unnest({_dk_shingles('toks', n)}) AS shingle FROM t),
+hx AS (SELECT DISTINCT doc_id,
+         {_dk_hex15_to_long('md5(shingle)')} AS h FROM sh),
+f AS (SELECT h, min(doc_id) AS first_doc FROM hx GROUP BY 1)
+SELECT e.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_novel,
+       CAST(sum(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END)
+         AS DOUBLE) / CAST(count(*) AS DOUBLE) AS novelty_frac,
+       CAST(sum(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END)
+         AS DOUBLE) / CAST(count(*) AS DOUBLE) < {stale_below} AS is_stale
+FROM hx e JOIN f USING (h) GROUP BY 1
+"""
