@@ -73,7 +73,9 @@ def _staged_pairs():
         _oracle_contamination_eval_split,
         _oracle_leakage_safe_split,
         _oracle_length_bucket_batches,
+        _oracle_ngram_novelty_score,
         _oracle_repetition_quality,
+        _oracle_source_overlap_matrix,
         _oracle_unimax_mix,
         _oracle_url_host_dedup,
         _oracle_winnowing_fingerprint,
@@ -83,8 +85,10 @@ def _staged_pairs():
         q_dsir_importance,
         q_leakage_safe_split,
         q_length_bucket_batches,
+        q_ngram_novelty_score,
         q_perplexity_buckets,
         q_repetition_quality,
+        q_source_overlap_matrix,
         q_unimax_mix,
         q_url_host_dedup,
         q_winnowing_fingerprint,
@@ -111,6 +115,11 @@ def _staged_pairs():
              _oracle_contamination_eval_split()),
             ("repetition_quality", q_repetition_quality,
              _oracle_repetition_quality()),
+            # r14-staged r17 candidates:
+            ("source_overlap_matrix", q_source_overlap_matrix,
+             _oracle_source_overlap_matrix()),
+            ("ngram_novelty_score", q_ngram_novelty_score,
+             _oracle_ngram_novelty_score()),
         ],
         "emb": [
             ("semantic_decontaminate", q_semantic_decontaminate,
