@@ -1304,3 +1304,39 @@ def test_fuzz_staged_r17_text_ops(spark, tmp_path_factory, seed, n_docs):
     ]:
         ok, msg = compare(q(spark, tmpdir), o, tmpdir, name)
         assert ok, f"fuzz corpus diverged: {msg}"
+
+
+def test_fuzz_panel_names_resolve():
+    """Sync guard for the retired-surface fallback (r14): every name in
+    every fuzz panel list must resolve to EITHER a live registry entry
+    or the _retired_surfaces map — a future window rotation that
+    retires a panel entry without updating the fallback fails here
+    instead of KeyError-ing mid-soak."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries import (
+        ORACLES,
+        QUERIES,
+    )
+
+    retired_q, retired_o = _retired_surfaces()
+    for panel in (
+        DOC_QUERIES,
+        EMB_QUERIES,
+        EMB_SERVE_QUERIES,
+        EMB_INDEX_QUERIES,
+        REL_QUERIES,
+        EVENT_FUZZ_QUERIES,
+    ):
+        for name in panel:
+            assert name in QUERIES or name in retired_q, (
+                f"fuzz panel entry {name!r} is neither registered nor in "
+                "the retired-surface fallback"
+            )
+            # oracle resolution mirrors _run_panel (sized overrides are
+            # corpus-dependent and checked at run time)
+            assert (
+                name in ORACLES
+                or name in retired_o
+                or name in ("semantic_dedup_incremental",)  # sized-only
+            ), f"no oracle path for fuzz panel entry {name!r}"
+    # ...and the fallback map itself must never shadow a live entry
+    assert not set(retired_q) & set(QUERIES)

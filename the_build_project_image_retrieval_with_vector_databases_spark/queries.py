@@ -640,7 +640,10 @@ ORACLES: dict[str, str] = {
 #   winnowing_fingerprint ↔ doc_fingerprint (winnowing selects per-
 #       window rightmost-minimal gram hashes — the substring-robust
 #       superset of the single corpus-wide min-token-hash fingerprint,
-#       which stays covered by fingerprint()'s unit tests)
+#       which stays covered by fingerprint()'s unit tests; the r13
+#       verdict's 43×@100× registration gate was RESOLVED r14 by the
+#       O(g·log w) sparse-table sliding-min rewrite — 18.11× quiet,
+#       SCALE_100X)
 #   bloom_decontaminate   ↔ mixture_sample (temperature_mix, registered
 #       r13, is the published generalization of fixed-weight mixture
 #       sampling — same quota/rank machinery at τ≠1; mixture_sample
