@@ -50,16 +50,18 @@ def _staged_pairs():
     """(name, query_fn, oracle_sql) per panel: the r11 trio registered
     r12 whose generated-corpus constraints differ from the generic
     panel ranges — kept covered here with the shared corpus — PLUS
-    every currently-staged registration candidate (the r15 and r16
-    trios; the r13-staged trio registered r14 and its entries stay
-    here for the shared-corpus coverage), so the many-seed soak
-    exercises them before their window flip, not just the 3-example
-    derandomized hypothesis rows. The oracle slot may be a
-    callable(dir) -> sql for corpus-sized oracles (leakage_safe_split
+    every currently-staged registration candidate (the r16 trio and
+    the three r17 candidates; the r13-staged trio registered r14 and
+    its entries stay here for the shared-corpus coverage), so the
+    many-seed soak exercises them before their window flip, not just
+    the 3-example derandomized hypothesis rows. The oracle slot may be
+    a callable(dir) -> sql for corpus-sized oracles (leakage_safe_split
     re-derives its LSH plane count from the generated corpus's footer
     row count, like lsh_near_dup). (The r12 trio registered r13 —
-    bq_hamming_topk, passage_chunking, temperature_mix — rides the
-    panel lists directly.)"""
+    bq_hamming_topk, passage_chunking, temperature_mix — and the
+    r13-staged trio registered r15 — winnowing_fingerprint,
+    bloom_decontaminate, bpe_merge_step — ride the panel lists
+    directly.)"""
     from tests.test_oracle_parity import _sized_oracles
     from the_build_project_image_retrieval_with_vector_databases_spark.queries_ann import (
         ORACLE_SEMANTIC_DECONTAMINATE,
@@ -68,9 +70,8 @@ def _staged_pairs():
     from the_build_project_image_retrieval_with_vector_databases_spark.queries_text import (
         ORACLE_DSIR_IMPORTANCE,
         ORACLE_PERPLEXITY_BUCKETS,
-        _oracle_bloom_decontaminate,
-        _oracle_bpe_merge_step,
         _oracle_contamination_eval_split,
+        _oracle_exact_substring_dedup,
         _oracle_leakage_safe_split,
         _oracle_length_bucket_batches,
         _oracle_ngram_novelty_score,
@@ -78,11 +79,9 @@ def _staged_pairs():
         _oracle_source_overlap_matrix,
         _oracle_unimax_mix,
         _oracle_url_host_dedup,
-        _oracle_winnowing_fingerprint,
-        q_bloom_decontaminate,
-        q_bpe_merge_step,
         q_contamination_eval_split,
         q_dsir_importance,
+        q_exact_substring_dedup,
         q_leakage_safe_split,
         q_length_bucket_batches,
         q_ngram_novelty_score,
@@ -91,7 +90,6 @@ def _staged_pairs():
         q_source_overlap_matrix,
         q_unimax_mix,
         q_url_host_dedup,
-        q_winnowing_fingerprint,
     )
 
     return {
@@ -104,11 +102,8 @@ def _staged_pairs():
             ("leakage_safe_split", q_leakage_safe_split,
              lambda d: _sized_oracles(d).get(
                  "leakage_safe_split", _oracle_leakage_safe_split())),
-            ("winnowing_fingerprint", q_winnowing_fingerprint,
-             _oracle_winnowing_fingerprint()),
-            ("bloom_decontaminate", q_bloom_decontaminate,
-             _oracle_bloom_decontaminate()),
-            ("bpe_merge_step", q_bpe_merge_step, _oracle_bpe_merge_step()),
+            # (winnowing_fingerprint / bloom_decontaminate /
+            # bpe_merge_step registered r15 — now in DOC_QUERIES)
             # r14-staged r16 candidates:
             ("url_host_dedup", q_url_host_dedup, _oracle_url_host_dedup()),
             ("contamination_eval_split", q_contamination_eval_split,
@@ -120,6 +115,9 @@ def _staged_pairs():
              _oracle_source_overlap_matrix()),
             ("ngram_novelty_score", q_ngram_novelty_score,
              _oracle_ngram_novelty_score()),
+            # r15-staged third r17 candidate:
+            ("exact_substring_dedup", q_exact_substring_dedup,
+             _oracle_exact_substring_dedup()),
         ],
         "emb": [
             ("semantic_decontaminate", q_semantic_decontaminate,

@@ -52,6 +52,12 @@ DOC_QUERIES = [
     # generators; these rows run them against the shared corpus too):
     "temperature_mix",
     "passage_chunking",
+    # r15 registrations (dedicated staged panel kept below as well);
+    # their retirees top_terms/doc_fingerprint/mixture_sample above
+    # stay in the panel via the _retired_surfaces fallback:
+    "winnowing_fingerprint",
+    "bloom_decontaminate",
+    "bpe_merge_step",
     # the whole near-dup family: 1-2-token docs have no 3-shingles,
     # duplicate/case-variant docs force real pairs through every blocker
     "minhash_lsh_dedup",
@@ -469,8 +475,9 @@ def _gen_relational(
 
 def _retired_surfaces() -> tuple[dict, dict]:
     """Registry entries retired by window rotation (r14: kmeans_step,
-    tumbling_window, semantic_dedup_incremental) keep their fuzz rows:
-    the q_/oracle surfaces stay in the codebase, and the generated-corpus
+    tumbling_window, semantic_dedup_incremental; r15: top_terms,
+    doc_fingerprint, mixture_sample) keep their fuzz rows: the
+    q_/oracle surfaces stay in the codebase, and the generated-corpus
     panels keep exercising them against DuckDB even though the driver
     window no longer carries them. semantic_dedup_incremental's oracle
     arrives corpus-sized via ``_sized_oracles`` like before."""
@@ -483,15 +490,29 @@ def _retired_surfaces() -> tuple[dict, dict]:
         ORACLE_TUMBLING,
         q_tumbling_window,
     )
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_text import (
+        ORACLE_FINGERPRINT,
+        ORACLE_MIXTURE_SAMPLE,
+        ORACLE_TOP_TERMS,
+        q_fingerprint,
+        q_mixture_sample,
+        q_top_terms,
+    )
 
     retired_q = {
         "kmeans_step": q_kmeans_step,
         "tumbling_window": q_tumbling_window,
         "semantic_dedup_incremental": q_semantic_dedup_incremental,
+        "top_terms": q_top_terms,
+        "doc_fingerprint": q_fingerprint,
+        "mixture_sample": q_mixture_sample,
     }
     retired_o = {
         "kmeans_step": _oracle_kmeans_step(),
         "tumbling_window": ORACLE_TUMBLING,
+        "top_terms": ORACLE_TOP_TERMS,
+        "doc_fingerprint": ORACLE_FINGERPRINT,
+        "mixture_sample": ORACLE_MIXTURE_SAMPLE,
     }
     return retired_q, retired_o
 
@@ -1281,12 +1302,16 @@ def test_fuzz_staged_r17_text_ops(spark, tmp_path_factory, seed, n_docs):
     """The r17-staged candidates on generated corpora: tiny corpora
     where a single source holds every doc (source_overlap emits zero
     pair rows — both engines agree on empty), sub-n/token-less docs
-    (novelty emits no row), exact duplicates (the later copy scores 0
-    novelty; duplicate sources share full sketches), and case-variant
-    texts driving distinct grams."""
+    (novelty emits no row; ExactSubstr keeps a zero-coverage row for
+    sub-L docs and none for token-less), exact duplicates (the later
+    copy scores 0 novelty; duplicate sources share full sketches;
+    ExactSubstr covers both copies 100%), and case-variant texts
+    driving distinct grams."""
     from the_build_project_image_retrieval_with_vector_databases_spark.queries_text import (
+        _oracle_exact_substring_dedup,
         _oracle_ngram_novelty_score,
         _oracle_source_overlap_matrix,
+        q_exact_substring_dedup,
         q_ngram_novelty_score,
         q_source_overlap_matrix,
     )
@@ -1301,6 +1326,8 @@ def test_fuzz_staged_r17_text_ops(spark, tmp_path_factory, seed, n_docs):
          _oracle_source_overlap_matrix()),
         ("ngram_novelty_score", q_ngram_novelty_score,
          _oracle_ngram_novelty_score()),
+        ("exact_substring_dedup", q_exact_substring_dedup,
+         _oracle_exact_substring_dedup()),
     ]:
         ok, msg = compare(q(spark, tmpdir), o, tmpdir, name)
         assert ok, f"fuzz corpus diverged: {msg}"

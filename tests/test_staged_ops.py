@@ -2506,6 +2506,34 @@ def test_winnowing_plan_zero_shuffle(spark):
     assert "Generate explode" in plan
 
 
+def test_winnowing_position_overflow_guard(spark, monkeypatch):
+    """Fail-loudly contract (r14 ADVICE): a document with more than
+    2^POS_BITS grams must RAISE, not silently overflow the encoded
+    position field into the hash bits. The bound is monkeypatched down
+    to fixture scale (2^1 = 2 grams); a doc at the bound still works —
+    including the 1 ≤ g < w short-window degeneration under the
+    unconditional-safety clamp."""
+    import pytest
+
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators import (
+        textops,
+    )
+
+    monkeypatch.setattr(textops, "_WN_POS_BITS", 1)
+    ok = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b")], "doc_id long, text string"
+    )
+    # 2 grams (k=2) == 2^1 bound: passes, and g < w=4 winnows the
+    # single short window → exactly one fingerprint per doc
+    rows = textops.winnowing_fingerprints(ok, k=2, w=4).collect()
+    assert sorted(r.doc_id for r in rows) == [1, 2]
+    bad = spark.createDataFrame(
+        [(1, "a b c d e")], "doc_id long, text string"
+    )  # 4 grams > 2^1
+    with pytest.raises(Exception, match="winnowing_fingerprints"):
+        textops.winnowing_fingerprints(bad, k=2, w=4).collect()
+
+
 def test_winnowing_oracle_parity_staged(spark, sf_dir):
     """The staged winnowing DuckDB oracle passes the driver-faithful
     comparison (verified by hand at sf0.001/sf0.01/sf0.1 in r13)."""
@@ -2737,7 +2765,7 @@ def _norm_url_py(url: str) -> tuple[str, str]:
         for p in query.split("&")
         if p
         and not re.match(
-            r"^(utm_[a-z]+|gclid|fbclid|msclkid|mc_cid|mc_eid|ref|ref_src)=",
+            r"^(utm_[a-z]+|gclid|fbclid|msclkid|mc_cid|mc_eid)=",
             p,
         )
     ]
@@ -2790,6 +2818,36 @@ def test_url_host_dedup_matches_python_reference(spark):
     assert got[3][1] == "example.com/a/b"
     assert got[4][1] != got[0][1] and ":8080" in got[4][0]
     assert got[7][1] == "example.com/"  # tracking-only query drops
+    # bare ref is SEMANTIC by default (r14 ADVICE): it survives the
+    # canonical key — distinct ?ref= values must NOT collapse
+    assert got[8][1] == "sub.example.com/a/b?c=3&ref=home"
+
+
+def test_url_host_dedup_custom_tracking_regex(spark):
+    """A caller whose crawl knows its referrer convention can pass its
+    own strip regex — ``ref`` then folds into the canonical key and
+    the two variants dedup to one group."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.dedup import (
+        url_host_dedup,
+    )
+
+    urls = [
+        (0, "https://example.com/a?ref=home&c=3"),
+        (1, "https://example.com/a?c=3&ref=nav"),
+        (2, "https://example.com/a?c=3"),
+    ]
+    df = spark.createDataFrame(urls, "doc_id long, url string")
+    default = {r.doc_id: r.url_key for r in url_host_dedup(df).collect()}
+    assert len(set(default.values())) == 3  # ref kept → three keys
+    custom = {
+        r.doc_id: (r.url_key, r.n_copies, r.is_kept)
+        for r in url_host_dedup(
+            df, tracking_param_re=r"^(utm_[a-z]+|gclid|ref)="
+        ).collect()
+    }
+    assert {k for k, _, _ in custom.values()} == {"example.com/a?c=3"}
+    assert [custom[i][1] for i in range(3)] == [3, 3, 3]
+    assert [custom[i][2] for i in range(3)] == [True, False, False]
 
 
 def test_contamination_eval_split_matches_python_reference(spark):
@@ -3071,6 +3129,132 @@ def test_ngram_novelty_score_matches_python_reference(spark):
     }
     if per_doc[rows[0][0]]:
         assert got2[10_000] == (0.0, True)
+
+
+def _ess_py(rows, L, tau):
+    """Single-threaded mirror of operators.textops.exact_substring_spans,
+    with an independent union-of-intervals cross-check of the
+    least(L, pos - lag) coverage fold."""
+    import hashlib
+
+    counts: dict[int, int] = {}
+    per_doc: dict[int, tuple[int, list[int]]] = {}
+    for i, t in rows:
+        toks = [x for x in t.lower().split() if x]
+        hs = []
+        for p in range(len(toks) - L + 1):
+            h = int(
+                hashlib.md5(" ".join(toks[p : p + L]).encode()).hexdigest()[:15],
+                16,
+            )
+            hs.append(h)
+            counts[h] = counts.get(h, 0) + 1
+        per_doc[i] = (len(toks), hs)
+    out = {}
+    for i, (n, hs) in per_doc.items():
+        if n < 1:
+            continue
+        dup_pos = [p for p, h in enumerate(hs) if counts[h] >= 2]
+        cov, prev = 0, None
+        for p in dup_pos:
+            cov += L if prev is None else min(L, p - prev)
+            prev = p
+        # the fold must equal the literal union of [p, p+L-1] intervals
+        assert cov == len({q for p in dup_pos for q in range(p, p + L)})
+        frac = cov / n
+        out[i] = (n, len(dup_pos), cov, frac, frac > tau)
+    return out
+
+
+def test_exact_substring_spans_matches_python_reference(spark):
+    """Coverage, span counts and flags equal the single-threaded mirror
+    on the fixture corpus at a NON-registry (L, tau)."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.textops import (
+        exact_substring_spans,
+    )
+
+    L, tau = 3, 0.5  # NOT the registry constants
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    rows = [(r.doc_id, r.text) for r in docs.collect()]
+    want = _ess_py(rows, L, tau)
+    got = {
+        r.doc_id: (r.n_tokens, r.n_dup_spans, r.dup_token_cov, r.dup_frac, r.flagged)
+        for r in exact_substring_spans(docs, L=L, flag_above=tau).collect()
+    }
+    assert got == want
+    assert any(v[1] > 0 for v in got.values())  # fixture has real spans
+
+
+def test_exact_substring_spans_pathological_docs(spark):
+    """Hand-built shapes: an exact duplicate pair covers 100% of both
+    copies and flags; within-doc repetition alone marks spans; an
+    all-distinct doc and a sub-L doc report zero with a row; an empty
+    doc emits NO row; overlapping spans never double-count (coverage
+    <= n_tokens)."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.textops import (
+        exact_substring_spans,
+    )
+
+    L = 3
+    dup = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, dup),
+        (2, dup),                            # exact duplicate of 1
+        (3, "x y z x y z x y z x y z"),      # within-doc repeats only
+        (4, "one two three four five six"),  # all-distinct
+        (5, "just two"),                     # sub-L: no windows
+        (6, ""),                             # token-less: no row
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_dup_spans, r.dup_token_cov, r.dup_frac, r.flagged)
+        for r in exact_substring_spans(df, L=L, flag_above=0.2).collect()
+    }
+    assert set(got) == {1, 2, 3, 4, 5}
+    for i in (1, 2):  # full coverage, every window duplicated
+        assert got[i] == (6, 4, 6, 1.0, True)
+    n3, s3, c3, f3, fl3 = got[3]
+    assert n3 == 12 and s3 == 10 and c3 == 12 and f3 == 1.0 and fl3
+    assert got[4] == (6, 0, 0, 0.0, False)
+    assert got[5] == (2, 0, 0, 0.0, False)
+    assert all(v[2] <= v[0] for v in got.values())
+
+
+def test_exact_substring_spans_plan_shape(spark):
+    """Plan contract: exactly TWO keyed exchanges (global gram-hash
+    count; doc_id window+agg, which reuse one partitioning) with
+    map-side partial aggregation on both; no cartesian, no BNLJ, no
+    row-Python. The dup-hash and coverage joins may broadcast at
+    fixture scale — the pin allows either join strategy."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_text import (
+        q_exact_substring_dedup,
+    )
+
+    df = q_exact_substring_dedup(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("partial_count") >= 2  # both aggs map-side partial
+
+
+def test_exact_substring_dedup_oracle_parity_staged(spark, sf_dir):
+    """The staged ExactSubstr DuckDB oracle passes the driver-faithful
+    comparison (verified by hand at sf0.001/sf0.01/sf0.1 in r15)."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_text import (
+        _oracle_exact_substring_dedup,
+        q_exact_substring_dedup,
+    )
+    from .oracle_harness import compare
+
+    ok, msg = compare(
+        q_exact_substring_dedup(spark, sf_dir),
+        _oracle_exact_substring_dedup(),
+        sf_dir,
+        "exact_substring_dedup",
+    )
+    assert ok, msg
 
 
 def test_staged_r17_oracle_parity(spark, sf_dir):

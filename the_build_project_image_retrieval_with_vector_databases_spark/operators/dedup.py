@@ -1120,12 +1120,18 @@ def semantic_dedup_incremental(
 # URL/host-level dedup (staged r14, r16 registration candidate)
 # ---------------------------------------------------------------------------
 
-_TRACKING_PARAM_RE = (
-    r"^(utm_[a-z]+|gclid|fbclid|msclkid|mc_cid|mc_eid|ref|ref_src)="
-)
+# Default strip list: only UNAMBIGUOUS tracking params (ad/click IDs
+# and mail-campaign tags). Bare ``ref``/``ref_src`` are deliberately
+# NOT here (r14 ADVICE): on many sites ``ref`` is semantic (e.g.
+# ``?ref=<branch>`` on code hosts), and stripping it would silently
+# collapse distinct documents into one canonical key. Callers whose
+# crawl knows its referrer convention pass their own regex.
+_TRACKING_PARAM_RE = r"^(utm_[a-z]+|gclid|fbclid|msclkid|mc_cid|mc_eid)="
 
 
-def normalize_url(url) -> tuple["F.Column", "F.Column"]:
+def normalize_url(
+    url, tracking_param_re: str = _TRACKING_PARAM_RE
+) -> tuple["F.Column", "F.Column"]:
     """Canonical (host, url_key) expressions for a URL column — the
     normalization step of URL-level dedup (the CCNet/C4-style "one
     document per canonical URL" rule; every crawl pipeline dedups by
@@ -1136,8 +1142,9 @@ def normalize_url(url) -> tuple["F.Column", "F.Column"]:
     lowercase + trim, strip scheme, strip fragment, strip a leading
     ``www``/``www2``-style label, strip default ports (:80/:443), strip
     trailing slashes (empty path → "/"), drop tracking query params
-    (utm_*, gclid, fbclid, msclkid, mc_cid/mc_eid, ref/ref_src), sort
-    the surviving params so ``?a=1&b=2`` ≡ ``?b=2&a=1``.
+    (``tracking_param_re`` — default utm_*, gclid, fbclid, msclkid,
+    mc_cid/mc_eid; see ``_TRACKING_PARAM_RE`` for why bare ``ref`` is
+    excluded), sort the surviving params so ``?a=1&b=2`` ≡ ``?b=2&a=1``.
 
     Returns ``(host, key)`` where ``key = host + path[?canonical_query]``.
     """
@@ -1155,7 +1162,7 @@ def normalize_url(url) -> tuple["F.Column", "F.Column"]:
     query = F.regexp_extract(rest, r"\?(.*)$", 1)
     params = F.filter(
         F.split(query, "&"),
-        lambda p: (p != "") & ~p.rlike(_TRACKING_PARAM_RE),
+        lambda p: (p != "") & ~p.rlike(tracking_param_re),
     )
     canon_q = F.array_join(F.array_sort(params), "&")
     key = F.concat(
@@ -1172,6 +1179,7 @@ def url_host_dedup(
     df: DataFrame,
     url_col: str = "url",
     id_col: str = "doc_id",
+    tracking_param_re: str = _TRACKING_PARAM_RE,
 ) -> DataFrame:
     """URL-level exact dedup over the canonical key of
     :func:`normalize_url`: one row per input document with its
@@ -1187,7 +1195,7 @@ def url_host_dedup(
     Key cardinality ≈ N with crawl-shaped skew on hot hosts; the
     window partitions by the full (host, path, query) key, so hot
     HOSTS do not make hot KEYS."""
-    host, key = normalize_url(url_col)
+    host, key = normalize_url(url_col, tracking_param_re=tracking_param_re)
     w = Window.partitionBy("url_key")
     return (
         df.select(

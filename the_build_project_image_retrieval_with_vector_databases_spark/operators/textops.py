@@ -519,6 +519,14 @@ def passage_chunks(
     )
 
 
+# Width of the position field in winnowing's encoded gram hash
+# (hash·2^POS_BITS + (g − pos)). 30 bits ⇒ docs up to ~1B grams; the
+# 32-bit hash + 30-bit position stay inside a signed 64-bit long.
+# Module-level (not function-local) so the overflow guard is testable
+# by monkeypatching the bound down to fixture scale.
+_WN_POS_BITS = 30
+
+
 def winnowing_fingerprints(
     df: DataFrame,
     k: int = 3,
@@ -572,13 +580,17 @@ def winnowing_fingerprints(
     level one O(g) zip of the previous) gives every width-w window min
     as ``least(m_p[j], m_p[j + w − p])`` with p = 2^⌊log₂w⌋: O(g·log w)
     integer ops total, and the md5 work is unchanged. Bound: positions
-    occupy 20 bits (docs ≤ ~1M grams) under the 8-hex-digit (32-bit)
-    gram hash — 52 bits total, inside long. Wall time remains per-row
+    occupy ``_WN_POS_BITS`` = 30 bits (docs ≤ ~1B grams) under the
+    8-hex-digit (32-bit) gram hash — 62 bits total, inside long; a doc
+    beyond the bound raises loudly (``raise_error``) rather than
+    silently overflowing the position field into the hash bits (the
+    fail-loudly convention). The decoded output is POS_BITS-invariant,
+    so the width is purely a capacity knob. Wall time remains per-row
     CPU (the linear class, like ngram_jaccard_dedup's tokenize), at a
     ~w/log₂w-smaller constant."""
     import math
 
-    POS_BITS = 20
+    POS_BITS = _WN_POS_BITS
     enc_scale = 1 << POS_BITS
     toked = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
     g0 = F.size("__toks") - F.lit(k - 1)  # positional gram count
@@ -587,13 +599,33 @@ def winnowing_fingerprints(
     # wrong here. NULL (not empty) for sub-k docs — the guard keeps
     # sequence(1, g<=0) descending-range semantics out, and NULL
     # propagates through size/when below so the explode emits nothing.
+    # The > 2^POS_BITS branch fails LOUDLY: g − i must fit the position
+    # field or the min-encoding tie-break is silently corrupted.
     enc0 = F.when(
         g0 >= 1,
-        F.transform(
-            F.sequence(F.lit(1), g0),
-            lambda i: md5_long(F.concat_ws(" ", F.slice(F.col("__toks"), i, k)))
-            * F.lit(enc_scale)
-            + (g0 - i).cast("long"),
+        F.when(
+            g0 > F.lit(enc_scale),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "winnowing_fingerprints: document exceeds "
+                        f"2^{POS_BITS} grams — the encoded position would "
+                        "overflow into the hash bits; widen _WN_POS_BITS "
+                        "(doc "
+                    ),
+                    F.col(id_col).cast("string"),
+                    F.lit(")"),
+                )
+            ),
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), g0),
+                lambda i: md5_long(
+                    F.concat_ws(" ", F.slice(F.col("__toks"), i, k))
+                )
+                * F.lit(enc_scale)
+                + (g0 - i).cast("long"),
+            )
         ),
     )
     cur = toked.select(F.col(id_col), enc0.alias("__m1"))
@@ -622,11 +654,19 @@ def winnowing_fingerprints(
         lvl = nxt
     g = F.size("__m1")
     mp = F.col(name)
-    n_windows = g - F.lit(w - 1)
+    # clamp to ≥ 1: for 1 ≤ g < w the whole `win` value is discarded by
+    # the CaseWhen below, but the expression must be UNCONDITIONALLY
+    # safe (no descending sequence(1, n<=0), no reliance on lazy branch
+    # evaluation / no-hoisting) — hence the clamp plus try_element_at,
+    # which returns NULL (never throws, even under ANSI) on the
+    # out-of-range probes those discarded rows produce. On the live
+    # g ≥ w branch both indices are always in bounds, so try_element_at
+    # is value-identical to element_at.
+    n_windows = F.greatest(g - F.lit(w - 1), F.lit(1))
     win = F.transform(
         F.sequence(F.lit(1), n_windows),
         lambda j: F.least(
-            F.element_at(mp, j), F.element_at(mp, j + F.lit(w - p))
+            F.try_element_at(mp, j), F.try_element_at(mp, j + F.lit(w - p))
         ),
     )
     # docs with 1 ≤ g < w winnow their single short window (the paper's
@@ -882,4 +922,109 @@ def ngram_novelty_score(
         # raw integer-ratio double (bit-exact cross-engine)
         frac.alias("novelty_frac"),
         (frac < F.lit(stale_below)).alias("is_stale"),
+    )
+
+
+def exact_substring_spans(
+    df: DataFrame,
+    L: int = 8,
+    flag_above: float = 0.2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ExactSubstr duplication profile (Lee, Ippolito, Nystrom et al.,
+    ACL 2022 "Deduplicating Training Data Makes Language Models
+    Better", §4.1 — token-level form): an L-token span duplicated
+    ANYWHERE in the corpus (across documents or within one) marks its
+    tokens; per document, report how many of its tokens sit inside at
+    least one duplicated span. The paper removes those spans before
+    training; this operator computes the span map + coverage (the
+    decision input), keeping removal a trivial downstream slice.
+
+    Spark-first re-expression of the paper's suffix array: a suffix
+    array finds repeated substrings of length ≥ L; the set of repeated
+    L-grams is EXACTLY the same information (any repeat of length
+    ≥ L contains a repeated L-gram at every offset, and coverage of
+    the union of repeated-L-gram spans equals coverage of maximal
+    repeats). Rolling the corpus into positional L-gram hashes turns
+    the suffix-array construction into two hash aggregates — the
+    shape that scales on 1000 executors where a distributed suffix
+    array would not.
+
+    Plan: tokenize → positional L-gram 60-bit hashes (own projections
+    per the doc_shingles materialization contract; posexplode_OUTER +
+    null-filter per the InferFiltersFromGenerate lesson) → global
+    per-hash count (map-side partial) keeps hashes seen ≥ 2 times →
+    gram⋈dup equi-join on the hash → per-doc sorted-position window
+    where each duplicated span adds ``least(L, pos − lag(pos))`` new
+    tokens (all spans share length L, so interval ends are monotone —
+    the union-coverage fold needs no interval merge) → one left join
+    back to per-doc token counts so zero-duplication docs report 0.
+
+    Shuffles: gram-hash (count + join reuse the partitioning), doc_id
+    (window + agg reuse), final doc-level join — all keyed, no
+    cartesian, wire carries (hash, pos) pairs, never text. 60-bit
+    hashes make a false span ~2⁻⁶⁰ per pair — the paper's own
+    Bloom/hash variants accept the same class of error.
+
+    Output (docs with ≥ 1 token): ``n_tokens``, ``n_dup_spans``
+    (duplicated L-windows in the doc), ``dup_token_cov`` (tokens under
+    the span union), ``dup_frac``, ``flagged`` (> flag_above).
+    Reference: /root/reference/app.py (no counterpart — north-star
+    training-data extension, SURVEY §2.11 dedup family)."""
+    from ..functions.text import md5_long, tokens
+
+    toked = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    n_tok = F.size("__toks")
+    g0 = n_tok - F.lit(L - 1)
+    hs = F.when(
+        g0 >= 1,
+        F.transform(
+            F.sequence(F.lit(1), g0),
+            lambda i: md5_long(
+                F.concat_ws(" ", F.slice(F.col("__toks"), i, L)), digits=15
+            ),
+        ),
+    )
+    doc_stats = toked.select(F.col(id_col), n_tok.alias("n_tokens")).filter(
+        F.col("n_tokens") >= 1
+    )
+    hashed = toked.select(F.col(id_col), hs.alias("__hs"))
+    grams = hashed.select(
+        F.col(id_col), F.posexplode_outer("__hs").alias("pos0", "h")
+    ).filter(F.col("h").isNotNull())
+    dup = (
+        grams.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .filter(F.col("__cnt") >= 2)
+        .select("h")
+    )
+    marked = grams.join(dup, "h").select(F.col(id_col), F.col("pos0"))
+    w = Window.partitionBy(id_col).orderBy("pos0")
+    added = F.coalesce(
+        F.least(F.lit(L), F.col("pos0") - F.lag("pos0").over(w)),
+        F.lit(L),
+    ).cast("long")
+    cov = (
+        marked.select(F.col(id_col), added.alias("__added"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_spans"),
+            F.sum("__added").alias("dup_token_cov"),
+        )
+    )
+    frac = F.col("dup_token_cov").cast("double") / F.col("n_tokens").cast(
+        "double"
+    )
+    return doc_stats.join(cov, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.coalesce(F.col("n_dup_spans"), F.lit(0).cast("long")).alias(
+            "n_dup_spans"
+        ),
+        F.coalesce(F.col("dup_token_cov"), F.lit(0).cast("long")).alias(
+            "dup_token_cov"
+        ),
+        F.coalesce(frac, F.lit(0.0)).alias("dup_frac"),
+        (F.coalesce(frac, F.lit(0.0)) > F.lit(flag_above)).alias("flagged"),
     )

@@ -605,80 +605,141 @@ ORACLES: dict[str, str] = {
 # a sibling still inside the window covers.
 # ---------------------------------------------------------------------------
 
-# Round-14 rotation (VERDICT r13 #1, executed exactly per the r13
-# write-ahead plan). Capacity math: the r14 window re-checks the
-# r12-checked half — 50 entries last green in CORRECTNESS_r12 — minus
-# the three retirees (each from THAT half, so each frees a real r14
+# Round-15 rotation (VERDICT r14 #1, executed exactly per the r14
+# write-ahead plan). Capacity math: the r15 window re-checks the
+# r13-checked half — 50 entries last green in CORRECTNESS_r13 — minus
+# the three retirees (each from THAT half, so each frees a real r15
 # window slot AND a registry slot), plus the three r13-staged
 # registrations (never driver-checked): 47 + 3 = exactly 50. The
-# other half — all 50 checked green in r13 — rotates out. Registry
+# other half — all 50 checked green in r14 — rotates out. Registry
 # stays at 100, the 2×window hard cap. Executed pairings:
-#   unimax_mix            ↔ kmeans_step retired (kmeans_train_assign
-#       runs the SAME quantized Lloyd step 10×, then assigns — a
-#       strict superset of one step; q_kmeans_step stays parity-
-#       covered in tests)
-#   length_bucket_batches ↔ tumbling_window retired (tumbling ≡
-#       sliding with step = width; sliding_window stays registered
-#       and the stateful machinery is shared)
-#   leakage_safe_split    ↔ semantic_dedup_incremental retired (the
-#       cluster-blocked metric and the batch/corpus split are each
-#       registered standalone as semantic_dedup + incremental_dedup;
-#       the composition stays unit-tested)
+#   winnowing_fingerprint ↔ doc_fingerprint retired (winnowing selects
+#       per-window rightmost-minimal gram hashes — the substring-robust
+#       superset of the single corpus-wide min-token-hash fingerprint,
+#       which stays covered by fingerprint()'s unit tests and the fuzz
+#       panel's retired-surface row; the 43×@100× registration gate was
+#       RESOLVED r14 by the O(g·log w) sparse-table sliding-min rewrite
+#       — 18.11× quiet, SCALE_100X)
+#   bloom_decontaminate   ↔ mixture_sample retired (temperature_mix,
+#       registered r13 and still in-window, is the published
+#       generalization of fixed-weight mixture sampling — same
+#       quota/rank machinery at τ≠1; mixture_sample keeps its unit +
+#       property tests and its fuzz-panel retired-surface row)
+#   bpe_merge_step        ↔ top_terms retired (salted_term_counts
+#       covers the corpus term-count aggregate — same explode→count
+#       shape, skew-hardened; top_terms' TakeOrderedAndProject surface
+#       also lives in bpe_merge_step itself; retired surface kept in
+#       the fuzz panel)
 #
-# ROUND-15 WINDOW PLAN (write-ahead, per the r7→r8 handoff
-# discipline): r15's window must hold the 50 entries in _ROTATE_OUT
-# below (last checked r13) — ZERO free slots. Any r15 registration or
-# implementation change to an r14-checked entry requires retiring
-# from THAT half (the r13-checked 50), one-for-one, BEFORE adding.
-# Staged registration candidates (staged r13 under the full
+# ROUND-16 WINDOW PLAN (write-ahead, per the r7→r8 handoff
+# discipline): r16's window must hold the 50 entries in _ROTATE_OUT
+# below (last checked r14) — ZERO free slots. Any r16 registration or
+# implementation change to an r15-checked entry requires retiring
+# from THAT half (the r14-checked 50), one-for-one, BEFORE adding.
+# Staged registration candidates (staged r14 under the full
 # discipline — 3-SF oracle parity + Python reference + plan pin in
 # tests/test_staged_ops.py, generated-corpus fuzz in
-# tests/test_fuzz_oracle.py::test_fuzz_staged_r15_text_ops); each
+# tests/test_fuzz_oracle.py::test_fuzz_staged_r16_text_ops); each
 # pairs one-for-one with a retiree FROM THE LIST BELOW (the
-# r13-checked half — the half that rotates into the r15 window, so
-# each retirement frees a real r15 window slot):
-#   winnowing_fingerprint ↔ doc_fingerprint (winnowing selects per-
-#       window rightmost-minimal gram hashes — the substring-robust
-#       superset of the single corpus-wide min-token-hash fingerprint,
-#       which stays covered by fingerprint()'s unit tests; the r13
-#       verdict's 43×@100× registration gate was RESOLVED r14 by the
-#       O(g·log w) sparse-table sliding-min rewrite — 18.11× quiet,
-#       SCALE_100X)
-#   bloom_decontaminate   ↔ mixture_sample (temperature_mix, registered
-#       r13, is the published generalization of fixed-weight mixture
-#       sampling — same quota/rank machinery at τ≠1; mixture_sample
-#       keeps its unit + property tests)
-#   bpe_merge_step        ↔ top_terms (salted_term_counts covers the
-#       corpus term-count aggregate — same explode→count shape, skew-
-#       hardened; top_terms' TakeOrderedAndProject surface also lives
-#       in bpe_merge_step itself)
-# Retiring k of these frees exactly k r15 window slots and k registry
-# slots. Do NOT retire from the _CHECK_FIRST list directly below
-# instead: those rows rotate out of r15 WITHOUT a check, so retiring
-# one frees registry capacity but ZERO r15 window slots — the
-# capacity-math failure of the r6→r7 handoff.
-#
-# ROUND-16 WINDOW PLAN (provisional write-ahead): r16's window
-# re-checks the r14-checked half (the _CHECK_FIRST list below).
-# Staged candidates (staged r14 under the full discipline, see
-# tests/test_staged_ops.py); each pairs with a retiree from the
-# r14-checked half (this _CHECK_FIRST list — the half that rotates
-# into the r16 window):
+# r14-checked half — the half that rotates into the r16 window, so
+# each retirement frees a real r16 window slot):
 #   url_host_dedup           ↔ exact_dedup (URL-normalized key dedup
 #       is the key-normalized superset of the md5-keyed exact dedup;
 #       the md5 key machinery stays registered via
 #       streaming_dedup_batch and unit-covered)
 #   contamination_eval_split ↔ decontaminate (GPT-3 Appendix C's
 #       dirty/clean EVAL split — the reverse direction of the corpus-
-#       side overlap scorer; bloom_decontaminate registers r15 and
+#       side overlap scorer; bloom_decontaminate registered r15 and
 #       the exact-join corpus path keeps its unit + fuzz rows)
 #   repetition_quality       ↔ quality_score (Gopher Table-A1 char-
 #       fraction repetition rules extend the ratio family;
 #       gopher_quality stays registered as the token-count sibling)
+# Retiring k of these frees exactly k r16 window slots and k registry
+# slots. Do NOT retire from the _CHECK_FIRST list directly below
+# instead: those rows rotate out of r16 WITHOUT a check, so retiring
+# one frees registry capacity but ZERO r16 window slots — the
+# capacity-math failure of the r6→r7 handoff.
+#
+# ROUND-17 WINDOW PLAN (provisional write-ahead): r17's window
+# re-checks the r15-checked half (the _CHECK_FIRST list below).
+# Staged candidates (staged r14/r15 under the full discipline, see
+# tests/test_staged_ops.py); each pairs with a retiree from the
+# r15-checked half (this _CHECK_FIRST list — the half that rotates
+# into the r17 window):
+#   source_overlap_matrix ↔ kmv-family sibling from this list (the
+#       same WindowGroupLimit KMV machinery; candidate retiree
+#       token_stats — its length/count surface is covered by
+#       gopher_quality's token-count columns, both in this half)
+#   ngram_novelty_score   ↔ incremental_dedup (first-occurrence
+#       keep-rule family: novelty scores ARE the gram-level
+#       first-occurrence rule; the batch/corpus split machinery stays
+#       registered via streaming_dedup_batch, r14-checked half)
+#   exact_substring_dedup ↔ passage_dedup (staged r15 — Lee et al.
+#       2022 ExactSubstr span coverage; the non-overlapping 20-token
+#       chunk dedup is the stride-L coarsening of the sliding L-window
+#       span map, and the chunking machinery itself stays registered
+#       via passage_chunking, this half)
 _CHECK_FIRST: list[str] = [
-    # the 47 surviving r12-checked entries (kmeans_step,
-    # tumbling_window, semantic_dedup_incremental retired), one round
-    # stale — re-verified this round:
+    # the 47 surviving r13-checked entries (doc_fingerprint,
+    # mixture_sample, top_terms retired), one round stale —
+    # re-verified this round:
+    "clean_corpus",
+    "dedup_components",
+    "distinct_labels",
+    "embedding_stats",
+    "gap_fill",
+    "gopher_quality",
+    "grouped_ids",
+    "idle_customers",
+    "image_decode_jpeg",
+    "image_knn_pipeline",
+    "important_stock",
+    "incremental_dedup",
+    "interval_join",
+    "ivf_topk",
+    "json_extract_agg",
+    "knn_l2_topk",
+    "knn_two_phase",
+    "label_category_join",
+    "large_orders",
+    "manifest_scan",
+    "matryoshka_topk",
+    "minhash_lsh_dedup",
+    "ngram_jaccard_dedup",
+    "ntile_segments",
+    "passage_dedup",
+    "path_normalize",
+    "pricing_summary",
+    "radius_pairs",
+    "revenue_growth",
+    "simhash_near_dup",
+    "sliding_window",
+    "stratified_sample",
+    "token_stats",
+    "top_revenue_customers",
+    "vector_norms",
+    "waiting_suppliers",
+    "weighted_sample",
+    "zorder_keys",
+    "ann_recall_eval",
+    "mmr_rerank",
+    "dedup_keep_best",
+    "dedup_recall_eval",
+    "search_batch",
+    "hard_negatives",
+    "bq_hamming_topk",
+    "passage_chunking",
+    "temperature_mix",
+    # registered in round 15, never driver-checked → in-window:
+    "winnowing_fingerprint",
+    "bloom_decontaminate",
+    "bpe_merge_step",
+]
+
+# The 50 entries checked green in r14 rotate out this round. Across
+# r14+r15 every registry entry again has a green row ≤1 round old,
+# preserving the rotation invariant.
+_ROTATE_OUT: list[str] = [
     "quality_score",
     "train_metrics",
     "set_ops",
@@ -726,66 +787,9 @@ _CHECK_FIRST: list[str] = [
     "dsir_importance",
     "perplexity_buckets",
     "semantic_decontaminate",
-    # registered in round 14, never driver-checked → in-window:
     "unimax_mix",
     "length_bucket_batches",
     "leakage_safe_split",
-]
-
-# The 50 entries checked green in r13 rotate out this round. Across
-# r13+r14 every registry entry again has a green row ≤1 round old,
-# preserving the rotation invariant.
-_ROTATE_OUT: list[str] = [
-    "clean_corpus",
-    "dedup_components",
-    "distinct_labels",
-    "doc_fingerprint",
-    "embedding_stats",
-    "gap_fill",
-    "gopher_quality",
-    "grouped_ids",
-    "idle_customers",
-    "image_decode_jpeg",
-    "image_knn_pipeline",
-    "important_stock",
-    "incremental_dedup",
-    "interval_join",
-    "ivf_topk",
-    "json_extract_agg",
-    "knn_l2_topk",
-    "knn_two_phase",
-    "label_category_join",
-    "large_orders",
-    "manifest_scan",
-    "matryoshka_topk",
-    "minhash_lsh_dedup",
-    "mixture_sample",
-    "ngram_jaccard_dedup",
-    "ntile_segments",
-    "passage_dedup",
-    "path_normalize",
-    "pricing_summary",
-    "radius_pairs",
-    "revenue_growth",
-    "simhash_near_dup",
-    "sliding_window",
-    "stratified_sample",
-    "token_stats",
-    "top_revenue_customers",
-    "top_terms",
-    "vector_norms",
-    "waiting_suppliers",
-    "weighted_sample",
-    "zorder_keys",
-    "ann_recall_eval",
-    "mmr_rerank",
-    "dedup_keep_best",
-    "dedup_recall_eval",
-    "search_batch",
-    "hard_negatives",
-    "bq_hamming_topk",
-    "passage_chunking",
-    "temperature_mix",
 ]
 
 

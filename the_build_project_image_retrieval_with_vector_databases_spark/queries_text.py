@@ -1479,11 +1479,9 @@ FROM c
 
 TEXT_QUERIES = {
     "token_stats": q_token_stats,
-    "top_terms": q_top_terms,
     "language_id": q_language_id,
     "quality_score": q_quality_score,
     "gopher_quality": q_gopher_quality,
-    "doc_fingerprint": q_fingerprint,
     "exact_dedup": q_exact_dedup,
     "ngram_jaccard_dedup": q_ngram_jaccard,
     "minhash_lsh_dedup": q_minhash_lsh,
@@ -1497,7 +1495,6 @@ TEXT_QUERIES = {
     "weighted_sample": q_weighted_sample,
     "passage_dedup": q_passage_dedup,
     "incremental_dedup": q_incremental_dedup,
-    "mixture_sample": q_mixture_sample,
     "seq_packing": q_seq_packing,
     "vocab_filter": q_vocab_filter,
     "pii_scrub": q_pii_scrub,
@@ -1512,11 +1509,9 @@ TEXT_QUERIES = {
 
 TEXT_ORACLES = {
     "token_stats": ORACLE_TOKEN_STATS,
-    "top_terms": ORACLE_TOP_TERMS,
     "language_id": _oracle_language_id(),
     "quality_score": _oracle_quality(),
     "gopher_quality": _oracle_gopher_quality(),
-    "doc_fingerprint": ORACLE_FINGERPRINT,
     "exact_dedup": ORACLE_EXACT_DEDUP,
     "ngram_jaccard_dedup": _oracle_jaccard_capped(0.8, 0.01, 10),
     "minhash_lsh_dedup": _oracle_jaccard(0.5, lsh=True),
@@ -1530,7 +1525,6 @@ TEXT_ORACLES = {
     "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
     "passage_dedup": ORACLE_PASSAGE_DEDUP,
     "incremental_dedup": _oracle_incremental_dedup(0.5),
-    "mixture_sample": ORACLE_MIXTURE_SAMPLE,
     "seq_packing": ORACLE_SEQ_PACKING,
     "vocab_filter": ORACLE_VOCAB_FILTER,
     "pii_scrub": _oracle_pii_scrub(),
@@ -1724,20 +1718,21 @@ TEXT_ORACLES.update(
 
 
 # ---------------------------------------------------------------------------
-# r15 registration candidates — STAGED r13 (write-ahead pairings in
-# queries.py above _CHECK_FIRST): winnowing_fingerprint ↔ doc_fingerprint,
-# bloom_decontaminate ↔ mixture_sample, bpe_merge_step ↔ top_terms — all
-# three retirees sit in the r13-checked half, so each frees a real r15
-# window slot. Staging discipline: Python-reference + 3-SF oracle parity
-# + plan pin in tests/test_staged_ops.py, generated-corpus fuzz rows in
-# tests/test_fuzz_oracle.py.
+# Registered r15 (staged r13 under the full discipline). Executed exactly
+# per the r13→r14 write-ahead plan above ``_CHECK_FIRST`` (queries.py):
+# winnowing_fingerprint ↔ doc_fingerprint retired, bloom_decontaminate ↔
+# mixture_sample retired, bpe_merge_step ↔ top_terms retired — all three
+# retirees from the r13-checked half, so each freed a real r15 window
+# slot. winnowing's 43×@100× registration gate was RESOLVED r14 by the
+# O(g·log w) sparse-table sliding-min rewrite (18.11× quiet, SCALE_100X).
+# The retired q_/oracle surfaces stay (fuzz panels + unit tests).
 # ---------------------------------------------------------------------------
 
 WN_K, WN_W = 3, 4
 
 
 def q_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STAGED (r13) — NOT registered. Winnowing fingerprints (operators/
+    """Registered r15 (staged r13). Winnowing fingerprints (operators/
     textops.py::winnowing_fingerprints; Schleimer et al. SIGMOD 2003):
     per-window rightmost-minimal k-gram hash selection — local
     (substring-level) overlap detection, the robust superset of
@@ -1779,7 +1774,7 @@ BLOOM_M_BITS = 65536
 
 
 def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STAGED (r13) — NOT registered. Bloom-filter decontamination
+    """Registered r15 (staged r13). Bloom-filter decontamination
     prefilter (operators/decontam.py::bloom_decontaminate; Bloom 1970):
     the benchmark slice's (doc_id < 20) 4-grams set positions in a
     65536-position double-hash filter; corpus docs (doc_id ≥ 20) whose
@@ -1827,7 +1822,7 @@ BPE_TOP_N = 32
 
 
 def q_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STAGED (r13) — NOT registered. One distributed BPE merge
+    """Registered r15 (staged r13). One distributed BPE merge
     iteration (operators/textops.py::bpe_merge_step; Sennrich et al.
     2016): word frequencies → adjacent-char-pair counts weighted by
     frequency → top-32 merge candidates. The corpus collapses to its
@@ -1853,6 +1848,22 @@ LIMIT {top_n}
 """
 
 
+TEXT_QUERIES.update(
+    {
+        "winnowing_fingerprint": q_winnowing_fingerprint,
+        "bloom_decontaminate": q_bloom_decontaminate,
+        "bpe_merge_step": q_bpe_merge_step,
+    }
+)
+TEXT_ORACLES.update(
+    {
+        "winnowing_fingerprint": _oracle_winnowing_fingerprint(),
+        "bloom_decontaminate": _oracle_bloom_decontaminate(),
+        "bpe_merge_step": _oracle_bpe_merge_step(),
+    }
+)
+
+
 # ---------------------------------------------------------------------------
 # r16 registration candidates — STAGED r14 (provisional pairings in the
 # queries.py write-ahead plan): url_host_dedup ↔ exact_dedup,
@@ -1863,9 +1874,10 @@ LIMIT {top_n}
 # generated-corpus fuzz rows in tests/test_fuzz_oracle.py.
 # ---------------------------------------------------------------------------
 
-_URL_TRACKING_RE_SQL = (
-    "^(utm_[a-z]+|gclid|fbclid|msclkid|mc_cid|mc_eid|ref|ref_src)="
-)
+# Mirrors operators/dedup.py::_TRACKING_PARAM_RE (default): bare
+# ref/ref_src deliberately excluded — semantic on many sites (r14
+# ADVICE); only the unambiguous ad/click/campaign IDs strip.
+_URL_TRACKING_RE_SQL = "^(utm_[a-z]+|gclid|fbclid|msclkid|mc_cid|mc_eid)="
 
 
 def _synth_url_expr():
@@ -2055,12 +2067,12 @@ FROM p1 JOIN p2 USING (doc_id, n, kind)
 
 
 # ---------------------------------------------------------------------------
-# r17 registration candidates — STAGED r14 (ahead of the pipeline; the
-# r17 window re-checks the r15-checked half, so final pairings belong to
-# the r15/r16 write-ahead plans. Provisional sibling arguments:
-# source_overlap_matrix ↔ kmv_distinct_sketch-family (same WindowGroupLimit
-# KMV machinery, registered) and ngram_novelty_score ↔ the dedup family's
-# first-occurrence keep rule (exact_dedup/incremental_dedup keep-min-id).
+# r17 registration candidates — STAGED r14 (source_overlap_matrix,
+# ngram_novelty_score) + r15 (exact_substring_dedup, below). The r17
+# window re-checks the r15-checked half; write-ahead pairings in
+# queries.py above _CHECK_FIRST: source_overlap_matrix ↔ token_stats,
+# ngram_novelty_score ↔ incremental_dedup, exact_substring_dedup ↔
+# passage_dedup — all three retirees in the r15-checked half.
 # Staging discipline: Python reference + 3-SF oracle parity + plan pin in
 # tests/test_staged_ops.py, generated-corpus fuzz rows in
 # tests/test_fuzz_oracle.py::test_fuzz_staged_r17_text_ops.)
@@ -2149,4 +2161,64 @@ SELECT e.doc_id,
        CAST(sum(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END)
          AS DOUBLE) / CAST(count(*) AS DOUBLE) < {stale_below} AS is_stale
 FROM hx e JOIN f USING (h) GROUP BY 1
+"""
+
+
+ESS_L, ESS_TAU = 8, 0.2
+
+
+def q_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED (r15) — NOT registered. ExactSubstr duplication profile
+    (operators/textops.py::exact_substring_spans; Lee et al. ACL 2022
+    §4.1, token-level): per doc, tokens covered by the union of
+    L-token spans duplicated anywhere in the corpus — the suffix-array
+    dedup re-expressed as two hash aggregates + a sorted-position
+    window fold. Provisional r17 pairing: retire passage_dedup (the
+    non-overlapping 20-token chunk dedup is the stride-L coarsening of
+    this sliding L-window span map; the chunking machinery itself
+    stays registered via passage_chunking)."""
+    from .operators.textops import exact_substring_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_substring_spans(spread(docs), L=ESS_L, flag_above=ESS_TAU)
+
+
+def _oracle_exact_substring_dedup(L: int = ESS_L, tau: float = ESS_TAU) -> str:
+    """Mirror: positional L-gram 60-bit md5-prefix hashes, hashes with
+    corpus count >= 2, per-doc sorted-position lag fold (same
+    least(L, pos - lag) union-coverage identity — positions may be
+    0- or 1-based, only differences enter), left join back to doc
+    token counts. The gram-index lambda var is ``gi`` (_dk_hex15
+    binds ``i`` internally)."""
+    gram_h = _dk_hex15_to_long(
+        f"md5(array_to_string(list_slice(toks, gi, gi + {L - 1}), ' '))"
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {_dk_toks()} AS toks FROM documents),
+d AS (SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens FROM t
+      WHERE len(toks) >= 1),
+h AS (SELECT doc_id,
+        list_transform(range(1, greatest(len(toks) - {L - 1}, 0) + 1),
+                       gi -> {gram_h}) AS hs
+      FROM t),
+w AS (SELECT doc_id, unnest(range(1, len(hs) + 1)) AS pos, hs
+      FROM h WHERE len(hs) >= 1),
+g AS (SELECT doc_id, pos, hs[pos] AS h FROM w),
+c AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+m AS (SELECT g.doc_id, g.pos FROM g JOIN c USING (h)),
+a AS (SELECT doc_id,
+        coalesce(least({L}, pos - lag(pos)
+          OVER (PARTITION BY doc_id ORDER BY pos)), {L}) AS added
+      FROM m),
+cov AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
+               CAST(sum(added) AS BIGINT) AS dup_token_cov
+        FROM a GROUP BY 1)
+SELECT d.doc_id, d.n_tokens,
+       coalesce(cov.n_dup_spans, 0) AS n_dup_spans,
+       coalesce(cov.dup_token_cov, 0) AS dup_token_cov,
+       coalesce(CAST(cov.dup_token_cov AS DOUBLE)
+                / CAST(d.n_tokens AS DOUBLE), 0.0) AS dup_frac,
+       coalesce(CAST(cov.dup_token_cov AS DOUBLE)
+                / CAST(d.n_tokens AS DOUBLE), 0.0) > {tau} AS flagged
+FROM d LEFT JOIN cov USING (doc_id)
 """
