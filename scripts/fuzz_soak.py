@@ -50,8 +50,8 @@ def _staged_pairs():
     """(name, query_fn, oracle_sql) per panel: the r11 trio registered
     r12 whose generated-corpus constraints differ from the generic
     panel ranges — kept covered here with the shared corpus — PLUS
-    every currently-staged registration candidate (the r16 trio and
-    the three r17 candidates; the r13-staged trio registered r14 and
+    every currently-staged registration candidate (the r16 trio, the
+    three r17 candidates, and the two r18 candidates; the r13-staged trio registered r14 and
     its entries stay here for the shared-corpus coverage), so the
     many-seed soak exercises them before their window flip, not just
     the 3-example derandomized hypothesis rows. The oracle slot may be
@@ -72,22 +72,26 @@ def _staged_pairs():
         ORACLE_PERPLEXITY_BUCKETS,
         _oracle_contamination_eval_split,
         _oracle_exact_substring_dedup,
+        _oracle_language_confidence_filter,
         _oracle_leakage_safe_split,
         _oracle_length_bucket_batches,
         _oracle_ngram_novelty_score,
         _oracle_repetition_quality,
         _oracle_source_overlap_matrix,
+        _oracle_token_entropy,
         _oracle_unimax_mix,
         _oracle_url_host_dedup,
         q_contamination_eval_split,
         q_dsir_importance,
         q_exact_substring_dedup,
+        q_language_confidence_filter,
         q_leakage_safe_split,
         q_length_bucket_batches,
         q_ngram_novelty_score,
         q_perplexity_buckets,
         q_repetition_quality,
         q_source_overlap_matrix,
+        q_token_entropy,
         q_unimax_mix,
         q_url_host_dedup,
     )
@@ -118,6 +122,10 @@ def _staged_pairs():
             # r15-staged third r17 candidate:
             ("exact_substring_dedup", q_exact_substring_dedup,
              _oracle_exact_substring_dedup()),
+            # r15-staged r18 candidates:
+            ("language_confidence_filter", q_language_confidence_filter,
+             _oracle_language_confidence_filter()),
+            ("token_entropy", q_token_entropy, _oracle_token_entropy()),
         ],
         "emb": [
             ("semantic_decontaminate", q_semantic_decontaminate,

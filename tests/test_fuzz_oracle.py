@@ -1333,6 +1333,38 @@ def test_fuzz_staged_r17_text_ops(spark, tmp_path_factory, seed, n_docs):
         assert ok, f"fuzz corpus diverged: {msg}"
 
 
+@settings(max_examples=3, deadline=None, derandomize=True)
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    n_docs=st.integers(min_value=3, max_value=60),
+)
+def test_fuzz_staged_r18_text_ops(spark, tmp_path_factory, seed, n_docs):
+    """The r18-staged candidates on generated corpora: token-less docs
+    (entropy emits no row; confidence stays a row with und/margin-0),
+    single-token and all-duplicate docs (entropy exactly 0, templated),
+    random texts with no stopwords (und, never confident), and
+    duplicate/case-variant docs (identical scores on both engines)."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_text import (
+        _oracle_language_confidence_filter,
+        _oracle_token_entropy,
+        q_language_confidence_filter,
+        q_token_entropy,
+    )
+
+    rng = np.random.default_rng(seed)
+    tmpdir = str(tmp_path_factory.mktemp(f"fuzz_r18t_{seed}_{n_docs}"))
+    pq.write_table(
+        _gen_documents(rng, n_docs), os.path.join(tmpdir, "documents.parquet")
+    )
+    for name, q, o in [
+        ("language_confidence_filter", q_language_confidence_filter,
+         _oracle_language_confidence_filter()),
+        ("token_entropy", q_token_entropy, _oracle_token_entropy()),
+    ]:
+        ok, msg = compare(q(spark, tmpdir), o, tmpdir, name)
+        assert ok, f"fuzz corpus diverged: {msg}"
+
+
 def test_fuzz_panel_names_resolve():
     """Sync guard for the retired-surface fallback (r14): every name in
     every fuzz panel list must resolve to EITHER a live registry entry

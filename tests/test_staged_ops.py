@@ -3257,6 +3257,177 @@ def test_exact_substring_dedup_oracle_parity_staged(spark, sf_dir):
     assert ok, msg
 
 
+def test_language_confidence_matches_python_reference(spark):
+    """pred/best/second/margin/gate equal the single-threaded mirror on
+    the fixture corpus at a NON-registry margin, including und docs
+    (no stopword hits => margin 0, never confident) and argmax ties
+    (first language ascending, matching language_id)."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.textops import (
+        LANG_STOPWORDS,
+        language_confidence,
+    )
+
+    m = 0.1  # NOT the registry constant
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    got = {
+        r.doc_id: (r.pred_lang, r.lang_score, r.second_score, r.margin, r.is_confident)
+        for r in language_confidence(docs, min_margin=m).collect()
+    }
+    langs = sorted(LANG_STOPWORDS)
+    n_confident = 0
+    for r in docs.collect():
+        toks = [t for t in r.text.lower().split() if t]
+        n = max(len(toks), 1)
+        sc = [sum(1 for t in toks if t in LANG_STOPWORDS[g]) / n for g in langs]
+        best = max(sc)
+        second = sorted(sc)[-2]
+        pred = "und" if best <= 0 else langs[sc.index(best)]
+        conf = best > 0 and best - second >= m
+        n_confident += conf
+        assert got[r.doc_id] == (pred, best, second, best - second, conf), r.doc_id
+    assert 0 < n_confident < len(got)  # the gate splits the fixture
+
+
+def test_language_confidence_und_and_tie_shapes(spark):
+    """Hand-built shapes: a no-stopword doc is und/unconfident with
+    margin 0; a doc hitting two languages EQUALLY ties pred to the
+    first language ascending and has margin 0; a clean English doc
+    clears the gate."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.textops import (
+        language_confidence,
+    )
+
+    rows = [
+        (1, "zzz qqq xxx www"),                     # und
+        (2, "the der the der"),                     # en/de tie -> de
+        (3, "the cat and the dog is in the house"),  # clean en
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.pred_lang, r.margin, r.is_confident)
+        for r in language_confidence(df, min_margin=0.05).collect()
+    }
+    assert got[1] == ("und", 0.0, False)
+    assert got[2][0] == "de" and got[2][1] == 0.0 and not got[2][2]
+    assert got[3][0] == "en" and got[3][2]
+
+
+def test_language_confidence_plan_zero_shuffle(spark):
+    """Plan contract: per-row projection chain — ZERO exchanges, no
+    Python, no join (the language_id class)."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_text import (
+        q_language_confidence_filter,
+    )
+
+    df = q_language_confidence_filter(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "Join" not in plan
+
+
+def _entropy_py(rows, thr):
+    """Single-threaded mirror of operators.textops.token_entropy under
+    the integer micro-nat quantization contract."""
+    import math
+    from collections import Counter
+
+    out = {}
+    for i, t in rows:
+        toks = [x for x in t.lower().split() if x]
+        if not toks:
+            continue
+        cnt = Counter(toks)
+        n = sum(cnt.values())
+        s_q = sum(c * round(math.log(c) * 1e6) for c in cnt.values())
+        ent = round(math.log(n) * 1e6) - s_q // n
+        out[i] = (n, len(cnt), ent, ent < thr)
+    return out
+
+
+def test_token_entropy_matches_python_reference(spark):
+    """Integer micro-nat entropies equal the single-threaded mirror on
+    the fixture corpus at a NON-registry threshold."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.textops import (
+        token_entropy,
+    )
+
+    thr = 3_000_000  # NOT the registry constant
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    rows = [(r.doc_id, r.text) for r in docs.collect()]
+    want = _entropy_py(rows, thr)
+    got = {
+        r.doc_id: (r.n_tokens, r.n_distinct, r.entropy_micro, r.is_templated)
+        for r in token_entropy(docs, templated_below=thr).collect()
+    }
+    assert got == want
+    assert any(v[3] for v in got.values()) and not all(v[3] for v in got.values())
+
+
+def test_token_entropy_pathological_docs(spark):
+    """Hand shapes: a single repeated token has entropy exactly 0 and
+    flags; a uniform all-distinct doc hits ln(n) to within quantization
+    (+-1 micro-nat); a one-token doc is 0; token-less docs emit no
+    row."""
+    import math
+
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.textops import (
+        token_entropy,
+    )
+
+    rows = [
+        (1, "spam spam spam spam spam spam"),
+        (2, "a b c d e f g h"),
+        (3, "solo"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.entropy_micro, r.is_templated)
+        for r in token_entropy(df, templated_below=1_000_000).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert got[1] == (6, round(math.log(6) * 1e6) - (6 * round(math.log(6) * 1e6)) // 6, True)
+    assert got[1][1] == 0
+    assert abs(got[2][1] - round(math.log(8) * 1e6)) <= 1
+    assert got[3] == (1, 0, True)
+
+
+def test_token_entropy_plan_shape(spark):
+    """Plan contract: two keyed exchanges ((doc, token) count then the
+    doc aggregate), both map-side partial; no join, no Python."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_text import (
+        q_token_entropy,
+    )
+
+    df = q_token_entropy(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "BatchEvalPython" not in plan
+    assert "Join" not in plan
+    assert plan.count("partial_count") + plan.count("partial_sum") >= 2
+
+
+def test_staged_r18_oracle_parity(spark, sf_dir):
+    """Both r18-staged DuckDB oracles pass the driver-faithful
+    comparison (verified by hand at sf0.001/sf0.01/sf0.1 in r15)."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_text import (
+        _oracle_language_confidence_filter,
+        _oracle_token_entropy,
+        q_language_confidence_filter,
+        q_token_entropy,
+    )
+    from .oracle_harness import compare
+
+    for name, q, o in [
+        ("language_confidence_filter", q_language_confidence_filter,
+         _oracle_language_confidence_filter()),
+        ("token_entropy", q_token_entropy, _oracle_token_entropy()),
+    ]:
+        ok, msg = compare(q(spark, sf_dir), o, sf_dir, name)
+        assert ok, msg
+
+
 def test_staged_r17_oracle_parity(spark, sf_dir):
     """The staged r17 DuckDB oracles pass the driver-faithful
     comparison (verified by hand at sf0.001/sf0.01/sf0.1 in r14)."""

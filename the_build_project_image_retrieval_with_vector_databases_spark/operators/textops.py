@@ -1028,3 +1028,132 @@ def exact_substring_spans(
         F.coalesce(frac, F.lit(0.0)).alias("dup_frac"),
         (F.coalesce(frac, F.lit(0.0)) > F.lit(flag_above)).alias("flagged"),
     )
+
+
+def language_confidence(
+    df: DataFrame,
+    min_margin: float = 0.02,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Document-level language-CONFIDENCE gate (the CCNet rule — Wenzek
+    et al. 2020 §3.1 keep docs whose LID score clears a threshold;
+    fastText-style confidence re-expressed over this engine's stopword
+    LID): alongside :func:`language_id`'s argmax, report the RUNNER-UP
+    language score and the margin between them, and gate on
+    ``best > 0 AND margin >= min_margin`` — a doc whose top two
+    language scores are close is code-switched, boilerplate, or noise,
+    and every crawl pipeline drops or routes those before training.
+
+    All per-row Catalyst expressions (exact int/int ratio doubles,
+    one subtraction — bit-identical cross-engine, the language_id
+    class): tokenize in its own projection, the four per-language
+    scores named in a second projection (each referenced twice —
+    argmax chain + sort — so inlining would double the stopword
+    filters), argmax + sorted-pair margin in the third. ZERO shuffles;
+    at 100 TB this fuses into the scan like language_id.
+
+    Output: ``pred_lang``, ``lang_score`` (best), ``second_score``,
+    ``margin``, ``is_confident``.
+    Reference: /root/reference/app.py (no counterpart — north-star
+    extension, SURVEY §2.11; language_id sibling)."""
+    from ..functions.text import tokens
+
+    toked = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    n = F.greatest(F.size("__toks"), F.lit(1)).cast("double")
+    langs = sorted(LANG_STOPWORDS)
+    sc = toked.select(
+        F.col(id_col),
+        *[
+            (
+                F.size(
+                    F.filter(
+                        F.col("__toks"), lambda t: t.isin(*LANG_STOPWORDS[lang])
+                    )
+                ).cast("double")
+                / n
+            ).alias(f"__s_{lang}")
+            for lang in langs
+        ],
+    )
+    arr = F.array_sort(F.array(*[F.col(f"__s_{lang}") for lang in langs]))
+    best = F.element_at(arr, -1)
+    second = F.element_at(arr, -2)
+    pred = F.lit("und")
+    for lang in reversed(langs):
+        pred = F.when(
+            (best > 0) & (F.col(f"__s_{lang}") == best), F.lit(lang)
+        ).otherwise(pred)
+    margin = best - second
+    return sc.select(
+        F.col(id_col),
+        pred.alias("pred_lang"),
+        best.alias("lang_score"),
+        second.alias("second_score"),
+        margin.alias("margin"),
+        ((best > 0) & (margin >= F.lit(min_margin))).alias("is_confident"),
+    )
+
+
+def token_entropy(
+    df: DataFrame,
+    templated_below: int = 2_500_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document Shannon entropy of the doc's OWN unigram
+    distribution, in integer micro-nats — the templated/boilerplate
+    screen (low entropy ⇒ a few tokens dominate ⇒ generated or
+    navigational text; Shannon 1948, applied as in the Gopher/C4
+    repetition family but distribution-wide instead of top-gram).
+
+    H = ln(n) − (Σ_tok c·ln c)/n over per-doc token counts c. Exact
+    cross-engine via the dsir/perplexity quantization contract
+    (operators/mixing.py): each DISTINCT token contributes
+    ``lam_q = round(ln(c)·10⁶)`` — ONE correctly-rounded int→double
+    cast into the single 1-ulp ``ln``, rounded to integer micro-units
+    — so the per-doc sum ``Σ c·lam_q`` is an INTEGER sum (commutative,
+    order-free across partitions), and
+    ``entropy_micro = round(ln(n)·10⁶) − S_q div n`` is integer
+    arithmetic both engines replay exactly (±1 micro-nat quantization,
+    deterministic). ``is_templated = entropy_micro < templated_below``
+    (default 2.5 nats ≈ fewer than ~12 effective distinct tokens).
+
+    Plan: explode → (doc, token) count → per-doc aggregate: two keyed
+    exchanges, both map-side partial; wire carries (id, count) pairs.
+    Token-less docs emit no row (the repetition_quality convention).
+    Reference: /root/reference/app.py (no counterpart — north-star
+    extension, SURVEY §2.11; quality family sibling)."""
+    from ..functions.text import tokens
+
+    exploded = (
+        df.select(
+            F.col(id_col), F.explode_outer(tokens(text_col)).alias("__tok")
+        )
+        .filter(F.col("__tok").isNotNull())
+    )
+    per_tok = exploded.groupBy(id_col, "__tok").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    lam_q = F.round(F.log(F.col("__c").cast("double")) * F.lit(1e6)).cast(
+        "long"
+    )
+    per_doc = per_tok.groupBy(id_col).agg(
+        F.sum("__c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.col("__c") * lam_q).alias("__s_q"),
+    )
+    ln_n_q = F.round(
+        F.log(F.col("n_tokens").cast("double")) * F.lit(1e6)
+    ).cast("long")
+    ent = (ln_n_q - F.expr("__s_q div n_tokens")).alias("entropy_micro")
+    return per_doc.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.col("n_distinct"),
+        ent,
+        (
+            ln_n_q - F.expr("__s_q div n_tokens")
+            < F.lit(templated_below).cast("long")
+        ).alias("is_templated"),
+    )

@@ -2222,3 +2222,88 @@ SELECT d.doc_id, d.n_tokens,
                 / CAST(d.n_tokens AS DOUBLE), 0.0) > {tau} AS flagged
 FROM d LEFT JOIN cov USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# r18 registration candidates — STAGED r15 (ahead of the pipeline, the
+# r14→r16/r17 precedent). The r18 window re-checks the r16-checked half,
+# so final pairings belong to the r16/r17 write-ahead plans. Provisional
+# sibling arguments: language_confidence_filter ↔ language_id (the
+# confidence gate is the margin-extended superset of the argmax LID) and
+# token_entropy ↔ the quality/repetition ratio family (distribution-wide
+# where repetition_quality is top-gram). Staging discipline: Python
+# reference + 3-SF oracle parity + plan pin in tests/test_staged_ops.py,
+# generated-corpus fuzz rows in
+# tests/test_fuzz_oracle.py::test_fuzz_staged_r18_text_ops.
+# ---------------------------------------------------------------------------
+
+LC_MARGIN = 0.02
+
+
+def q_language_confidence_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED (r15) — NOT registered. CCNet-style language-confidence
+    gate (operators/textops.py::language_confidence; Wenzek et al.
+    2020 §3.1): argmax LID plus runner-up score and margin;
+    ``is_confident`` gates on best > 0 AND margin ≥ 0.02. Zero-shuffle
+    per-row expressions — the language_id class."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.language_confidence(spread(docs), min_margin=LC_MARGIN)
+
+
+def _oracle_language_confidence_filter(m: float = LC_MARGIN) -> str:
+    score_exprs = ",\n       ".join(
+        f"{_dk_stop_filter('toks', LANG_STOPWORDS[lang])}::DOUBLE / "
+        f"greatest(len(toks), 1) AS s_{lang}"
+        for lang in sorted(LANG_STOPWORDS)
+    )
+    arr = "[" + ", ".join(f"s_{l}" for l in sorted(LANG_STOPWORDS)) + "]"
+    case = " ".join(
+        f"WHEN s_{l} = best THEN '{l}'" for l in sorted(LANG_STOPWORDS)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {_dk_toks()} AS toks FROM documents),
+s AS (SELECT doc_id,
+       {score_exprs}
+      FROM t),
+b AS (SELECT *, list_sort({arr}) AS arr FROM s),
+b2 AS (SELECT *, arr[4] AS best, arr[3] AS second FROM b)
+SELECT doc_id,
+       CASE WHEN best <= 0 THEN 'und' {case} ELSE 'und' END AS pred_lang,
+       best AS lang_score,
+       second AS second_score,
+       best - second AS margin,
+       (best > 0 AND best - second >= {m}) AS is_confident
+FROM b2
+"""
+
+
+TE_TEMPLATED_BELOW = 2_500_000
+
+
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED (r15) — NOT registered. Per-doc unigram Shannon entropy
+    in integer micro-nats (operators/textops.py::token_entropy) — the
+    distribution-wide templated-text screen, exact cross-engine via
+    the dsir/perplexity λ-quantization contract."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.token_entropy(spread(docs), templated_below=TE_TEMPLATED_BELOW)
+
+
+def _oracle_token_entropy(thr: int = TE_TEMPLATED_BELOW) -> str:
+    return f"""
+WITH t AS (SELECT doc_id, {_dk_toks()} AS toks FROM documents),
+e AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+c AS (SELECT doc_id, tok, count(*) AS c FROM e GROUP BY 1, 2),
+d AS (SELECT doc_id,
+        CAST(sum(c) AS BIGINT) AS n_tokens,
+        CAST(count(*) AS BIGINT) AS n_distinct,
+        CAST(sum(c * CAST(round(ln(c::DOUBLE) * 1000000.0) AS BIGINT))
+          AS BIGINT) AS s_q
+      FROM c GROUP BY 1)
+SELECT doc_id, n_tokens, n_distinct,
+       CAST(round(ln(n_tokens::DOUBLE) * 1000000.0) AS BIGINT)
+         - s_q // n_tokens AS entropy_micro,
+       CAST(round(ln(n_tokens::DOUBLE) * 1000000.0) AS BIGINT)
+         - s_q // n_tokens < {thr} AS is_templated
+FROM d
+"""
