@@ -51,7 +51,7 @@ def _staged_pairs():
     r12 whose generated-corpus constraints differ from the generic
     panel ranges — kept covered here with the shared corpus — PLUS
     every currently-staged registration candidate (the r16 trio, the
-    three r17 candidates, and the two r18 candidates; the r13-staged trio registered r14 and
+    three r17 candidates, and the three r18 candidates; the r13-staged trio registered r14 and
     its entries stay here for the shared-corpus coverage), so the
     many-seed soak exercises them before their window flip, not just
     the 3-example derandomized hypothesis rows. The oracle slot may be
@@ -70,6 +70,7 @@ def _staged_pairs():
     from the_build_project_image_retrieval_with_vector_databases_spark.queries_text import (
         ORACLE_DSIR_IMPORTANCE,
         ORACLE_PERPLEXITY_BUCKETS,
+        _oracle_bpe_train_encode,
         _oracle_contamination_eval_split,
         _oracle_exact_substring_dedup,
         _oracle_language_confidence_filter,
@@ -81,6 +82,7 @@ def _staged_pairs():
         _oracle_token_entropy,
         _oracle_unimax_mix,
         _oracle_url_host_dedup,
+        q_bpe_train_encode,
         q_contamination_eval_split,
         q_dsir_importance,
         q_exact_substring_dedup,
@@ -126,6 +128,8 @@ def _staged_pairs():
             ("language_confidence_filter", q_language_confidence_filter,
              _oracle_language_confidence_filter()),
             ("token_entropy", q_token_entropy, _oracle_token_entropy()),
+            ("bpe_train_encode", q_bpe_train_encode,
+             _oracle_bpe_train_encode()),
         ],
         "emb": [
             ("semantic_decontaminate", q_semantic_decontaminate,

@@ -1341,12 +1341,15 @@ def test_fuzz_staged_r17_text_ops(spark, tmp_path_factory, seed, n_docs):
 def test_fuzz_staged_r18_text_ops(spark, tmp_path_factory, seed, n_docs):
     """The r18-staged candidates on generated corpora: token-less docs
     (entropy emits no row; confidence stays a row with und/margin-0),
-    single-token and all-duplicate docs (entropy exactly 0, templated),
+    single-token and all-duplicate docs (entropy exactly 0, templated;
+    BPE merge rounds exhaust early -> identity rounds on both engines),
     random texts with no stopwords (und, never confident), and
     duplicate/case-variant docs (identical scores on both engines)."""
     from the_build_project_image_retrieval_with_vector_databases_spark.queries_text import (
+        _oracle_bpe_train_encode,
         _oracle_language_confidence_filter,
         _oracle_token_entropy,
+        q_bpe_train_encode,
         q_language_confidence_filter,
         q_token_entropy,
     )
@@ -1360,6 +1363,8 @@ def test_fuzz_staged_r18_text_ops(spark, tmp_path_factory, seed, n_docs):
         ("language_confidence_filter", q_language_confidence_filter,
          _oracle_language_confidence_filter()),
         ("token_entropy", q_token_entropy, _oracle_token_entropy()),
+        ("bpe_train_encode", q_bpe_train_encode,
+         _oracle_bpe_train_encode()),
     ]:
         ok, msg = compare(q(spark, tmpdir), o, tmpdir, name)
         assert ok, f"fuzz corpus diverged: {msg}"

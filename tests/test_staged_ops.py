@@ -3408,6 +3408,147 @@ def test_token_entropy_plan_shape(spark):
     assert plan.count("partial_count") + plan.count("partial_sum") >= 2
 
 
+def _bpe_train_py(texts, n_merges):
+    """Single-threaded Sennrich et al. 2016 learn_bpe + apply_bpe
+    mirror: per round, count adjacent symbol pairs weighted by word
+    frequency, fuse the (count desc, pair asc) argmax greedily
+    left-to-right non-overlapping in every word."""
+    import re
+    from collections import Counter
+
+    pat = re.compile(r"[a-z]+|[0-9]+|[^a-z0-9 \t\n\f\r]")
+    vocab = Counter()
+    for t in texts:
+        vocab.update(pat.findall(t.lower()))
+    segs = {w: list(w) for w in vocab}
+    for _ in range(n_merges):
+        pairs = Counter()
+        for w, f in vocab.items():
+            s = segs[w]
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] += f
+        if not pairs:
+            continue
+        a, b = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        for w, s in segs.items():
+            out = []
+            for sym in s:
+                if out and out[-1] == a and sym == b:
+                    out[-1] = a + b
+                else:
+                    out.append(sym)
+            segs[w] = out
+    counts = Counter()
+    for w, f in vocab.items():
+        for sym in segs[w]:
+            counts[sym] += f
+    return dict(counts)
+
+
+def test_bpe_train_encode_matches_python_reference(spark):
+    """Learned vocabulary + occurrence counts equal the single-threaded
+    Sennrich mirror at a NON-registry merge count, and training
+    actually fused multi-char tokens."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.textops import (
+        bpe_train_encode,
+    )
+
+    n = 3  # NOT the registry constant
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    texts = [r.text for r in docs.collect()]
+    want = _bpe_train_py(texts, n)
+    got = {
+        r.token: r.n_occurrences
+        for r in bpe_train_encode(docs, n_merges=n).collect()
+    }
+    assert got == want
+    assert any(len(t) > 1 for t in got)  # real merges happened
+
+
+def test_bpe_train_encode_classic_corpus(spark):
+    """The canonical Sennrich example shape: 'low/lower/newest/widest'
+    — the first merges fuse the high-frequency suffix pairs, within-
+    word repeats fuse non-overlapping ('aaaa' + (a,a) → two 'aa'), and
+    a single-char vocabulary survives n_merges rounds as identity."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.textops import (
+        bpe_train_encode,
+    )
+
+    rows = [(1, "low low low low low lower lower newest newest newest "
+                "newest newest newest widest widest widest")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.token: r.n_occurrences
+        for r in bpe_train_encode(df, n_merges=4).collect()
+    }
+    want = _bpe_train_py([rows[0][1]], 4)
+    assert got == want
+    assert "est" in got and got["est"] == 9  # newest*6 + widest*3
+    dfa = spark.createDataFrame([(1, "aaaa aaaa")], "doc_id long, text string")
+    gota = {
+        r.token: r.n_occurrences
+        for r in bpe_train_encode(dfa, n_merges=1).collect()
+    }
+    assert gota == {"aa": 4}  # greedy non-overlap: each 'aaaa' → 2×'aa'
+    dfs = spark.createDataFrame([(1, "a b a b")], "doc_id long, text string")
+    gots = {
+        r.token: r.n_occurrences
+        for r in bpe_train_encode(dfs, n_merges=3).collect()
+    }
+    assert gots == {"a": 2, "b": 2}  # no pairs ever; identity rounds
+
+
+def test_bpe_train_encode_plan_shape(spark):
+    """Plan contract for the returned-DataFrame lineage: the merge
+    literals embed in codegen'd fuse projections over the PERSISTED
+    segmentation (InMemoryTableScan), so the only NEW exchange above
+    the cache is the final token aggregate; the cache subtree holds
+    only the word-keyed vocab aggregate (its exchange prints once per
+    nested InMemoryRelation level — count keys, not lines). No join,
+    no Python. (Per-round pair counts are separate driver-collected
+    jobs, the kmeans_train_assign shape.)"""
+    import re
+
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.textops import (
+        bpe_train_encode,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    handles: list = []
+    df = bpe_train_encode(docs, n_merges=2, cache_handles=handles)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for h in handles:
+        h.unpersist()
+    keys = {
+        re.match(r"(\w+)", k).group(1)
+        for k in re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
+    }
+    assert keys == {"token", "word"}, keys
+    assert plan.count("Exchange hashpartitioning(token") == 1
+    assert "InMemoryTableScan" in plan  # fuse chain rides the cache
+    assert "BatchEvalPython" not in plan
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bpe_train_encode_oracle_parity_staged(spark, sf_dir):
+    """The staged unrolled-CTE DuckDB oracle passes the driver-faithful
+    comparison (verified by hand at sf0.001/sf0.01/sf0.1 in r15)."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_text import (
+        _oracle_bpe_train_encode,
+        q_bpe_train_encode,
+    )
+    from .oracle_harness import compare
+
+    ok, msg = compare(
+        q_bpe_train_encode(spark, sf_dir),
+        _oracle_bpe_train_encode(),
+        sf_dir,
+        "bpe_train_encode",
+    )
+    assert ok, msg
+
+
 def test_staged_r18_oracle_parity(spark, sf_dir):
     """Both r18-staged DuckDB oracles pass the driver-faithful
     comparison (verified by hand at sf0.001/sf0.01/sf0.1 in r15)."""
@@ -3426,6 +3567,8 @@ def test_staged_r18_oracle_parity(spark, sf_dir):
     ]:
         ok, msg = compare(q(spark, sf_dir), o, sf_dir, name)
         assert ok, msg
+    # bpe_train_encode has its own parity test above (heavier: 6
+    # driver-collected rounds) -- kept separate so -k filters compose
 
 
 def test_staged_r17_oracle_parity(spark, sf_dir):

@@ -1157,3 +1157,119 @@ def token_entropy(
             < F.lit(templated_below).cast("long")
         ).alias("is_templated"),
     )
+
+
+def _bpe_fuse(syms, a, b):
+    """Greedy left-to-right NON-OVERLAPPING fuse of adjacent symbol pair
+    (a, b) → a||b over a symbol array — exactly the reference BPE merge
+    application (Sennrich et al. 2016's replace pass): scanning left,
+    a symbol joins the previous one iff (prev, cur) == (a, b); a just-
+    fused symbol can immediately fuse again only if the MERGED token
+    matches `a` (the "aaa" + (a,a) → [aa, a] rule). NULL a/b (a round
+    that found no pair) is the identity — the condition is NULL and
+    every symbol appends (how the unrolled oracle replays early-stop
+    rounds without branching on emptiness)."""
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0) & (F.element_at(acc, -1) == a) & (s == b),
+            F.concat(
+                F.slice(acc, 1, F.greatest(F.size(acc) - 1, F.lit(0))),
+                F.array(F.concat(a, b)),
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def bpe_train_encode(
+    df: DataFrame,
+    n_merges: int = 6,
+    text_col: str = "text",
+    cache_handles: list | None = None,
+) -> DataFrame:
+    """FULL distributed BPE tokenizer training + corpus encoding
+    (Sennrich, Haddow & Birch, ACL 2016 — the complete learn_bpe +
+    apply_bpe loop, not just one merge round): ``n_merges`` iterations
+    of [count adjacent symbol pairs weighted by word frequency → fuse
+    the most frequent pair everywhere (ties: count desc, then pair
+    lexicographic)], then encode the corpus with the learned merges and
+    return the token vocabulary with occurrence counts.
+
+    Scale shape — why tokenizer training distributes this way: the
+    corpus collapses to its VOCABULARY after one map-side-partial
+    aggregate (distinct words ≪ corpus tokens), so every training round
+    runs on the small (word, freq, syms) table: one pair-count
+    aggregate (two bounded shuffles) + one driver-collected argmax row
+    (the kmeans_train_assign driver-loop precedent — k tiny jobs, k×2
+    strings of driver state) + one codegen'd per-row fuse fold. The
+    merge literals embed in the plan, so the returned DataFrame's
+    lineage is deterministic and persist-free after
+    ``materialize_and_release``. Rounds that find no pair (vocabulary
+    already fused to single symbols) record a NULL merge — the fuse
+    fold degrades to identity, and the unrolled DuckDB oracle replays
+    the same via LEFT JOIN of its possibly-empty per-round argmax CTE.
+
+    Output: ``(token, n_occurrences)`` — the trained subword vocabulary
+    applied to the corpus. Reference: /root/reference/app.py (no
+    counterpart — north-star extension, SURVEY §2.11 tokenizer
+    family; bpe_merge_step is this loop's single round)."""
+    handles = cache_handles if cache_handles is not None else []
+    words = (
+        df.select(
+            F.explode_outer(
+                F.regexp_extract_all(
+                    F.lower(F.col(text_col)), F.lit(BPE_PATTERN), 0
+                )
+            ).alias("word")
+        )
+        .filter(F.col("word").isNotNull())
+    )
+    vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    seg = vocab.select(
+        "word",
+        "freq",
+        F.transform(
+            F.sequence(F.lit(1), F.length("word")),
+            lambda i: F.substring("word", i, F.lit(1)),
+        ).alias("syms"),
+    ).persist()
+    handles.append(seg)
+    for _ in range(n_merges):
+        pair_arr = F.when(
+            F.size("syms") >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size("syms") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("syms"), i).alias("a"),
+                    F.element_at(F.col("syms"), i + F.lit(1)).alias("b"),
+                ),
+            ),
+        )
+        top = (
+            seg.select(F.col("freq"), F.explode_outer(pair_arr).alias("p"))
+            .filter(F.col("p").isNotNull())
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .collect()
+        )
+        a, b = (top[0].a, top[0].b) if top else (None, None)
+        new_seg = seg.select(
+            "word",
+            "freq",
+            _bpe_fuse(
+                F.col("syms"),
+                F.lit(a).cast("string"),
+                F.lit(b).cast("string"),
+            ).alias("syms"),
+        ).persist()
+        handles.append(new_seg)
+        seg = new_seg
+    return (
+        seg.select(F.explode_outer("syms").alias("token"), F.col("freq"))
+        .filter(F.col("token").isNotNull())
+        .groupBy("token")
+        .agg(F.sum("freq").alias("n_occurrences"))
+    )

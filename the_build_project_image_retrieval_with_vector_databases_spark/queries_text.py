@@ -2229,9 +2229,11 @@ FROM d LEFT JOIN cov USING (doc_id)
 # r14→r16/r17 precedent). The r18 window re-checks the r16-checked half,
 # so final pairings belong to the r16/r17 write-ahead plans. Provisional
 # sibling arguments: language_confidence_filter ↔ language_id (the
-# confidence gate is the margin-extended superset of the argmax LID) and
+# confidence gate is the margin-extended superset of the argmax LID),
 # token_entropy ↔ the quality/repetition ratio family (distribution-wide
-# where repetition_quality is top-gram). Staging discipline: Python
+# where repetition_quality is top-gram), and bpe_train_encode ↔
+# bpe_merge_step (the full learn+apply loop vs its single round — the
+# single round stays unit/fuzz-covered either way). Staging discipline: Python
 # reference + 3-SF oracle parity + plan pin in tests/test_staged_ops.py,
 # generated-corpus fuzz rows in
 # tests/test_fuzz_oracle.py::test_fuzz_staged_r18_text_ops.
@@ -2306,4 +2308,68 @@ SELECT doc_id, n_tokens, n_distinct,
        CAST(round(ln(n_tokens::DOUBLE) * 1000000.0) AS BIGINT)
          - s_q // n_tokens < {thr} AS is_templated
 FROM d
+"""
+
+
+BTE_MERGES = 6
+
+
+def q_bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED (r15) — NOT registered. FULL BPE tokenizer training +
+    corpus encoding (operators/textops.py::bpe_train_encode; Sennrich
+    et al. 2016 learn_bpe + apply_bpe): 6 driver-collected merge rounds
+    over the collapsed vocabulary, then the encoded corpus's token
+    occurrence counts. bpe_merge_step (registered r15) is this loop's
+    single round."""
+    from .operators.spill import materialize_and_release
+    from .operators.textops import bpe_train_encode
+
+    docs = load_table(spark, sf_dir, "documents")
+    handles: list = []
+    out = bpe_train_encode(spread(docs), n_merges=BTE_MERGES,
+                           cache_handles=handles)
+    return materialize_and_release(out, handles, "bpe-")
+
+
+def _oracle_bpe_train_encode(n_merges: int = BTE_MERGES) -> str:
+    """Mirror: the same n_merges rounds UNROLLED as CTE pairs — per
+    round, a pair-count aggregate over the current segmentation, a
+    1-row argmax CTE (count desc, pair asc — the Spark collect's exact
+    order), and a re-segmentation whose list_reduce fuse replays
+    _bpe_fuse greedily left-to-right (single-element-list wrapping
+    gives the fold a list accumulator; the no-init fold over a
+    non-empty list equals the empty-init fold). An EMPTY argmax round
+    LEFT-JOINs NULL a/b into the fuse condition → identity, exactly
+    like the NULL merge literals on the Spark side."""
+    fuse = (
+        "list_reduce(list_transform(s.syms, x -> [x]), "
+        "(acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = m.a "
+        "AND x[1] = m.b "
+        "THEN list_concat(acc[1:len(acc)-1], [m.a || m.b]) "
+        "ELSE list_concat(acc, x) END)"
+    )
+    ctes = [f"""w AS (SELECT unnest(regexp_extract_all(lower(text),
+             '[a-z]+|[0-9]+|[^a-z0-9 \t\n\f\r]')) AS word
+           FROM documents),
+seg0 AS (SELECT word, count(*) AS freq,
+                list_transform(range(1, length(word) + 1),
+                               i -> word[i]) AS syms
+         FROM w GROUP BY word)"""]
+    for r in range(n_merges):
+        ctes.append(f"""p{r} AS (
+  SELECT s.syms[j] AS a, s.syms[j+1] AS b, sum(s.freq) AS cnt
+  FROM seg{r} s, unnest(range(1, greatest(len(s.syms) - 1, 0) + 1)) AS u(j)
+  GROUP BY 1, 2
+),
+m{r} AS (SELECT a, b FROM p{r} ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+seg{r + 1} AS (
+  SELECT s.word, s.freq,
+         CASE WHEN m.a IS NULL THEN s.syms ELSE {fuse} END AS syms
+  FROM seg{r} s LEFT JOIN m{r} m ON TRUE
+)""")
+    return f"""
+WITH {', '.join(ctes)}
+SELECT u.token, CAST(sum(s.freq) AS BIGINT) AS n_occurrences
+FROM seg{n_merges} s, unnest(s.syms) AS u(token)
+GROUP BY 1
 """
