@@ -130,10 +130,11 @@ EMB_INDEX_QUERIES = [
     "quantized_recall_eval",
 ]
 
-# Every relational registry query except bucketed_revenue: its
-# content-addressed bucketed-layout sink would leave one permanent
-# warehouse table per generated corpus (the plain l_orderkey join path
-# it shares is covered by large_orders).
+# Every relational registry query except bucketed_revenue, which has
+# its OWN dedicated panel below (test_fuzz_bucketed_revenue_panel):
+# its content-addressed bucketed-layout sink needs an explicit
+# DROP TABLE + layout-dir cleanup per generated corpus, which the
+# shared panel loop does not do.
 REL_QUERIES = [
     "part_profit",
     "forecast_revenue",
@@ -1368,6 +1369,54 @@ def test_fuzz_staged_r18_text_ops(spark, tmp_path_factory, seed, n_docs):
     ]:
         ok, msg = compare(q(spark, tmpdir), o, tmpdir, name)
         assert ok, f"fuzz corpus diverged: {msg}"
+
+
+@settings(max_examples=2, deadline=None, derandomize=True)
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    n_cust=st.integers(min_value=25, max_value=120),
+    n_orders=st.integers(min_value=10, max_value=200),
+)
+def test_fuzz_bucketed_revenue_panel(spark, tmp_path_factory, seed, n_cust, n_orders):
+    """The LAST registry surface with no generated-fuzz row (r14
+    verdict "what's missing" #3): bucketed_revenue materializes a
+    content-addressed bucketed layout per corpus, so the generic
+    relational panel excluded it. This dedicated row builds the
+    layout for a fresh generated corpus, runs the zero-Exchange
+    fact⋈fact compare, then DROPs both external tables and removes
+    their layout dirs — nothing outlives the seed."""
+    import shutil
+
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries import (
+        ORACLES,
+        QUERIES,
+    )
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_ann import (
+        _LAYOUT_ROOT,
+        _table_fingerprint,
+    )
+
+    rng = np.random.default_rng(seed)
+    tmpdir = str(tmp_path_factory.mktemp(f"fuzz_bkt_{seed}_{n_cust}_{n_orders}"))
+    for k, t in _gen_relational(rng, n_cust, n_orders).items():
+        pq.write_table(t, os.path.join(tmpdir, f"{k}.parquet"))
+    n_buckets = spark.sparkContext.defaultParallelism
+    names = [
+        f"bkt{n_buckets}_{tbl}_{_table_fingerprint(tmpdir, f'{tbl}.parquet')}"
+        for tbl in ("lineitem", "orders")
+    ]
+    try:
+        ok, msg = compare(
+            QUERIES["bucketed_revenue"](spark, tmpdir),
+            ORACLES["bucketed_revenue"],
+            tmpdir,
+            "bucketed_revenue",
+        )
+        assert ok, f"fuzz corpus diverged: {msg}"
+    finally:
+        for n in names:
+            spark.sql(f"DROP TABLE IF EXISTS {n}")
+            shutil.rmtree(os.path.join(_LAYOUT_ROOT, n), ignore_errors=True)
 
 
 def test_fuzz_panel_names_resolve():
