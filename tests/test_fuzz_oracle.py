@@ -58,6 +58,12 @@ DOC_QUERIES = [
     "winnowing_fingerprint",
     "bloom_decontaminate",
     "bpe_merge_step",
+    # r16 registrations (dedicated staged panel kept below as well);
+    # their retirees exact_dedup/quality_score/decontaminate in this
+    # list stay via the _retired_surfaces fallback:
+    "url_host_dedup",
+    "contamination_eval_split",
+    "repetition_quality",
     # the whole near-dup family: 1-2-token docs have no 3-shingles,
     # duplicate/case-variant docs force real pairs through every blocker
     "minhash_lsh_dedup",
@@ -477,11 +483,12 @@ def _gen_relational(
 def _retired_surfaces() -> tuple[dict, dict]:
     """Registry entries retired by window rotation (r14: kmeans_step,
     tumbling_window, semantic_dedup_incremental; r15: top_terms,
-    doc_fingerprint, mixture_sample) keep their fuzz rows: the
-    q_/oracle surfaces stay in the codebase, and the generated-corpus
-    panels keep exercising them against DuckDB even though the driver
-    window no longer carries them. semantic_dedup_incremental's oracle
-    arrives corpus-sized via ``_sized_oracles`` like before."""
+    doc_fingerprint, mixture_sample; r16: exact_dedup, decontaminate,
+    quality_score) keep their fuzz rows: the q_/oracle surfaces stay
+    in the codebase, and the generated-corpus panels keep exercising
+    them against DuckDB even though the driver window no longer
+    carries them. semantic_dedup_incremental's oracle arrives
+    corpus-sized via ``_sized_oracles`` like before."""
     from the_build_project_image_retrieval_with_vector_databases_spark.queries_ann import (
         _oracle_kmeans_step,
         q_kmeans_step,
@@ -492,11 +499,17 @@ def _retired_surfaces() -> tuple[dict, dict]:
         q_tumbling_window,
     )
     from the_build_project_image_retrieval_with_vector_databases_spark.queries_text import (
+        ORACLE_EXACT_DEDUP,
         ORACLE_FINGERPRINT,
         ORACLE_MIXTURE_SAMPLE,
         ORACLE_TOP_TERMS,
+        _oracle_decontaminate,
+        _oracle_quality,
+        q_decontaminate,
+        q_exact_dedup,
         q_fingerprint,
         q_mixture_sample,
+        q_quality_score,
         q_top_terms,
     )
 
@@ -507,6 +520,9 @@ def _retired_surfaces() -> tuple[dict, dict]:
         "top_terms": q_top_terms,
         "doc_fingerprint": q_fingerprint,
         "mixture_sample": q_mixture_sample,
+        "exact_dedup": q_exact_dedup,
+        "decontaminate": q_decontaminate,
+        "quality_score": q_quality_score,
     }
     retired_o = {
         "kmeans_step": _oracle_kmeans_step(),
@@ -514,6 +530,9 @@ def _retired_surfaces() -> tuple[dict, dict]:
         "top_terms": ORACLE_TOP_TERMS,
         "doc_fingerprint": ORACLE_FINGERPRINT,
         "mixture_sample": ORACLE_MIXTURE_SAMPLE,
+        "exact_dedup": ORACLE_EXACT_DEDUP,
+        "decontaminate": _oracle_decontaminate(4, 0.2),
+        "quality_score": _oracle_quality(),
     }
     return retired_q, retired_o
 

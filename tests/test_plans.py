@@ -209,7 +209,13 @@ def test_cosine_dedup_is_bucket_keyed_not_nested_loop(spark):
 
 
 def test_exact_dedup_single_shuffle(spark):
-    df = entrymod.queries()["exact_dedup"](spark, SF_SMOKE)
+    # registry row retired r16 (url_host_dedup registered); the
+    # md5-keyed single-shuffle plan contract stays pinned here
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_text import (
+        q_exact_dedup,
+    )
+
+    df = q_exact_dedup(spark, SF_SMOKE)
     plan = _explain(df)
     body = plan[plan.index("== Physical Plan =="):]
     assert body.count("Exchange hashpartitioning") == 1
@@ -301,8 +307,14 @@ def test_interval_join_is_equi_not_nested_loop(spark):
 def test_decontaminate_broadcasts_benchmark_grams(spark):
     """The benchmark n-gram set is tiny by construction (eval sets are
     MBs); it must broadcast so the 100 TB corpus side never shuffles for
-    the join — the only hash exchange is the per-doc hit aggregate."""
-    df = entrymod.queries()["decontaminate"](spark, SF_SMOKE)
+    the join — the only hash exchange is the per-doc hit aggregate.
+    (Registry row retired r16 — contamination_eval_split registered;
+    the corpus-side plan contract stays pinned here.)"""
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_text import (
+        q_decontaminate,
+    )
+
+    df = q_decontaminate(spark, SF_SMOKE)
     plan = _physical(df)
     assert "BroadcastHashJoin" in plan  # bench grams always broadcast
     assert "CartesianProduct" not in plan

@@ -916,13 +916,15 @@ def test_dedup_keep_best_matches_reference(spark):
     """Staged r8: per-cluster best-quality representative — cluster
     membership must match dedup_components' rosters and the pick must
     be the max-quality member (ties → lowest id), recomputed from the
-    registered quality_score output."""
+    quality_score output (registry row retired r16; the surface stays
+    via the kept q_ function)."""
     import collections
 
     import __spark_entry__ as entrymod
 
     from the_build_project_image_retrieval_with_vector_databases_spark.queries_text import (
         q_dedup_keep_best,
+        q_quality_score,
     )
 
     got = {
@@ -933,7 +935,7 @@ def test_dedup_keep_best_matches_reference(spark):
     comp_rows = entrymod.queries()["dedup_components"](spark, SF_SMOKE).collect()
     qual = {
         r.doc_id: r.quality
-        for r in entrymod.queries()["quality_score"](spark, SF_SMOKE).collect()
+        for r in q_quality_score(spark, SF_SMOKE).collect()
     }
     # reconstruct rosters from the pair table (components query only
     # emits checksums): rebuild via union-find over the same pairs

@@ -605,70 +605,45 @@ ORACLES: dict[str, str] = {
 # a sibling still inside the window covers.
 # ---------------------------------------------------------------------------
 
-# Round-15 rotation (VERDICT r14 #1, executed exactly per the r14
-# write-ahead plan). Capacity math: the r15 window re-checks the
-# r13-checked half — 50 entries last green in CORRECTNESS_r13 — minus
-# the three retirees (each from THAT half, so each frees a real r15
-# window slot AND a registry slot), plus the three r13-staged
+# Round-16 rotation (VERDICT r15 #1, executed exactly per the r15
+# write-ahead plan; the exact composition was dry-run 50/50 green in
+# r15, CHANGES_r15 §10). Capacity math: the r16 window re-checks the
+# r14-checked half — 50 entries last green in CORRECTNESS_r14 — minus
+# the three retirees (each from THAT half, so each frees a real r16
+# window slot AND a registry slot), plus the three r14-staged
 # registrations (never driver-checked): 47 + 3 = exactly 50. The
-# other half — all 50 checked green in r14 — rotates out. Registry
+# other half — all 50 checked green in r15 — rotates out. Registry
 # stays at 100, the 2×window hard cap. Executed pairings:
-#   winnowing_fingerprint ↔ doc_fingerprint retired (winnowing selects
-#       per-window rightmost-minimal gram hashes — the substring-robust
-#       superset of the single corpus-wide min-token-hash fingerprint,
-#       which stays covered by fingerprint()'s unit tests and the fuzz
-#       panel's retired-surface row; the 43×@100× registration gate was
-#       RESOLVED r14 by the O(g·log w) sparse-table sliding-min rewrite
-#       — 18.11× quiet, SCALE_100X)
-#   bloom_decontaminate   ↔ mixture_sample retired (temperature_mix,
-#       registered r13 and still in-window, is the published
-#       generalization of fixed-weight mixture sampling — same
-#       quota/rank machinery at τ≠1; mixture_sample keeps its unit +
-#       property tests and its fuzz-panel retired-surface row)
-#   bpe_merge_step        ↔ top_terms retired (salted_term_counts
-#       covers the corpus term-count aggregate — same explode→count
-#       shape, skew-hardened; top_terms' TakeOrderedAndProject surface
-#       also lives in bpe_merge_step itself; retired surface kept in
-#       the fuzz panel)
+#   url_host_dedup           ↔ exact_dedup retired (URL-normalized key
+#       dedup is the key-normalized superset of the md5-keyed exact
+#       dedup; the md5 key machinery stays registered via
+#       streaming_dedup_batch and unit-covered; retired surface kept
+#       in the fuzz panel)
+#   contamination_eval_split ↔ decontaminate retired (GPT-3 Appendix
+#       C's dirty/clean EVAL split — the reverse direction of the
+#       corpus-side overlap scorer; bloom_decontaminate registered r15
+#       covers the corpus-probe path and the exact-join corpus path
+#       keeps its unit + fuzz rows)
+#   repetition_quality       ↔ quality_score retired (Gopher Table-A1
+#       char-fraction repetition rules extend the ratio family;
+#       gopher_quality stays registered as the token-count sibling;
+#       quality_score keeps its unit + fuzz-panel retired-surface row)
 #
-# ROUND-16 WINDOW PLAN (write-ahead, per the r7→r8 handoff
-# discipline): r16's window must hold the 50 entries in _ROTATE_OUT
-# below (last checked r14) — ZERO free slots. Any r16 registration or
-# implementation change to an r15-checked entry requires retiring
-# from THAT half (the r14-checked 50), one-for-one, BEFORE adding.
-# Staged registration candidates (staged r14 under the full
+# ROUND-17 WINDOW PLAN (write-ahead, per the r7→r8 handoff
+# discipline): r17's window must hold the 50 entries in _ROTATE_OUT
+# below (last checked r15) — ZERO free slots. Any r17 registration or
+# implementation change to an r16-checked entry requires retiring
+# from THAT half (the r15-checked 50), one-for-one, BEFORE adding.
+# Staged registration candidates (staged r14/r15 under the full
 # discipline — 3-SF oracle parity + Python reference + plan pin in
 # tests/test_staged_ops.py, generated-corpus fuzz in
-# tests/test_fuzz_oracle.py::test_fuzz_staged_r16_text_ops); each
-# pairs one-for-one with a retiree FROM THE LIST BELOW (the
-# r14-checked half — the half that rotates into the r16 window, so
-# each retirement frees a real r16 window slot):
-#   url_host_dedup           ↔ exact_dedup (URL-normalized key dedup
-#       is the key-normalized superset of the md5-keyed exact dedup;
-#       the md5 key machinery stays registered via
-#       streaming_dedup_batch and unit-covered)
-#   contamination_eval_split ↔ decontaminate (GPT-3 Appendix C's
-#       dirty/clean EVAL split — the reverse direction of the corpus-
-#       side overlap scorer; bloom_decontaminate registered r15 and
-#       the exact-join corpus path keeps its unit + fuzz rows)
-#   repetition_quality       ↔ quality_score (Gopher Table-A1 char-
-#       fraction repetition rules extend the ratio family;
-#       gopher_quality stays registered as the token-count sibling)
-# Retiring k of these frees exactly k r16 window slots and k registry
-# slots. Do NOT retire from the _CHECK_FIRST list directly below
-# instead: those rows rotate out of r16 WITHOUT a check, so retiring
-# one frees registry capacity but ZERO r16 window slots — the
-# capacity-math failure of the r6→r7 handoff.
-#
-# ROUND-17 WINDOW PLAN (provisional write-ahead): r17's window
-# re-checks the r15-checked half (the _CHECK_FIRST list below).
-# Staged candidates (staged r14/r15 under the full discipline, see
-# tests/test_staged_ops.py); each pairs with a retiree from the
-# r15-checked half (this _CHECK_FIRST list — the half that rotates
-# into the r17 window):
-#   source_overlap_matrix ↔ kmv-family sibling from this list (the
-#       same WindowGroupLimit KMV machinery; candidate retiree
-#       token_stats — its length/count surface is covered by
+# tests/test_fuzz_oracle.py); each pairs one-for-one with a retiree
+# FROM THE LIST BELOW (the r15-checked half — the half that rotates
+# into the r17 window, so each retirement frees a real r17 window
+# slot). This exact 47+3 composition was pre-verified 50/50 green at
+# sf0.01 in r15 (commit 18792c0):
+#   source_overlap_matrix ↔ token_stats (the same WindowGroupLimit
+#       KMV machinery; token_stats' length/count surface is covered by
 #       gopher_quality's token-count columns, both in this half)
 #   ngram_novelty_score   ↔ incremental_dedup (first-occurrence
 #       keep-rule family: novelty scores ARE the gram-level
@@ -679,10 +654,90 @@ ORACLES: dict[str, str] = {
 #       chunk dedup is the stride-L coarsening of the sliding L-window
 #       span map, and the chunking machinery itself stays registered
 #       via passage_chunking, this half)
+# Retiring k of these frees exactly k r17 window slots and k registry
+# slots. Do NOT retire from the _CHECK_FIRST list directly below
+# instead: those rows rotate out of r17 WITHOUT a check, so retiring
+# one frees registry capacity but ZERO r17 window slots — the
+# capacity-math failure of the r6→r7 handoff.
+#
+# ROUND-18 WINDOW PLAN (provisional write-ahead): r18's window
+# re-checks the r16-checked half (the _CHECK_FIRST list below).
+# Staged candidates (staged r15 under the full discipline, see
+# tests/test_staged_ops.py); each pairs with a retiree from the
+# r16-checked half (this _CHECK_FIRST list — the half that rotates
+# into the r18 window):
+#   language_confidence_filter ↔ language_id (the confidence gate is
+#       the margin-extended superset of the argmax LID; language_id
+#       keeps its unit + fuzz rows — in this half)
+#   token_entropy              ↔ repetition_quality or a ratio-family
+#       sibling from this half (distribution-wide where
+#       repetition_quality is top-gram; final call at r17 close)
+#   bpe_train_encode           ↔ bpe_token_counts (the full learn+
+#       apply loop tokenizes the corpus end-to-end — the superset of
+#       the regex-BPE-ish token counter, in this half; NOTE the
+#       sibling bpe_merge_step sits in the OTHER half after this
+#       flip, so it is NOT a valid r18 retiree — the r15 provisional
+#       pairing is corrected here per the capacity rule above)
 _CHECK_FIRST: list[str] = [
-    # the 47 surviving r13-checked entries (doc_fingerprint,
-    # mixture_sample, top_terms retired), one round stale —
-    # re-verified this round:
+    # the 47 surviving r14-checked entries (exact_dedup, decontaminate,
+    # quality_score retired), one round stale — re-verified this round:
+    "train_metrics",
+    "set_ops",
+    "kmv_distinct_sketch",
+    "value_quantiles",
+    "streaming_dedup_batch",
+    "pq_rerank_topk",
+    "sessionize",
+    "frame_sample",
+    "jsonl_ingest",
+    "part_profit",
+    "forecast_revenue",
+    "running_revenue",
+    "order_priority_semi",
+    "customers_without_orders",
+    "supplier_rollup",
+    "asof_join",
+    "image_decode_real",
+    "funnel_conversion",
+    "order_count_distribution",
+    "bucketed_revenue",
+    "suffix_join_equi",
+    "language_id",
+    "salted_term_counts",
+    "bpe_token_counts",
+    "top_docs_per_lang",
+    "ivfpq_topk",
+    "ann_search",
+    "seq_packing",
+    "vocab_filter",
+    "retention_cohorts",
+    "min_cost_order",
+    "dominant_suppliers",
+    "cms_heavy_hitters",
+    "lsh_near_dup",
+    "pii_scrub",
+    "bm25",
+    "kmeans_train_assign",
+    "semantic_dedup",
+    "batch_assignments",
+    "embedding_outliers",
+    "quantized_recall_eval",
+    "dsir_importance",
+    "perplexity_buckets",
+    "semantic_decontaminate",
+    "unimax_mix",
+    "length_bucket_batches",
+    "leakage_safe_split",
+    # registered in round 16, never driver-checked → in-window:
+    "url_host_dedup",
+    "contamination_eval_split",
+    "repetition_quality",
+]
+
+# The 50 entries checked green in r15 rotate out this round. Across
+# r15+r16 every registry entry again has a green row ≤1 round old,
+# preserving the rotation invariant.
+_ROTATE_OUT: list[str] = [
     "clean_corpus",
     "dedup_components",
     "distinct_labels",
@@ -730,66 +785,9 @@ _CHECK_FIRST: list[str] = [
     "bq_hamming_topk",
     "passage_chunking",
     "temperature_mix",
-    # registered in round 15, never driver-checked → in-window:
     "winnowing_fingerprint",
     "bloom_decontaminate",
     "bpe_merge_step",
-]
-
-# The 50 entries checked green in r14 rotate out this round. Across
-# r14+r15 every registry entry again has a green row ≤1 round old,
-# preserving the rotation invariant.
-_ROTATE_OUT: list[str] = [
-    "quality_score",
-    "train_metrics",
-    "set_ops",
-    "kmv_distinct_sketch",
-    "value_quantiles",
-    "streaming_dedup_batch",
-    "pq_rerank_topk",
-    "exact_dedup",
-    "sessionize",
-    "frame_sample",
-    "jsonl_ingest",
-    "part_profit",
-    "forecast_revenue",
-    "running_revenue",
-    "order_priority_semi",
-    "customers_without_orders",
-    "supplier_rollup",
-    "asof_join",
-    "image_decode_real",
-    "funnel_conversion",
-    "order_count_distribution",
-    "bucketed_revenue",
-    "suffix_join_equi",
-    "language_id",
-    "salted_term_counts",
-    "bpe_token_counts",
-    "top_docs_per_lang",
-    "ivfpq_topk",
-    "ann_search",
-    "seq_packing",
-    "vocab_filter",
-    "retention_cohorts",
-    "min_cost_order",
-    "dominant_suppliers",
-    "decontaminate",
-    "cms_heavy_hitters",
-    "lsh_near_dup",
-    "pii_scrub",
-    "bm25",
-    "kmeans_train_assign",
-    "semantic_dedup",
-    "batch_assignments",
-    "embedding_outliers",
-    "quantized_recall_eval",
-    "dsir_importance",
-    "perplexity_buckets",
-    "semantic_decontaminate",
-    "unimax_mix",
-    "length_bucket_batches",
-    "leakage_safe_split",
 ]
 
 

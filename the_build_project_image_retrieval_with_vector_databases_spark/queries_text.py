@@ -1480,9 +1480,7 @@ FROM c
 TEXT_QUERIES = {
     "token_stats": q_token_stats,
     "language_id": q_language_id,
-    "quality_score": q_quality_score,
     "gopher_quality": q_gopher_quality,
-    "exact_dedup": q_exact_dedup,
     "ngram_jaccard_dedup": q_ngram_jaccard,
     "minhash_lsh_dedup": q_minhash_lsh,
     "simhash_near_dup": q_simhash_near_dup,
@@ -1491,7 +1489,6 @@ TEXT_QUERIES = {
     "dedup_components": q_dedup_components,
     "bpe_token_counts": q_bpe_token_counts,
     "top_docs_per_lang": q_top_docs_per_lang,
-    "decontaminate": q_decontaminate,
     "weighted_sample": q_weighted_sample,
     "passage_dedup": q_passage_dedup,
     "incremental_dedup": q_incremental_dedup,
@@ -1510,9 +1507,7 @@ TEXT_QUERIES = {
 TEXT_ORACLES = {
     "token_stats": ORACLE_TOKEN_STATS,
     "language_id": _oracle_language_id(),
-    "quality_score": _oracle_quality(),
     "gopher_quality": _oracle_gopher_quality(),
-    "exact_dedup": ORACLE_EXACT_DEDUP,
     "ngram_jaccard_dedup": _oracle_jaccard_capped(0.8, 0.01, 10),
     "minhash_lsh_dedup": _oracle_jaccard(0.5, lsh=True),
     "simhash_near_dup": _oracle_simhash_near_dup(32, 4, 3),
@@ -1521,7 +1516,6 @@ TEXT_ORACLES = {
     "dedup_components": _oracle_dedup_components(),
     "bpe_token_counts": ORACLE_BPE_TOKEN_COUNTS,
     "top_docs_per_lang": _oracle_top_docs_per_lang(),
-    "decontaminate": _oracle_decontaminate(4, 0.2),
     "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
     "passage_dedup": ORACLE_PASSAGE_DEDUP,
     "incremental_dedup": _oracle_incremental_dedup(0.5),
@@ -1865,13 +1859,14 @@ TEXT_ORACLES.update(
 
 
 # ---------------------------------------------------------------------------
-# r16 registration candidates — STAGED r14 (provisional pairings in the
-# queries.py write-ahead plan): url_host_dedup ↔ exact_dedup,
-# contamination_eval_split ↔ decontaminate, repetition_quality ↔
-# quality_score — all three retirees sit in the r14-checked half, so
-# each frees a real r16 window slot. Staging discipline: Python
-# reference + 3-SF oracle parity + plan pin in tests/test_staged_ops.py,
-# generated-corpus fuzz rows in tests/test_fuzz_oracle.py.
+# Registered r16 (staged r14 under the full discipline). Executed exactly
+# per the r14→r15 write-ahead plan above ``_CHECK_FIRST`` (queries.py):
+# url_host_dedup ↔ exact_dedup retired, contamination_eval_split ↔
+# decontaminate retired, repetition_quality ↔ quality_score retired —
+# all three retirees from the r14-checked half (the half that rotates
+# into the r16 window), so each freed a real r16 window slot. The exact
+# 47+3 composition was dry-run 50/50 green in r15 (CHANGES_r15 §10).
+# The retired q_/oracle surfaces stay (fuzz panels + unit tests).
 # ---------------------------------------------------------------------------
 
 # Mirrors operators/dedup.py::_TRACKING_PARAM_RE (default): bare
@@ -1923,7 +1918,7 @@ _SYNTH_URL_SQL = """
 
 
 def q_url_host_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STAGED (r14) — NOT registered. URL-level exact dedup
+    """Registered r16 (staged r14). URL-level exact dedup
     (operators/dedup.py::url_host_dedup): canonical-URL key
     normalization (scheme/www/port/fragment/tracking-param/param-order
     invariant, pure Catalyst regexp expressions) + one shuffle keyed by
@@ -1975,7 +1970,7 @@ FROM k
 
 
 def q_contamination_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STAGED (r14) — NOT registered. GPT-3 Appendix-C dirty/clean EVAL
+    """Registered r16 (staged r14). GPT-3 Appendix-C dirty/clean EVAL
     split (operators/decontam.py::contamination_eval_split): per eval
     document (doc_id < 20, the decontaminate benchmark slice), its
     4-gram overlap with the training corpus (doc_id >= 20) and the
@@ -2012,7 +2007,7 @@ FROM sizes s LEFT JOIN hits h USING (doc_id)
 
 
 def q_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STAGED (r14) — NOT registered. Gopher char-fraction repetition
+    """Registered r16 (staged r14). Gopher char-fraction repetition
     suite (operators/textops.py::repetition_ngram_fractions; Rae et
     al. 2021 Table A1): per (doc, n, kind), the fraction of characters
     in the most frequent n-gram (n=2/3/4) or in duplicated n-grams
@@ -2064,6 +2059,22 @@ SELECT p1.doc_id, CAST(p1.n AS INT) AS n, p1.kind,
          / CAST(greatest(p1.n_chars, 1) AS DOUBLE) > p1.thr AS flagged
 FROM p1 JOIN p2 USING (doc_id, n, kind)
 """
+
+
+TEXT_QUERIES.update(
+    {
+        "url_host_dedup": q_url_host_dedup,
+        "contamination_eval_split": q_contamination_eval_split,
+        "repetition_quality": q_repetition_quality,
+    }
+)
+TEXT_ORACLES.update(
+    {
+        "url_host_dedup": _oracle_url_host_dedup(),
+        "contamination_eval_split": _oracle_contamination_eval_split(),
+        "repetition_quality": _oracle_repetition_quality(),
+    }
+)
 
 
 # ---------------------------------------------------------------------------
