@@ -45,6 +45,23 @@ def test_summary_line_orders_slowest_first():
     assert d["queries_omitted"] == 0
 
 
+def test_summary_line_carries_normalized_total():
+    """r16 contract (VERDICT r15 #3): the steal-normalized sweep total
+    rides the summary line when provided, and the line still fits the
+    driver's stdout tail at any registry size."""
+    for n in (3, 250):
+        times = _fake_times(n)
+        total = round(sum(times.values()), 3)
+        line = build_summary_line(times, total, 0.1, total_norm=round(total * 0.82, 3))
+        assert len(line) <= 1900
+        d = json.loads(line)
+        assert d["value_norm"] == round(total * 0.82, 3)
+        assert len(d["queries"]) + d["queries_omitted"] == n
+    # omitting the arg keeps the pre-r16 line shape (no null field)
+    d = json.loads(build_summary_line(_fake_times(3), 1.0, 0.1))
+    assert "value_norm" not in d
+
+
 def test_bench_covers_whole_registry():
     """Structural contract (round-4 lesson): the bench list derives from
     the registry, so every query added is benched the same round."""
