@@ -3533,6 +3533,77 @@ def test_bpe_train_encode_plan_shape(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_bpe_train_encode_self_managed_cache_release(spark):
+    """r15 ADVICE: without cache_handles the training loop must release
+    superseded segmentations itself — a direct caller pins at most the
+    last two small vocab tables (the returned lineage reads the newest
+    cache), never n_merges+1. With handles, the caller owns all of
+    them, exactly as before."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.textops import (
+        bpe_train_encode,
+    )
+
+    jsc = spark.sparkContext._jsc.sc()
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+
+    before = jsc.getPersistentRDDs().size()
+    rows = bpe_train_encode(docs, n_merges=5).collect()
+    assert rows
+    leaked = jsc.getPersistentRDDs().size() - before
+    assert leaked <= 2, f"self-managed mode pinned {leaked} caches"
+    spark.catalog.clearCache()
+
+    handles: list = []
+    before = jsc.getPersistentRDDs().size()
+    bpe_train_encode(docs, n_merges=5, cache_handles=handles).collect()
+    assert len(handles) == 6  # seg0 + one per round — caller-owned
+    for h in handles:
+        h.unpersist()
+
+
+def test_bpe_oracle_regex_single_spelling():
+    """r15 ADVICE: every DuckDB mirror of the BPE word regex must embed
+    the ONE shared textops.BPE_PATTERN constant — three hand-spelled
+    copies had drifted into two escape styles (one with raw control
+    characters mid-SQL)."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.textops import (
+        BPE_PATTERN,
+    )
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_text import (
+        ORACLE_BPE_TOKEN_COUNTS,
+        _oracle_bpe_merge_step,
+        _oracle_bpe_train_encode,
+    )
+
+    want = f"'{BPE_PATTERN}'"
+    for name, sql in (
+        ("bpe_token_counts", ORACLE_BPE_TOKEN_COUNTS),
+        ("bpe_merge_step", _oracle_bpe_merge_step()),
+        ("bpe_train_encode", _oracle_bpe_train_encode()),
+    ):
+        assert want in sql, f"{name} drifted from BPE_PATTERN"
+        for ctrl in "\t\n\f\r":
+            assert ctrl not in want  # literal escapes, not control chars
+
+
+def test_language_confidence_oracle_indices_track_language_set():
+    """r15 ADVICE: the oracle's best/runner-up cells must be derived
+    from len(LANG_STOPWORDS), not hard-coded — the Spark side reads
+    element_at(arr, -1)/(-2) and stays correct if the language set
+    ever changes."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.textops import (
+        LANG_STOPWORDS,
+    )
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_text import (
+        _oracle_language_confidence_filter,
+    )
+
+    n = len(LANG_STOPWORDS)
+    sql = _oracle_language_confidence_filter()
+    assert f"arr[{n}] AS best" in sql
+    assert f"arr[{n - 1}] AS second" in sql
+
+
 def test_bpe_train_encode_oracle_parity_staged(spark, sf_dir):
     """The staged unrolled-CTE DuckDB oracle passes the driver-faithful
     comparison (verified by hand at sf0.001/sf0.01/sf0.1 in r15)."""

@@ -1205,7 +1205,14 @@ def bpe_train_encode(
     strings of driver state) + one codegen'd per-row fuse fold. The
     merge literals embed in the plan, so the returned DataFrame's
     lineage is deterministic and persist-free after
-    ``materialize_and_release``. Rounds that find no pair (vocabulary
+    ``materialize_and_release``. Cache ownership (r15 ADVICE): with
+    ``cache_handles`` the caller owns release (the registry path hands
+    every round's persist to ``materialize_and_release``); WITHOUT it,
+    each round unpersists the segmentation it superseded as soon as
+    the argmax collect has materialized its child — a direct caller
+    pins at most the last two small vocab tables (needed so the
+    returned lineage reads a cache, not an n-deep recompute), never
+    n_merges+1. Rounds that find no pair (vocabulary
     already fused to single symbols) record a NULL merge — the fuse
     fold degrades to identity, and the unrolled DuckDB oracle replays
     the same via LEFT JOIN of its possibly-empty per-round argmax CTE.
@@ -1214,7 +1221,6 @@ def bpe_train_encode(
     applied to the corpus. Reference: /root/reference/app.py (no
     counterpart — north-star extension, SURVEY §2.11 tokenizer
     family; bpe_merge_step is this loop's single round)."""
-    handles = cache_handles if cache_handles is not None else []
     words = (
         df.select(
             F.explode_outer(
@@ -1234,7 +1240,9 @@ def bpe_train_encode(
             lambda i: F.substring("word", i, F.lit(1)),
         ).alias("syms"),
     ).persist()
-    handles.append(seg)
+    if cache_handles is not None:
+        cache_handles.append(seg)
+    prev: DataFrame | None = None
     for _ in range(n_merges):
         pair_arr = F.when(
             F.size("syms") >= 2,
@@ -1256,6 +1264,10 @@ def bpe_train_encode(
             .collect()
         )
         a, b = (top[0].a, top[0].b) if top else (None, None)
+        # the collect above materialized `seg`; its parent segmentation
+        # is superseded — in self-managed mode release it now
+        if cache_handles is None and prev is not None:
+            prev.unpersist()
         new_seg = seg.select(
             "word",
             "freq",
@@ -1265,8 +1277,9 @@ def bpe_train_encode(
                 F.lit(b).cast("string"),
             ).alias("syms"),
         ).persist()
-        handles.append(new_seg)
-        seg = new_seg
+        if cache_handles is not None:
+            cache_handles.append(new_seg)
+        prev, seg = seg, new_seg
     return (
         seg.select(F.explode_outer("syms").alias("token"), F.col("freq"))
         .filter(F.col("token").isNotNull())

@@ -589,12 +589,21 @@ def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.bpe_token_counts(docs)
 
 
+# The ONE SQL spelling of textops.BPE_PATTERN for every DuckDB mirror
+# (r15 ADVICE: three hand-spelled copies had drifted into two escape
+# styles). Standard SQL string literals keep backslashes literal, so
+# the raw Python pattern interpolates verbatim — '\t' in the literal
+# reaches DuckDB's regex engine as the two-char escape, exactly what
+# Spark's regexp_extract_all sees from the same constant.
+_BPE_PATTERN_SQL = T.BPE_PATTERN
+assert "'" not in _BPE_PATTERN_SQL  # must stay embeddable in a literal
+
 ORACLE_BPE_TOKEN_COUNTS = f"""
 WITH t AS (
   SELECT doc_id,
          len({_dk_toks()}) AS n_words,
          len(regexp_extract_all(lower(text),
-                                '[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\f\\r]'))
+                                '{_BPE_PATTERN_SQL}'))
            AS n_bpe_tokens
   FROM documents
 )
@@ -1829,7 +1838,7 @@ def q_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _oracle_bpe_merge_step(top_n: int = BPE_TOP_N) -> str:
     return f"""
 WITH w AS (SELECT unnest(regexp_extract_all(lower(text),
-             '[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\f\\r]')) AS word
+             '{_BPE_PATTERN_SQL}')) AS word
            FROM documents),
 wf AS (SELECT word, count(*) AS freq FROM w GROUP BY word),
 p AS (SELECT unnest(list_transform(range(1, length(word)),
@@ -2273,13 +2282,18 @@ def _oracle_language_confidence_filter(m: float = LC_MARGIN) -> str:
     case = " ".join(
         f"WHEN s_{l} = best THEN '{l}'" for l in sorted(LANG_STOPWORDS)
     )
+    # best/runner-up indices derived from the live language set (r15
+    # ADVICE: hard-coded arr[4]/arr[3] would silently misread if
+    # LANG_STOPWORDS ever gains or loses a language). The Spark side
+    # uses element_at(arr, -1)/(-2); 1-based n/n-1 is the same cell.
+    n = len(LANG_STOPWORDS)
     return f"""
 WITH t AS (SELECT doc_id, {_dk_toks()} AS toks FROM documents),
 s AS (SELECT doc_id,
        {score_exprs}
       FROM t),
 b AS (SELECT *, list_sort({arr}) AS arr FROM s),
-b2 AS (SELECT *, arr[4] AS best, arr[3] AS second FROM b)
+b2 AS (SELECT *, arr[{n}] AS best, arr[{n - 1}] AS second FROM b)
 SELECT doc_id,
        CASE WHEN best <= 0 THEN 'und' {case} ELSE 'und' END AS pred_lang,
        best AS lang_score,
@@ -2360,7 +2374,7 @@ def _oracle_bpe_train_encode(n_merges: int = BTE_MERGES) -> str:
         "ELSE list_concat(acc, x) END)"
     )
     ctes = [f"""w AS (SELECT unnest(regexp_extract_all(lower(text),
-             '[a-z]+|[0-9]+|[^a-z0-9 \t\n\f\r]')) AS word
+             '{_BPE_PATTERN_SQL}')) AS word
            FROM documents),
 seg0 AS (SELECT word, count(*) AS freq,
                 list_transform(range(1, length(word) + 1),
