@@ -50,8 +50,9 @@ def _staged_pairs():
     """(name, query_fn, oracle_sql) per panel: the r11 trio registered
     r12 whose generated-corpus constraints differ from the generic
     panel ranges — kept covered here with the shared corpus — PLUS
-    every currently-staged registration candidate (the r16 trio, the
-    three r17 candidates, and the three r18 candidates; the r13-staged trio registered r14 and
+    every currently-staged registration candidate (the three r17
+    candidates, the three r18 candidates, and the three r19
+    candidates; the r13-staged trio registered r14 and
     its entries stay here for the shared-corpus coverage), so the
     many-seed soak exercises them before their window flip, not just
     the 3-example derandomized hypothesis rows. The oracle slot may be
@@ -71,31 +72,31 @@ def _staged_pairs():
         ORACLE_DSIR_IMPORTANCE,
         ORACLE_PERPLEXITY_BUCKETS,
         _oracle_bpe_train_encode,
-        _oracle_contamination_eval_split,
+        _oracle_domain_quota_sample,
         _oracle_exact_substring_dedup,
+        _oracle_fineweb_filter_chain,
+        _oracle_gopher_length_screen,
         _oracle_language_confidence_filter,
         _oracle_leakage_safe_split,
         _oracle_length_bucket_batches,
         _oracle_ngram_novelty_score,
-        _oracle_repetition_quality,
         _oracle_source_overlap_matrix,
         _oracle_token_entropy,
         _oracle_unimax_mix,
-        _oracle_url_host_dedup,
         q_bpe_train_encode,
-        q_contamination_eval_split,
+        q_domain_quota_sample,
         q_dsir_importance,
         q_exact_substring_dedup,
+        q_fineweb_filter_chain,
+        q_gopher_length_screen,
         q_language_confidence_filter,
         q_leakage_safe_split,
         q_length_bucket_batches,
         q_ngram_novelty_score,
         q_perplexity_buckets,
-        q_repetition_quality,
         q_source_overlap_matrix,
         q_token_entropy,
         q_unimax_mix,
-        q_url_host_dedup,
     )
 
     return {
@@ -109,13 +110,9 @@ def _staged_pairs():
              lambda d: _sized_oracles(d).get(
                  "leakage_safe_split", _oracle_leakage_safe_split())),
             # (winnowing_fingerprint / bloom_decontaminate /
-            # bpe_merge_step registered r15 — now in DOC_QUERIES)
-            # r14-staged r16 candidates:
-            ("url_host_dedup", q_url_host_dedup, _oracle_url_host_dedup()),
-            ("contamination_eval_split", q_contamination_eval_split,
-             _oracle_contamination_eval_split()),
-            ("repetition_quality", q_repetition_quality,
-             _oracle_repetition_quality()),
+            # bpe_merge_step registered r15; url_host_dedup /
+            # contamination_eval_split / repetition_quality registered
+            # r16 — all now in DOC_QUERIES)
             # r14-staged r17 candidates:
             ("source_overlap_matrix", q_source_overlap_matrix,
              _oracle_source_overlap_matrix()),
@@ -130,6 +127,13 @@ def _staged_pairs():
             ("token_entropy", q_token_entropy, _oracle_token_entropy()),
             ("bpe_train_encode", q_bpe_train_encode,
              _oracle_bpe_train_encode()),
+            # r16-staged r19 candidates:
+            ("gopher_length_screen", q_gopher_length_screen,
+             _oracle_gopher_length_screen()),
+            ("fineweb_filter_chain", q_fineweb_filter_chain,
+             _oracle_fineweb_filter_chain()),
+            ("domain_quota_sample", q_domain_quota_sample,
+             _oracle_domain_quota_sample()),
         ],
         "emb": [
             ("semantic_decontaminate", q_semantic_decontaminate,

@@ -1390,6 +1390,46 @@ def test_fuzz_staged_r18_text_ops(spark, tmp_path_factory, seed, n_docs):
         assert ok, f"fuzz corpus diverged: {msg}"
 
 
+@settings(max_examples=3, deadline=None, derandomize=True)
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    n_docs=st.integers(min_value=3, max_value=60),
+)
+def test_fuzz_staged_r19_text_ops(spark, tmp_path_factory, seed, n_docs):
+    """The r19-staged candidates on generated corpora: token-less and
+    single-token docs (all ratios hit their greatest(.,1) guards;
+    first_failed attribution still deterministic), docs with no
+    newline (one line), random texts with no stopwords (lang rule
+    fails first), and duplicate/case-variant docs (identical rule
+    vectors on both engines). domain_quota_sample synthesizes its
+    URL from doc_id/source, so every generated corpus exercises the
+    normalization branches and the per-host rank ties."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_text import (
+        _oracle_domain_quota_sample,
+        _oracle_fineweb_filter_chain,
+        _oracle_gopher_length_screen,
+        q_domain_quota_sample,
+        q_fineweb_filter_chain,
+        q_gopher_length_screen,
+    )
+
+    rng = np.random.default_rng(seed)
+    tmpdir = str(tmp_path_factory.mktemp(f"fuzz_r19t_{seed}_{n_docs}"))
+    pq.write_table(
+        _gen_documents(rng, n_docs), os.path.join(tmpdir, "documents.parquet")
+    )
+    for name, q, o in [
+        ("gopher_length_screen", q_gopher_length_screen,
+         _oracle_gopher_length_screen()),
+        ("fineweb_filter_chain", q_fineweb_filter_chain,
+         _oracle_fineweb_filter_chain()),
+        ("domain_quota_sample", q_domain_quota_sample,
+         _oracle_domain_quota_sample()),
+    ]:
+        ok, msg = compare(q(spark, tmpdir), o, tmpdir, name)
+        assert ok, f"fuzz corpus diverged: {msg}"
+
+
 @settings(max_examples=2, deadline=None, derandomize=True)
 @given(
     seed=st.integers(min_value=0, max_value=10_000),

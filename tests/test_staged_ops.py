@@ -3694,3 +3694,243 @@ def test_staged_r17_plan_shapes(spark):
     assert "CartesianProduct" not in p2
     assert "BroadcastNestedLoopJoin" not in p2
     assert "BatchEvalPython" not in p2
+
+
+# ---------------------------------------------------------------------------
+# gopher_length_screen / fineweb_filter_chain / domain_quota_sample —
+# STAGED r16, r19 registration candidates (provisional write-ahead
+# pairings in queries.py below the ROUND-18 plan: gopher_length_screen ↔
+# gopher_quality, fineweb_filter_chain ↔ clean_corpus,
+# domain_quota_sample ↔ stratified_sample).
+# ---------------------------------------------------------------------------
+
+
+def test_gopher_length_screen_matches_python_reference(spark):
+    """Length signals and the pass flag equal the single-threaded
+    mirror on forced shapes: bullet lines, ellipsis lines, blank and
+    whitespace-only lines, a numeric-token doc (alpha fraction), an
+    empty doc, and one doc long enough to pass every rule."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.textops import (
+        GOPHER_LENGTH_RULES,
+        gopher_length_screen,
+    )
+
+    passing = " ".join(f"word{i}" for i in range(60)) + "."
+    rows = [
+        (0, "- bullet one\n- bullet two\nplain line."),
+        (1, "to be continued...\nanother line\n\n   \nlast..."),
+        (2, "12345 67890 42"),
+        (3, ""),
+        (4, passing),
+        (5, "* starred\n-not-a-bullet\n   - padded bullet\nend?"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (
+            r.n_words, r.mean_word_len, r.alpha_word_frac,
+            r.bullet_line_frac, r.ellipsis_line_frac, r.passes,
+        )
+        for r in gopher_length_screen(df).collect()
+    }
+    R = GOPHER_LENGTH_RULES
+    for i, text in rows:
+        toks = [t for t in text.lower().split() if t]
+        nw = max(len(toks), 1)
+        lines = [ln.strip(" \t\r") for ln in text.split("\n")]
+        lines = [ln for ln in lines if ln]
+        nl = max(len(lines), 1)
+        mean = sum(len(t) for t in toks) / nw
+        alpha = sum(any(c.isalpha() for c in t) for t in toks) / nw
+        bullet = sum(
+            ln.startswith("- ") or ln.startswith("* ") for ln in lines
+        ) / nl
+        ell = sum(ln.endswith("...") for ln in lines) / nl
+        passes = (
+            R["min_words"] <= len(toks) <= R["max_words"]
+            and R["min_mean_word_len"] <= mean <= R["max_mean_word_len"]
+            and alpha > R["min_alpha_word_frac"]
+            and bullet <= R["max_bullet_line_frac"]
+            and ell <= R["max_ellipsis_line_frac"]
+        )
+        assert got[i] == (len(toks), mean, alpha, bullet, ell, passes), i
+    assert got[4][5]  # the constructed passing doc actually passes
+    assert not got[2][5] and not got[3][5]
+
+
+def test_fineweb_filter_chain_matches_python_reference(spark):
+    """Rule booleans, keep, and first-failed attribution equal the
+    single-threaded mirror, with each rule forced to be the first
+    failure at least once (the attribution order is the contract)."""
+    from collections import Counter
+
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.textops import (
+        FINEWEB_PUNCT_MIN_FRAC,
+        FINEWEB_RULE_ORDER,
+        GOPHER_LENGTH_RULES,
+        LANG_STOPWORDS,
+        fineweb_filter_chain,
+    )
+
+    en_pass = (
+        "the quick fox and the lazy dog of the old farm with all "
+        + " ".join(f"token{i}" for i in range(45))
+        + " end."
+    )
+    rows = [
+        (0, "le chat et la maison de la rue."),          # fails lang
+        (1, "the and of short."),                        # fails n_words
+        (2, en_pass),                                    # keeps
+        (3, "the " * 60 + "end."),                       # fails repetition
+        (4, en_pass.replace(".", "")),                   # fails punct
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (
+            r.r_lang, r.r_n_words, r.r_mean_word_len, r.r_repetition,
+            r.r_punct, r.keep, r.first_failed,
+        )
+        for r in fineweb_filter_chain(df).collect()
+    }
+    R = GOPHER_LENGTH_RULES
+    for i, text in rows:
+        toks = [t for t in text.lower().split() if t]
+        nw = max(len(toks), 1)
+        scores = {
+            lg: sum(t in LANG_STOPWORDS[lg] for t in toks) / nw
+            for lg in LANG_STOPWORDS
+        }
+        best = max(scores.values())
+        pred = "und"
+        if best > 0:
+            pred = min(lg for lg, s in scores.items() if s == best)
+        r_lang = pred == "en"
+        r_words = R["min_words"] <= len(toks) <= R["max_words"]
+        mean = sum(len(t) for t in toks) / nw
+        r_mean = R["min_mean_word_len"] <= mean <= R["max_mean_word_len"]
+        top = max(Counter(toks).values()) / nw if toks else 0.0
+        g2 = [" ".join(toks[j : j + 2]) for j in range(len(toks) - 1)]
+        dup = 1.0 - len(set(g2)) / len(g2) if g2 else 0.0
+        r_rep = top <= 0.2 and dup <= 0.4
+        lines = [ln.strip(" \t\r") for ln in text.split("\n")]
+        lines = [ln for ln in lines if ln]
+        punct = (
+            sum(ln[-1] in '.!?"' for ln in lines) / max(len(lines), 1)
+        )
+        r_punct = punct >= FINEWEB_PUNCT_MIN_FRAC
+        rules = {
+            "lang": r_lang, "n_words": r_words, "mean_word_len": r_mean,
+            "repetition": r_rep, "punct": r_punct,
+        }
+        keep = all(rules.values())
+        first = next(
+            (n for n in FINEWEB_RULE_ORDER if not rules[n]), None
+        )
+        assert got[i] == (
+            r_lang, r_words, r_mean, r_rep, r_punct, keep, first,
+        ), i
+    assert got[2][5] and got[2][6] is None
+    assert {got[0][6], got[1][6], got[3][6], got[4][6]} == {
+        "lang", "n_words", "repetition", "punct",
+    }
+
+
+def test_domain_quota_sample_matches_python_reference(spark):
+    """Host normalization, per-host counts, surrogate-order ranks and
+    the quota flag equal the single-threaded mirror (same hash
+    constants), including scheme/www/case variants collapsing to one
+    host and a host with fewer docs than the quota."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.sample import (
+        HASH_MOD,
+        HASH_MULT,
+        domain_quota_sample,
+    )
+
+    rows = [
+        (0, "http://WWW.Alpha.COM/a"),
+        (1, "https://alpha.com/b"),
+        (2, "alpha.com:443/c"),
+        (3, "www2.alpha.com/d#frag"),
+        (4, "http://beta.org/only"),
+        (5, "ALPHA.com/e"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {
+        r.doc_id: (r.host, r.n_host_docs, r.rank_in_host, r.is_kept)
+        for r in domain_quota_sample(df, max_per_host=2).collect()
+    }
+    hosts = {0: "alpha.com", 1: "alpha.com", 2: "alpha.com",
+             3: "alpha.com", 4: "beta.org", 5: "alpha.com"}
+    by_host: dict = {}
+    for i, h in hosts.items():
+        by_host.setdefault(h, []).append(i)
+    for h, ids in by_host.items():
+        order = sorted(ids, key=lambda i: (((i + 42) * HASH_MULT) % HASH_MOD, i))
+        for rank, i in enumerate(order, start=1):
+            assert got[i] == (h, len(ids), rank, rank <= 2), i
+    assert sum(k for _, _, _, k in got.values()) == 3  # 2 alpha + 1 beta
+
+
+def test_staged_r19_oracle_parity(spark, sf_dir):
+    """All three r19-staged DuckDB oracles pass the driver-faithful
+    comparison (verified by hand at sf0.001/sf0.01/sf0.1 in r16)."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_text import (
+        _oracle_domain_quota_sample,
+        _oracle_fineweb_filter_chain,
+        _oracle_gopher_length_screen,
+        q_domain_quota_sample,
+        q_fineweb_filter_chain,
+        q_gopher_length_screen,
+    )
+    from .oracle_harness import compare
+
+    for name, q, o in [
+        (
+            "gopher_length_screen",
+            q_gopher_length_screen,
+            _oracle_gopher_length_screen(),
+        ),
+        (
+            "fineweb_filter_chain",
+            q_fineweb_filter_chain,
+            _oracle_fineweb_filter_chain(),
+        ),
+        (
+            "domain_quota_sample",
+            q_domain_quota_sample,
+            _oracle_domain_quota_sample(),
+        ),
+    ]:
+        ok, msg = compare(q(spark, sf_dir), o, sf_dir, name)
+        assert ok, msg
+
+
+def test_staged_r19_plan_shapes(spark):
+    """Plan contracts: gopher_length_screen and fineweb_filter_chain —
+    ZERO hash exchanges (pure per-row expression chains over one scan,
+    no joins between rule stages; the only Exchange is spread()'s
+    deliberate RoundRobin fan-out of the small fixture);
+    domain_quota_sample — exactly ONE hash exchange (the host key),
+    shared by the count window and the rank window. All: no cartesian,
+    no BNLJ, no row-Python."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_text import (
+        q_domain_quota_sample,
+        q_fineweb_filter_chain,
+        q_gopher_length_screen,
+    )
+
+    plans = {}
+    for name, q in [
+        ("len", q_gopher_length_screen),
+        ("chain", q_fineweb_filter_chain),
+        ("quota", q_domain_quota_sample),
+    ]:
+        plan = q(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "Join" not in plan, name
+        plans[name] = plan
+    assert plans["len"].count("Exchange hashpartitioning") == 0
+    assert plans["chain"].count("Exchange hashpartitioning") == 0
+    assert plans["quota"].count("Exchange hashpartitioning") == 1
+    assert plans["quota"].count("Window") >= 1

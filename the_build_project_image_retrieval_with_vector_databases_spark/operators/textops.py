@@ -1286,3 +1286,209 @@ def bpe_train_encode(
         .groupBy("token")
         .agg(F.sum("freq").alias("n_occurrences"))
     )
+
+
+# ---------------------------------------------------------------------------
+# r19 registration candidates — staged r16 under the full discipline
+# (Python reference + 3-SF oracle parity + plan pin in
+# tests/test_staged_ops.py, generated-corpus fuzz rows in
+# tests/test_fuzz_oracle.py::test_fuzz_staged_r19_text_ops).
+# ---------------------------------------------------------------------------
+
+# Rae et al. 2021 (Gopher) Table A1 document/word-length screens — the
+# length complement of gopher_quality's repetition signals and
+# repetition_ngram_fractions' char-mass rules. Published thresholds.
+GOPHER_LENGTH_RULES = {
+    "min_words": 50,
+    "max_words": 100_000,
+    "min_mean_word_len": 3.0,
+    "max_mean_word_len": 10.0,
+    "min_alpha_word_frac": 0.8,
+    "max_bullet_line_frac": 0.9,
+    "max_ellipsis_line_frac": 0.3,
+}
+
+
+def line_exprs(txt) -> "F.Column":
+    """Non-empty trimmed lines of a text column (array<string>). The
+    trim is an explicit ``[ \\t\\r]`` class: Java's ``\\s`` includes
+    \\x0B while RE2's does not, so ``\\s`` would silently diverge
+    between Spark and the DuckDB oracle (the BPE_PATTERN lesson)."""
+    return F.filter(
+        F.transform(
+            F.split(txt, "\n"),
+            lambda l: F.regexp_replace(l, r"^[ \t\r]+|[ \t\r]+$", ""),
+        ),
+        lambda l: l != "",
+    )
+
+
+def gopher_length_screen(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher Table-A1 length screens (Rae et al. 2021): per document,
+    word count, mean word length, alphabetic-word fraction, bullet-line
+    and ellipsis-line fractions, and the published-threshold ``passes``
+    flag (GOPHER_LENGTH_RULES). The length complement of
+    :func:`gopher_quality` (repetition ratios) and
+    :func:`repetition_ngram_fractions` (char-mass rules).
+
+    Scale shape: pure per-row codegen'd expressions over ONE corpus
+    scan — zero shuffle, zero UDF, trivially linear at 100 TB. The
+    token and line arrays each materialize in their OWN projection
+    (the CollapseProject/doc_shingles contract) so the regex split
+    runs once per row, not once per expression that references it.
+    All ratios are raw int/int doubles — bit-exact cross-engine.
+
+    Reference: /root/reference/app.py (no counterpart — north-star
+    extension, SURVEY §2.11 quality family)."""
+    R = GOPHER_LENGTH_RULES
+    base = spread(df).select(
+        F.col(id_col),
+        tokens(text_col).alias("__toks"),
+        line_exprs(F.col(text_col)).alias("__lines"),
+    )
+    toks, lines = F.col("__toks"), F.col("__lines")
+    n_words = F.size(toks)
+    nw = F.greatest(n_words, F.lit(1)).cast("double")
+    mean_word_len = (
+        F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)).cast(
+            "double"
+        )
+        / nw
+    )
+    alpha_word_frac = (
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("double") / nw
+    )
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    bullet_line_frac = (
+        F.size(
+            F.filter(
+                lines, lambda l: l.startswith("- ") | l.startswith("* ")
+            )
+        ).cast("double")
+        / n_lines
+    )
+    ellipsis_line_frac = (
+        F.size(F.filter(lines, lambda l: l.endswith("..."))).cast("double")
+        / n_lines
+    )
+    passes = (
+        (n_words >= R["min_words"])
+        & (n_words <= R["max_words"])
+        & (mean_word_len >= R["min_mean_word_len"])
+        & (mean_word_len <= R["max_mean_word_len"])
+        & (alpha_word_frac > R["min_alpha_word_frac"])
+        & (bullet_line_frac <= R["max_bullet_line_frac"])
+        & (ellipsis_line_frac <= R["max_ellipsis_line_frac"])
+    )
+    return base.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        alpha_word_frac.alias("alpha_word_frac"),
+        bullet_line_frac.alias("bullet_line_frac"),
+        ellipsis_line_frac.alias("ellipsis_line_frac"),
+        passes.alias("passes"),
+    )
+
+
+# FineWeb (Penedo et al. 2024) / C4 (Raffel et al. 2020) composed
+# keep/drop rules, applied in a FIXED order so drop attribution is
+# deterministic: language gate, Gopher word-count bounds, Gopher
+# mean-word-length band, Gopher repetition caps, C4 terminal-
+# punctuation line fraction (FineWeb's 0.12 threshold).
+FINEWEB_RULE_ORDER = ("lang", "n_words", "mean_word_len", "repetition", "punct")
+FINEWEB_PUNCT_MIN_FRAC = 0.12
+
+
+def fineweb_filter_chain(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang: str = "en",
+) -> DataFrame:
+    """The composed FineWeb-style corpus filter (Penedo et al. 2024;
+    rules from C4 + Gopher): per document, one boolean per rule, the
+    overall ``keep`` decision, and ``first_failed`` — the first rule
+    (in FINEWEB_RULE_ORDER) that rejected the doc, NULL when kept.
+    Per-rule drop attribution is how pipeline owners tune a filter
+    chain (FineWeb reports exactly these removal rates per step).
+
+    Rules: pred_lang == ``lang`` with a positive stopword score
+    (:func:`lang_pred_expr`); 50 ≤ words ≤ 100k and 3 ≤ mean word
+    length ≤ 10 (GOPHER_LENGTH_RULES); top-word ≤ 0.2 and duplicated
+    2-grams ≤ 0.4 (:func:`repetition_exprs`); ≥ 12% of lines end in
+    terminal punctuation (./!/?/") — FineWeb's C4-subset threshold.
+
+    Scale shape: every rule is a per-row codegen'd expression fused
+    into ONE corpus scan — zero shuffle, zero UDF, no joins between
+    rule stages (the naive composition materializes one DataFrame per
+    filter and joins them back). Generalizes q_clean_corpus's
+    quality-gate stage with attribution.
+
+    Reference: /root/reference/app.py (no counterpart — north-star
+    extension, SURVEY §2.11 quality family)."""
+    R = GOPHER_LENGTH_RULES
+    base = spread(df).select(
+        F.col(id_col),
+        F.col(text_col),
+        tokens(text_col).alias("__toks"),
+        line_exprs(F.col(text_col)).alias("__lines"),
+    )
+    toks, lines = F.col("__toks"), F.col("__lines")
+    pred, _best = lang_pred_expr(toks)
+    r_lang = pred == lang
+    n_words = F.size(toks)
+    nw = F.greatest(n_words, F.lit(1)).cast("double")
+    mean_word_len = (
+        F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)).cast(
+            "double"
+        )
+        / nw
+    )
+    r_words = (n_words >= R["min_words"]) & (n_words <= R["max_words"])
+    r_mean = (mean_word_len >= R["min_mean_word_len"]) & (
+        mean_word_len <= R["max_mean_word_len"]
+    )
+    top_word_frac, dup_2gram_frac, _sym = repetition_exprs(
+        F.col(text_col), toks
+    )
+    r_rep = (top_word_frac <= 0.2) & (dup_2gram_frac <= 0.4)
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    punct_frac = (
+        F.size(
+            F.filter(
+                lines,
+                lambda l: l.endswith(".")
+                | l.endswith("!")
+                | l.endswith("?")
+                | l.endswith('"'),
+            )
+        ).cast("double")
+        / n_lines
+    )
+    r_punct = punct_frac >= FINEWEB_PUNCT_MIN_FRAC
+    rules = {
+        "lang": r_lang,
+        "n_words": r_words,
+        "mean_word_len": r_mean,
+        "repetition": r_rep,
+        "punct": r_punct,
+    }
+    keep = r_lang & r_words & r_mean & r_rep & r_punct
+    first_failed = F.lit(None).cast("string")
+    for name in reversed(FINEWEB_RULE_ORDER):
+        first_failed = F.when(~rules[name], F.lit(name)).otherwise(
+            first_failed
+        )
+    return base.select(
+        F.col(id_col),
+        rules["lang"].alias("r_lang"),
+        rules["n_words"].alias("r_n_words"),
+        rules["mean_word_len"].alias("r_mean_word_len"),
+        rules["repetition"].alias("r_repetition"),
+        rules["punct"].alias("r_punct"),
+        keep.alias("keep"),
+        first_failed.alias("first_failed"),
+    )

@@ -678,6 +678,25 @@ ORACLES: dict[str, str] = {
 #       sibling bpe_merge_step sits in the OTHER half after this
 #       flip, so it is NOT a valid r18 retiree — the r15 provisional
 #       pairing is corrected here per the capacity rule above)
+#
+# ROUND-19 WINDOW PLAN (provisional write-ahead): r19's window
+# re-checks the r17-checked half (after the r17 flip: the current
+# _ROTATE_OUT minus its three r17 retirees, plus the three r17
+# registrations). Staged candidates (staged r16 under the full
+# discipline, see tests/test_staged_ops.py); each pairs with a
+# retiree from that half:
+#   gopher_length_screen ↔ gopher_quality (the Table-A1 length screens
+#       plus the r16-registered repetition_quality together supersede
+#       its repetition/length signals; the surface keeps unit + fuzz
+#       rows)
+#   fineweb_filter_chain ↔ clean_corpus (the chain generalizes its
+#       quality-gate stage with per-rule drop attribution; the md5
+#       dedup window stays registered via url_host_dedup/
+#       streaming_dedup_batch and the per-lang rollup via
+#       top_docs_per_lang)
+#   domain_quota_sample  ↔ stratified_sample (the same exact-k-per-
+#       stratum window machinery over a derived host stratum, plus
+#       group-size/kept attribution — SURVEY SA1 stays covered)
 _CHECK_FIRST: list[str] = [
     # the 47 surviving r14-checked entries (exact_dedup, decontaminate,
     # quality_score retired), one round stale — re-verified this round:

@@ -2398,3 +2398,230 @@ SELECT u.token, CAST(sum(s.freq) AS BIGINT) AS n_occurrences
 FROM seg{n_merges} s, unnest(s.syms) AS u(token)
 GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# r19 registration candidates — STAGED r16 (ahead of the pipeline, the
+# r14→r16/r17 precedent). The r19 window re-checks the r17-checked half,
+# so each candidate pairs with a retiree from THAT half (provisional
+# write-ahead in queries.py below the ROUND-18 plan):
+#   gopher_length_screen ↔ gopher_quality (length screens + the r16-
+#       registered repetition_quality together supersede its signals)
+#   fineweb_filter_chain ↔ clean_corpus (the chain generalizes its
+#       quality-gate stage with per-rule attribution; the md5 dedup
+#       window and per-lang rollup stay registered via url_host_dedup/
+#       streaming_dedup_batch and top_docs_per_lang)
+#   domain_quota_sample  ↔ stratified_sample (the same exact-k-per-
+#       stratum window machinery over a derived host stratum, plus
+#       group-size/kept attribution — SA1 stays covered)
+# Staging discipline: Python reference + 3-SF oracle parity + plan pin
+# in tests/test_staged_ops.py, generated-corpus fuzz rows in
+# tests/test_fuzz_oracle.py::test_fuzz_staged_r19_text_ops.
+# ---------------------------------------------------------------------------
+
+# DuckDB mirror of textops.line_exprs — explicit [ \t\r] trim class
+# (never \s: Java includes \x0B, RE2 does not), 'g' flag because
+# DuckDB's regexp_replace is first-match-only by default while Spark's
+# replaces all.
+_DK_LINES = (
+    "list_filter(list_transform(string_split(text, chr(10)), "
+    "l -> regexp_replace(l, '^[ \\t\\r]+|[ \\t\\r]+$', '', 'g')), "
+    "l -> l <> '')"
+)
+
+
+def q_gopher_length_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED (r16) — NOT registered. Gopher Table-A1 length screens
+    (operators/textops.py::gopher_length_screen; Rae et al. 2021):
+    word-count bounds, mean-word-length band, alphabetic-word
+    fraction, bullet/ellipsis line caps, published-threshold pass
+    flag. Zero-shuffle per-row expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.gopher_length_screen(spread(docs))
+
+
+def _oracle_gopher_length_screen() -> str:
+    R = T.GOPHER_LENGTH_RULES
+    return f"""
+WITH t AS (SELECT doc_id, {_dk_toks()} AS toks, {_DK_LINES} AS lines
+           FROM documents),
+m AS (SELECT doc_id,
+        len(toks) AS n_words,
+        coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+          AS sum_len,
+        len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+          AS n_alpha,
+        len(lines) AS n_lines,
+        len(list_filter(lines,
+            l -> starts_with(l, '- ') OR starts_with(l, '* ')))
+          AS n_bullet,
+        len(list_filter(lines, l -> ends_with(l, '...'))) AS n_ellipsis
+      FROM t),
+f AS (SELECT doc_id,
+        CAST(n_words AS INT) AS n_words,
+        sum_len::DOUBLE / greatest(n_words, 1)::DOUBLE AS mean_word_len,
+        n_alpha::DOUBLE / greatest(n_words, 1)::DOUBLE AS alpha_word_frac,
+        n_bullet::DOUBLE / greatest(n_lines, 1)::DOUBLE
+          AS bullet_line_frac,
+        n_ellipsis::DOUBLE / greatest(n_lines, 1)::DOUBLE
+          AS ellipsis_line_frac
+      FROM m)
+SELECT doc_id, n_words, mean_word_len, alpha_word_frac,
+       bullet_line_frac, ellipsis_line_frac,
+       (n_words >= {R["min_words"]} AND n_words <= {R["max_words"]}
+        AND mean_word_len >= {R["min_mean_word_len"]}
+        AND mean_word_len <= {R["max_mean_word_len"]}
+        AND alpha_word_frac > {R["min_alpha_word_frac"]}
+        AND bullet_line_frac <= {R["max_bullet_line_frac"]}
+        AND ellipsis_line_frac <= {R["max_ellipsis_line_frac"]})
+         AS passes
+FROM f
+"""
+
+
+def q_fineweb_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED (r16) — NOT registered. FineWeb/C4 composed corpus filter
+    (operators/textops.py::fineweb_filter_chain; Penedo et al. 2024,
+    Raffel et al. 2020): five ordered keep/drop rules fused into one
+    scan, with per-rule booleans and first-failed attribution."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.fineweb_filter_chain(spread(docs))
+
+
+def _oracle_fineweb_filter_chain(lang: str = "en") -> str:
+    R = T.GOPHER_LENGTH_RULES
+    score_exprs = ",\n       ".join(
+        f"{_dk_stop_filter('toks', LANG_STOPWORDS[lg])}::DOUBLE / "
+        f"greatest(len(toks), 1) AS s_{lg}"
+        for lg in sorted(LANG_STOPWORDS)
+    )
+    best = "greatest(" + ", ".join(
+        f"s_{lg}" for lg in sorted(LANG_STOPWORDS)
+    ) + ")"
+    case = " ".join(
+        f"WHEN s_{lg} = best THEN '{lg}'" for lg in sorted(LANG_STOPWORDS)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, text, {_dk_toks()} AS toks, {_DK_LINES} AS lines
+           FROM documents),
+s AS (SELECT doc_id, text, toks, lines,
+       {score_exprs}
+      FROM t),
+b AS (SELECT *, {best} AS best FROM s),
+r AS (SELECT doc_id,
+        (CASE WHEN best <= 0 THEN 'und' {case} ELSE 'und' END)
+          = '{lang}' AS r_lang,
+        len(toks) AS n_words,
+        coalesce(list_sum(list_transform(toks, x -> length(x))), 0)::DOUBLE
+          / greatest(len(toks), 1)::DOUBLE AS mean_word_len,
+        coalesce(
+          list_max(list_transform(list_distinct(toks),
+                                  d -> len(list_filter(toks, x -> x = d))))::DOUBLE
+            / greatest(len(toks), 1), 0.0) AS top_word_frac,
+        (CASE WHEN len(toks) >= 2 THEN
+           1.0 - len(list_distinct(list_transform(
+                    list_zip(list_slice(toks, 1, len(toks) - 1),
+                             list_slice(toks, 2, len(toks))),
+                    s -> s[1] || ' ' || s[2])))::DOUBLE / (len(toks) - 1)
+         ELSE 0.0 END) AS dup_2gram_frac,
+        len(list_filter(lines,
+            l -> ends_with(l, '.') OR ends_with(l, '!')
+              OR ends_with(l, '?') OR ends_with(l, '"')))::DOUBLE
+          / greatest(len(lines), 1)::DOUBLE AS punct_frac
+      FROM b),
+g AS (SELECT doc_id, r_lang,
+        (n_words >= {R["min_words"]} AND n_words <= {R["max_words"]})
+          AS r_n_words,
+        (mean_word_len >= {R["min_mean_word_len"]}
+         AND mean_word_len <= {R["max_mean_word_len"]}) AS r_mean_word_len,
+        (top_word_frac <= 0.2 AND dup_2gram_frac <= 0.4) AS r_repetition,
+        punct_frac >= {T.FINEWEB_PUNCT_MIN_FRAC} AS r_punct
+      FROM r)
+SELECT doc_id, r_lang, r_n_words, r_mean_word_len, r_repetition, r_punct,
+       (r_lang AND r_n_words AND r_mean_word_len AND r_repetition
+        AND r_punct) AS keep,
+       (CASE WHEN NOT r_lang THEN 'lang'
+             WHEN NOT r_n_words THEN 'n_words'
+             WHEN NOT r_mean_word_len THEN 'mean_word_len'
+             WHEN NOT r_repetition THEN 'repetition'
+             WHEN NOT r_punct THEN 'punct' END) AS first_failed
+FROM g
+"""
+
+
+DQS_MAX_PER_HOST = 2
+
+
+def _synth_quota_url_expr():
+    """Deterministic URL with HOST variety (the fixture has no url
+    column; the OPERATOR is general): subdomain s{doc_id % 37} over
+    each source domain gives 37·|sources| hosts with a handful of docs
+    each, so a quota of 2 produces a real kept/dropped mix; scheme and
+    www-label variants exercise the normalization."""
+    d = F.col("doc_id")
+    scheme = (
+        F.when(d % 3 == 0, F.lit("http://"))
+        .when(d % 3 == 1, F.lit("HTTPS://"))
+        .otherwise(F.lit(""))
+    )
+    www = F.when(d % 2 == 0, F.lit("WWW.")).otherwise(F.lit(""))
+    return F.concat(
+        scheme, www, F.lit("s"), (d % 37).cast("string"), F.lit("."),
+        F.col("source"), F.lit(".Example.COM/d/"), d.cast("string"),
+    )
+
+
+_SYNTH_QUOTA_URL_SQL = """
+  (CASE WHEN doc_id % 3 = 0 THEN 'http://'
+        WHEN doc_id % 3 = 1 THEN 'HTTPS://' ELSE '' END)
+  || (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END)
+  || 's' || CAST(doc_id % 37 AS VARCHAR) || '.' || source
+  || '.Example.COM/d/' || CAST(doc_id AS VARCHAR)
+"""
+
+
+def q_domain_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED (r16) — NOT registered. Per-domain document cap
+    (operators/sample.py::domain_quota_sample; RefinedWeb/Dolma crawl-
+    balance rule): normalized host, host doc count, deterministic
+    rank under the multiplicative-hash surrogate order, is_kept at
+    quota 2. One host-keyed exchange shared by count + rank."""
+    from .operators.sample import domain_quota_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return domain_quota_sample(
+        docs.select("doc_id", _synth_quota_url_expr().alias("url")),
+        "url",
+        max_per_host=DQS_MAX_PER_HOST,
+    )
+
+
+def _oracle_domain_quota_sample(quota: int = DQS_MAX_PER_HOST) -> str:
+    # the multiplicative-hash surrogate order, spelled from the operator
+    # constants (importing queries.py's _dk_shuffle_key here would be a
+    # circular import once this registers)
+    from .operators.sample import HASH_MOD, HASH_MULT
+
+    def _dk_shuffle_key(id_col: str, seed: int = 42) -> str:
+        return f"(({id_col} + {seed}) * {HASH_MULT}) % {HASH_MOD}"
+
+    return f"""
+WITH raw AS (SELECT doc_id, {_SYNTH_QUOTA_URL_SQL} AS url FROM documents),
+u1 AS (SELECT doc_id,
+         regexp_replace(regexp_replace(lower(trim(url)),
+           '^[a-z][a-z0-9+.-]*://', ''), '#.*$', '') AS u
+       FROM raw),
+h AS (SELECT doc_id,
+        regexp_replace(regexp_replace(regexp_extract(u, '^([^/?]+)', 1),
+          '^www\\d*\\.', ''), ':(80|443)$', '') AS host
+      FROM u1)
+SELECT doc_id, host,
+       count(*) OVER (PARTITION BY host) AS n_host_docs,
+       CAST(row_number() OVER (PARTITION BY host
+              ORDER BY {_dk_shuffle_key('doc_id')} ASC, doc_id ASC) AS INT)
+         AS rank_in_host,
+       row_number() OVER (PARTITION BY host
+              ORDER BY {_dk_shuffle_key('doc_id')} ASC, doc_id ASC)
+         <= {quota} AS is_kept
+FROM h
+"""
