@@ -51,9 +51,9 @@ def _staged_pairs():
     r12 whose generated-corpus constraints differ from the generic
     panel ranges — kept covered here with the shared corpus — PLUS
     every currently-staged registration candidate (the three r17
-    candidates, the three r18 candidates, and the three r19
-    candidates; the r13-staged trio registered r14 and
-    its entries stay here for the shared-corpus coverage), so the
+    candidates, the three r18 candidates, the three r19 candidates,
+    and the three r20 candidates; the r13-staged trio registered r14
+    and its entries stay here for the shared-corpus coverage), so the
     many-seed soak exercises them before their window flip, not just
     the 3-example derandomized hypothesis rows. The oracle slot may be
     a callable(dir) -> sql for corpus-sized oracles (leakage_safe_split
@@ -79,10 +79,12 @@ def _staged_pairs():
         _oracle_language_confidence_filter,
         _oracle_leakage_safe_split,
         _oracle_length_bucket_batches,
+        _oracle_line_dedup,
         _oracle_ngram_novelty_score,
         _oracle_source_overlap_matrix,
         _oracle_token_entropy,
         _oracle_unimax_mix,
+        _oracle_winnow_overlap_pairs,
         q_bpe_train_encode,
         q_domain_quota_sample,
         q_dsir_importance,
@@ -92,11 +94,17 @@ def _staged_pairs():
         q_language_confidence_filter,
         q_leakage_safe_split,
         q_length_bucket_batches,
+        q_line_dedup,
         q_ngram_novelty_score,
         q_perplexity_buckets,
         q_source_overlap_matrix,
         q_token_entropy,
         q_unimax_mix,
+        q_winnow_overlap_pairs,
+    )
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_ann import (
+        _oracle_ivf_balance_stats,
+        q_ivf_balance_stats,
     )
 
     return {
@@ -134,6 +142,10 @@ def _staged_pairs():
              _oracle_fineweb_filter_chain()),
             ("domain_quota_sample", q_domain_quota_sample,
              _oracle_domain_quota_sample()),
+            # r16-staged r20 candidates (document-table pair):
+            ("line_dedup", q_line_dedup, _oracle_line_dedup()),
+            ("winnow_overlap_pairs", q_winnow_overlap_pairs,
+             _oracle_winnow_overlap_pairs()),
         ],
         "emb": [
             ("semantic_decontaminate", q_semantic_decontaminate,
@@ -141,7 +153,12 @@ def _staged_pairs():
         ],
         "rel": [],
         "serve": [],
-        "idx": [],
+        "idx": [
+            # r16-staged r20 candidate (reads the per-corpus layout the
+            # idx panel builds; panel's try/finally owns the cleanup):
+            ("ivf_balance_stats", q_ivf_balance_stats,
+             _oracle_ivf_balance_stats()),
+        ],
     }
 
 

@@ -1430,6 +1430,71 @@ def test_fuzz_staged_r19_text_ops(spark, tmp_path_factory, seed, n_docs):
         assert ok, f"fuzz corpus diverged: {msg}"
 
 
+@settings(max_examples=3, deadline=None, derandomize=True)
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    n_docs=st.integers(min_value=3, max_value=60),
+)
+def test_fuzz_staged_r20_text_ops(spark, tmp_path_factory, seed, n_docs):
+    """The two document-table r20-staged candidates on generated
+    corpora: newline-free docs (one line), duplicate docs (every line
+    a cross-doc dup; winnow pairs at fp_jaccard 1.0 unless df-capped),
+    token-less docs (zero-line rows; no fingerprints), and 1-2-token
+    docs below the gram size (no winnow selections)."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_text import (
+        _oracle_line_dedup,
+        _oracle_winnow_overlap_pairs,
+        q_line_dedup,
+        q_winnow_overlap_pairs,
+    )
+
+    rng = np.random.default_rng(seed)
+    tmpdir = str(tmp_path_factory.mktemp(f"fuzz_r20t_{seed}_{n_docs}"))
+    pq.write_table(
+        _gen_documents(rng, n_docs), os.path.join(tmpdir, "documents.parquet")
+    )
+    for name, q, o in [
+        ("line_dedup", q_line_dedup, _oracle_line_dedup()),
+        ("winnow_overlap_pairs", q_winnow_overlap_pairs,
+         _oracle_winnow_overlap_pairs()),
+    ]:
+        ok, msg = compare(q(spark, tmpdir), o, tmpdir, name)
+        assert ok, f"fuzz corpus diverged: {msg}"
+
+
+@settings(max_examples=3, deadline=None, derandomize=True)
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    n_vecs=st.integers(min_value=66, max_value=96),
+)
+def test_fuzz_staged_r20_ivf_stats(spark, tmp_path_factory, seed, n_vecs):
+    """The embeddings-table r20-staged candidate: ivf_balance_stats on
+    a per-seed materialized layout — list counts/fractions/imbalance
+    re-derived by the oracle's argmin assignment on every generated
+    corpus (same layout build + cleanup discipline as the index-tier
+    panel)."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_ann import (
+        _oracle_ivf_balance_stats,
+        q_ivf_balance_stats,
+    )
+
+    rng = np.random.default_rng(seed)
+    tmpdir = str(tmp_path_factory.mktemp(f"fuzz_r20i_{seed}_{n_vecs}"))
+    pq.write_table(
+        _gen_embeddings(rng, n_vecs), os.path.join(tmpdir, "embeddings.parquet")
+    )
+    try:
+        ok, msg = compare(
+            q_ivf_balance_stats(spark, tmpdir),
+            _oracle_ivf_balance_stats(),
+            tmpdir,
+            "ivf_balance_stats",
+        )
+        assert ok, f"fuzz corpus diverged: {msg}"
+    finally:
+        _cleanup_layouts(tmpdir)
+
+
 @settings(max_examples=2, deadline=None, derandomize=True)
 @given(
     seed=st.integers(min_value=0, max_value=10_000),

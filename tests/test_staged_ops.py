@@ -3934,3 +3934,204 @@ def test_staged_r19_plan_shapes(spark):
     assert plans["chain"].count("Exchange hashpartitioning") == 0
     assert plans["quota"].count("Exchange hashpartitioning") == 1
     assert plans["quota"].count("Window") >= 1
+
+
+# ---------------------------------------------------------------------------
+# line_dedup / winnow_overlap_pairs / ivf_balance_stats — STAGED r16,
+# r20 registration candidates (two rounds ahead; final pairings belong
+# to the r18/r19 write-ahead plans in queries.py).
+# ---------------------------------------------------------------------------
+
+
+def test_ccnet_line_dedup_matches_python_reference(spark):
+    """Corpus-wide first-occurrence line dedup equals the
+    single-threaded mirror: cross-doc boilerplate collapses to the
+    (doc_id, pos)-first copy, within-doc repeats count as dups, blank
+    and whitespace-only lines never participate, empty docs keep a
+    zero row, and kept text reconstructs in position order."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.textops import (
+        ccnet_line_dedup,
+    )
+
+    rows = [
+        (0, "subscribe now\nreal content alpha\nsubscribe now"),
+        (1, "subscribe now\nreal content beta"),
+        (2, "real content beta\nunique gamma\n  \n\nunique gamma"),
+        (3, ""),
+        (4, "   only whitespace lines   \nactual delta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_lines, r.n_dup_lines, r.dup_line_frac, r.kept_text)
+        for r in ccnet_line_dedup(df).collect()
+    }
+    seen: set = set()
+    expect: dict = {}
+    per_doc = {
+        i: [ln.strip(" \t\r") for ln in text.split("\n") if ln.strip(" \t\r")]
+        for i, text in rows
+    }
+    for i in sorted(per_doc):  # (doc_id, pos) order IS iteration order
+        kept, dups = [], 0
+        for ln in per_doc[i]:
+            if ln in seen:
+                dups += 1
+            else:
+                seen.add(ln)
+                kept.append(ln)
+        n = len(per_doc[i])
+        expect[i] = (n, dups, dups / max(n, 1), "\n".join(kept))
+    assert got == expect
+    assert got[0] == (3, 1, 1 / 3, "subscribe now\nreal content alpha")
+    assert got[3] == (0, 0, 0.0, "")
+
+
+def test_winnow_overlap_pairs_matches_python_reference(spark):
+    """Pair counts and fingerprint Jaccard equal the single-threaded
+    mirror built on _winnow_py, at NON-registry (k, w) and with the
+    df cap active: a boilerplate gram shared by every doc must be
+    dropped before pairing."""
+    from collections import Counter
+
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.textops import (
+        winnow_overlap_pairs,
+    )
+
+    k, w, min_shared, max_df = 2, 3, 1, 3
+    common = "standard footer text here"
+    rows = [
+        (0, f"alpha beta gamma delta epsilon zeta {common}"),
+        (1, f"alpha beta gamma delta other words {common}"),
+        (2, f"completely different content stream {common}"),
+        (3, f"unrelated fourth document body {common}"),
+        (4, "alpha beta gamma delta epsilon eta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {
+        i: {h for _, h in _winnow_py(
+            [t for t in text.lower().split() if t], k, w)}
+        for i, text in rows
+    }
+    dfc = Counter(h for s in fps.values() for h in s)
+    fps = {i: {h for h in s if dfc[h] <= max_df} for i, s in fps.items()}
+    expect = {}
+    ids = sorted(fps)
+    for a in ids:
+        for b in ids:
+            if a < b:
+                shared = len(fps[a] & fps[b])
+                if shared >= min_shared:
+                    expect[(a, b)] = (
+                        shared,
+                        shared / (len(fps[a]) + len(fps[b]) - shared),
+                    )
+    got = {
+        (r.left_id, r.right_id): (r.n_shared, r.fp_jaccard)
+        for r in winnow_overlap_pairs(
+            df, k=k, w=w, min_shared=min_shared, max_df=max_df
+        ).collect()
+    }
+    assert got == expect
+    assert (0, 1) in got  # the real overlap pair survives
+    # without the cap the footer would pair everything with everything:
+    uncapped = {
+        (r.left_id, r.right_id)
+        for r in winnow_overlap_pairs(
+            df, k=k, w=w, min_shared=min_shared, max_df=None
+        ).collect()
+    }
+    assert (2, 3) in uncapped and (2, 3) not in got
+
+
+def test_ivf_balance_stats_matches_python_reference(spark):
+    """Per-list counts, fractions, and the imbalance factor equal the
+    numpy argmin assignment (ties -> lowest centroid id) over the same
+    vec_id < 16 centroids the layout builder used; fractions sum to 1
+    and imbalance means to 1 exactly."""
+    import numpy as np
+
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_ann import (
+        q_ivf_balance_stats,
+    )
+
+    rows = q_ivf_balance_stats(spark, SF_SMOKE).collect()
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb}
+    cents = [vecs[i] for i in range(16)]
+    counts: dict = {}
+    for vid, v in vecs.items():
+        d = [float(np.sqrt(((v - c) ** 2).sum())) for c in cents]
+        cid = min(range(16), key=lambda i: (d[i], i))
+        counts[cid] = counts.get(cid, 0) + 1
+    n, kk = len(vecs), len(counts)
+    got = {r.centroid: (r.n_vectors, r.frac, r.imbalance) for r in rows}
+    assert set(got) == set(counts)
+    for cid, c in counts.items():
+        assert got[cid] == (c, c / n, c * kk / n), cid
+    assert abs(sum(f for _, f, _ in got.values()) - 1.0) < 1e-12
+    assert abs(sum(i for _, _, i in got.values()) / kk - 1.0) < 1e-12
+
+
+def test_staged_r20_oracle_parity(spark, sf_dir):
+    """All three r20-staged DuckDB oracles pass the driver-faithful
+    comparison (verified by hand at sf0.001/sf0.01/sf0.1 in r16)."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_ann import (
+        _oracle_ivf_balance_stats,
+        q_ivf_balance_stats,
+    )
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_text import (
+        _oracle_line_dedup,
+        _oracle_winnow_overlap_pairs,
+        q_line_dedup,
+        q_winnow_overlap_pairs,
+    )
+    from .oracle_harness import compare
+
+    for name, q, o in [
+        ("line_dedup", q_line_dedup, _oracle_line_dedup()),
+        (
+            "winnow_overlap_pairs",
+            q_winnow_overlap_pairs,
+            _oracle_winnow_overlap_pairs(),
+        ),
+        (
+            "ivf_balance_stats",
+            q_ivf_balance_stats,
+            _oracle_ivf_balance_stats(),
+        ),
+    ]:
+        ok, msg = compare(q(spark, sf_dir), o, sf_dir, name)
+        assert ok, msg
+
+
+def test_staged_r20_plan_shapes(spark):
+    """Plan contracts: line_dedup — exactly TWO hash exchanges (the
+    line-hash window, the per-doc re-aggregation); winnow_overlap_pairs
+    — every join a hash/sort-merge EQUI join on the fingerprint hash or
+    doc id, never a nested loop; ivf_balance_stats — the k-row totals
+    BROADCAST back (BroadcastNestedLoopJoin of a 1-row side is the
+    broadcast-scalar shape, same as important_stock), and the scan
+    reads only the partition column (column pruning — no vector bytes).
+    All: no cartesian, no row-Python."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_ann import (
+        q_ivf_balance_stats,
+    )
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_text import (
+        q_line_dedup,
+        q_winnow_overlap_pairs,
+    )
+
+    plans = {}
+    for name, q in [
+        ("line", q_line_dedup),
+        ("wop", q_winnow_overlap_pairs),
+        ("ivf", q_ivf_balance_stats),
+    ]:
+        plan = q(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        plans[name] = plan
+    assert plans["line"].count("Exchange hashpartitioning") == 2
+    assert "BroadcastNestedLoopJoin" not in plans["line"]
+    assert "BroadcastNestedLoopJoin" not in plans["wop"]
+    assert "ReadSchema: struct<vec_id" not in plans["ivf"]  # pruned scan

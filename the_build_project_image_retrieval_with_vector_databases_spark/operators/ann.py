@@ -591,3 +591,41 @@ def lsh_candidates(
         .filter(F.col("left_id") < F.col("right_id"))
         .select("left_id", "right_id", "bucket")
     )
+
+
+def ivf_balance_stats(layout: DataFrame) -> DataFrame:
+    """Per-inverted-list size diagnostics for a materialized IVF layout
+    (the ``write_ivf_index`` partitionBy(centroid) parquet) — staged
+    r16, r20 registration candidate. The list-size imbalance factor is
+    THE first number an IVF operator checks before tuning nprobe: probe
+    latency is bounded by the largest probed list, so a skewed coarse
+    quantizer (imbalance ≫ 1) wastes the nprobe budget on one hot list
+    (the λ imbalance factor of the FAISS index-statistics docs;
+    Jégou et al. 2011 §IVFADC sizing).
+
+    Per centroid: ``n_vectors``, ``frac`` of the corpus, and
+    ``imbalance`` = n_vectors / mean list size (= n·k/N, an int-ratio
+    double — exact cross-engine). Scale shape: the count per centroid
+    is a columnar scan of the partition column only (column pruning:
+    no vector bytes read) with one map-side-partial aggregate to k
+    rows; the k-row totals then BROADCAST back — no second corpus
+    pass, no window over a global partition."""
+    counts = layout.groupBy("centroid").agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )
+    totals = counts.agg(
+        F.sum("n_vectors").alias("__n"), F.count(F.lit(1)).alias("__k")
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            F.col("centroid").cast("int").alias("centroid"),
+            F.col("n_vectors"),
+            (F.col("n_vectors").cast("double") / F.col("__n").cast("double"))
+            .alias("frac"),
+            (
+                (F.col("n_vectors") * F.col("__k")).cast("double")
+                / F.col("__n").cast("double")
+            ).alias("imbalance"),
+        )
+    )

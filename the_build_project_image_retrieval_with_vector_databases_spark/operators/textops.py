@@ -1492,3 +1492,143 @@ def fineweb_filter_chain(
         keep.alias("keep"),
         first_failed.alias("first_failed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r20 registration candidates — staged r16 under the full discipline
+# (Python reference + 3-SF oracle parity + plan pin in
+# tests/test_staged_ops.py, generated-corpus fuzz rows in
+# tests/test_fuzz_oracle.py::test_fuzz_staged_r20_text_ops).
+# ---------------------------------------------------------------------------
+
+
+def ccnet_line_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """CCNet paragraph-level exact dedup (Wenzek et al. 2020 §3.2): hash
+    every non-empty trimmed line CORPUS-WIDE and keep only the first
+    occurrence of each hash (order: (doc_id, position) — deterministic,
+    crawl-order-free); per document, the line counts, the duplicated-
+    line fraction, and the reconstructed kept text. The line-boundary
+    complement of ``passage_chunks``-based dedup (fixed token windows)
+    and ``exact_substring_spans`` (sliding token windows): boilerplate
+    headers/footers/navigation repeat as LINES, and CCNet removes ~70%
+    of raw Common Crawl text exactly this way.
+
+    Scale shape at 100 TB: two keyed exchanges — the line-hash window
+    (key cardinality ≈ distinct lines, uniform md5 keys) and the
+    per-doc re-aggregation. The kept-text rebuild is a per-doc
+    array_sort over collected (pos, line) structs — sorted AFTER
+    collect, so shuffle order never leaks into results. Token-less
+    docs keep a row (n_lines = 0) via posexplode_outer.
+
+    Reference: /root/reference/app.py (no counterpart — north-star
+    extension, SURVEY §2.11 dedup family)."""
+    lines = spread(df).select(
+        F.col(id_col),
+        F.posexplode_outer(line_exprs(F.col(text_col))).alias(
+            "__pos", "__line"
+        ),
+    )
+    hashed = lines.withColumn("__h", md5_long(F.col("__line")))
+    w = Window.partitionBy("__h").orderBy(
+        F.col(id_col).asc(), F.col("__pos").asc()
+    )
+    flagged = hashed.withColumn("__rn", F.row_number().over(w))
+    kept_struct = F.when(
+        F.col("__line").isNotNull() & (F.col("__rn") == 1),
+        F.struct(F.col("__pos"), F.col("__line")),
+    )
+    n_dup = F.sum(
+        F.when(F.col("__line").isNotNull() & (F.col("__rn") > 1), 1)
+        .otherwise(0)
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count("__line").cast("int").alias("n_lines"),
+        n_dup.cast("int").alias("n_dup_lines"),
+        (
+            n_dup.cast("double")
+            / F.greatest(F.count("__line"), F.lit(1)).cast("double")
+        ).alias("dup_line_frac"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda s: s["__line"],
+            ),
+            "\n",
+        ).alias("kept_text"),
+    )
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pairwise local-overlap detection over winnowing fingerprints —
+    the MOSS report step (Schleimer et al. SIGMOD 2003 §5): two
+    documents sharing ≥ ``min_shared`` distinct fingerprint hashes
+    share that many (w + k − 1)-token-or-longer regions. Output per
+    surviving pair: the shared-fingerprint count and the fingerprint-
+    set Jaccard (shared / (|A| + |B| − shared), an int-ratio double).
+
+    ``max_df`` drops fingerprints selected in more than that many
+    documents BEFORE pairing — the published MOSS move (ignore hashes
+    in too many submissions: boilerplate), and the same df-capped
+    stop-shingle guard as ``ngram_jaccard_dedup``. It is also the
+    scale guard: a fingerprint shared by d documents contributes
+    d·(d−1)/2 candidate pairs, so the cap bounds the join fan-out per
+    hash key — candidates come only from shared-hash buckets, never
+    all-pairs.
+
+    Scale shape: distinct → df-cap window → self equi-join on the hash
+    → pair aggregate — every exchange keyed, the join key uniform md5.
+
+    Reference: /root/reference/app.py (no counterpart — north-star
+    extension, SURVEY §2.11 fingerprinting family)."""
+    fps = winnowing_fingerprints(
+        df, k=k, w=w, text_col=text_col, id_col=id_col
+    )
+    f = fps.select(F.col(id_col), F.col("fp_hash")).distinct()
+    if max_df is not None:
+        wdf = Window.partitionBy("fp_hash")
+        f = (
+            f.withColumn("__df", F.count(F.lit(1)).over(wdf))
+            .filter(F.col("__df") <= max_df)
+            .drop("__df")
+        )
+    sizes = f.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
+    a = f.select(F.col(id_col).alias("left_id"), "fp_hash")
+    b = f.select(F.col(id_col).alias("right_id"), "fp_hash")
+    pairs = (
+        a.join(b, "fp_hash")
+        .filter(F.col("left_id") < F.col("right_id"))
+        .groupBy("left_id", "right_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    sa = sizes.select(
+        F.col(id_col).alias("left_id"), F.col("__n").alias("__na")
+    )
+    sb = sizes.select(
+        F.col(id_col).alias("right_id"), F.col("__n").alias("__nb")
+    )
+    return (
+        pairs.join(sa, "left_id")
+        .join(sb, "right_id")
+        .select(
+            "left_id",
+            "right_id",
+            "n_shared",
+            (
+                F.col("n_shared").cast("double")
+                / (F.col("__na") + F.col("__nb") - F.col("n_shared")).cast(
+                    "double"
+                )
+            ).alias("fp_jaccard"),
+        )
+    )

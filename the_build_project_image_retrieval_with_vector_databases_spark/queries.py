@@ -697,6 +697,18 @@ ORACLES: dict[str, str] = {
 #   domain_quota_sample  ↔ stratified_sample (the same exact-k-per-
 #       stratum window machinery over a derived host stratum, plus
 #       group-size/kept attribution — SURVEY SA1 stays covered)
+#
+# ROUND-20 WINDOW PLAN (provisional write-ahead — r20 is the final
+# planned window; it re-checks the r18-checked half, so final
+# pairings belong to the r18/r19 plans once those flips fix the
+# halves). Staged candidates (staged r16, two rounds ahead, see
+# tests/test_staged_ops.py): line_dedup (CCNet paragraph-hash dedup —
+# provisional sibling: the chunk-dedup family), winnow_overlap_pairs
+# (the MOSS pair report over the registered winnowing selection —
+# provisional sibling: winnowing_fingerprint, same selection core),
+# ivf_balance_stats (IVF list-size diagnostics over the same
+# materialized layout ivf_topk probes — provisional sibling: an
+# IVF-family row).
 _CHECK_FIRST: list[str] = [
     # the 47 surviving r14-checked entries (exact_dedup, decontaminate,
     # quality_score retired), one round stale — re-verified this round:

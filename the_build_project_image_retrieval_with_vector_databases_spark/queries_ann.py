@@ -2383,3 +2383,45 @@ ANN_ORACLES.update(
         "bq_hamming_topk": _oracle_bq_hamming_topk(),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# r20 registration candidate — STAGED r16 (final pairing belongs to the
+# r18/r19 write-ahead plans; provisional sibling: an IVF-family row —
+# the diagnostics read the same materialized layout ivf_topk probes).
+# ---------------------------------------------------------------------------
+
+
+def q_ivf_balance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED (r16) — NOT registered. IVF inverted-list size
+    diagnostics (operators/ann.py::ivf_balance_stats; the FAISS
+    index-statistics λ imbalance factor, Jégou et al. 2011): per
+    centroid of the materialized partitionBy(centroid) layout, the
+    list size, corpus fraction, and imbalance vs the mean list —
+    probe latency is bounded by the largest probed list, so this is
+    the number that decides whether the coarse quantizer needs
+    retraining before any nprobe tuning."""
+    from .operators.ann import ivf_balance_stats
+
+    path, _ = _ivf_layout(spark, sf_dir)
+    return ivf_balance_stats(spark.read.parquet(path))
+
+
+def _oracle_ivf_balance_stats() -> str:
+    return f"""
+WITH cents AS (SELECT vec_id AS cid, embedding AS ce
+               FROM embeddings WHERE vec_id < 16),
+scored AS (SELECT e.vec_id, c.cid, {_dk_l2('e.embedding', 'c.ce')} AS cdist
+           FROM embeddings e CROSS JOIN cents c),
+assigned AS (SELECT vec_id, cid AS centroid FROM (
+               SELECT *, row_number() OVER (PARTITION BY vec_id
+                          ORDER BY cdist ASC, cid ASC) AS rn
+               FROM scored) WHERE rn = 1),
+counts AS (SELECT centroid, count(*) AS n_vectors FROM assigned GROUP BY 1),
+tot AS (SELECT sum(n_vectors) AS n, count(*) AS k FROM counts)
+SELECT CAST(c.centroid AS INT) AS centroid,
+       c.n_vectors,
+       c.n_vectors::DOUBLE / t.n::DOUBLE AS frac,
+       (c.n_vectors * t.k)::DOUBLE / t.n::DOUBLE AS imbalance
+FROM counts c CROSS JOIN tot t
+"""

@@ -2625,3 +2625,100 @@ SELECT doc_id, host,
          <= {quota} AS is_kept
 FROM h
 """
+
+
+# ---------------------------------------------------------------------------
+# r20 registration candidates — STAGED r16 (two rounds ahead; r20 is the
+# final planned window, so its candidates must be staged by r19 — final
+# pairings belong to the r18/r19 write-ahead plans in queries.py).
+# Provisional sibling arguments: line_dedup ↔ the dedup family's chunk
+# sibling (passage-level machinery stays via passage_chunking;
+# exact_substring_dedup registers r17 as the token-span sibling);
+# winnow_overlap_pairs ↔ winnowing_fingerprint (the pair report is the
+# fingerprint table's MOSS consumption — same selection core, one more
+# keyed join); ivf_balance_stats ↔ an IVF-family sibling (the layout
+# diagnostics read the same materialized index ivf_topk probes).
+# Staging discipline: Python reference + 3-SF oracle parity + plan pin
+# in tests/test_staged_ops.py, generated-corpus fuzz rows in
+# tests/test_fuzz_oracle.py::test_fuzz_staged_r20_text_ops.
+# ---------------------------------------------------------------------------
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED (r16) — NOT registered. CCNet paragraph/line-level exact
+    dedup (operators/textops.py::ccnet_line_dedup; Wenzek et al. 2020
+    §3.2): corpus-wide line-hash first-occurrence keep rule; per doc,
+    line counts, duplicated-line fraction, reconstructed kept text."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.ccnet_line_dedup(spread(docs))
+
+
+def _oracle_line_dedup() -> str:
+    h = _dk_hex2long("md5(line)")
+    return f"""
+WITH t AS (SELECT doc_id, {_DK_LINES} AS lines FROM documents),
+l AS (SELECT doc_id, i - 1 AS pos, lines[i] AS line
+      FROM t, unnest(range(1, len(lines) + 1)) AS u(i)),
+h AS (SELECT doc_id, pos, line, {h} AS hsh FROM l),
+r AS (SELECT *, row_number() OVER (PARTITION BY hsh
+                                   ORDER BY doc_id ASC, pos ASC) AS rn
+      FROM h),
+agg AS (SELECT doc_id,
+          count(*) AS n_lines,
+          sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS n_dup,
+          array_to_string(
+            list_transform(
+              list_sort(list({{'pos': pos, 'line': line}})
+                          FILTER (WHERE rn = 1)),
+              s -> struct_extract(s, 'line')),
+            chr(10)) AS kept_text
+        FROM r GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(a.n_lines, 0) AS INT) AS n_lines,
+       CAST(coalesce(a.n_dup, 0) AS INT) AS n_dup_lines,
+       coalesce(a.n_dup, 0)::DOUBLE
+         / greatest(coalesce(a.n_lines, 0), 1)::DOUBLE AS dup_line_frac,
+       coalesce(a.kept_text, '') AS kept_text
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+WOP_MIN_SHARED, WOP_MAX_DF = 2, 10
+
+
+def q_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED (r16) — NOT registered. MOSS pairwise overlap report
+    (operators/textops.py::winnow_overlap_pairs; Schleimer et al. 2003
+    §5) over the registered winnowing selection (k=3, w=4): pairs
+    sharing ≥ 2 distinct fingerprints after the df ≤ 10 boilerplate
+    cap, with shared counts and fingerprint-set Jaccard."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.winnow_overlap_pairs(
+        spread(docs), k=WN_K, w=WN_W,
+        min_shared=WOP_MIN_SHARED, max_df=WOP_MAX_DF,
+    )
+
+
+def _oracle_winnow_overlap_pairs(
+    min_shared: int = WOP_MIN_SHARED, max_df: int = WOP_MAX_DF
+) -> str:
+    return f"""
+WITH fps AS ({_oracle_winnowing_fingerprint(WN_K, WN_W)}),
+f0 AS (SELECT DISTINCT doc_id, fp_hash FROM fps),
+f AS (SELECT doc_id, fp_hash FROM (
+        SELECT doc_id, fp_hash,
+               count(*) OVER (PARTITION BY fp_hash) AS df
+        FROM f0) WHERE df <= {max_df}),
+sizes AS (SELECT doc_id, count(*) AS n FROM f GROUP BY 1),
+p AS (SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+             count(*) AS n_shared
+      FROM f a JOIN f b USING (fp_hash)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING count(*) >= {min_shared})
+SELECT p.left_id, p.right_id, CAST(p.n_shared AS INT) AS n_shared,
+       p.n_shared::DOUBLE
+         / (sa.n + sb.n - p.n_shared)::DOUBLE AS fp_jaccard
+FROM p JOIN sizes sa ON sa.doc_id = p.left_id
+       JOIN sizes sb ON sb.doc_id = p.right_id
+"""
