@@ -205,6 +205,31 @@ def _gen_documents(rng: np.random.Generator, n_docs: int) -> pa.Table:
         ln = int(rng.integers(0, 40))
         if ln == 0:
             text = str(rng.choice(["", " ", "\t", "  \n "]))
+        elif rng.integers(0, 3) == 0:
+            # multi-line doc (r16 widening for the line-based ops:
+            # gopher_length_screen bullet/ellipsis caps, the fineweb
+            # chain's terminal-punct rule, CCNet line_dedup): bullet
+            # prefixes, ellipsis/period endings, occasional \r\n line
+            # endings — the [ \t\r] trim class must strip the \r on
+            # both engines
+            words = [str(w) for w in rng.choice(_WORDS, size=ln)]
+            lines, j = [], 0
+            while j < ln:
+                take = int(rng.integers(1, 7))
+                line = " ".join(words[j : j + take])
+                style = int(rng.integers(0, 6))
+                if style == 0:
+                    line = "- " + line
+                elif style == 1:
+                    line = "* " + line
+                elif style == 2:
+                    line = line + "..."
+                elif style == 3:
+                    line = line + "."
+                lines.append(line)
+                j += take
+            sep = "\r\n" if rng.integers(0, 4) == 0 else "\n"
+            text = sep.join(lines)
         else:
             text = " ".join(str(w) for w in rng.choice(_WORDS, size=ln))
             if rng.integers(0, 4) == 0:
@@ -1398,12 +1423,14 @@ def test_fuzz_staged_r18_text_ops(spark, tmp_path_factory, seed, n_docs):
 def test_fuzz_staged_r19_text_ops(spark, tmp_path_factory, seed, n_docs):
     """The r19-staged candidates on generated corpora: token-less and
     single-token docs (all ratios hit their greatest(.,1) guards;
-    first_failed attribution still deterministic), docs with no
-    newline (one line), random texts with no stopwords (lang rule
-    fails first), and duplicate/case-variant docs (identical rule
-    vectors on both engines). domain_quota_sample synthesizes its
-    URL from doc_id/source, so every generated corpus exercises the
-    normalization branches and the per-host rank ties."""
+    first_failed attribution still deterministic), single-line AND
+    multi-line docs (the r16 generator widening: bullet prefixes,
+    ellipsis/period endings, \\r\\n line endings), random texts with
+    no stopwords (lang rule fails first), and duplicate/case-variant
+    docs (identical rule vectors on both engines).
+    domain_quota_sample synthesizes its URL from doc_id/source, so
+    every generated corpus exercises the normalization branches and
+    the per-host rank ties."""
     from the_build_project_image_retrieval_with_vector_databases_spark.queries_text import (
         _oracle_domain_quota_sample,
         _oracle_fineweb_filter_chain,
@@ -1437,10 +1464,12 @@ def test_fuzz_staged_r19_text_ops(spark, tmp_path_factory, seed, n_docs):
 )
 def test_fuzz_staged_r20_text_ops(spark, tmp_path_factory, seed, n_docs):
     """The two document-table r20-staged candidates on generated
-    corpora: newline-free docs (one line), duplicate docs (every line
-    a cross-doc dup; winnow pairs at fp_jaccard 1.0 unless df-capped),
-    token-less docs (zero-line rows; no fingerprints), and 1-2-token
-    docs below the gram size (no winnow selections)."""
+    corpora: single-line and multi-line docs (bullets, ellipsis/period
+    endings, \\r\\n endings per the r16 generator widening), duplicate
+    docs (every line a cross-doc dup; winnow pairs at fp_jaccard 1.0
+    unless df-capped), token-less docs (zero-line rows; no
+    fingerprints), and 1-2-token docs below the gram size (no winnow
+    selections)."""
     from the_build_project_image_retrieval_with_vector_databases_spark.queries_text import (
         _oracle_line_dedup,
         _oracle_winnow_overlap_pairs,
