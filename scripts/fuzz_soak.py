@@ -72,6 +72,7 @@ def _staged_pairs():
         ORACLE_DSIR_IMPORTANCE,
         ORACLE_PERPLEXITY_BUCKETS,
         _oracle_bpe_train_encode,
+        _oracle_dedup_cluster_stats,
         _oracle_domain_quota_sample,
         _oracle_exact_substring_dedup,
         _oracle_fineweb_filter_chain,
@@ -86,6 +87,7 @@ def _staged_pairs():
         _oracle_unimax_mix,
         _oracle_winnow_overlap_pairs,
         q_bpe_train_encode,
+        q_dedup_cluster_stats,
         q_domain_quota_sample,
         q_dsir_importance,
         q_exact_substring_dedup,
@@ -142,10 +144,13 @@ def _staged_pairs():
              _oracle_fineweb_filter_chain()),
             ("domain_quota_sample", q_domain_quota_sample,
              _oracle_domain_quota_sample()),
-            # r16-staged r20 candidates (document-table pair):
+            # r16-staged r20 candidates (document-table pair) + the
+            # r20 ALTERNATE (duplication report):
             ("line_dedup", q_line_dedup, _oracle_line_dedup()),
             ("winnow_overlap_pairs", q_winnow_overlap_pairs,
              _oracle_winnow_overlap_pairs()),
+            ("dedup_cluster_stats", q_dedup_cluster_stats,
+             _oracle_dedup_cluster_stats()),
         ],
         "emb": [
             ("semantic_decontaminate", q_semantic_decontaminate,

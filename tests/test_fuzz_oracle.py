@@ -1482,10 +1482,19 @@ def test_fuzz_staged_r20_text_ops(spark, tmp_path_factory, seed, n_docs):
     pq.write_table(
         _gen_documents(rng, n_docs), os.path.join(tmpdir, "documents.parquet")
     )
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_text import (
+        _oracle_dedup_cluster_stats,
+        q_dedup_cluster_stats,
+    )
+
     for name, q, o in [
         ("line_dedup", q_line_dedup, _oracle_line_dedup()),
         ("winnow_overlap_pairs", q_winnow_overlap_pairs,
          _oracle_winnow_overlap_pairs()),
+        # r20 ALTERNATE candidate — the duplication report must agree
+        # on every generated pair topology (chains, cliques, none):
+        ("dedup_cluster_stats", q_dedup_cluster_stats,
+         _oracle_dedup_cluster_stats()),
     ]:
         ok, msg = compare(q(spark, tmpdir), o, tmpdir, name)
         assert ok, f"fuzz corpus diverged: {msg}"

@@ -4135,3 +4135,77 @@ def test_staged_r20_plan_shapes(spark):
     assert "BroadcastNestedLoopJoin" not in plans["line"]
     assert "BroadcastNestedLoopJoin" not in plans["wop"]
     assert "ReadSchema: struct<vec_id" not in plans["ivf"]  # pruned scan
+
+
+def test_dedup_cluster_stats_matches_python_reference(spark):
+    """The cluster-size histogram equals a union-find over the same
+    MinHash-LSH pairs: per size, cluster counts / doc coverage /
+    removable counts / corpus fractions, with singletons derived as
+    corpus_total − docs_in_clusters."""
+    from collections import Counter
+
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators import (
+        dedup as D,
+    )
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_text import (
+        q_dedup_cluster_stats,
+    )
+
+    got = {
+        r.cluster_size: (
+            r.n_clusters, r.n_docs, r.n_removable, r.removable_frac,
+        )
+        for r in q_dedup_cluster_stats(spark, SF_SMOKE).collect()
+    }
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    total = docs.count()
+    pairs = [
+        (r.left_id, r.right_id)
+        for r in D.minhash_lsh_pairs(
+            docs, threshold=0.5, pinned=D.pins_for(SF_SMOKE)
+        ).collect()
+    ]
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    sizes = Counter(Counter(find(x) for x in parent).values())
+    in_clusters = sum(s * c for s, c in sizes.items())
+    if total - in_clusters > 0:
+        sizes[1] = sizes.get(1, 0) + (total - in_clusters)
+    expect = {
+        s: (c, s * c, (s - 1) * c, (s - 1) * c / total)
+        for s, c in sizes.items()
+    }
+    assert got == expect
+    assert sum(n for _, n, _, _ in got.values()) == total  # partition
+    assert pairs, "fixture lost its near-dup pairs"
+
+
+def test_dedup_cluster_stats_plan_shape(spark):
+    """Plan contract: the histogram runs on the cluster table (already
+    collapsed from the corpus) and the two 1-row totals broadcast back
+    — BNLJ of 1-row sides only (the broadcast-scalar shape), no
+    cartesian, no row-Python; corpus text is never re-read by the
+    stats stage (exactly ONE documents scan in the whole plan, owned
+    by the pair generator)."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.queries_text import (
+        q_dedup_cluster_stats,
+    )
+
+    plan = (
+        q_dedup_cluster_stats(spark, SF_SMOKE)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("documents.parquet") <= 2  # pair scan + count agg

@@ -635,11 +635,12 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def _oracle_dedup_components() -> str:
+def _dedup_components_ctes() -> str:
+    """The recursive-CTE transitive-closure body shared by the
+    registered components oracle and the staged cluster-stats oracle
+    (one spelling — the BPE_PATTERN lesson applied to SQL)."""
     pairs_sql = _oracle_jaccard(0.5, lsh=True)
-    return f"""
-WITH RECURSIVE
-edges AS (SELECT left_id, right_id FROM ({pairs_sql})),
+    return f"""edges AS (SELECT left_id, right_id FROM ({pairs_sql})),
 und AS (
   SELECT left_id AS a, right_id AS b FROM edges
   UNION
@@ -653,7 +654,13 @@ reach(a, b) AS (
 comp AS (
   SELECT a AS node, least(a, min(b)) AS component
   FROM reach GROUP BY a
-)
+)"""
+
+
+def _oracle_dedup_components() -> str:
+    return f"""
+WITH RECURSIVE
+{_dedup_components_ctes()}
 SELECT component, count(*) AS n_docs,
        CAST(sum(node) AS BIGINT) AS id_checksum
 FROM comp GROUP BY component
@@ -2721,4 +2728,46 @@ SELECT p.left_id, p.right_id, CAST(p.n_shared AS INT) AS n_shared,
          / (sa.n + sb.n - p.n_shared)::DOUBLE AS fp_jaccard
 FROM p JOIN sizes sa ON sa.doc_id = p.left_id
        JOIN sizes sb ON sb.doc_id = p.right_id
+"""
+
+
+def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED (r16) — NOT registered (r20 ALTERNATE candidate, backlog
+    depth for the final-pairing call). Corpus duplication report
+    (operators/graph.py::dedup_cluster_stats): cluster-size histogram
+    of the MinHash-LSH dedup run with removable-doc counts and corpus
+    fractions — the removal-rate table CCNet/RefinedWeb publish."""
+    from .operators.graph import dedup_cluster_stats, dedup_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    handles: list = []
+    pairs = D.minhash_lsh_pairs(
+        docs, threshold=0.5, cache_handles=handles, pinned=D.pins_for(sf_dir)
+    )
+    comps = dedup_components(pairs)
+    for h in handles:
+        h.unpersist()
+    return dedup_cluster_stats(comps, spread(docs))
+
+
+def _oracle_dedup_cluster_stats() -> str:
+    return f"""
+WITH RECURSIVE
+{_dedup_components_ctes()},
+cl AS (SELECT component, count(*) AS sz FROM comp GROUP BY component),
+hist AS (
+  SELECT sz AS cluster_size, count(*) AS n_clusters FROM cl GROUP BY sz
+  UNION ALL
+  SELECT CAST(1 AS BIGINT),
+         (SELECT count(*) FROM documents)
+           - coalesce((SELECT sum(sz) FROM cl), 0)
+),
+t AS (SELECT count(*) AS total FROM documents)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(n_clusters AS BIGINT) AS n_clusters,
+       CAST(cluster_size * n_clusters AS BIGINT) AS n_docs,
+       CAST((cluster_size - 1) * n_clusters AS BIGINT) AS n_removable,
+       ((cluster_size - 1) * n_clusters)::DOUBLE / t.total::DOUBLE
+         AS removable_frac
+FROM hist, t WHERE n_clusters > 0
 """
