@@ -4196,8 +4196,12 @@ def test_dedup_cluster_stats_plan_shape(spark):
     collapsed from the corpus) and the two 1-row totals broadcast back
     — BNLJ of 1-row sides only (the broadcast-scalar shape), no
     cartesian, no row-Python; corpus text is never re-read by the
-    stats stage (exactly ONE documents scan in the whole plan, owned
-    by the pair generator)."""
+    stats stage. The operator legitimately scans documents exactly
+    TWICE — once in the pair generator and once for the corpus-total
+    count the singleton backfill needs — so the pin is == 2: an
+    accidental extra scan in the stats stage fails it (r16 ADVICE #3:
+    the old <= 2 pin with a one-scan docstring would have passed
+    one)."""
     from the_build_project_image_retrieval_with_vector_databases_spark.queries_text import (
         q_dedup_cluster_stats,
     )
@@ -4208,4 +4212,4 @@ def test_dedup_cluster_stats_plan_shape(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
-    assert plan.count("documents.parquet") <= 2  # pair scan + count agg
+    assert plan.count("documents.parquet") == 2  # pair scan + count agg
