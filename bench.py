@@ -132,7 +132,8 @@ def main() -> None:
         "pricing_summary",       # parquet scan + decimal agg
         "part_profit",           # multi-way broadcast/shuffle join
         "running_revenue",       # window frame machinery
-        "token_stats",           # text explode + string exprs
+        "gopher_quality",        # text explode + string exprs
+                                 # (token_stats retired r17)
         "knn_l2_topk",           # vector higher-order exprs + top-k
         "url_host_dedup",        # hash shuffle dedup (exact_dedup retired r16)
     ]

@@ -64,6 +64,12 @@ DOC_QUERIES = [
     "url_host_dedup",
     "contamination_eval_split",
     "repetition_quality",
+    # r17 registrations (dedicated staged panel kept below as well);
+    # their retirees token_stats/incremental_dedup/passage_dedup in
+    # this list stay via the _retired_surfaces fallback:
+    "source_overlap_matrix",
+    "ngram_novelty_score",
+    "exact_substring_dedup",
     # the whole near-dup family: 1-2-token docs have no 3-shingles,
     # duplicate/case-variant docs force real pairs through every blocker
     "minhash_lsh_dedup",
@@ -509,11 +515,12 @@ def _retired_surfaces() -> tuple[dict, dict]:
     """Registry entries retired by window rotation (r14: kmeans_step,
     tumbling_window, semantic_dedup_incremental; r15: top_terms,
     doc_fingerprint, mixture_sample; r16: exact_dedup, decontaminate,
-    quality_score) keep their fuzz rows: the q_/oracle surfaces stay
-    in the codebase, and the generated-corpus panels keep exercising
-    them against DuckDB even though the driver window no longer
-    carries them. semantic_dedup_incremental's oracle arrives
-    corpus-sized via ``_sized_oracles`` like before."""
+    quality_score; r17: token_stats, incremental_dedup, passage_dedup)
+    keep their fuzz rows: the q_/oracle surfaces stay in the codebase,
+    and the generated-corpus panels keep exercising them against
+    DuckDB even though the driver window no longer carries them.
+    semantic_dedup_incremental's oracle arrives corpus-sized via
+    ``_sized_oracles`` like before."""
     from the_build_project_image_retrieval_with_vector_databases_spark.queries_ann import (
         _oracle_kmeans_step,
         q_kmeans_step,
@@ -527,14 +534,20 @@ def _retired_surfaces() -> tuple[dict, dict]:
         ORACLE_EXACT_DEDUP,
         ORACLE_FINGERPRINT,
         ORACLE_MIXTURE_SAMPLE,
+        ORACLE_PASSAGE_DEDUP,
+        ORACLE_TOKEN_STATS,
         ORACLE_TOP_TERMS,
         _oracle_decontaminate,
+        _oracle_incremental_dedup,
         _oracle_quality,
         q_decontaminate,
         q_exact_dedup,
         q_fingerprint,
+        q_incremental_dedup,
         q_mixture_sample,
+        q_passage_dedup,
         q_quality_score,
+        q_token_stats,
         q_top_terms,
     )
 
@@ -548,6 +561,9 @@ def _retired_surfaces() -> tuple[dict, dict]:
         "exact_dedup": q_exact_dedup,
         "decontaminate": q_decontaminate,
         "quality_score": q_quality_score,
+        "token_stats": q_token_stats,
+        "incremental_dedup": q_incremental_dedup,
+        "passage_dedup": q_passage_dedup,
     }
     retired_o = {
         "kmeans_step": _oracle_kmeans_step(),
@@ -558,6 +574,9 @@ def _retired_surfaces() -> tuple[dict, dict]:
         "exact_dedup": ORACLE_EXACT_DEDUP,
         "decontaminate": _oracle_decontaminate(4, 0.2),
         "quality_score": _oracle_quality(),
+        "token_stats": ORACLE_TOKEN_STATS,
+        "incremental_dedup": _oracle_incremental_dedup(0.5),
+        "passage_dedup": ORACLE_PASSAGE_DEDUP,
     }
     return retired_q, retired_o
 

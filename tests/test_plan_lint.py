@@ -27,7 +27,8 @@ _SUBSET = [
     "running_revenue",
     "label_category_join",
     "suffix_join_equi",
-    "token_stats",
+    "ngram_novelty_score",  # explode + first-occurrence hash aggs
+                            # (token_stats retired r17)
     "minhash_lsh_dedup",
     "ivf_topk",
     "search_batch",

@@ -3005,9 +3005,10 @@ def test_staged_r16_plan_shapes(spark):
 
 
 # ---------------------------------------------------------------------------
-# source_overlap_matrix / ngram_novelty_score — STAGED r14, r17
-# registration candidates (provisional pairings noted in queries_text.py;
-# final pairings belong to the r15/r16 write-ahead plans).
+# source_overlap_matrix / ngram_novelty_score — staged r14, REGISTERED
+# r17 per the write-ahead plan (source_overlap_matrix ↔ token_stats
+# retired, ngram_novelty_score ↔ incremental_dedup retired). These
+# staging tests stay as the operator-level reference checks.
 # ---------------------------------------------------------------------------
 
 

@@ -605,86 +605,72 @@ ORACLES: dict[str, str] = {
 # a sibling still inside the window covers.
 # ---------------------------------------------------------------------------
 
-# Round-16 rotation (VERDICT r15 #1, executed exactly per the r15
+# Round-17 rotation (VERDICT r16 #1, executed exactly per the r15→r16
 # write-ahead plan; the exact composition was dry-run 50/50 green in
-# r15, CHANGES_r15 §10). Capacity math: the r16 window re-checks the
-# r14-checked half — 50 entries last green in CORRECTNESS_r14 — minus
-# the three retirees (each from THAT half, so each frees a real r16
-# window slot AND a registry slot), plus the three r14-staged
+# r15, commit 18792c0). Capacity math: the r17 window re-checks the
+# r15-checked half — 50 entries last green in CORRECTNESS_r15 — minus
+# the three retirees (each from THAT half, so each frees a real r17
+# window slot AND a registry slot), plus the three r14/r15-staged
 # registrations (never driver-checked): 47 + 3 = exactly 50. The
-# other half — all 50 checked green in r15 — rotates out. Registry
+# other half — all 50 checked green in r16 — rotates out. Registry
 # stays at 100, the 2×window hard cap. Executed pairings:
-#   url_host_dedup           ↔ exact_dedup retired (URL-normalized key
-#       dedup is the key-normalized superset of the md5-keyed exact
-#       dedup; the md5 key machinery stays registered via
-#       streaming_dedup_batch and unit-covered; retired surface kept
-#       in the fuzz panel)
-#   contamination_eval_split ↔ decontaminate retired (GPT-3 Appendix
-#       C's dirty/clean EVAL split — the reverse direction of the
-#       corpus-side overlap scorer; bloom_decontaminate registered r15
-#       covers the corpus-probe path and the exact-join corpus path
-#       keeps its unit + fuzz rows)
-#   repetition_quality       ↔ quality_score retired (Gopher Table-A1
-#       char-fraction repetition rules extend the ratio family;
-#       gopher_quality stays registered as the token-count sibling;
-#       quality_score keeps its unit + fuzz-panel retired-surface row)
+#   source_overlap_matrix ↔ token_stats retired (the same
+#       WindowGroupLimit KMV machinery; token_stats' length/count
+#       surface is covered by gopher_quality's token-count columns —
+#       both in this half; retired surface kept in the fuzz panel)
+#   ngram_novelty_score   ↔ incremental_dedup retired
+#       (first-occurrence keep-rule family: novelty scores ARE the
+#       gram-level first-occurrence rule; the batch/corpus split
+#       machinery stays registered via streaming_dedup_batch,
+#       r16-checked half)
+#   exact_substring_dedup ↔ passage_dedup retired (Lee et al. 2022
+#       ExactSubstr span coverage; the non-overlapping 20-token chunk
+#       dedup is the stride-L coarsening of the sliding L-window span
+#       map, and the chunking machinery itself stays registered via
+#       passage_chunking, this half)
 #
-# ROUND-17 WINDOW PLAN (write-ahead, per the r7→r8 handoff
-# discipline): r17's window must hold the 50 entries in _ROTATE_OUT
-# below (last checked r15) — ZERO free slots. Any r17 registration or
-# implementation change to an r16-checked entry requires retiring
-# from THAT half (the r15-checked 50), one-for-one, BEFORE adding.
-# Staged registration candidates (staged r14/r15 under the full
+# ROUND-18 WINDOW PLAN (write-ahead, per the r7→r8 handoff
+# discipline): r18's window must hold the 50 entries in _ROTATE_OUT
+# below (last checked r16) — ZERO free slots. Any r18 registration or
+# implementation change to an r17-checked entry requires retiring
+# from THAT half (the r16-checked 50), one-for-one, BEFORE adding.
+# Staged registration candidates (staged r15 under the full
 # discipline — 3-SF oracle parity + Python reference + plan pin in
 # tests/test_staged_ops.py, generated-corpus fuzz in
 # tests/test_fuzz_oracle.py); each pairs one-for-one with a retiree
-# FROM THE LIST BELOW (the r15-checked half — the half that rotates
-# into the r17 window, so each retirement frees a real r17 window
-# slot). This exact 47+3 composition was pre-verified 50/50 green at
-# sf0.01 in r15 (commit 18792c0):
-#   source_overlap_matrix ↔ token_stats (the same WindowGroupLimit
-#       KMV machinery; token_stats' length/count surface is covered by
-#       gopher_quality's token-count columns, both in this half)
-#   ngram_novelty_score   ↔ incremental_dedup (first-occurrence
-#       keep-rule family: novelty scores ARE the gram-level
-#       first-occurrence rule; the batch/corpus split machinery stays
-#       registered via streaming_dedup_batch, r14-checked half)
-#   exact_substring_dedup ↔ passage_dedup (staged r15 — Lee et al.
-#       2022 ExactSubstr span coverage; the non-overlapping 20-token
-#       chunk dedup is the stride-L coarsening of the sliding L-window
-#       span map, and the chunking machinery itself stays registered
-#       via passage_chunking, this half)
-# Retiring k of these frees exactly k r17 window slots and k registry
-# slots. Do NOT retire from the _CHECK_FIRST list directly below
-# instead: those rows rotate out of r17 WITHOUT a check, so retiring
-# one frees registry capacity but ZERO r17 window slots — the
-# capacity-math failure of the r6→r7 handoff.
-#
-# ROUND-18 WINDOW PLAN (provisional write-ahead): r18's window
-# re-checks the r16-checked half (the _CHECK_FIRST list below).
-# Staged candidates (staged r15 under the full discipline, see
-# tests/test_staged_ops.py); each pairs with a retiree from the
-# r16-checked half (this _CHECK_FIRST list — the half that rotates
-# into the r18 window):
+# FROM THE LIST BELOW (the r16-checked half — the half that rotates
+# into the r18 window, so each retirement frees a real r18 window
+# slot). Retiring from _CHECK_FIRST directly below instead frees
+# registry capacity but ZERO r18 window slots — the capacity-math
+# failure of the r6→r7 handoff. Final pairings (fixed at r17 close
+# per VERDICT r16 #3):
 #   language_confidence_filter ↔ language_id (the confidence gate is
 #       the margin-extended superset of the argmax LID; language_id
 #       keeps its unit + fuzz rows — in this half)
-#   token_entropy              ↔ repetition_quality or a ratio-family
-#       sibling from this half (distribution-wide where
-#       repetition_quality is top-gram; final call at r17 close)
+#   token_entropy              ↔ perplexity_buckets (FINAL CALL, r17
+#       close: both score a doc by its token probability distribution
+#       — entropy under the doc's own empirical unigram distribution
+#       vs perplexity under the corpus unigram LM; the closest family
+#       member in this half, and the bucketing/LM machinery keeps its
+#       unit + fuzz rows. repetition_quality — the other candidate —
+#       stays registered: it is one round old and carries the Gopher
+#       Table-A1 char-fraction surface nothing else covers)
 #   bpe_train_encode           ↔ bpe_token_counts (the full learn+
 #       apply loop tokenizes the corpus end-to-end — the superset of
 #       the regex-BPE-ish token counter, in this half; NOTE the
-#       sibling bpe_merge_step sits in the OTHER half after this
-#       flip, so it is NOT a valid r18 retiree — the r15 provisional
-#       pairing is corrected here per the capacity rule above)
+#       sibling bpe_merge_step sits in the OTHER half after the r17
+#       flip, so it is NOT a valid r18 retiree)
 #
-# ROUND-19 WINDOW PLAN (provisional write-ahead): r19's window
-# re-checks the r17-checked half (after the r17 flip: the current
-# _ROTATE_OUT minus its three r17 retirees, plus the three r17
-# registrations). Staged candidates (staged r16 under the full
-# discipline, see tests/test_staged_ops.py); each pairs with a
-# retiree from that half:
+# ROUND-19 WINDOW PLAN (write-ahead, FINAL pairings fixed at r17
+# close per VERDICT r16 #5): r19's window re-checks the r17-checked
+# half (the _CHECK_FIRST list below). FOUR registrations this round —
+# winnow_overlap_pairs moves up from the r20 candidate pool because
+# its only defensible retiree (winnowing_fingerprint, the selection
+# core it reports over) sits in THIS half and would be out of reach
+# by r20. Capacity math: 50 r17-checked − 4 retirees + 4 staged
+# registrations = 50, registry stays at 100. All staged r16 under the
+# full discipline (tests/test_staged_ops.py); all four retirees
+# confirmed present in _CHECK_FIRST below:
 #   gopher_length_screen ↔ gopher_quality (the Table-A1 length screens
 #       plus the r16-registered repetition_quality together supersede
 #       its repetition/length signals; the surface keeps unit + fuzz
@@ -697,21 +683,97 @@ ORACLES: dict[str, str] = {
 #   domain_quota_sample  ↔ stratified_sample (the same exact-k-per-
 #       stratum window machinery over a derived host stratum, plus
 #       group-size/kept attribution — SURVEY SA1 stays covered)
+#   winnow_overlap_pairs ↔ winnowing_fingerprint (the MOSS pair
+#       report RUNS the winnowing selection as its first stage — the
+#       strict superset; the fingerprint-selection surface keeps its
+#       unit + fuzz rows)
 #
-# ROUND-20 WINDOW PLAN (provisional write-ahead — r20 is the final
-# planned window; it re-checks the r18-checked half, so final
-# pairings belong to the r18/r19 plans once those flips fix the
-# halves). Staged candidates (staged r16, two rounds ahead, see
-# tests/test_staged_ops.py): line_dedup (CCNet paragraph-hash dedup —
-# provisional sibling: the chunk-dedup family), winnow_overlap_pairs
-# (the MOSS pair report over the registered winnowing selection —
-# provisional sibling: winnowing_fingerprint, same selection core),
-# ivf_balance_stats (IVF list-size diagnostics over the same
-# materialized layout ivf_topk probes — provisional sibling: an
-# IVF-family row).
+# ROUND-20 WINDOW PLAN (write-ahead, FINAL pairings fixed at r17
+# close per VERDICT r16 #5 — r20 is the final planned window): r20
+# re-checks the r18-checked half (after the r18 flip: the _ROTATE_OUT
+# list below minus its three r18 retirees, plus the three r18
+# registrations). winnow_overlap_pairs moved UP to r19 (its retiree
+# lives in the r17 half — see above), so r20 registers the remaining
+# three staged candidates; all three retirees sit in the r18-checked
+# half (none is an r18 retiree). Capacity math: 50 r18-checked − 3 +
+# 3 = 50, registry stays at 100:
+#   line_dedup        ↔ url_host_dedup (both are normalize → md5 key
+#       → exact dedup with keep-rule + dup-count attribution, line vs
+#       URL granularity; doc-level md5 machinery stays registered via
+#       streaming_dedup_batch and the URL-canonicalization surface
+#       keeps its unit + fuzz rows)
+#   ivf_balance_stats ↔ ivfpq_topk (diagnostics over the same
+#       materialized IVF layout; the retiree's IVF partition-prune
+#       machinery stays registered via ivf_topk and its PQ ADC path
+#       via pq_rerank_topk/quantized_recall_eval; the composed
+#       IVF+PQ surface keeps its unit + fuzz rows)
+#   dedup_cluster_stats ↔ lsh_near_dup (the embedding sign-plane
+#       hashing stays registered via bq_hamming_topk and the banded
+#       bucket-join machinery via minhash_lsh_dedup; the
+#       embedding-LSH near-dup surface keeps its unit + fuzz rows,
+#       and the cluster-histogram report rides the registered
+#       components/keep-best family)
 _CHECK_FIRST: list[str] = [
-    # the 47 surviving r14-checked entries (exact_dedup, decontaminate,
-    # quality_score retired), one round stale — re-verified this round:
+    # the 47 surviving r15-checked entries (token_stats,
+    # incremental_dedup, passage_dedup retired), one round stale —
+    # re-verified this round:
+    "clean_corpus",
+    "dedup_components",
+    "distinct_labels",
+    "embedding_stats",
+    "gap_fill",
+    "gopher_quality",
+    "grouped_ids",
+    "idle_customers",
+    "image_decode_jpeg",
+    "image_knn_pipeline",
+    "important_stock",
+    "interval_join",
+    "ivf_topk",
+    "json_extract_agg",
+    "knn_l2_topk",
+    "knn_two_phase",
+    "label_category_join",
+    "large_orders",
+    "manifest_scan",
+    "matryoshka_topk",
+    "minhash_lsh_dedup",
+    "ngram_jaccard_dedup",
+    "ntile_segments",
+    "path_normalize",
+    "pricing_summary",
+    "radius_pairs",
+    "revenue_growth",
+    "simhash_near_dup",
+    "sliding_window",
+    "stratified_sample",
+    "top_revenue_customers",
+    "vector_norms",
+    "waiting_suppliers",
+    "weighted_sample",
+    "zorder_keys",
+    "ann_recall_eval",
+    "mmr_rerank",
+    "dedup_keep_best",
+    "dedup_recall_eval",
+    "search_batch",
+    "hard_negatives",
+    "bq_hamming_topk",
+    "passage_chunking",
+    "temperature_mix",
+    "winnowing_fingerprint",
+    "bloom_decontaminate",
+    "bpe_merge_step",
+    # registered in round 17, never driver-checked → in-window:
+    "source_overlap_matrix",
+    "ngram_novelty_score",
+    "exact_substring_dedup",
+]
+
+# The 50 entries checked green in r16 rotate out this round. Across
+# r16+r17 every registry entry again has a green row ≤1 round old,
+# preserving the rotation invariant.
+_ROTATE_OUT: list[str] = [
     "train_metrics",
     "set_ops",
     "kmv_distinct_sketch",
@@ -759,66 +821,9 @@ _CHECK_FIRST: list[str] = [
     "unimax_mix",
     "length_bucket_batches",
     "leakage_safe_split",
-    # registered in round 16, never driver-checked → in-window:
     "url_host_dedup",
     "contamination_eval_split",
     "repetition_quality",
-]
-
-# The 50 entries checked green in r15 rotate out this round. Across
-# r15+r16 every registry entry again has a green row ≤1 round old,
-# preserving the rotation invariant.
-_ROTATE_OUT: list[str] = [
-    "clean_corpus",
-    "dedup_components",
-    "distinct_labels",
-    "embedding_stats",
-    "gap_fill",
-    "gopher_quality",
-    "grouped_ids",
-    "idle_customers",
-    "image_decode_jpeg",
-    "image_knn_pipeline",
-    "important_stock",
-    "incremental_dedup",
-    "interval_join",
-    "ivf_topk",
-    "json_extract_agg",
-    "knn_l2_topk",
-    "knn_two_phase",
-    "label_category_join",
-    "large_orders",
-    "manifest_scan",
-    "matryoshka_topk",
-    "minhash_lsh_dedup",
-    "ngram_jaccard_dedup",
-    "ntile_segments",
-    "passage_dedup",
-    "path_normalize",
-    "pricing_summary",
-    "radius_pairs",
-    "revenue_growth",
-    "simhash_near_dup",
-    "sliding_window",
-    "stratified_sample",
-    "token_stats",
-    "top_revenue_customers",
-    "vector_norms",
-    "waiting_suppliers",
-    "weighted_sample",
-    "zorder_keys",
-    "ann_recall_eval",
-    "mmr_rerank",
-    "dedup_keep_best",
-    "dedup_recall_eval",
-    "search_batch",
-    "hard_negatives",
-    "bq_hamming_topk",
-    "passage_chunking",
-    "temperature_mix",
-    "winnowing_fingerprint",
-    "bloom_decontaminate",
-    "bpe_merge_step",
 ]
 
 

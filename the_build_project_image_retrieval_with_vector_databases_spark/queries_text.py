@@ -1494,7 +1494,6 @@ FROM c
 
 
 TEXT_QUERIES = {
-    "token_stats": q_token_stats,
     "language_id": q_language_id,
     "gopher_quality": q_gopher_quality,
     "ngram_jaccard_dedup": q_ngram_jaccard,
@@ -1506,8 +1505,6 @@ TEXT_QUERIES = {
     "bpe_token_counts": q_bpe_token_counts,
     "top_docs_per_lang": q_top_docs_per_lang,
     "weighted_sample": q_weighted_sample,
-    "passage_dedup": q_passage_dedup,
-    "incremental_dedup": q_incremental_dedup,
     "seq_packing": q_seq_packing,
     "vocab_filter": q_vocab_filter,
     "pii_scrub": q_pii_scrub,
@@ -1521,7 +1518,6 @@ TEXT_QUERIES = {
 }
 
 TEXT_ORACLES = {
-    "token_stats": ORACLE_TOKEN_STATS,
     "language_id": _oracle_language_id(),
     "gopher_quality": _oracle_gopher_quality(),
     "ngram_jaccard_dedup": _oracle_jaccard_capped(0.8, 0.01, 10),
@@ -1533,8 +1529,6 @@ TEXT_ORACLES = {
     "bpe_token_counts": ORACLE_BPE_TOKEN_COUNTS,
     "top_docs_per_lang": _oracle_top_docs_per_lang(),
     "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
-    "passage_dedup": ORACLE_PASSAGE_DEDUP,
-    "incremental_dedup": _oracle_incremental_dedup(0.5),
     "seq_packing": ORACLE_SEQ_PACKING,
     "vocab_filter": ORACLE_VOCAB_FILTER,
     "pii_scrub": _oracle_pii_scrub(),
@@ -2094,22 +2088,23 @@ TEXT_ORACLES.update(
 
 
 # ---------------------------------------------------------------------------
-# r17 registration candidates — STAGED r14 (source_overlap_matrix,
-# ngram_novelty_score) + r15 (exact_substring_dedup, below). The r17
-# window re-checks the r15-checked half; write-ahead pairings in
-# queries.py above _CHECK_FIRST: source_overlap_matrix ↔ token_stats,
-# ngram_novelty_score ↔ incremental_dedup, exact_substring_dedup ↔
-# passage_dedup — all three retirees in the r15-checked half.
-# Staging discipline: Python reference + 3-SF oracle parity + plan pin in
-# tests/test_staged_ops.py, generated-corpus fuzz rows in
-# tests/test_fuzz_oracle.py::test_fuzz_staged_r17_text_ops.)
+# Registered r17 (staged r14: source_overlap_matrix,
+# ngram_novelty_score; r15: exact_substring_dedup). Executed exactly
+# per the r15→r16 write-ahead plan above ``_CHECK_FIRST`` (queries.py):
+# source_overlap_matrix ↔ token_stats retired, ngram_novelty_score ↔
+# incremental_dedup retired, exact_substring_dedup ↔ passage_dedup
+# retired — all three retirees from the r15-checked half (the half
+# that rotates into the r17 window), so each freed a real r17 window
+# slot. The exact 47+3 composition was dry-run 50/50 green in r15
+# (commit 18792c0). The retired q_/oracle surfaces stay (fuzz panels +
+# unit tests).
 # ---------------------------------------------------------------------------
 
 SOM_N, SOM_K = 3, 64
 
 
 def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STAGED (r14) — NOT registered. Pairwise cross-source n-gram
+    """Registered r17 (staged r14). Pairwise cross-source n-gram
     overlap via per-source KMV sketches
     (operators/sketch.py::source_overlap_matrix; Beyer et al. 2007
     KMV + the standard k-smallest-union Jaccard estimator): the
@@ -2159,7 +2154,7 @@ NOV_N, NOV_STALE = 3, 0.5
 
 
 def q_ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STAGED (r14) — NOT registered. First-occurrence n-gram novelty
+    """Registered r17 (staged r14). First-occurrence n-gram novelty
     (operators/textops.py::ngram_novelty_score): per doc, the fraction
     of its distinct 3-grams whose global min-doc_id first occurrence
     is this doc — the per-document form of Lee et al. 2022's
@@ -2195,12 +2190,12 @@ ESS_L, ESS_TAU = 8, 0.2
 
 
 def q_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STAGED (r15) — NOT registered. ExactSubstr duplication profile
+    """Registered r17 (staged r15). ExactSubstr duplication profile
     (operators/textops.py::exact_substring_spans; Lee et al. ACL 2022
     §4.1, token-level): per doc, tokens covered by the union of
     L-token spans duplicated anywhere in the corpus — the suffix-array
     dedup re-expressed as two hash aggregates + a sorted-position
-    window fold. Provisional r17 pairing: retire passage_dedup (the
+    window fold. r17 pairing executed: passage_dedup retired (the
     non-overlapping 20-token chunk dedup is the stride-L coarsening of
     this sliding L-window span map; the chunking machinery itself
     stays registered via passage_chunking)."""
@@ -2249,6 +2244,22 @@ SELECT d.doc_id, d.n_tokens,
                 / CAST(d.n_tokens AS DOUBLE), 0.0) > {tau} AS flagged
 FROM d LEFT JOIN cov USING (doc_id)
 """
+
+
+TEXT_QUERIES.update(
+    {
+        "source_overlap_matrix": q_source_overlap_matrix,
+        "ngram_novelty_score": q_ngram_novelty_score,
+        "exact_substring_dedup": q_exact_substring_dedup,
+    }
+)
+TEXT_ORACLES.update(
+    {
+        "source_overlap_matrix": _oracle_source_overlap_matrix(),
+        "ngram_novelty_score": _oracle_ngram_novelty_score(),
+        "exact_substring_dedup": _oracle_exact_substring_dedup(),
+    }
+)
 
 
 # ---------------------------------------------------------------------------
