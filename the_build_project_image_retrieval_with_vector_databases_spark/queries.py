@@ -713,6 +713,13 @@ ORACLES: dict[str, str] = {
 #       embedding-LSH near-dup surface keeps its unit + fuzz rows,
 #       and the cluster-histogram report rides the registered
 #       components/keep-best family)
+# Mechanical note for the r20 executor: retiring lsh_near_dup also
+# means (a) updating test_sized_oracles_match_registered_at_driver_
+# scale — it pins the set of STILL-REGISTERED corpus-sized oracles,
+# which drops to {semantic_dedup} — and (b) adding lsh_near_dup to
+# the _retired_surfaces fallback (its sized oracle already re-derives
+# per corpus via _sized_oracles, which stays for the fuzz panels,
+# the semantic_dedup_incremental precedent).
 _CHECK_FIRST: list[str] = [
     # the 47 surviving r15-checked entries (token_stats,
     # incremental_dedup, passage_dedup retired), one round stale —
