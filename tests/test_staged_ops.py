@@ -340,6 +340,94 @@ def test_kmeans_train_exact_matches_python_loop(spark):
     assert got_cents == expect  # bit-exact, every centroid every dim
 
 
+def test_lloyd_round_partials_fold_and_agg_paths_agree(spark):
+    """r17 optimization internals: the training round's Arrow partial
+    sums return the identical {cid: (n, sums)} through BOTH driver-pull
+    shapes — the small-layout driver fold and the wide-layout k-row
+    Spark aggregate — and both match kmeans_lloyd_step's posexplode
+    aggregate (the pre-r17 round) on the same centroids."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.ann import (
+        KMEANS_SCALE,
+        _lloyd_round_partials,
+        kmeans_lloyd_step,
+        quantize_vec,
+    )
+
+    k = 5
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    q = emb.select(
+        F.col("vec_id"), quantize_vec("embedding", KMEANS_SCALE).alias("qv")
+    ).repartition(3)
+    init = [list(r.qv) for r in q.orderBy("vec_id").limit(k).collect()]
+
+    fold = _lloyd_round_partials(q, init, n_parts=3)      # ≤ threshold
+    agg = _lloyd_round_partials(q, init, n_parts=10_000)  # > threshold
+    assert fold == agg
+
+    step = kmeans_lloyd_step(emb, k=k, centroids_q=init, pre_quantized=q)
+    ref: dict = {}
+    for r in step.collect():
+        n, s = ref.setdefault(r.cid, (r.n_members, [0] * len(init[0])))
+        assert n == r.n_members
+        # lloyd_step emits means; recover the integer sum it divided:
+        # mean = (s/n)/scale with exact operands, so s = the engine's
+        # sum iff round-tripping through the SAME double ops agrees —
+        # compare on the means instead to avoid re-deriving s
+        s[r.dim] = r.mean
+    got_means = {
+        cid: [
+            (float(s[d]) / float(n)) / float(KMEANS_SCALE)
+            for d in range(len(s))
+        ]
+        for cid, (n, s) in fold.items()
+    }
+    assert set(got_means) == set(ref)
+    for cid, means in got_means.items():
+        assert means == ref[cid][1], cid
+        assert fold[cid][0] == ref[cid][0]
+
+
+def test_assign_cids_arrow_matches_literal_argmin(spark):
+    """r17 optimization internals: the lean Arrow (id, cid) assignment
+    used by kmeans_train_assign's final pass equals the k·D
+    expression-literal argmin row-for-row (same exact integer
+    distances, same first-min tie-break)."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.ann import (
+        KMEANS_SCALE,
+        assign_cids_arrow_int,
+        quantize_vec,
+    )
+
+    k = 6
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    q = emb.select(
+        F.col("vec_id"), quantize_vec("embedding", KMEANS_SCALE).alias("qv")
+    )
+    cq = [list(r.qv) for r in q.orderBy("vec_id").limit(k).collect()]
+    got = {
+        r.vec_id: r.cid for r in assign_cids_arrow_int(q, cq).collect()
+    }
+    cents_lit = F.array(*[F.array(*[F.lit(int(v)) for v in c]) for c in cq])
+    dists = F.transform(
+        cents_lit,
+        lambda c: F.aggregate(
+            F.zip_with(F.col("qv"), c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    ref = {
+        r.vec_id: r.cid
+        for r in q.select(
+            "vec_id",
+            (F.array_position(dists, F.array_min(dists)) - 1)
+            .cast("int")
+            .alias("cid"),
+        ).collect()
+    }
+    assert got == ref and len({c for c in got.values()}) >= 2
+
+
 def test_kmeans_train_centroids_drive_ivf_assignment(spark):
     """Trained centroids slot straight into the IVF path: every vector
     gets a valid centroid id and no cluster is empty after training on

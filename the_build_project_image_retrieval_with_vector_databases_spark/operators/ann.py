@@ -159,6 +159,45 @@ def quantize_vec(col, scale: int = KMEANS_SCALE):
     )
 
 
+def assign_cids_arrow_int(
+    q: DataFrame, cents_q: list[list[int]], id_col: str = "vec_id"
+) -> DataFrame:
+    """(id, cid) exact integer argmin assignment — the lean Arrow twin
+    of the k·D expression-literal argmin (``_semantic_assign`` /
+    :func:`kmeans_lloyd_step`): distances are exact int64
+    (|q−c|² = |q|² − 2·q·c + |c|²; the per-row |q|² constant shifts
+    every centroid's distance equally, so np.argmin's first-min
+    tie-break equals ``array_position(dists, array_min(dists))``).
+    Map-only, centroids ride the closure (k·D·8 bytes per task), and
+    ONLY the id and cid cross back over the Arrow boundary — not the
+    quantized vector (guide §4.1: pass only the columns the function
+    needs, both directions)."""
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    cents = np.asarray(cents_q, dtype=np.int64)
+    c2 = (cents * cents).sum(axis=1)
+    id_field = next(f for f in q.schema.fields if f.name == id_col)
+    out_schema = StructType(
+        [id_field, StructField("cid", IntegerType(), False)]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame(
+                    {id_col: pdf[id_col], "cid": pd.Series([], dtype="int32")}
+                )
+                continue
+            x = np.asarray(pdf["qv"].tolist(), dtype=np.int64)
+            d = c2[None, :] - 2 * (x @ cents.T)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "cid": d.argmin(axis=1).astype("int32")}
+            )
+
+    return q.select(id_col, "qv").mapInPandas(score, out_schema)
+
+
 def kmeans_lloyd_step(
     df: DataFrame,
     k: int = 8,
@@ -235,6 +274,107 @@ def kmeans_lloyd_step(
     )
 
 
+def _lloyd_round_partials(
+    q: DataFrame, cents_q: list[list[int]], n_parts: int | None = None
+) -> dict[int, tuple[int, list[int]]]:
+    """One Lloyd round's per-cluster (member count, per-dim int64 sums)
+    — the training loop's hot path, VALUE-IDENTICAL to
+    :func:`kmeans_lloyd_step`'s assignment + posexplode aggregate but
+    shaped for a driver-looped round (optimization guide §1.2/§4.2):
+
+    - assignment: exact integer argmin via one numpy int64 matmul per
+      Arrow batch (|q−c|² = |q|² − 2·q·c + |c|²; the per-row |q|²
+      constant cannot change the argmin OR its ties, so np.argmin's
+      first-min tie-break equals ``array_position(dists,
+      array_min(dists))`` over the full distances — the
+      ``_assign_arrow_int`` identity, parity-pinned in
+      tests/test_staged_ops.py);
+    - sums: per-task np.add.at partials (map-side aggregation — the
+      shuffle carries ≤ k rows per task, same as the posexplode form's
+      partial aggregate, WITHOUT generating the n×D exploded rows);
+    - the changing centroids live in the Python closure, NOT as plan
+      literals, so the JVM plan is round-invariant and per-round
+      whole-stage-codegen recompilation disappears (the literal form
+      re-codegens 2 stages every round — measured 0.35-0.5 s/round of
+      pure compile at sf0.1).
+
+    Returns {cid: (n_members, [Σ qv[d] per dim])} — int64-exact sums,
+    the same accumulator type and the same values as the SQL form.
+
+    Driver-pull discipline: each task emits ≤ k partial rows. Below
+    ``FOLD_MAX_PARTITIONS`` tasks the partials are collected and folded
+    on the driver (integer addition — associative, order-free; bounded
+    by partitions·k·(D+2) longs ≈ single-digit MB, the same driver
+    state class as MLlib's per-round aggregate). Above it, a k-row
+    hash aggregate runs in Spark first (map-side partial, shuffle of
+    ≤ k rows per task) and only k rows reach the driver — so the pull
+    is bounded at ANY cluster width, parameterised, not tuned to
+    local[32]."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    k = len(cents_q)
+    dim = len(cents_q[0])
+    cents = np.asarray(cents_q, dtype=np.int64)
+    c2 = (cents * cents).sum(axis=1)
+    out_schema = StructType(
+        [
+            StructField("cid", IntegerType(), False),
+            StructField("n", LongType(), False),
+        ]
+        + [StructField(f"s{d}", LongType(), False) for d in range(dim)]
+    )
+
+    def partials(batches):
+        S = np.zeros((k, dim), dtype=np.int64)
+        N = np.zeros(k, dtype=np.int64)
+        seen = False
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            seen = True
+            x = np.asarray(pdf["qv"].tolist(), dtype=np.int64)
+            cid = (c2[None, :] - 2 * (x @ cents.T)).argmin(axis=1)
+            np.add.at(S, cid, x)
+            N += np.bincount(cid, minlength=k)
+        if not seen:
+            return
+        nz = np.flatnonzero(N)
+        out = {"cid": nz.astype("int32"), "n": N[nz]}
+        for d in range(dim):
+            out[f"s{d}"] = S[nz, d]
+        yield pd.DataFrame(out)
+
+    part_df = q.select("qv").mapInPandas(partials, out_schema)
+    if n_parts is None:
+        n_parts = q.rdd.getNumPartitions()
+    if n_parts > FOLD_MAX_PARTITIONS:
+        part_df = part_df.groupBy("cid").agg(
+            F.sum("n").alias("n"),
+            *[F.sum(f"s{d}").alias(f"s{d}") for d in range(dim)],
+        )
+    sums: dict[int, tuple[int, list[int]]] = {}
+    for r in part_df.collect():
+        cid = int(r[0])
+        n0, s0 = sums.get(cid, (0, [0] * dim))
+        sums[cid] = (n0 + r[1], [a + b for a, b in zip(s0, r[2:])])
+    return sums
+
+
+# Partial-collect bound for the training loop: below this many tasks
+# the per-task (cid, n, sums) partials go straight to the driver
+# (≤ FOLD_MAX_PARTITIONS·k rows); above it a k-row Spark aggregate runs
+# first. 256 tasks × k=8 × (D+2)=66 longs ≈ 1 MB — far under any
+# driver budget, while skipping a whole shuffle stage per round on
+# small/medium layouts.
+FOLD_MAX_PARTITIONS = 256
+
+
 def kmeans_train_exact(
     df: DataFrame,
     k: int = 8,
@@ -261,23 +401,11 @@ def kmeans_train_exact(
     ``kmeans_lloyd_step``, the registry's ``kmeans_step``)."""
     import math
 
-    # explicit init (the k lowest-id quantized vectors — the same init
-    # kmeans_lloyd_step derives when centroids_q is omitted)
-    init_rows = (
-        df.select(quantize_vec(vec_col, scale).alias("qv"), F.col(id_col))
-        .orderBy(id_col)
-        .limit(k)
-        .collect()
-    )
-    if not init_rows:
-        raise ValueError("kmeans_train_exact on an empty table")
-    cents_q: list[list[int]] = [list(r.qv) for r in init_rows]
-    k_eff = len(cents_q)
     rounds = 0
     # quantize ONCE and persist for the whole loop — each round starts
     # from the cached (id, qv) blocks instead of re-running the
     # scan/cast pipeline — and size the layout to the DATA: the loop
-    # launches 2 stages per round, so tiny partitions are pure task-
+    # launches 1-2 stages per round, so tiny partitions are pure task-
     # launch overhead ×10 rounds (32-wide at sf0.1 = 62 rows/task,
     # measured 9.6 s; ~512 rows/task = 4 partitions, 4.5 s). At real
     # widths n/512 exceeds the cluster parallelism and the cap keeps
@@ -291,23 +419,43 @@ def kmeans_train_exact(
         .repartition(target)
         .persist()
     )
+    # the init collect (k lowest-id quantized vectors — the same init
+    # kmeans_lloyd_step derives when centroids_q is omitted) doubles as
+    # the cache-materializing action: one job warms the blocks AND
+    # returns the k·D init state (r17: was a separate scan job)
+    init_rows = q.orderBy(id_col).limit(k).collect()
+    if not init_rows:
+        q.unpersist()
+        raise ValueError("kmeans_train_exact on an empty table")
+    cents_q: list[list[int]] = [list(r.qv) for r in init_rows]
+    k_eff = len(cents_q)
+    dim = len(cents_q[0])
     try:
         for rounds in range(1, max_iter + 1):
-            step = kmeans_lloyd_step(
-                df, k=k_eff, vec_col=vec_col, id_col=id_col, scale=scale,
-                centroids_q=cents_q, pre_quantized=q,
-            ).collect()
-            by_cid: dict[int, dict[int, float]] = {}
-            for r in step:
-                by_cid.setdefault(r.cid, {})[r.dim] = r.mean
+            # fast round (r17 optimization): Arrow partial sums instead
+            # of the posexplode form — value-identical; see
+            # _lloyd_round_partials. The mean → re-quantize math below
+            # replays kmeans_lloyd_step's SQL double ops in the SAME
+            # IEEE order ((s→double / n→double) / scale, then
+            # floor(mean·scale + 0.5)): Python floats ARE IEEE doubles
+            # and int→float conversion rounds to nearest exactly like
+            # the JVM long→double cast, so the trained centroids are
+            # bit-identical to the pre-r17 loop (pinned by
+            # test_kmeans_train_exact_matches_python_loop).
+            sums = _lloyd_round_partials(q, cents_q, n_parts=target)
             new_q = []
             for cid in range(k_eff):
-                if cid in by_cid:
-                    means = by_cid[cid]
+                if cid in sums:
+                    n, s = sums[cid]
+                    nf = float(n)
                     new_q.append(
                         [
-                            math.floor(means[d] * float(scale) + 0.5)
-                            for d in range(len(means))
+                            math.floor(
+                                ((float(s[d]) / nf) / float(scale))
+                                * float(scale)
+                                + 0.5
+                            )
+                            for d in range(dim)
                         ]
                     )
                 else:

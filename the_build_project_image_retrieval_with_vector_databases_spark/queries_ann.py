@@ -1102,7 +1102,12 @@ def q_kmeans_train_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     full unroll agree by construction."""
     import math
 
-    from .operators.ann import KMEANS_SCALE, kmeans_train_exact, quantize_vec
+    from .operators.ann import (
+        KMEANS_SCALE,
+        assign_cids_arrow_int,
+        kmeans_train_exact,
+        quantize_vec,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     cents, _rounds = kmeans_train_exact(
@@ -1113,21 +1118,11 @@ def q_kmeans_train_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     # power-of-two scale, so v·scale is the integer again
     cq = [[int(math.floor(v * scale + 0.5)) for v in c] for c in cents]
     q = emb.select("vec_id", quantize_vec("embedding", scale).alias("qv"))
-    cents_lit = F.array(*[F.array(*[F.lit(int(v)) for v in c]) for c in cq])
-    dists = F.transform(
-        cents_lit,
-        lambda c: F.aggregate(
-            F.zip_with(F.col("qv"), c, lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        ),
-    )
-    assigned = q.select(
-        "vec_id",
-        (F.array_position(dists, F.array_min(dists)) - 1)
-        .cast("int")
-        .alias("cid"),
-    )
+    # r17 optimization: the final assignment runs through the exact
+    # Arrow int64-matmul argmin (assign_cids_arrow_int — value-identical
+    # to the k·D expression-literal form, which executes INTERPRETED at
+    # ~1 µs/element: n·k·D ≈ 1M element-ops at sf0.1, ~0.5 s/run)
+    assigned = assign_cids_arrow_int(q, cq, id_col="vec_id")
     norms = [sum(v * v for v in c) for c in cq]
     norm_lit = F.array(*[F.lit(int(n)) for n in norms])
     return (
