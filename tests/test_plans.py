@@ -388,12 +388,6 @@ def test_banded_candidate_joins_pin_shuffle_hash(spark):
             emb, emb, radius=0.9, metric="cosine",
             blocking="lsh", planes=LSH_PLANES, n_bands=2,
         ),
-        "semantic_dedup": D.semantic_dedup(
-            emb,
-            [[0] * 64, [1 << 10] * 64],
-            threshold_num=3,
-            threshold_den=10,
-        ),
         "semantic_dedup_incremental": D.semantic_dedup_incremental(
             emb.filter(F.col("vec_id") < 400),
             emb.filter(F.col("vec_id") >= 400),
@@ -409,6 +403,18 @@ def test_banded_candidate_joins_pin_shuffle_hash(spark):
         # shingle-set table OOMing inside dedup_components): no join in
         # these operators may plan as a broadcast build of any kind
         assert "BroadcastHashJoin" not in plan, f"{name}: corpus-side broadcast"
+
+    # r17: semantic_dedup's pair stage is a per-cluster Arrow group map
+    # over ONE cid-keyed shuffle — no join of any kind remains, so
+    # there is no broadcast-mis-estimate hazard left to pin. Pin the
+    # stronger invariant instead: zero joins, one group-map operator.
+    sem = D.semantic_dedup(
+        emb, [[0] * 64, [1 << 10] * 64], threshold_num=3, threshold_den=10
+    )
+    plan = _physical(sem)
+    assert "FlatMapGroupsInPandas" in plan, "semantic_dedup: group map missing"
+    for node in ("Join", "CartesianProduct", "BatchEvalPython"):
+        assert node not in plan, f"semantic_dedup: unexpected {node}"
 
 
 def test_size_aware_pins_gate_on_measured_rows(spark):

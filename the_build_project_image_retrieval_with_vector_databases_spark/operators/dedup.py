@@ -895,18 +895,20 @@ def semantic_dedup(
     and HUGEINT in DuckDB. No sqrt, no division, no ulp hazard at the
     threshold boundary.
 
-    Scale shape: assignment is map-only (centroids broadcast as a k·D
-    literal); the candidate self-join is one shuffle keyed on cid with
-    per-cluster O(m²) verify work — k is the occupancy knob
-    (:func:`~.ann.k_for_corpus`) and scales with the corpus exactly
-    like :func:`~.ann.planes_for_corpus` sizes LSH buckets (SemDeDup
-    itself uses k ≈ N/occupancy). When the sized k outgrows the
-    expression-literal bound (k beyond the hundreds), assign with
-    :func:`~.ann.assign_centroids_arrow` (Arrow-batched BLAS argmin,
-    still map-only) and run the pair stage on that ``centroid`` column.
-    shuffle_hash pin on the self-join and merge pin on the
-    corpus-scaled drop-set back-join: the minhash_lsh_pairs
-    broadcast-estimate hazard.
+    Scale shape (r17): assignment is map-only (centroids broadcast as
+    a k·D literal; beyond ``LITERAL_K_MAX`` the value-identical Arrow
+    int64-matmul twin, still map-only); the pair stage is ONE shuffle
+    keyed on cid feeding a per-cluster Arrow group map with O(m²)
+    verify work — k is the occupancy knob (:func:`~.ann.k_for_corpus`)
+    and scales with the corpus exactly like
+    :func:`~.ann.planes_for_corpus` sizes LSH buckets (SemDeDup itself
+    uses k ≈ N/occupancy), so every group is an occupancy-bounded
+    pandas frame. No join anywhere anymore: the pre-r17 machinery (cid
+    self-join + interpreted per-pair dot + decimal(38,0) threshold +
+    distinct drop set + corpus back-join — 3 corpus-scaled exchanges
+    behind shuffle_hash/merge pins against mis-estimated broadcasts)
+    collapsed into the group map — fewer shuffled bytes and no
+    broadcast hazard left to pin.
 
     ``centroids_q`` are quantized int centroids — from the k lowest-id
     vectors (deterministic init) or :func:`~.ann.kmeans_train_exact`
@@ -915,6 +917,8 @@ def semantic_dedup(
 
     Output: one row per input vector — (id_col, cid, keep).
     """
+    import pandas as pd
+
     from .ann import KMEANS_SCALE
 
     if scale is None:
@@ -924,49 +928,81 @@ def semantic_dedup(
     if not (0 < threshold_num < threshold_den):
         raise ValueError("threshold must be a fraction in (0, 1)")
 
-    # assigned feeds both join sides AND the back-join — persist under
-    # the dedup cache contract (recomputes 3× otherwise)
-    assigned = _opt_persist(
-        _semantic_assign(
-            df, centroids_q, scale, vec_col, id_col, threshold_den
-        ),
-        cache_handles,
+    # r17 optimization (guide §2.4/§4.2): the pair stage is ONE shuffle
+    # keyed on cid feeding a per-cluster Arrow group map, replacing the
+    # previous 4-piece machinery (cid self-join + interpreted zip_with
+    # dot per pair + decimal(38,0) threshold + distinct drop set +
+    # corpus back-join — 3 consumers of a persisted assignment, ~3
+    # corpus-scaled exchanges). Every cluster is occupancy-bounded by
+    # construction (k ≈ N/occupancy sizes the clusters exactly so the
+    # O(m²) verify is affordable — the SemDeDup blocking argument), so
+    # one group is one bounded pandas frame. Inside the group the dot
+    # matrix is ONE numpy int64 matmul (exact integer arithmetic —
+    # |dot| ≤ D·L² < 2⁶⁰ by the _semantic_assign guard) and the
+    # threshold compare runs in arbitrary-precision Python ints —
+    # the same integers the decimal(38,0)/HUGEINT forms compare, with
+    # no overflow-to-NULL hazard at all. Drop rule unchanged: rid is
+    # dropped iff ANY lower-id same-cluster vector exceeds τ
+    # (independent of that vector's own keep flag — plain SemDeDup,
+    # not the incremental greedy). Single consumption of the
+    # assignment ⇒ no persist, no spill, zero cached blocks by
+    # construction; ``cache_handles``/``pinned`` stay accepted for API
+    # compatibility (the join pins have nothing left to pin).
+    from pyspark.sql.types import (
+        BooleanType,
+        IntegerType,
+        StructField,
+        StructType,
     )
 
-    l = assigned.select(
-        F.col(id_col).alias("left_id"),
-        F.col("cid"),
-        F.col("qv").alias("__lq"),
-        F.col("n2").alias("__ln2"),
+    assigned = _semantic_assign(
+        df, centroids_q, scale, vec_col, id_col, threshold_den
     )
-    r = assigned.select(
-        F.col(id_col).alias("right_id"),
-        F.col("cid"),
-        F.col("qv").alias("__rq"),
-        F.col("n2").alias("__rn2"),
+    id_field = next(f for f in assigned.schema.fields if f.name == id_col)
+    out_schema = StructType(
+        [
+            id_field,
+            StructField("cid", IntegerType(), False),
+            StructField("keep", BooleanType(), False),
+        ]
     )
-    # shuffle_hash pin: corpus×corpus self-join (see minhash_lsh_pairs)
-    pairs = (
-        l.join(_pin(r, "shuffle_hash", pinned), "cid")
-        .filter(F.col("left_id") < F.col("right_id"))
-        .withColumn("__dot", _sq_dot())
-    )
-    dropped = (
-        pairs.filter(_sq_cos_gt(threshold_num, threshold_den))
-        .select(F.col("right_id").alias(id_col))
-        .distinct()
-        .withColumn("__dropped", F.lit(True))
-    )
-    # merge pin: the drop set scales with the corpus — never trust the
-    # static estimate to refuse a broadcast build at real size
-    return (
-        assigned.join(_pin(dropped, "merge", pinned), id_col, "left")
-        .select(
-            F.col(id_col),
-            F.col("cid"),
-            F.coalesce(~F.col("__dropped"), F.lit(True)).alias("keep"),
+    num2 = int(threshold_num) * int(threshold_num)
+    den2 = int(threshold_den) * int(threshold_den)
+
+    def cluster_keep(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        if m == 0:
+            return pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "cid": pd.Series([], dtype="int32"),
+                    "keep": pd.Series([], dtype="bool"),
+                }
+            )
+        X = np.asarray(pdf["qv"].tolist(), dtype=np.int64)
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        G = X[order] @ X[order].T
+        n2 = np.diagonal(G)
+        keep_o = np.ones(m, dtype=bool)
+        for j in range(1, m):
+            n2j = int(n2[j])
+            for i in range(j):
+                d = int(G[i, j])
+                if d > 0 and den2 * d * d > num2 * int(n2[i]) * n2j:
+                    keep_o[j] = False
+                    break
+        keep = np.empty(m, dtype=bool)
+        keep[order] = keep_o
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col],
+                "cid": pdf["cid"].astype("int32"),
+                "keep": keep,
+            }
         )
-    )
+
+    return assigned.groupBy("cid").applyInPandas(cluster_keep, out_schema)
 
 
 def semantic_dedup_incremental(

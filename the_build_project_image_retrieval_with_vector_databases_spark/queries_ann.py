@@ -1260,19 +1260,21 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-exact threshold (no float math at the boundary). Beyond
     LITERAL_K_MAX clusters the assignment switches to the value-exact
     Arrow int64-matmul path automatically. Registered in r7; oracle
-    parity-tested in tests/test_staged_ops.py. Spill-and-release per
-    the dedup cache contract."""
+    parity-tested in tests/test_staged_ops.py. r17: single declarative
+    plan (one cid-keyed shuffle + per-cluster Arrow group map) — no
+    persisted intermediates, so no spill round-trip either."""
     from .operators.dedup import pins_for, semantic_dedup
-    from .operators.spill import materialize_and_release
 
     emb = load_table(spark, sf_dir, "embeddings")
     init = _semantic_init(emb, sized_k_for(sf_dir))
-    handles: list = []
-    out = semantic_dedup(
-        emb, init, threshold_num=3, threshold_den=10, cache_handles=handles,
+    # r17: the group-map form consumes the assignment ONCE — nothing to
+    # persist, so the spill-and-release round trip is gone too (the
+    # query is a single declarative plan with zero cached blocks by
+    # construction)
+    return semantic_dedup(
+        emb, init, threshold_num=3, threshold_den=10,
         pinned=pins_for(sf_dir, "embeddings"),
     )
-    return materialize_and_release(out, handles, "semantic-dedup-")
 
 
 def _oracle_semantic_dedup(
