@@ -615,6 +615,135 @@ def knn_recall_eval_exact(
     )
 
 
+def knn_multi_recon_recall(
+    corpus: DataFrame,
+    query_ids: list[int],
+    query_mat,
+    recons: list[tuple[str, object]],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Recall@k of N reconstruction tiers vs exact search in ONE corpus
+    scan — the quantization-sweep generalization of
+    :func:`knn_recall_eval_exact` (r17 optimization; same fold-into-
+    one-Arrow-pass design, VERDICT r10 #7 precedent). ``recons`` is a
+    list of (tier_name, recon_fn) — each recon is the exact float64
+    numpy twin of its encode/reconstruct expression (PQ codeword / SQ
+    bin-midpoint). Each Arrow batch computes the exact left-fold
+    distances once per tier matrix (tier 0 = raw vectors), emits
+    per-partition (dist, id)-lexsorted top-k candidates per
+    (tier, query), then ONE repartition on ``query_id`` satisfies every
+    later clustering requirement (rank windows by (tier, query_id),
+    hit flags by (query_id, id), per-query counts — all supersets of
+    the exchange key, so Catalyst inserts no further shuffle).
+    Distances and ranks are bit-identical per tier to separate
+    :func:`knn_join_exact` passes: same per-dimension float64 fold,
+    same np.inf self-exclusion, same pre-cut lexsort, same global
+    window ordering. Self matches are excluded in every tier.
+
+    Output: (query_id, tier, n_hits int, recall double) for every
+    query × non-exact tier, zero-hit queries included."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    qm = np.asarray(query_mat, dtype=np.float64)
+    qids = np.asarray(query_ids, dtype=np.int64)
+    if qm.ndim != 2 or qm.shape[0] != len(qids) or len(qids) == 0:
+        raise ValueError("query_mat must be a non-empty Q×D matrix matching query_ids")
+    if not recons:
+        raise ValueError("recons must name at least one tier")
+    tiers = [("__exact", None)] + [(str(t), fn) for t, fn in recons]
+
+    id_field = next(f for f in corpus.schema.fields if f.name == id_col)
+    schema = StructType(
+        [
+            StructField("tier", StringType(), False),
+            StructField("query_id", LongType(), False),
+            id_field,
+            StructField("dist", DoubleType(), False),
+        ]
+    )
+    pruned = corpus.select(id_col, vec_col)
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x0 = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            ids = pdf[id_col].to_numpy()
+            out: dict[str, list] = {
+                "tier": [], "query_id": [], id_col: [], "dist": []
+            }
+            for tname, recon in tiers:
+                x = x0 if recon is None else recon(x0)
+                acc = np.zeros((x.shape[0], qm.shape[0]))
+                for j in range(qm.shape[1]):
+                    dj = x[:, j, None] - qm[None, :, j]
+                    acc = acc + dj * dj
+                d = np.sqrt(acc)
+                d[np.asarray(ids)[:, None] == qids[None, :]] = np.inf
+                kk = min(k, d.shape[0])
+                for qi in range(len(qids)):
+                    order = np.lexsort((ids, d[:, qi]))[:kk]
+                    order = order[np.isfinite(d[order, qi])]
+                    n = len(order)
+                    out["tier"].extend([tname] * n)
+                    out["query_id"].extend([int(qids[qi])] * n)
+                    out[id_col].extend(ids[order].tolist())
+                    out["dist"].extend(d[order, qi].tolist())
+            yield pd.DataFrame(out)
+
+    cand = pruned.mapInPandas(score, schema).repartition("query_id")
+    w = Window.partitionBy("tier", "query_id").orderBy(
+        F.col("dist").asc(), F.col(id_col).asc()
+    )
+    topk = cand.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+    flags = topk.groupBy("query_id", id_col).agg(
+        F.max(F.when(F.col("tier") == "__exact", 1).otherwise(0)).alias("__e"),
+        *[
+            F.max(F.when(F.col("tier") == t, 1).otherwise(0)).alias(f"__t{i}")
+            for i, (t, _fn) in enumerate(recons)
+        ],
+    )
+    per_q = flags.groupBy("query_id").agg(
+        *[
+            F.sum(F.col("__e") * F.col(f"__t{i}")).alias(f"__h{i}")
+            for i in range(len(recons))
+        ]
+    )
+    spark = corpus.sparkSession
+    base = spark.createDataFrame(
+        [(int(q),) for q in query_ids], "query_id long"
+    )
+    joined = base.join(F.broadcast(per_q), "query_id", "left")
+    outs = [
+        joined.select(
+            "query_id",
+            F.lit(str(t)).alias("tier"),
+            F.coalesce(F.col(f"__h{i}"), F.lit(0)).cast("int").alias("n_hits"),
+            (
+                F.coalesce(F.col(f"__h{i}"), F.lit(0)).cast("double")
+                / F.lit(float(k))
+            ).alias("recall"),
+        )
+        for i, (t, _fn) in enumerate(recons)
+    ]
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionAll(o)
+    return result
+
+
 def knn_join_two_phase(
     corpus: DataFrame,
     queries: DataFrame,

@@ -1778,17 +1778,20 @@ def q_quantized_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 cap — registration pairs with a retirement from the candidates
     in queries.py).
 
-    Physical path: all three top-k sets run through
-    :func:`~.operators.knn.knn_join_exact` — the Arrow kernel whose
-    per-dimension float64 loop replays the expression/oracle left fold
-    bit-for-bit — with the PQ/SQ encode+reconstruct folded into its
-    ``recon`` hook (:func:`pq_recon_np` / :func:`sq_recon_np`, the
-    exact numpy twins of ``operators.pq``'s expressions). The earlier
-    interpreted-HOF form (pq_encode expression + three expression kNN
-    joins, ~N×7000 interpreted element-ops) timed 4.95 s at sf0.1;
-    this plan produces the identical frame (pinned in
+    Physical path (r17): all three top-k sets come from ONE corpus
+    scan through :func:`~.operators.knn.knn_multi_recon_recall` — the
+    Arrow kernel whose per-dimension float64 loop replays the
+    expression/oracle left fold bit-for-bit per tier — with the PQ/SQ
+    encode+reconstruct folded into its recon hooks
+    (:func:`pq_recon_np` / :func:`sq_recon_np`, the exact numpy twins
+    of ``operators.pq``'s expressions). History: the interpreted-HOF
+    form (pq_encode expression + three expression kNN joins, ~N×7000
+    interpreted element-ops) timed 4.95 s at sf0.1; the r9-r16
+    per-tier `knn_join_exact` form (4 corpus passes: exact twice + one
+    per tier, two join/window branches) timed 2.40 s; the one-scan
+    fold produces the identical frame (pinned in
     tests/test_staged_ops.py against the unchanged oracle)."""
-    from .operators.knn import knn_join_exact
+    from .operators.knn import knn_multi_recon_recall
     from .operators.pq import (
         pq_recon_np,
         slice_codebooks,
@@ -1797,48 +1800,32 @@ def q_quantized_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    train_rows = emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
-    train = [[float(x) for x in r.embedding] for r in train_rows]
-    qrows = (
-        emb.filter(
-            (F.col("vec_id") >= ANN_EVAL_Q_LO)
-            & (F.col("vec_id") < ANN_EVAL_Q_HI)
-        )
+    # r17: ONE driver collect for the train slice AND the query slice
+    # (they are adjacent id ranges; was two scan jobs), split client-side
+    head = (
+        emb.filter(F.col("vec_id") < ANN_EVAL_Q_HI)
         .select("vec_id", "embedding")
         .orderBy("vec_id")
         .collect()
     )
+    train = [[float(x) for x in r.embedding] for r in head if r.vec_id < 16]
+    qrows = [r for r in head if r.vec_id >= ANN_EVAL_Q_LO]
     qids = [int(r.vec_id) for r in qrows]
     qmat = [[float(x) for x in r.embedding] for r in qrows]
-    qdf = spark.createDataFrame([(q,) for q in qids], "query_id long")
-
-    exact = knn_join_exact(
-        emb, qids, qmat, k=ANN_EVAL_K, exclude_self=True
-    ).select("query_id", "vec_id")
 
     codebooks = slice_codebooks(train, PQ_M)
     bounds = sq_train_bounds(train)
-    recons = {"pq": pq_recon_np(codebooks), "sq": sq_recon_np(bounds)}
-
-    def tier_recall(tier: str) -> DataFrame:
-        approx = knn_join_exact(
-            emb, qids, qmat, k=ANN_EVAL_K, exclude_self=True,
-            recon=recons[tier],
-        ).select("query_id", "vec_id")
-        hits = approx.join(exact, ["query_id", "vec_id"]).groupBy(
-            "query_id"
-        ).agg(F.count("*").alias("n_hits"))
-        return qdf.join(hits, "query_id", "left").select(
-            "query_id",
-            F.lit(tier).alias("tier"),
-            F.coalesce(F.col("n_hits"), F.lit(0)).cast("int").alias("n_hits"),
-            (
-                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
-                / F.lit(float(ANN_EVAL_K))
-            ).alias("recall"),
-        )
-
-    return tier_recall("pq").unionAll(tier_recall("sq"))
+    # r17: exact + PQ + SQ top-k candidates from ONE corpus scan (the
+    # knn_recall_eval_exact fold generalized to recon tiers — was 4
+    # corpus passes: exact twice + one per tier), one query_id
+    # repartition feeding every downstream window/aggregate.
+    return knn_multi_recon_recall(
+        emb,
+        qids,
+        qmat,
+        recons=[("pq", pq_recon_np(codebooks)), ("sq", sq_recon_np(bounds))],
+        k=ANN_EVAL_K,
+    )
 
 
 def _oracle_quantized_recall_eval(
