@@ -65,3 +65,96 @@ def test_dedup_components_releases_all_cached_blocks(spark):
     out = dedup_components(_edges(spark, [(1, 2), (2, 3), (3, 4), (7, 8)]))
     assert {r.component for r in out.collect()} == {1, 7}
     assert jsc.getPersistentRDDs().size() == before
+
+
+def test_parquet_checkpoint_mode_matches_local(spark, monkeypatch):
+    """SPARK_GRAFT_CC_CHECKPOINT=parquet (the fault-tolerant per-round
+    checkpoint for real clusters) must produce the identical fixpoint
+    as the default localCheckpoint mode, and release its cached blocks
+    just the same."""
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (20, 21), (21, 22)]
+    want = {r.node: r.comp for r in connected_components(_edges(spark, edges)).collect()}
+    monkeypatch.setenv("SPARK_GRAFT_CC_CHECKPOINT", "parquet")
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    got = {r.node: r.comp for r in connected_components(_edges(spark, edges)).collect()}
+    assert got == want == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 20: 20, 21: 20, 22: 20}
+    assert jsc.getPersistentRDDs().size() == before
+
+
+def test_fused_round_fixpoint_matches_union_find_random_graphs(spark):
+    """The r17 fused propagate+jump round (one join + one aggregate per
+    round, pointer edges unioned with the graph) must land the exact
+    min-label fixpoint of a reference union-find on arbitrary
+    topologies — stars, cliques-with-bridges, random sparse graphs."""
+    import random
+
+    for seed in (0, 1, 2):
+        rng = random.Random(seed)
+        n = 200
+        edges = [
+            (rng.randrange(n) * 7 + 3, rng.randrange(n) * 7 + 3)
+            for _ in range(150)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        parent: dict = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {x: find(x) for x in parent}
+        got = {
+            r.node: r.comp
+            for r in connected_components(_edges(spark, edges)).collect()
+        }
+        assert got == want, f"seed {seed}"
+
+
+def test_minhash_sentinel_skip_changes_no_pairs(spark):
+    """r17: minhash_lsh_pairs computes signatures with sentinel=False
+    (zero-shingle docs never reach the banding). Pin the equivalence
+    argument on a corpus that HAS zero-shingle docs: (1) sentinel=False
+    signatures are exactly the sentinel=True table minus the
+    all-MINHASH_PRIME rows, and (2) the verified pair set is identical
+    whether or not sentinel docs enter the banding, and contains no
+    zero-shingle doc."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators import (
+        dedup as D,
+    )
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.dedup import (
+        MINHASH_PRIME,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        (2, "the quick brown fox jumps over the lazy dog tonight"),
+        (3, "completely different text with many other words inside here"),
+        (10, "hi"),          # < 3 tokens: zero shingles
+        (11, "yo"),          # zero shingles — would sentinel-collide with 10
+        (12, ""),            # empty
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    with_s = D.minhash_signatures(docs, sentinel=True).collect()
+    without_s = D.minhash_signatures(docs, sentinel=False).collect()
+    sig_cols = [c for c in with_s[0].asDict() if c.startswith("mh")]
+    kept = {
+        r.doc_id: tuple(r[c] for c in sig_cols)
+        for r in with_s
+        if any(r[c] != MINHASH_PRIME for c in sig_cols)
+    }
+    assert {r.doc_id: tuple(r[c] for c in sig_cols) for r in without_s} == kept
+    assert {r.doc_id for r in with_s} - set(kept) == {10, 11, 12}
+
+    pairs = {
+        (r.left_id, r.right_id, r.jaccard)
+        for r in D.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    assert pairs == {(1, 2, 1.0)}

@@ -277,6 +277,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     shingles: DataFrame | None = None,
     pinned: bool = True,
+    sentinel: bool = True,
 ) -> DataFrame:
     """MinHash signature per document: mh_i = min over shingles of
     ((aᵢ·x + b_i) mod p), x = md5-derived shingle int.
@@ -304,6 +305,16 @@ def minhash_signatures(
         for i, (a, b) in enumerate(MINHASH_COEFFS[:num_hashes])
     ]
     sig0 = xs.groupBy(id_col).agg(*aggs)
+    if not sentinel:
+        # r17: LSH-pair callers skip the sentinel back-join entirely —
+        # a sentinel signature is MINHASH_PRIME in every slot while a
+        # real signature is < MINHASH_PRIME in every slot, so sentinel
+        # docs can only band-collide with EACH OTHER, and every such
+        # candidate dies in the verify's n_union > 0 guard (both sides
+        # zero-shingle). Dropping them removes a corpus ⋈ corpus join
+        # AND the quadratic all-shorts-collide candidate blowup at
+        # scale; the verified pair set is bit-identical.
+        return sig0
     # merge pin: the sentinel back-join is corpus ⋈ corpus (one 9-long
     # row per doc on the right, N rows — ~4 GB at 1000× corpus scale);
     # the static estimate can still pick a broadcast build (100×-sweep
@@ -362,8 +373,13 @@ def minhash_lsh_pairs(
     # self-join; persist so the shingle→md5→aggregate pipeline runs once.
     # It is 8 longs + id per document — gigabytes at 100 TB corpus scale.
     sigs = _opt_persist(
+        # sentinel=False: zero-shingle docs never reach the banding
+        # (their sentinel-induced candidates are provably dropped by the
+        # verify — see minhash_signatures), so the corpus ⋈ corpus
+        # sentinel back-join is skipped outright
         minhash_signatures(
-            df, n, num_hashes, text_col, id_col, shingles=shs, pinned=pinned
+            df, n, num_hashes, text_col, id_col,
+            shingles=shs, pinned=pinned, sentinel=False,
         ),
         cache_handles,
     )
@@ -615,8 +631,11 @@ def minhash_lsh_incremental(
 
     def prep(df):
         shs = _opt_persist(doc_shingles(df, n, text_col, id_col), cache_handles)
+        # sentinel=False: same provably-dropped-candidates argument as
+        # minhash_lsh_pairs
         sigs = minhash_signatures(
-            df, n, num_hashes, text_col, id_col, shingles=shs, pinned=pinned
+            df, n, num_hashes, text_col, id_col,
+            shingles=shs, pinned=pinned, sentinel=False,
         )
         band_structs = F.array(
             *[
