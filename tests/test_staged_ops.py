@@ -428,6 +428,50 @@ def test_assign_cids_arrow_matches_literal_argmin(spark):
     assert got == ref and len({c for c in got.values()}) >= 2
 
 
+def test_assign_cids_arrow_dist2_matches_expression_fold(spark):
+    """r17 optimization internals: with_dist2=True adds the |q|² term
+    back inside the Arrow kernel, so (cid, dist2) equals the
+    expression-literal Σ(a−b)² fold row-for-row — the identity
+    embedding_outliers' rewrite rests on."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.ann import (
+        KMEANS_SCALE,
+        assign_cids_arrow_int,
+        quantize_vec,
+    )
+
+    k = 8
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    q = emb.select(
+        F.col("vec_id"), quantize_vec("embedding", KMEANS_SCALE).alias("qv")
+    )
+    cq = [list(r.qv) for r in q.orderBy("vec_id").limit(k).collect()]
+    got = {
+        r.vec_id: (r.cid, r.dist2)
+        for r in assign_cids_arrow_int(q, cq, with_dist2=True).collect()
+    }
+    cents_lit = F.array(*[F.array(*[F.lit(int(v)) for v in c]) for c in cq])
+    dists = F.transform(
+        cents_lit,
+        lambda c: F.aggregate(
+            F.zip_with(F.col("qv"), c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    ref = {
+        r.vec_id: (r.cid, r.dist2)
+        for r in q.select(
+            "vec_id",
+            (F.array_position(dists, F.array_min(dists)) - 1)
+            .cast("int")
+            .alias("cid"),
+            F.array_min(dists).alias("dist2"),
+        ).collect()
+    }
+    assert got == ref
+    assert any(d > 0 for _c, d in got.values())
+
+
 def test_kmeans_train_centroids_drive_ivf_assignment(spark):
     """Trained centroids slot straight into the IVF path: every vector
     gets a valid centroid id and no cluster is empty after training on

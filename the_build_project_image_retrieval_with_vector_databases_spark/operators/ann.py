@@ -160,40 +160,56 @@ def quantize_vec(col, scale: int = KMEANS_SCALE):
 
 
 def assign_cids_arrow_int(
-    q: DataFrame, cents_q: list[list[int]], id_col: str = "vec_id"
+    q: DataFrame,
+    cents_q: list[list[int]],
+    id_col: str = "vec_id",
+    with_dist2: bool = False,
 ) -> DataFrame:
-    """(id, cid) exact integer argmin assignment — the lean Arrow twin
-    of the k·D expression-literal argmin (``_semantic_assign`` /
-    :func:`kmeans_lloyd_step`): distances are exact int64
-    (|q−c|² = |q|² − 2·q·c + |c|²; the per-row |q|² constant shifts
-    every centroid's distance equally, so np.argmin's first-min
-    tie-break equals ``array_position(dists, array_min(dists))``).
+    """(id, cid[, dist2]) exact integer argmin assignment — the lean
+    Arrow twin of the k·D expression-literal argmin
+    (``_semantic_assign`` / :func:`kmeans_lloyd_step`): distances are
+    exact int64 (|q−c|² = |q|² − 2·q·c + |c|²; the per-row |q|²
+    constant shifts every centroid's distance equally, so np.argmin's
+    first-min tie-break equals
+    ``array_position(dists, array_min(dists))``). With ``with_dist2``
+    the per-row |q|² term is added back so ``dist2`` is the exact
+    int64 L2² of the winning centroid (identical to the expression
+    fold Σ(a−b)² — same integers, no float anywhere).
     Map-only, centroids ride the closure (k·D·8 bytes per task), and
-    ONLY the id and cid cross back over the Arrow boundary — not the
-    quantized vector (guide §4.1: pass only the columns the function
-    needs, both directions)."""
+    ONLY the id, cid (and optionally dist2) cross back over the Arrow
+    boundary — not the quantized vector (guide §4.1: pass only the
+    columns the function needs, both directions)."""
     import pandas as pd
-    from pyspark.sql.types import IntegerType, StructField, StructType
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
 
     cents = np.asarray(cents_q, dtype=np.int64)
     c2 = (cents * cents).sum(axis=1)
     id_field = next(f for f in q.schema.fields if f.name == id_col)
-    out_schema = StructType(
-        [id_field, StructField("cid", IntegerType(), False)]
-    )
+    fields = [id_field, StructField("cid", IntegerType(), False)]
+    if with_dist2:
+        fields.append(StructField("dist2", LongType(), False))
+    out_schema = StructType(fields)
 
     def score(batches):
         for pdf in batches:
             if len(pdf) == 0:
-                yield pd.DataFrame(
-                    {id_col: pdf[id_col], "cid": pd.Series([], dtype="int32")}
-                )
+                out = {id_col: pdf[id_col], "cid": pd.Series([], dtype="int32")}
+                if with_dist2:
+                    out["dist2"] = pd.Series([], dtype="int64")
+                yield pd.DataFrame(out)
                 continue
             x = np.asarray(pdf["qv"].tolist(), dtype=np.int64)
             d = c2[None, :] - 2 * (x @ cents.T)
-            yield pd.DataFrame(
-                {id_col: pdf[id_col], "cid": d.argmin(axis=1).astype("int32")}
-            )
+            out = {id_col: pdf[id_col], "cid": d.argmin(axis=1).astype("int32")}
+            if with_dist2:
+                q2 = (x * x).sum(axis=1)
+                out["dist2"] = d.min(axis=1) + q2
+            yield pd.DataFrame(out)
 
     return q.select(id_col, "qv").mapInPandas(score, out_schema)
 

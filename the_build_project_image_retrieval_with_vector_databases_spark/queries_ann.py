@@ -2096,7 +2096,7 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics through the Arrow int64-matmul path unchanged. STAGED
     for the r9 window (registry at the 100 cap — registration pairs
     with a retirement from the candidates in queries.py)."""
-    from .operators.ann import KMEANS_SCALE, quantize_vec
+    from .operators.ann import KMEANS_SCALE, assign_cids_arrow_int, quantize_vec
 
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.select("vec_id", quantize_vec("embedding", KMEANS_SCALE).alias("qv"))
@@ -2105,23 +2105,13 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("vec_id")
         .collect()
     )
-    cents = F.array(
-        *[F.array(*[F.lit(int(v)) for v in r.qv]) for r in crows]
-    )
-    dists = F.transform(
-        cents,
-        lambda c: F.aggregate(
-            F.zip_with(F.col("qv"), c, lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        ),
-    )
-    assigned = q.select(
-        "vec_id",
-        (F.array_position(dists, F.array_min(dists)) - 1)
-        .cast("int")
-        .alias("cid"),
-        F.array_min(dists).alias("dist2"),
+    # r17: the k·D expression-literal interpreted argmin (~n·k·D ≈ 1M
+    # element-lambda evals at sf0.1) is replaced by the exact Arrow
+    # int64-matmul kernel (guide §4.2) — same integers, same first-min
+    # tie-break, and dist2 is the identical int64 L2² (the |q|² term is
+    # added back inside the kernel)
+    assigned = assign_cids_arrow_int(
+        q, [[int(v) for v in r.qv] for r in crows], with_dist2=True
     )
     per = assigned.groupBy("cid").agg(
         F.count("*").alias("n_c"),

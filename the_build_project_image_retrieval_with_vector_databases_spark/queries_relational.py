@@ -715,20 +715,30 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     to 'EXISTS in a 100 TB fact'."""
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier")
-    per_order = li.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("n_late_supp"),
+    # r17 (guide §2.4/§1.1): ONE lineitem scan, NO Expand. The old shape
+    # ran a second scan for the distinct (orderkey, returned-supplier)
+    # pairs and joined it back, and its two countDistincts planned an
+    # Expand (3× the scan rows into the shuffle). Two-level aggregate
+    # instead: collapse to distinct (order, supplier) pairs with a
+    # returned flag (map-side partial dedup — the shuffle carries ~one
+    # row per pair), then per-order counts from the pair table. On the
+    # surviving orders n_late_supp == 1, so the sole returned supplier
+    # IS max(when has_r, l_suppkey): the distinct + orderkey join
+    # collapse into the aggregates.
+    pairs = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias(
+            "has_r"
+        )
     )
-    late_pairs = (
-        li.filter(F.col("l_returnflag") == "R")
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
+    per_order = pairs.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.sum("has_r").alias("n_late_supp"),
+        F.max(F.when(F.col("has_r") == 1, F.col("l_suppkey"))).alias(
+            "l_suppkey"
+        ),
     )
-    sole = (
-        late_pairs.join(per_order, "l_orderkey")
-        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+    sole = per_order.filter(
+        (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
     )
     return (
         sole.groupBy("l_suppkey")
