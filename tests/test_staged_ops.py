@@ -3360,13 +3360,28 @@ def test_exact_substring_spans_plan_shape(spark):
     count; doc_id window+agg, which reuse one partitioning) with
     map-side partial aggregation on both; no cartesian, no BNLJ, no
     row-Python. The dup-hash and coverage joins may broadcast at
-    fixture scale — the pin allows either join strategy."""
+    fixture scale — the pin allows either join strategy. r17: the
+    registered query materializes through a spill (file-scan plan), so
+    pin the operator-level plan the spill consumes — the
+    test_banded_candidate_joins precedent. The persisted gram stream
+    (cache_handles) keeps the same two keyed exchanges; InMemoryScan
+    nodes replace the duplicated tokenize subtree."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.textops import (
+        exact_substring_spans,
+    )
     from the_build_project_image_retrieval_with_vector_databases_spark.queries_text import (
-        q_exact_substring_dedup,
+        ESS_L,
+        ESS_TAU,
     )
 
-    df = q_exact_substring_dedup(spark, SF_SMOKE)
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    handles: list = []
+    df = exact_substring_spans(
+        docs, L=ESS_L, flag_above=ESS_TAU, cache_handles=handles
+    )
     plan = df._jdf.queryExecution().executedPlan().toString()
+    for h in handles:
+        h.unpersist()
     assert plan.count("Exchange hashpartitioning") == 2
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan

@@ -47,4 +47,7 @@ def materialize_and_release(
     for h in cache_handles:
         h.unpersist()
     cache_handles.clear()
-    return df.sparkSession.read.parquet(path)
+    # r17: read back with the writer's own schema — the schema is known
+    # statically, so the footer-sniffing pass (a measured ~0.1-0.2 s
+    # fixed job per spill consumer) is pure waste.
+    return df.sparkSession.read.schema(df.schema).parquet(path)

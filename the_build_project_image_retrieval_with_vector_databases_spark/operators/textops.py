@@ -872,6 +872,7 @@ def ngram_novelty_score(
     id_col: str = "doc_id",
     n: int = 3,
     stale_below: float = 0.5,
+    cache_handles: list | None = None,
 ) -> DataFrame:
     """First-occurrence n-gram novelty (staged r14, r17 registration
     candidate): for each document, the fraction of its DISTINCT
@@ -895,6 +896,8 @@ def ngram_novelty_score(
     every step linear in distinct grams."""
     from ..functions.text import md5_long, token_shingles
 
+    from ..operators.dedup import _opt_persist
+
     grams = df.select(
         F.col(id_col).alias("_id"),
         F.explode(token_shingles(tokens(F.col(text_col)), n=n)).alias("_g"),
@@ -902,7 +905,11 @@ def ngram_novelty_score(
         "_id",
         F.coalesce(md5_long(F.col("_g"), digits=15), F.lit(-1)).alias("h"),
     )
-    e = grams.distinct()
+    # r17: the distinct (doc, gram-hash) table is consumed by BOTH the
+    # first-occurrence aggregate and the join side — persist under the
+    # dedup-family cache contract so the scan→tokenize→md5→distinct
+    # pipeline runs once, not twice (caller unpersists via handles).
+    e = _opt_persist(grams.distinct(), cache_handles)
     first = e.groupBy("h").agg(F.min("_id").alias("_first"))
     per_doc = (
         e.join(first, "h")
@@ -931,6 +938,7 @@ def exact_substring_spans(
     flag_above: float = 0.2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    cache_handles: list | None = None,
 ) -> DataFrame:
     """ExactSubstr duplication profile (Lee, Ippolito, Nystrom et al.,
     ACL 2022 "Deduplicating Training Data Makes Language Models
@@ -974,6 +982,8 @@ def exact_substring_spans(
     training-data extension, SURVEY §2.11 dedup family)."""
     from ..functions.text import md5_long, tokens
 
+    from ..operators.dedup import _opt_persist
+
     toked = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
     n_tok = F.size("__toks")
     g0 = n_tok - F.lit(L - 1)
@@ -990,9 +1000,16 @@ def exact_substring_spans(
         F.col("n_tokens") >= 1
     )
     hashed = toked.select(F.col(id_col), hs.alias("__hs"))
-    grams = hashed.select(
-        F.col(id_col), F.posexplode_outer("__hs").alias("pos0", "h")
-    ).filter(F.col("h").isNotNull())
+    # r17: the positional gram-hash stream feeds BOTH the dup-count
+    # aggregate and the marking join — persist under the dedup-family
+    # cache contract so the scan→tokenize→L-gram-md5 pipeline (the
+    # operator's dominant CPU) runs once, not twice.
+    grams = _opt_persist(
+        hashed.select(
+            F.col(id_col), F.posexplode_outer("__hs").alias("pos0", "h")
+        ).filter(F.col("h").isNotNull()),
+        cache_handles,
+    )
     dup = (
         grams.groupBy("h")
         .agg(F.count(F.lit(1)).alias("__cnt"))

@@ -510,6 +510,13 @@ def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(value).alias("part_value_d"),
         F.count("*").alias("n_items"),
     )
+    # r17 note: computing the total as a rollup of per_part (hoping for
+    # ReuseExchange to dedupe the scan) does NOT fire — column pruning
+    # gives the two branches different partial aggregates (n_items only
+    # on one side), so the canonicalized exchanges differ and the
+    # rollup branch just adds a part-keyed exchange. Measured 1.25 s →
+    # 1.52 s; reverted. The two-scan form's second pass is a pure
+    # map-side partial global sum (a 1-row exchange).
     total = li.agg(F.sum(value).alias("total_value_d"))
     return (
         per_part.join(F.broadcast(total))

@@ -2159,10 +2159,15 @@ def q_ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     of its distinct 3-grams whose global min-doc_id first occurrence
     is this doc — the per-document form of Lee et al. 2022's
     duplicate-text value argument; is_stale below 0.5."""
+    from .operators.spill import materialize_and_release
     from .operators.textops import ngram_novelty_score
 
     docs = load_table(spark, sf_dir, "documents")
-    return ngram_novelty_score(spread(docs), n=NOV_N, stale_below=NOV_STALE)
+    handles: list = []
+    out = ngram_novelty_score(
+        spread(docs), n=NOV_N, stale_below=NOV_STALE, cache_handles=handles
+    )
+    return materialize_and_release(out, handles, "novelty-")
 
 
 def _oracle_ngram_novelty_score(
@@ -2202,6 +2207,11 @@ def q_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.textops import exact_substring_spans
 
     docs = load_table(spark, sf_dir, "documents")
+    # r17 note: the persist+spill form (minhash cache contract) was
+    # A/B-measured here and LOST (1.65 s vs 1.41 s plain at sf0.1) —
+    # the spill round-trip costs more than the second tokenize pass
+    # saves, the same verdict ngram_jaccard's r12 100× A/B recorded
+    # for persisting an exploded gram table. Plain form kept.
     return exact_substring_spans(spread(docs), L=ESS_L, flag_above=ESS_TAU)
 
 

@@ -43,6 +43,18 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # fixture events.parquet carries TIMESTAMP(NANOS); read as long
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # r17: FileOutputCommitter v2 — task output moves to the
+        # destination at task commit instead of a second job-commit
+        # rename pass. Saves ~0.1-0.15 s of fixed committer cost on
+        # every small spill/checkpoint write (measured, quiet machine);
+        # the v2 caveat (partial output visible if a JOB fails mid-way)
+        # is irrelevant to process-temp spill dirs that are overwritten
+        # or removed, and v2 is the standard production choice on
+        # object stores for the same reason.
+        .config(
+            "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
+            "2",
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

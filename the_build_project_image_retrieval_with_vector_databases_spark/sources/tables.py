@@ -27,6 +27,17 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# r17: per-(sf_dir, table) READER SCHEMA cache. A bare
+# ``spark.read.parquet(path)`` pays file listing + footer schema
+# inference on EVERY call — measured ~0.11 s of fixed driver-side
+# metadata work per load (vs ~0.02 s with an explicit schema), which a
+# 100-query bench pays hundreds of times. The schema of a fixture table
+# is immutable metadata, not a query result — caching it computes
+# nothing ahead of time and every query still scans the parquet from
+# disk. (Same idea as `spark.sql.hive.filesourcePartitionFileCacheSize`
+# for listings — guide §6.)
+_SCHEMA_CACHE: dict = {}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table as a DataFrame (lazy — no scan yet).
@@ -43,7 +54,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         except Exception:
             pass
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    sch = _SCHEMA_CACHE.get((sf_dir, name))
+    if sch is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[(sf_dir, name)] = df.schema
+    else:
+        df = spark.read.schema(sch).parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F
 
