@@ -1228,6 +1228,12 @@ def q_dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     handles: list = []
+    # r17 note: sharing ONE persisted doc_shingles table across both
+    # pipelines (exact + LSH) was A/B-measured and REJECTED — 2.6-3.5 s
+    # → 3.3-4.8 s isolated. The exact side's self-join gets side b for
+    # free via AQE exchange reuse, so the shared persist only ADDED the
+    # cache materialization of the full shingle arrays without removing
+    # a real pass (the ngram_jaccard r12 lesson, re-measured here).
     exact = D.ngram_jaccard_pairs(docs, n=3, threshold=0.5).select(
         "left_id", "right_id"
     )
@@ -2159,15 +2165,18 @@ def q_ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     of its distinct 3-grams whose global min-doc_id first occurrence
     is this doc — the per-document form of Lee et al. 2022's
     duplicate-text value argument; is_stale below 0.5."""
-    from .operators.spill import materialize_and_release
     from .operators.textops import ngram_novelty_score
 
     docs = load_table(spark, sf_dir, "documents")
-    handles: list = []
-    out = ngram_novelty_score(
-        spread(docs), n=NOV_N, stale_below=NOV_STALE, cache_handles=handles
-    )
-    return materialize_and_release(out, handles, "novelty-")
+    # r17 note: the persist+spill form (cache_handles +
+    # materialize_and_release) won a cold same-session A/B (2.12 s vs
+    # 2.28 s) but LOST in full-bench context at quiet calibration
+    # (2.11 s vs the 1.40 s baseline row — warm, the second pipeline
+    # evaluation is cheaper than the spill round-trip + array-cache
+    # materialization). Reverted to the plain form; the operator keeps
+    # the cache_handles seam for corpus-scale callers where the second
+    # full tokenize pass dominates.
+    return ngram_novelty_score(spread(docs), n=NOV_N, stale_below=NOV_STALE)
 
 
 def _oracle_ngram_novelty_score(
