@@ -605,182 +605,47 @@ ORACLES: dict[str, str] = {
 # a sibling still inside the window covers.
 # ---------------------------------------------------------------------------
 
-# Round-17 rotation (VERDICT r16 #1, executed exactly per the r15→r16
-# write-ahead plan; the exact composition was dry-run 50/50 green in
-# r15, commit 18792c0). Capacity math: the r17 window re-checks the
-# r15-checked half — 50 entries last green in CORRECTNESS_r15 — minus
-# the three retirees (each from THAT half, so each frees a real r17
-# window slot AND a registry slot), plus the three r14/r15-staged
-# registrations (never driver-checked): 47 + 3 = exactly 50. The
-# other half — all 50 checked green in r16 — rotates out. Registry
-# stays at 100, the 2×window hard cap. Executed pairings:
-#   source_overlap_matrix ↔ token_stats retired (the same
-#       WindowGroupLimit KMV machinery; token_stats' length/count
-#       surface is covered by gopher_quality's token-count columns —
-#       both in this half; retired surface kept in the fuzz panel)
-#   ngram_novelty_score   ↔ incremental_dedup retired
-#       (first-occurrence keep-rule family: novelty scores ARE the
-#       gram-level first-occurrence rule; the batch/corpus split
-#       machinery stays registered via streaming_dedup_batch,
-#       r16-checked half)
-#   exact_substring_dedup ↔ passage_dedup retired (Lee et al. 2022
-#       ExactSubstr span coverage; the non-overlapping 20-token chunk
-#       dedup is the stride-L coarsening of the sliding L-window span
-#       map, and the chunking machinery itself stays registered via
-#       passage_chunking, this half)
+# Round-18 rotation (VERDICT r17 #1, executed FIRST this round exactly
+# per the r17 write-ahead plan): the r18 window holds the 50 entries
+# last checked green in r16 — which driver-verifies the five queries
+# whose implementations were rewritten in r17 AFTER the r17 flip
+# (semantic_dedup, kmeans_train_assign, quantized_recall_eval,
+# embedding_outliers, leakage_safe_split) at their NEW code, closing
+# the r17 correctness debt. The r17-checked half rotates out; across
+# r17+r18 every registry entry again has a green driver row ≤1 round
+# old. ZERO registrations or retirements: r18 is an optimization round
+# (no new features), so the three staged registration candidates
+# (language_confidence_filter, token_entropy, bpe_train_encode —
+# staged r15 in tests/test_staged_ops.py with their retiree pairings
+# recorded in git history at the r17 close) stay staged-not-registered;
+# registry remains at 100 with zero free window slots.
 #
-# ROUND-18 WINDOW PLAN (write-ahead, per the r7→r8 handoff
-# discipline): r18's window must hold the 50 entries in _ROTATE_OUT
-# below (last checked r16) — ZERO free slots. Any r18 registration or
-# implementation change to an r17-checked entry requires retiring
-# from THAT half (the r16-checked 50), one-for-one, BEFORE adding.
-# Staged registration candidates (staged r15 under the full
-# discipline — 3-SF oracle parity + Python reference + plan pin in
-# tests/test_staged_ops.py, generated-corpus fuzz in
-# tests/test_fuzz_oracle.py); each pairs one-for-one with a retiree
-# FROM THE LIST BELOW (the r16-checked half — the half that rotates
-# into the r18 window, so each retirement frees a real r18 window
-# slot). Retiring from _CHECK_FIRST directly below instead frees
-# registry capacity but ZERO r18 window slots — the capacity-math
-# failure of the r6→r7 handoff. Final pairings (fixed at r17 close
-# per VERDICT r16 #3):
-#   language_confidence_filter ↔ language_id (the confidence gate is
-#       the margin-extended superset of the argmax LID; language_id
-#       keeps its unit + fuzz rows — in this half)
-#   token_entropy              ↔ perplexity_buckets (FINAL CALL, r17
-#       close: both score a doc by its token probability distribution
-#       — entropy under the doc's own empirical unigram distribution
-#       vs perplexity under the corpus unigram LM; the closest family
-#       member in this half, and the bucketing/LM machinery keeps its
-#       unit + fuzz rows. repetition_quality — the other candidate —
-#       stays registered: it is one round old and carries the Gopher
-#       Table-A1 char-fraction surface nothing else covers)
-#   bpe_train_encode           ↔ bpe_token_counts (the full learn+
-#       apply loop tokenizes the corpus end-to-end — the superset of
-#       the regex-BPE-ish token counter, in this half; NOTE the
-#       sibling bpe_merge_step sits in the OTHER half after the r17
-#       flip, so it is NOT a valid r18 retiree)
+# r18 SURGICAL RE-CUT provision (the standing rule from VERDICT r17:
+# "if you rewrite a rotated-out query, re-cut the window so it's
+# checked the same round"): if this optimization round changes the
+# implementation of an entry in the rotated-out (r17-checked) half,
+# that entry is swapped INTO the window, displacing an UNCHANGED
+# low-risk entry (code identical since its last green row) from the
+# r16-checked half. Changed code in-window is the stronger discipline:
+# a displaced unchanged entry ends 2 rounds stale at code the driver
+# already verified; a changed entry left out of window would end
+# driver-unverified forever (r18 is the final round). Executed swaps
+# are listed at the bottom of _CHECK_FIRST below.
 #
-# ROUND-19 WINDOW PLAN (write-ahead, FINAL pairings fixed at r17
-# close per VERDICT r16 #5): r19's window re-checks the r17-checked
-# half (the _CHECK_FIRST list below). FOUR registrations this round —
-# winnow_overlap_pairs moves up from the r20 candidate pool because
-# its only defensible retiree (winnowing_fingerprint, the selection
-# core it reports over) sits in THIS half and would be out of reach
-# by r20. Capacity math: 50 r17-checked − 4 retirees + 4 staged
-# registrations = 50, registry stays at 100. All staged r16 under the
-# full discipline (tests/test_staged_ops.py); all four retirees
-# confirmed present in _CHECK_FIRST below:
-#   gopher_length_screen ↔ gopher_quality (the Table-A1 length screens
-#       plus the r16-registered repetition_quality together supersede
-#       its repetition/length signals; the surface keeps unit + fuzz
-#       rows)
-#   fineweb_filter_chain ↔ clean_corpus (the chain generalizes its
-#       quality-gate stage with per-rule drop attribution; the md5
-#       dedup window stays registered via url_host_dedup/
-#       streaming_dedup_batch and the per-lang rollup via
-#       top_docs_per_lang)
-#   domain_quota_sample  ↔ stratified_sample (the same exact-k-per-
-#       stratum window machinery over a derived host stratum, plus
-#       group-size/kept attribution — SURVEY SA1 stays covered)
-#   winnow_overlap_pairs ↔ winnowing_fingerprint (the MOSS pair
-#       report RUNS the winnowing selection as its first stage — the
-#       strict superset; the fingerprint-selection surface keeps its
-#       unit + fuzz rows)
-#
-# ROUND-20 WINDOW PLAN (write-ahead, FINAL pairings fixed at r17
-# close per VERDICT r16 #5 — r20 is the final planned window): r20
-# re-checks the r18-checked half (after the r18 flip: the _ROTATE_OUT
-# list below minus its three r18 retirees, plus the three r18
-# registrations). winnow_overlap_pairs moved UP to r19 (its retiree
-# lives in the r17 half — see above), so r20 registers the remaining
-# three staged candidates; all three retirees sit in the r18-checked
-# half (none is an r18 retiree). Capacity math: 50 r18-checked − 3 +
-# 3 = 50, registry stays at 100:
-#   line_dedup        ↔ url_host_dedup (both are normalize → md5 key
-#       → exact dedup with keep-rule + dup-count attribution, line vs
-#       URL granularity; doc-level md5 machinery stays registered via
-#       streaming_dedup_batch and the URL-canonicalization surface
-#       keeps its unit + fuzz rows)
-#   ivf_balance_stats ↔ ivfpq_topk (diagnostics over the same
-#       materialized IVF layout; the retiree's IVF partition-prune
-#       machinery stays registered via ivf_topk and its PQ ADC path
-#       via pq_rerank_topk/quantized_recall_eval; the composed
-#       IVF+PQ surface keeps its unit + fuzz rows)
-#   dedup_cluster_stats ↔ lsh_near_dup (the embedding sign-plane
-#       hashing stays registered via bq_hamming_topk and the banded
-#       bucket-join machinery via minhash_lsh_dedup; the
-#       embedding-LSH near-dup surface keeps its unit + fuzz rows,
-#       and the cluster-histogram report rides the registered
-#       components/keep-best family)
-# Mechanical note for the r20 executor: retiring lsh_near_dup also
-# means (a) updating test_sized_oracles_match_registered_at_driver_
-# scale — it pins the set of STILL-REGISTERED corpus-sized oracles,
-# which drops to {semantic_dedup} — and (b) adding lsh_near_dup to
-# the _retired_surfaces fallback (its sized oracle already re-derives
-# per corpus via _sized_oracles, which stays for the fuzz panels,
-# the semantic_dedup_incremental precedent).
+# (Historical: the r19/r20 write-ahead window plans fixed at the r17
+# close — four r19 registrations gopher_length_screen/
+# fineweb_filter_chain/domain_quota_sample/winnow_overlap_pairs and
+# three r20 registrations line_dedup/ivf_balance_stats/
+# dedup_cluster_stats, each paired with a retiree — are superseded:
+# r18 is the final round, so no further flips or registrations occur.
+# The staged candidates remain in tests/test_staged_ops.py; the full
+# pairing rationale is in git history at commit a4d8a51.)
 _CHECK_FIRST: list[str] = [
-    # the 47 surviving r15-checked entries (token_stats,
-    # incremental_dedup, passage_dedup retired), one round stale —
-    # re-verified this round:
-    "clean_corpus",
-    "dedup_components",
-    "distinct_labels",
-    "embedding_stats",
-    "gap_fill",
-    "gopher_quality",
-    "grouped_ids",
-    "idle_customers",
-    "image_decode_jpeg",
-    "image_knn_pipeline",
-    "important_stock",
-    "interval_join",
-    "ivf_topk",
-    "json_extract_agg",
-    "knn_l2_topk",
-    "knn_two_phase",
-    "label_category_join",
-    "large_orders",
-    "manifest_scan",
-    "matryoshka_topk",
-    "minhash_lsh_dedup",
-    "ngram_jaccard_dedup",
-    "ntile_segments",
-    "path_normalize",
-    "pricing_summary",
-    "radius_pairs",
-    "revenue_growth",
-    "simhash_near_dup",
-    "sliding_window",
-    "stratified_sample",
-    "top_revenue_customers",
-    "vector_norms",
-    "waiting_suppliers",
-    "weighted_sample",
-    "zorder_keys",
-    "ann_recall_eval",
-    "mmr_rerank",
-    "dedup_keep_best",
-    "dedup_recall_eval",
-    "search_batch",
-    "hard_negatives",
-    "bq_hamming_topk",
-    "passage_chunking",
-    "temperature_mix",
-    "winnowing_fingerprint",
-    "bloom_decontaminate",
-    "bpe_merge_step",
-    # registered in round 17, never driver-checked → in-window:
-    "source_overlap_matrix",
-    "ngram_novelty_score",
-    "exact_substring_dedup",
-]
-
-# The 50 entries checked green in r16 rotate out this round. Across
-# r16+r17 every registry entry again has a green row ≤1 round old,
-# preserving the rotation invariant.
-_ROTATE_OUT: list[str] = [
+    # the 50 entries last checked green in r16 (the r17 _ROTATE_OUT
+    # half), one round stale — re-verified this round. Includes the
+    # five queries rewritten in r17 after the r17 flip (the r17
+    # correctness debt): kmeans_train_assign, semantic_dedup,
+    # quantized_recall_eval, embedding_outliers, leakage_safe_split.
     "train_metrics",
     "set_ops",
     "kmv_distinct_sketch",
@@ -831,6 +696,65 @@ _ROTATE_OUT: list[str] = [
     "url_host_dedup",
     "contamination_eval_split",
     "repetition_quality",
+]
+
+# The 50 entries checked green in r17 (CORRECTNESS_r17: 50/50, zero
+# errors) rotate out this round. Across r17+r18 every registry entry
+# again has a green driver row ≤1 round old, preserving the rotation
+# invariant — except entries displaced by a surgical re-cut (see the
+# provision above), which trade 2-rounds-stale-at-verified-code for
+# changed-code-in-window.
+_ROTATE_OUT: list[str] = [
+    "clean_corpus",
+    "dedup_components",
+    "distinct_labels",
+    "embedding_stats",
+    "gap_fill",
+    "gopher_quality",
+    "grouped_ids",
+    "idle_customers",
+    "image_decode_jpeg",
+    "image_knn_pipeline",
+    "important_stock",
+    "interval_join",
+    "ivf_topk",
+    "json_extract_agg",
+    "knn_l2_topk",
+    "knn_two_phase",
+    "label_category_join",
+    "large_orders",
+    "manifest_scan",
+    "matryoshka_topk",
+    "minhash_lsh_dedup",
+    "ngram_jaccard_dedup",
+    "ntile_segments",
+    "path_normalize",
+    "pricing_summary",
+    "radius_pairs",
+    "revenue_growth",
+    "simhash_near_dup",
+    "sliding_window",
+    "stratified_sample",
+    "top_revenue_customers",
+    "vector_norms",
+    "waiting_suppliers",
+    "weighted_sample",
+    "zorder_keys",
+    "ann_recall_eval",
+    "mmr_rerank",
+    "dedup_keep_best",
+    "dedup_recall_eval",
+    "search_batch",
+    "hard_negatives",
+    "bq_hamming_topk",
+    "passage_chunking",
+    "temperature_mix",
+    "winnowing_fingerprint",
+    "bloom_decontaminate",
+    "bpe_merge_step",
+    "source_overlap_matrix",
+    "ngram_novelty_score",
+    "exact_substring_dedup",
 ]
 
 
