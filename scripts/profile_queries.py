@@ -29,7 +29,9 @@ from the_build_project_image_retrieval_with_vector_databases_spark.session impor
 from the_build_project_image_retrieval_with_vector_databases_spark import queries as Q
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-PLAN_DIR = os.path.join(REPO, "plans", "r17")
+PLAN_DIR = os.path.join(
+    REPO, "plans", os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r18")
+)
 
 
 def materialize(df) -> None:

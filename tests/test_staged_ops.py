@@ -607,6 +607,60 @@ def test_semantic_dedup_trained_centroids(spark):
     assert got == _semantic_dedup_reference(rows, cents_q, 1, 4)
 
 
+def test_semantic_dedup_blocked_verify_boundary_and_blocks(spark):
+    """r18: the vectorized column-blocked verify is bit-identical to the
+    arbitrary-precision reference — including a pair EXACTLY AT the
+    threshold boundary (den²·dot² == num²·|l|²·|r|², which must KEEP:
+    the predicate is strict >) that lands inside the float-margin band
+    and exercises the exact Python-int recheck, and with the Gram
+    blocking forced down to 1-wide column blocks."""
+    import random
+
+    from pyspark.sql import Row
+
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.ann import (
+        KMEANS_SCALE,
+    )
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.dedup import (
+        semantic_dedup,
+    )
+
+    # engineered boundary family at τ = 3/5 (3-4-5 triple):
+    #   cos((3,4,0…), (5,0,0…)) = 15/25 = 3/5 exactly → id 2 KEPT
+    #   cos((3,4,0…), (6,8,0…)) = 1 > 3/5            → id 3 dropped
+    #   cos((5,0,0…), (4,-3,0…)) = 20/25 = 4/5 > 3/5 → id 4 dropped
+    base = [
+        (1, [3, 4] + [0] * 62),
+        (2, [5, 0] + [0] * 62),
+        (3, [6, 8] + [0] * 62),
+        (4, [4, -3] + [0] * 62),
+    ]
+    rng = random.Random(18)
+    rows = base + [
+        (10 + i, [rng.randint(-50, 50) for _ in range(64)])
+        for i in range(36)
+    ]
+    df = spark.createDataFrame(
+        [
+            Row(vec_id=vid, embedding=[q / float(KMEANS_SCALE) for q in qv])
+            for vid, qv in rows
+        ]
+    )
+    init = [[0] * 64]  # one centroid → every vector in one cluster
+    num, den = 3, 5
+    want = _semantic_dedup_reference(rows, init, num, den)
+    assert want[2][1] is True, "exact-boundary pair must keep (strict >)"
+    assert want[3][1] is False and want[4][1] is False
+    for blk in (None, 1):  # default blocking, then forced 1-wide blocks
+        got = {
+            r.vec_id: (r.cid, r.keep)
+            for r in semantic_dedup(
+                df, init, num, den, gram_block_elems=blk
+            ).collect()
+        }
+        assert got == want, f"gram_block_elems={blk}"
+
+
 def test_semantic_dedup_validation():
     import pytest
 

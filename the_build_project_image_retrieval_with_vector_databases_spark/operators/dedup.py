@@ -62,6 +62,17 @@ MINHASH_COEFFS: list[tuple[int, int]] = [
 # with unknown sizes); the query layer passes pins_for(sf_dir).
 CORPUS_PIN_ROWS = 100_000
 
+# semantic_dedup per-cluster verify (r18): the Gram product is computed
+# in column blocks of ≤ SEMANTIC_GRAM_BLOCK_ELEMS elements (m×B float64
+# working set ≈ 32 MB at the default) so a degenerate giant cluster
+# costs O(m·(D+B)) memory, never O(m²); the integer threshold predicate
+# is decided in float64 outside ±SEMANTIC_FLOAT_MARGIN of the boundary
+# (the accumulated rounding error is ≤ ~6·2⁻⁵³ per side — orders of
+# magnitude inside the margin) and re-checked in exact Python ints only
+# within the band, so the result is bit-identical to the all-int form.
+SEMANTIC_GRAM_BLOCK_ELEMS = 4_000_000
+SEMANTIC_FLOAT_MARGIN = 1e-9
+
 
 def _pin(df: DataFrame, strategy: str, pinned: bool) -> DataFrame:
     """Apply a join-strategy pin only when the corpus is pin-sized."""
@@ -894,6 +905,7 @@ def semantic_dedup(
     scale: int | None = None,
     cache_handles: list | None = None,
     pinned: bool = True,
+    gram_block_elems: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster-blocked
     semantic near-dup removal over an embedding column. Cluster with
@@ -928,6 +940,20 @@ def semantic_dedup(
     behind shuffle_hash/merge pins against mis-estimated broadcasts)
     collapsed into the group map — fewer shuffled bytes and no
     broadcast hazard left to pin.
+
+    Oversized-cluster caveat (r18): ``k_for_corpus`` bounds the AVERAGE
+    occupancy, not the max — a duplicate-heavy or degenerate corpus can
+    collapse into one giant cluster. The group-map verify therefore
+    never materializes the m×m Gram matrix: it runs in column blocks of
+    ``SEMANTIC_GRAM_BLOCK_ELEMS`` elements (O(m·(D+B)) memory, ~32 MB
+    working set), with the integer threshold decided by a
+    margin-certified float64 compare and an exact Python-int recheck
+    only inside the margin band — bit-identical to the all-int loop at
+    numpy speed. The remaining skew exposure is the one pandas group
+    itself (Spark materializes m·D int64 per group ≈ 0.5 GB at m=1M,
+    D=64) and the O(m²) verify TIME in one task; if a corpus is known
+    to degenerate past that, re-size k or fall back to the pre-r17
+    join form (git history, r16).
 
     ``centroids_q`` are quantized int centroids — from the k lowest-id
     vectors (deterministic init) or :func:`~.ann.kmeans_train_exact`
@@ -987,7 +1013,29 @@ def semantic_dedup(
     )
     num2 = int(threshold_num) * int(threshold_num)
     den2 = int(threshold_den) * int(threshold_den)
+    # closure-captured (not read from module globals at call time) so
+    # the pickled group map ships the effective value to the workers —
+    # ``gram_block_elems`` is the test seam for the multi-block path
+    block_elems = int(gram_block_elems or SEMANTIC_GRAM_BLOCK_ELEMS)
 
+    # r18 (ADVICE r17): the threshold matrix is computed in COLUMN
+    # BLOCKS of the Gram product (memory O(m·(D+B)) per cluster instead
+    # of the full m×m int64 Gram — a degenerate corpus that collapses
+    # into one giant cluster no longer allocates m² ints), and the
+    # compare itself is vectorized float64 with a certified margin: the
+    # exact integer predicate den²·d² > num²·|l|²·|r|² is decided in
+    # float wherever the two sides differ by more than the accumulated
+    # rounding error (|ε| ≤ ~6u per side, u = 2⁻⁵³; margin 1e-9 ≫ that)
+    # and re-checked in arbitrary-precision Python ints ONLY inside the
+    # uncertainty band — near-τ pairs, empirically a handful per
+    # cluster — so the result is bit-identical to the all-int loop
+    # while the common case runs at numpy speed. The drop rule is
+    # independent of other rows' keep flags (rid dropped iff ANY
+    # lower-id same-cluster vector exceeds τ), so blocks are
+    # embarrassingly independent. NOTE the group itself is still
+    # materialized as one pandas frame by applyInPandas — k must keep
+    # clusters occupancy-bounded (k_for_corpus); the blocking bounds
+    # the O(m²) term, not the O(m·D) input.
     def cluster_keep(pdf: pd.DataFrame) -> pd.DataFrame:
         m = len(pdf)
         if m == 0:
@@ -1001,16 +1049,31 @@ def semantic_dedup(
         X = np.asarray(pdf["qv"].tolist(), dtype=np.int64)
         ids = pdf[id_col].to_numpy()
         order = np.argsort(ids, kind="stable")
-        G = X[order] @ X[order].T
-        n2 = np.diagonal(G)
+        Xo = X[order]
+        # exact: |n2| ≤ D·L² < 2⁶⁰ by the _semantic_assign guard
+        n2 = np.einsum("ij,ij->i", Xo, Xo)
+        n2f = n2.astype(np.float64)
+        den2f, num2f = float(den2), float(num2)
         keep_o = np.ones(m, dtype=bool)
-        for j in range(1, m):
-            n2j = int(n2[j])
-            for i in range(j):
-                d = int(G[i, j])
-                if d > 0 and den2 * d * d > num2 * int(n2[i]) * n2j:
-                    keep_o[j] = False
-                    break
+        rows = np.arange(m)
+        bsz = max(1, min(m, block_elems // m))
+        for j0 in range(1, m, bsz):
+            j1 = min(j0 + bsz, m)
+            Gb = Xo @ Xo[j0:j1].T  # exact int64 (|dot| < 2⁶⁰)
+            tri = rows[:, None] < np.arange(j0, j1)[None, :]
+            pos = (Gb > 0) & tri
+            Gf = Gb.astype(np.float64)
+            lhs = den2f * Gf * Gf
+            rhs = num2f * n2f[:, None] * n2f[None, j0:j1]
+            exceed = pos & (lhs > rhs * (1.0 + SEMANTIC_FLOAT_MARGIN))
+            uncertain = pos & ~exceed & (
+                lhs >= rhs * (1.0 - SEMANTIC_FLOAT_MARGIN)
+            )
+            for i, jj in zip(*np.nonzero(uncertain)):
+                d = int(Gb[i, jj])
+                if den2 * d * d > num2 * int(n2[i]) * int(n2[j0 + jj]):
+                    exceed[i, jj] = True
+            keep_o[j0:j1] &= ~exceed.any(axis=0)
         keep = np.empty(m, dtype=bool)
         keep[order] = keep_o
         return pd.DataFrame(

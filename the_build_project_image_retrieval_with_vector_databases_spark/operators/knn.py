@@ -726,22 +726,37 @@ def knn_multi_recon_recall(
         [(int(q),) for q in query_ids], "query_id long"
     )
     joined = base.join(F.broadcast(per_q), "query_id", "left")
-    outs = [
-        joined.select(
-            "query_id",
-            F.lit(str(t)).alias("tier"),
-            F.coalesce(F.col(f"__h{i}"), F.lit(0)).cast("int").alias("n_hits"),
-            (
-                F.coalesce(F.col(f"__h{i}"), F.lit(0)).cast("double")
-                / F.lit(float(k))
-            ).alias("recall"),
+    # r18 (guide §1.1/§2.4, VERDICT r17 #1): unpivot the per-tier hit
+    # counts from the ONE row-per-query frame with a single generator
+    # instead of unioning one projection of ``joined`` per tier — each
+    # union branch re-derived the entire lazy subtree, physically
+    # duplicating the MapInPandas corpus fold + exchange + window once
+    # per tier (r17 after-plan: TWO corpus scans, no ReusedExchange).
+    # ``inline`` is a Generate node over the single subtree, so the
+    # corpus is scanned and folded exactly once at any tier count.
+    # Values are identical: same (tier, __h{i}) pairs, same coalesce/
+    # cast; only row order changes (per-query interleaved instead of
+    # per-tier blocks — immaterial, the output is an unordered frame).
+    unpivot = F.inline(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(str(t)).alias("tier"),
+                    F.col(f"__h{i}").alias("__h"),
+                )
+                for i, (t, _fn) in enumerate(recons)
+            ]
         )
-        for i, (t, _fn) in enumerate(recons)
-    ]
-    result = outs[0]
-    for o in outs[1:]:
-        result = result.unionAll(o)
-    return result
+    )
+    return joined.select("query_id", unpivot).select(
+        "query_id",
+        "tier",
+        F.coalesce(F.col("__h"), F.lit(0)).cast("int").alias("n_hits"),
+        (
+            F.coalesce(F.col("__h"), F.lit(0)).cast("double")
+            / F.lit(float(k))
+        ).alias("recall"),
+    )
 
 
 def knn_join_two_phase(
