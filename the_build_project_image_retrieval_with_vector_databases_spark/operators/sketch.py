@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import md5_long
+from .spill import materialize_and_release
 
 HASH_SPACE = float(1 << 60)  # md5_long(digits=15) ∈ [0, 16^15) = [0, 2^60)
 
@@ -189,6 +190,17 @@ def source_overlap_matrix(
         .filter(F.col("__rn") <= k)
         .select("source", "h")
     )
+    # r18 (guide §1.1 — don't compute it three times): ``slots`` is
+    # consumed by THREE downstream subtrees (srcs twice via the pair
+    # cross-join, plus the merged broadcast), and without a
+    # materialization each reference re-derives the ENTIRE corpus
+    # pipeline — scan → tokenize → shingle → distinct → window ran 3×
+    # (measured at sf0.1: slots alone 1.12 s, full query 2.96 s).
+    # The sketch table is ≤ |sources|·k rows BY CONSTRUCTION, so the
+    # process-temp parquet spill (the engine's zero-leaked-blocks
+    # materialization contract) costs one tiny write + read-back and
+    # the corpus is scanned exactly once at any scale.
+    slots = materialize_and_release(slots, [], "som_slots_")
     srcs = slots.select("source").distinct()
     pairs = (
         srcs.select(F.col("source").alias("source_a"))

@@ -646,7 +646,6 @@ _CHECK_FIRST: list[str] = [
     # five queries rewritten in r17 after the r17 flip (the r17
     # correctness debt): kmeans_train_assign, semantic_dedup,
     # quantized_recall_eval, embedding_outliers, leakage_safe_split.
-    "train_metrics",
     "set_ops",
     "kmv_distinct_sketch",
     "value_quantiles",
@@ -696,6 +695,9 @@ _CHECK_FIRST: list[str] = [
     "url_host_dedup",
     "contamination_eval_split",
     "repetition_quality",
+    # --- r18 surgical re-cut swaps (changed implementation → in-window;
+    # --- each displaces one UNCHANGED r17-green entry, named below) ---
+    "source_overlap_matrix",  # slots spill (1 corpus scan, was 3) ↔ train_metrics
 ]
 
 # The 50 entries checked green in r17 (CORRECTNESS_r17: 50/50, zero
@@ -705,6 +707,10 @@ _CHECK_FIRST: list[str] = [
 # provision above), which trade 2-rounds-stale-at-verified-code for
 # changed-code-in-window.
 _ROTATE_OUT: list[str] = [
+    # --- displaced by r18 surgical re-cut swaps (unchanged code, last
+    # --- driver-verified r17; see _CHECK_FIRST tail) ---
+    "train_metrics",
+    # --- the r17-checked half ---
     "clean_corpus",
     "dedup_components",
     "distinct_labels",
@@ -752,7 +758,6 @@ _ROTATE_OUT: list[str] = [
     "winnowing_fingerprint",
     "bloom_decontaminate",
     "bpe_merge_step",
-    "source_overlap_matrix",
     "ngram_novelty_score",
     "exact_substring_dedup",
 ]
