@@ -372,9 +372,6 @@ def test_banded_candidate_joins_pin_shuffle_hash(spark):
     # the registered queries materialize through a spill (FileScan plan),
     # so pin the operator-level plans the spill consumes
     cases = {
-        "minhash_lsh_pairs": D.minhash_lsh_pairs(
-            docs, n=3, num_hashes=8, bands=4, threshold=0.5
-        ),
         "simhash_near_dup_pairs": D.simhash_near_dup_pairs(
             docs, bits=32, bands=4, max_hamming=3
         ),
@@ -403,6 +400,20 @@ def test_banded_candidate_joins_pin_shuffle_hash(spark):
         # shingle-set table OOMing inside dedup_components): no join in
         # these operators may plan as a broadcast build of any kind
         assert "BroadcastHashJoin" not in plan, f"{name}: corpus-side broadcast"
+
+    # r18: minhash_lsh_pairs' candidate stage is a per-bucket
+    # combination expansion over ONE band-key aggregate — the banded
+    # self-join (and with it the shuffle_hash broadcast-hazard pin) is
+    # gone. Pin the new invariant: the only joins left are the two
+    # merge-pinned verify joins, candidates come from a Generate
+    # (in-bucket pair expansion), and nothing broadcasts.
+    mh = D.minhash_lsh_pairs(docs, n=3, num_hashes=8, bands=4, threshold=0.5)
+    plan = _physical(mh)
+    assert plan.count("SortMergeJoin") == 2, "verify joins not merge-pinned"
+    assert "ShuffledHashJoin" not in plan, "candidate self-join reappeared"
+    assert "BroadcastHashJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate" in plan, "in-bucket pair expansion missing"
 
     # r17: semantic_dedup's pair stage is a per-cluster Arrow group map
     # over ONE cid-keyed shuffle — no join of any kind remains, so

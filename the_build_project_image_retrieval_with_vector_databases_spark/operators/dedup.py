@@ -380,19 +380,17 @@ def minhash_lsh_pairs(
     # scan+tokenize cost; the persisted set is corpus-sized and
     # MEMORY_AND_DISK spills safely).
     shs = _opt_persist(doc_shingles(df, n, text_col, id_col), cache_handles)
-    # The signature table is referenced by both sides of the bucket
-    # self-join; persist so the shingle→md5→aggregate pipeline runs once.
-    # It is 8 longs + id per document — gigabytes at 100 TB corpus scale.
-    sigs = _opt_persist(
-        # sentinel=False: zero-shingle docs never reach the banding
-        # (their sentinel-induced candidates are provably dropped by the
-        # verify — see minhash_signatures), so the corpus ⋈ corpus
-        # sentinel back-join is skipped outright
-        minhash_signatures(
-            df, n, num_hashes, text_col, id_col,
-            shingles=shs, pinned=pinned, sentinel=False,
-        ),
-        cache_handles,
+    # r18: the signature table has exactly ONE consumer now (the bucket
+    # aggregate below — the banded self-join that read it twice is
+    # gone), so the r17 persist was dropped: persisting a single-
+    # consumer frame only adds the cache materialization cost.
+    # sentinel=False: zero-shingle docs never reach the banding (their
+    # sentinel-induced candidates are provably dropped by the verify —
+    # see minhash_signatures), so the corpus ⋈ corpus sentinel
+    # back-join is skipped outright.
+    sigs = minhash_signatures(
+        df, n, num_hashes, text_col, id_col,
+        shingles=shs, pinned=pinned, sentinel=False,
     )
     # one pass over the signatures: inline_outer an array of band structs
     # instead of a bands-way union (single projection, no re-scan); band
@@ -412,19 +410,36 @@ def minhash_lsh_pairs(
     )
     key_cols = ["band"] + [f"k{r}" for r in range(rows_per_band)]
     banded = sigs.select(F.col(id_col), F.inline_outer(band_structs))
-    a = banded.select(F.col(id_col).alias("left_id"), *key_cols)
-    b_ = banded.select(F.col(id_col).alias("right_id"), *key_cols)
-    # shuffle_hash pin: both sides are corpus-scaled; the static size
-    # estimate (compressed-parquet-derived, pre-explosion) can land
-    # under the broadcast threshold while the real banded relation is
-    # orders of magnitude bigger — the 100× sweep caught the planner
-    # attempting a ~1 GB broadcast build here. Band keys are uniform by
-    # construction, so a per-partition hash join (no sort) is the
-    # scale-safe shape at any size.
+    # r18 (guide §2.3/§2.4, VERDICT r17 #6): candidate generation is a
+    # per-bucket combination expansion, not a self-join. The banded
+    # relation used to be shuffled TWICE (once per join side, each
+    # corpus×bands rows of band keys + id) into a shuffle_hash join
+    # whose build side was itself a broadcast-mis-estimate hazard (the
+    # pinned form). One groupBy on the band key shuffles the same rows
+    # ONCE, sorts each bucket's ids, and emits exactly the i<j pairs
+    # the join+filter produced: posexplode picks the left id, the
+    # suffix slice supplies every greater id, so pairs stream O(m) per
+    # row instead of materializing an m²-element array — a degenerate
+    # all-identical bucket behaves like the join form (same single-key
+    # skew, half the shuffled bytes, no hash build). Pair SET is
+    # identical by construction (one row per (doc, band) means no
+    # duplicate ids inside a bucket; cross-band duplicates collapse in
+    # the same distinct both forms end with).
+    buckets = (
+        banded.groupBy(*key_cols)
+        .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("__ids"))
+        .filter(F.size("__ids") > 1)
+    )
     candidates = (
-        a.join(_pin(b_, "shuffle_hash", pinned), key_cols)
-        .filter(F.col("left_id") < F.col("right_id"))
-        .select("left_id", "right_id")
+        buckets.select(
+            "__ids", F.posexplode("__ids").alias("__pos", "left_id")
+        )
+        .select(
+            "left_id",
+            F.explode(
+                F.slice("__ids", F.col("__pos") + F.lit(2), F.size("__ids"))
+            ).alias("right_id"),
+        )
         .distinct()
     )
     # merge pin on the verify joins: the shingle-set side is CORPUS-

@@ -652,13 +652,9 @@ _CHECK_FIRST: list[str] = [
     "streaming_dedup_batch",
     "pq_rerank_topk",
     "sessionize",
-    "frame_sample",
-    "jsonl_ingest",
     "part_profit",
-    "forecast_revenue",
     "running_revenue",
     "order_priority_semi",
-    "customers_without_orders",
     "supplier_rollup",
     "asof_join",
     "image_decode_real",
@@ -698,6 +694,14 @@ _CHECK_FIRST: list[str] = [
     # --- r18 surgical re-cut swaps (changed implementation → in-window;
     # --- each displaces one UNCHANGED r17-green entry, named below) ---
     "source_overlap_matrix",  # slots spill (1 corpus scan, was 3) ↔ train_metrics
+    # the minhash candidate stage became a per-bucket combination
+    # expansion (one band-key shuffle, was a two-sided self-join); the
+    # four consumers below sat in the r17-checked half, so they swap in
+    # (leakage_safe_split, the fifth consumer, is already in-window):
+    "minhash_lsh_dedup",   # ↔ jsonl_ingest
+    "dedup_components",    # ↔ frame_sample
+    "dedup_keep_best",     # ↔ forecast_revenue
+    "dedup_recall_eval",   # ↔ customers_without_orders
 ]
 
 # The 50 entries checked green in r17 (CORRECTNESS_r17: 50/50, zero
@@ -710,9 +714,12 @@ _ROTATE_OUT: list[str] = [
     # --- displaced by r18 surgical re-cut swaps (unchanged code, last
     # --- driver-verified r17; see _CHECK_FIRST tail) ---
     "train_metrics",
+    "jsonl_ingest",
+    "frame_sample",
+    "forecast_revenue",
+    "customers_without_orders",
     # --- the r17-checked half ---
     "clean_corpus",
-    "dedup_components",
     "distinct_labels",
     "embedding_stats",
     "gap_fill",
@@ -731,7 +738,6 @@ _ROTATE_OUT: list[str] = [
     "large_orders",
     "manifest_scan",
     "matryoshka_topk",
-    "minhash_lsh_dedup",
     "ngram_jaccard_dedup",
     "ntile_segments",
     "path_normalize",
@@ -748,8 +754,6 @@ _ROTATE_OUT: list[str] = [
     "zorder_keys",
     "ann_recall_eval",
     "mmr_rerank",
-    "dedup_keep_best",
-    "dedup_recall_eval",
     "search_batch",
     "hard_negatives",
     "bq_hamming_topk",
