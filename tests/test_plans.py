@@ -372,9 +372,6 @@ def test_banded_candidate_joins_pin_shuffle_hash(spark):
     # the registered queries materialize through a spill (FileScan plan),
     # so pin the operator-level plans the spill consumes
     cases = {
-        "simhash_near_dup_pairs": D.simhash_near_dup_pairs(
-            docs, bits=32, bands=4, max_hamming=3
-        ),
         "minhash_lsh_incremental": D.minhash_lsh_incremental(
             docs.filter(F.col("doc_id") < 450),
             docs.filter(F.col("doc_id") >= 450),
@@ -411,6 +408,17 @@ def test_banded_candidate_joins_pin_shuffle_hash(spark):
     plan = _physical(mh)
     assert plan.count("SortMergeJoin") == 2, "verify joins not merge-pinned"
     assert "ShuffledHashJoin" not in plan, "candidate self-join reappeared"
+    assert "BroadcastHashJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate" in plan, "in-bucket pair expansion missing"
+
+    # r18: simhash_near_dup_pairs got the same per-bucket expansion —
+    # the only join left is the merge-pinned fp=0 restore inside
+    # simhash(); candidates come from the bucket aggregate + Generate.
+    sh = D.simhash_near_dup_pairs(docs, bits=32, bands=4, max_hamming=3)
+    plan = _physical(sh)
+    assert plan.count("SortMergeJoin") == 1, "fp=0 restore not merge-pinned"
+    assert "ShuffledHashJoin" not in plan, "banded self-join reappeared"
     assert "BroadcastHashJoin" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Generate" in plan, "in-bucket pair expansion missing"

@@ -580,20 +580,20 @@ def simhash_near_dup_pairs(
     verified with ``bit_count(fp_l XOR fp_r) ≤ d`` — integer-portable, so
     the DuckDB oracle runs the identical arithmetic.
 
-    Scale shape: one fingerprint aggregate (persisted — both join sides
-    consume it), bands×N banded rows, shuffle keyed by (band, band_key).
-    No all-pairs comparison anywhere: work is proportional to bucket
-    collisions, and the verify is O(1) per candidate. Same
-    ``cache_handles`` cleanup contract as :func:`minhash_lsh_pairs`."""
+    Scale shape (r18): one fingerprint aggregate with a SINGLE consumer
+    (the per-bucket pair expansion — the banded self-join that read it
+    twice is gone, so the persist went with it), bands×N banded rows,
+    ONE shuffle keyed by (band, band_key). No all-pairs comparison
+    anywhere: work is proportional to bucket collisions, and the verify
+    is O(1) per candidate. ``cache_handles`` stays accepted for API
+    compatibility (nothing is persisted anymore)."""
     assert bits % bands == 0, f"bits ({bits}) must divide into bands ({bands})"
     assert max_hamming < bands, (
         f"recall guarantee needs max_hamming ({max_hamming}) < bands ({bands}): "
         "pigeonhole gives >= 1 equal band only when d < bands"
     )
     band_bits = bits // bands
-    s = _opt_persist(
-        simhash(df, bits, text_col, id_col, pinned=pinned), cache_handles
-    )
+    s = simhash(df, bits, text_col, id_col, pinned=pinned)
     band_structs = F.array(
         *[
             F.struct(
@@ -609,18 +609,41 @@ def simhash_near_dup_pairs(
         ]
     )
     banded = s.select(F.col(id_col), F.col("simhash"), F.inline(band_structs))
-    a = banded.select(
-        F.col(id_col).alias("left_id"), F.col("simhash").alias("fp_l"), "band", "bkey"
-    )
-    b_ = banded.select(
-        F.col(id_col).alias("right_id"), F.col("simhash").alias("fp_r"), "band", "bkey"
+    # r18 (guide §2.3/§2.4 — same rewrite as minhash_lsh_pairs):
+    # per-bucket combination expansion instead of the banded self-join
+    # that shuffled the banded relation twice and (unpersisted)
+    # evaluated the fingerprint pipeline twice. One groupBy on
+    # (band, bkey) collects each bucket's (id, fp) structs sorted by id
+    # (ids unique per bucket — one banded row per (doc, band)), then
+    # posexplode + suffix slice emits exactly the i<j pairs the
+    # join+filter produced, fp riding in the struct. Zero-token docs
+    # keep their fp=0 rows (restored BEFORE banding), so they still
+    # pair with each other at hamming 0 — semantics unchanged.
+    buckets = (
+        banded.groupBy("band", "bkey")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(id_col), F.col("simhash")))
+            ).alias("__rows")
+        )
+        .filter(F.size("__rows") > 1)
     )
     return (
-        # shuffle_hash pin — same corpus×corpus broadcast-estimate
-        # hazard as minhash_lsh_pairs' banded self-join
-        a.join(_pin(b_, "shuffle_hash", pinned), ["band", "bkey"])
-        .filter(F.col("left_id") < F.col("right_id"))
-        .select("left_id", "right_id", "fp_l", "fp_r")
+        buckets.select(
+            "__rows", F.posexplode("__rows").alias("__pos", "__l")
+        )
+        .select(
+            "__l",
+            F.explode(
+                F.slice("__rows", F.col("__pos") + F.lit(2), F.size("__rows"))
+            ).alias("__r"),
+        )
+        .select(
+            F.col(f"__l.{id_col}").alias("left_id"),
+            F.col(f"__r.{id_col}").alias("right_id"),
+            F.col("__l.simhash").alias("fp_l"),
+            F.col("__r.simhash").alias("fp_r"),
+        )
         .distinct()
         .withColumn("hamming", F.bit_count(F.col("fp_l").bitwiseXOR(F.col("fp_r"))))
         .filter(F.col("hamming") <= max_hamming)

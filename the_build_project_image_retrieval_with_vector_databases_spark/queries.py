@@ -661,7 +661,6 @@ _CHECK_FIRST: list[str] = [
     "funnel_conversion",
     "order_count_distribution",
     "bucketed_revenue",
-    "suffix_join_equi",
     "language_id",
     "salted_term_counts",
     "bpe_token_counts",
@@ -702,6 +701,9 @@ _CHECK_FIRST: list[str] = [
     "dedup_components",    # ↔ frame_sample
     "dedup_keep_best",     # ↔ forecast_revenue
     "dedup_recall_eval",   # ↔ customers_without_orders
+    # simhash pair stage got the same per-bucket expansion (+ the
+    # wrapper's now-pointless spill removed):
+    "simhash_near_dup",    # ↔ suffix_join_equi
 ]
 
 # The 50 entries checked green in r17 (CORRECTNESS_r17: 50/50, zero
@@ -718,6 +720,7 @@ _ROTATE_OUT: list[str] = [
     "frame_sample",
     "forecast_revenue",
     "customers_without_orders",
+    "suffix_join_equi",
     # --- the r17-checked half ---
     "clean_corpus",
     "distinct_labels",
@@ -744,7 +747,6 @@ _ROTATE_OUT: list[str] = [
     "pricing_summary",
     "radius_pairs",
     "revenue_growth",
-    "simhash_near_dup",
     "sliding_window",
     "stratified_sample",
     "top_revenue_customers",

@@ -531,16 +531,15 @@ GROUP BY term ORDER BY n DESC, term ASC LIMIT 30
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs at Hamming ≤ 3 via 4×8-bit band rotation —
     the distance-tolerant companion to ``simhash`` (VERDICT r1 item 5).
-    Owns the fingerprint cache: materialize to spill, release."""
-    from .operators.spill import materialize_and_release
-
+    r18: the operator no longer persists anything (single-consumer
+    fingerprint table after the per-bucket pair expansion replaced the
+    banded self-join), so the spill round-trip that released the cache
+    handles was pure overhead — the plain plan is returned directly."""
     docs = load_table(spark, sf_dir, "documents")
-    handles: list = []
-    pairs = D.simhash_near_dup_pairs(
-        docs, bits=32, bands=4, max_hamming=3, cache_handles=handles,
+    return D.simhash_near_dup_pairs(
+        docs, bits=32, bands=4, max_hamming=3,
         pinned=D.pins_for(sf_dir),
     )
-    return materialize_and_release(pairs, handles, "simhash-pairs-")
 
 
 def _oracle_simhash_near_dup(
