@@ -51,6 +51,15 @@ def get_spark(
         # is irrelevant to process-temp spill dirs that are overwritten
         # or removed, and v2 is the standard production choice on
         # object stores for the same reason.
+        # r18 note (ADVICE r17): this is SESSION-wide, so any EXTERNAL
+        # parquet write through get_spark inherits the v2 caveat too —
+        # a job that dies mid-write can leave partial task output at
+        # the destination instead of nothing. Every engine-internal
+        # write is overwrite-mode into a fresh process-temp dir (safe
+        # by construction); external writers that need all-or-nothing
+        # job commit should set
+        # spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version=1
+        # per write via .option(), which overrides this default.
         .config(
             "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
             "2",

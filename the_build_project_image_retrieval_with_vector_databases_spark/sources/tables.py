@@ -55,10 +55,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         except Exception:
             pass
     path = os.path.join(sf_dir, f"{name}.parquet")
-    sch = _SCHEMA_CACHE.get((sf_dir, name))
+    # r18 (ADVICE r17): the cache key carries the file's mtime+size, so
+    # a fixture regenerated in-process with a different schema is read
+    # fresh instead of silently decoded with the stale schema (one
+    # os.stat per load — noise next to the ~0.1 s footer sniff saved)
+    try:
+        st = os.stat(path)
+        key = (sf_dir, name, st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = (sf_dir, name)
+    sch = _SCHEMA_CACHE.get(key)
     if sch is None:
         df = spark.read.parquet(path)
-        _SCHEMA_CACHE[(sf_dir, name)] = df.schema
+        _SCHEMA_CACHE[key] = df.schema
     else:
         df = spark.read.schema(sch).parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
