@@ -414,7 +414,6 @@ def test_banded_candidate_joins_pin_shuffle_hash(spark):
             docs.filter(F.col("doc_id") >= 450),
             n=3, num_hashes=8, bands=4, threshold=0.5,
         ),
-        "lsh_candidates": lsh_candidates(emb, LSH_PLANES),
         "radius_join_lsh": radius_join(
             emb, emb, radius=0.9, metric="cosine",
             blocking="lsh", planes=LSH_PLANES, n_bands=2,
@@ -447,6 +446,14 @@ def test_banded_candidate_joins_pin_shuffle_hash(spark):
     assert "ShuffledHashJoin" not in plan, "candidate self-join reappeared"
     assert "BroadcastHashJoin" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate" in plan, "in-bucket pair expansion missing"
+
+    # r18: lsh_candidates got the per-bucket expansion too — no join
+    # remains at all (one bucket-key exchange, Generate expansion), so
+    # there is nothing left to pin but joinlessness.
+    lc = lsh_candidates(emb, LSH_PLANES)
+    plan = _physical(lc)
+    assert "Join" not in plan, "lsh_candidates: join reappeared"
     assert "Generate" in plan, "in-bucket pair expansion missing"
 
     # r18: simhash_near_dup_pairs got the same per-bucket expansion —

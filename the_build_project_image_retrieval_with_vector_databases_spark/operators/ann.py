@@ -739,21 +739,52 @@ def lsh_candidates(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     pinned: bool = True,
+    carry: list[str] | None = None,
 ) -> DataFrame:
-    """Candidate near-neighbor pairs = same LSH bucket (one shuffle on the
-    bucket key)."""
-    b = lsh_bucket(df, planes, vec_col)
-    a = b.select(F.col(id_col).alias("left_id"), F.col("bucket"))
-    c = b.select(F.col(id_col).alias("right_id"), F.col("bucket"))
-    # shuffle_hash pin: corpus×corpus self-join — a static size
-    # under-estimate must never pick a broadcast build (see
-    # operators.dedup.minhash_lsh_pairs, caught by the 100× sweep)
-    from .dedup import _pin
+    """Candidate near-neighbor pairs = same LSH bucket — ONE shuffle on
+    the bucket key (r18, guide §2.3/§2.4: the per-bucket combination
+    expansion of minhash_lsh_pairs/simhash). The previous self-join
+    shuffled the bucketed relation twice AND evaluated the sign-plane
+    projection (P literal-array dot products per vector) twice — one
+    groupBy collects each bucket's id-sorted rows and posexplode +
+    suffix slice emits exactly the i<j pairs, so the projection runs
+    once and the broadcast-mis-estimate hazard the shuffle_hash pin
+    guarded is gone (no join remains; ``pinned`` stays accepted for
+    API compatibility).
 
+    ``carry`` names payload columns to ride the bucket shuffle and come
+    back as ``<col>_l`` / ``<col>_r`` on each pair — the caller's
+    alternative to re-attaching payloads with two corpus-scale joins
+    (guide §8: move the heavy bytes once). Occupancy caveat: a bucket's
+    rows are materialized in one aggregation buffer, so ``planes`` must
+    keep buckets occupancy-bounded (:func:`planes_for_corpus`) exactly
+    as clusters bound :func:`~.dedup.semantic_dedup`."""
+    carry = list(carry or [])
+    b = lsh_bucket(df, planes, vec_col)
+    payload = F.struct(F.col(id_col), *[F.col(c) for c in carry])
+    buckets = (
+        b.groupBy("bucket")
+        .agg(F.array_sort(F.collect_list(payload)).alias("__rows"))
+        .filter(F.size("__rows") > 1)
+    )
     return (
-        a.join(_pin(c, "shuffle_hash", pinned), "bucket")
-        .filter(F.col("left_id") < F.col("right_id"))
-        .select("left_id", "right_id", "bucket")
+        buckets.select(
+            "bucket", "__rows", F.posexplode("__rows").alias("__pos", "__l")
+        )
+        .select(
+            "bucket",
+            "__l",
+            F.explode(
+                F.slice("__rows", F.col("__pos") + F.lit(2), F.size("__rows"))
+            ).alias("__r"),
+        )
+        .select(
+            F.col(f"__l.{id_col}").alias("left_id"),
+            F.col(f"__r.{id_col}").alias("right_id"),
+            "bucket",
+            *[F.col(f"__l.{c}").alias(f"{c}_l") for c in carry],
+            *[F.col(f"__r.{c}").alias(f"{c}_r") for c in carry],
+        )
     )
 
 

@@ -690,22 +690,21 @@ def q_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin survives as a plan/test fixture (`lsh_candidates` pins,
     `lsh_bucket_counts` function)."""
     from .operators.ann import lsh_candidates
-    from .operators.dedup import _pin, pins_for
     from .functions.vector import cosine_sim
 
     emb = load_table(spark, sf_dir, "embeddings")
-    pinned = pins_for(sf_dir, "embeddings")
-    cands = lsh_candidates(emb, sized_planes_for(sf_dir), pinned=pinned)
-    e_l = emb.select(F.col("vec_id").alias("left_id"), F.col("embedding").alias("__el"))
-    e_r = emb.select(F.col("vec_id").alias("right_id"), F.col("embedding").alias("__er"))
-    # size-aware merge pin on the verify joins: the embedding side is
-    # corpus-scaled (see operators.dedup.minhash_lsh_pairs — 100×
-    # broadcast-estimate hazard); sort-merge on the id keys engages at
-    # pin size, AQE decides below it
+    # r18 (guide §8 — move the heavy bytes once): the embeddings RIDE
+    # the one bucket shuffle via lsh_candidates(carry=...) and each
+    # pair verifies in place, replacing the two corpus-scale merge
+    # joins that re-attached them by id (and with them the last join
+    # of this plan). Same rows: candidates and cosine are unchanged.
+    cands = lsh_candidates(
+        emb, sized_planes_for(sf_dir), carry=["embedding"]
+    )
     return (
-        cands.join(_pin(e_l, "merge", pinned), "left_id")
-        .join(_pin(e_r, "merge", pinned), "right_id")
-        .withColumn("sim", cosine_sim(F.col("__el"), F.col("__er")))
+        cands.withColumn(
+            "sim", cosine_sim(F.col("embedding_l"), F.col("embedding_r"))
+        )
         .filter(F.col("sim") > 0.2)
         .select("left_id", "right_id", F.round("sim", 6).alias("cos_sim"))
     )
