@@ -100,6 +100,18 @@ def table_row_count(sf_dir: str, name: str) -> int | None:
         return None
 
 
+# r18: partition-count cache for spread(), keyed by the ANALYZED
+# plan's semanticHash. The old ``df.rdd.getNumPartitions()`` paid full
+# physical planning + the javaToPython RDD conversion on EVERY call —
+# measured ~60-130 ms of driver work per spread(), ~42 call sites, paid
+# twice per bench row. The count is pure layout metadata: it decides
+# only whether a round-robin repartition is inserted, never what any
+# query computes, so a stale entry (same plan hash after an in-place
+# fixture rewrite — test fixtures use fresh tmp paths, so the hash
+# normally changes) can at worst pick a suboptimal layout.
+_NPARTS_CACHE: dict[int, int] = {}
+
+
 def spread(df: DataFrame, factor: int = 1) -> DataFrame:
     """Round-robin repartition ONLY when the plan has fewer splits than
     cores (e.g. fixtures: one parquet file → one task, serializing all
@@ -108,7 +120,22 @@ def spread(df: DataFrame, factor: int = 1) -> DataFrame:
     no shuffle is added at 100 TB widths.
     """
     target = df.sparkSession.sparkContext.defaultParallelism * factor
-    if df.rdd.getNumPartitions() < target:
+    key = None
+    try:
+        key = df._jdf.queryExecution().analyzed().semanticHash()
+        n = _NPARTS_CACHE.get(key)
+    except Exception:
+        n = None
+    if n is None:
+        # JVM-side RDD of the executed plan: same count as df.rdd
+        # without the javaToPython conversion stage (~30 ms cheaper)
+        try:
+            n = df._jdf.queryExecution().toRdd().getNumPartitions()
+        except Exception:
+            n = df.rdd.getNumPartitions()
+        if key is not None:
+            _NPARTS_CACHE[key] = n
+    if n < target:
         return df.repartition(target)
     return df
 
