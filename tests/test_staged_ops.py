@@ -472,6 +472,22 @@ def test_assign_cids_arrow_dist2_matches_expression_fold(spark):
     assert any(d > 0 for _c, d in got.values())
 
 
+def test_kmeans_driver_and_distributed_training_agree(spark):
+    """r18: below KMEANS_DRIVER_TRAIN_MAX_ROWS the Lloyd rounds run
+    driver-side in numpy; forcing the gate to 0 re-runs the identical
+    training through the distributed per-round jobs. Centroids AND
+    round counts must be bit-identical — the driver path is the same
+    integer kernel, not an approximation."""
+    from the_build_project_image_retrieval_with_vector_databases_spark.operators.ann import (
+        kmeans_train_exact,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    drv = kmeans_train_exact(emb, k=5, max_iter=7)
+    dist = kmeans_train_exact(emb, k=5, max_iter=7, driver_train_max_rows=0)
+    assert drv == dist
+
+
 def test_kmeans_train_centroids_drive_ivf_assignment(spark):
     """Trained centroids slot straight into the IVF path: every vector
     gets a valid centroid id and no cluster is empty after training on

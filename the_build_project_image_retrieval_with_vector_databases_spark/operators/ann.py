@@ -390,6 +390,87 @@ def _lloyd_round_partials(
 # small/medium layouts.
 FOLD_MAX_PARTITIONS = 256
 
+# Driver-training bound for kmeans_train_exact (r18): at or below this
+# many rows the quantized table is collected ONCE and every Lloyd round
+# runs on the driver in numpy — the same int64 argmin/sum kernel and
+# the same Python mean→requantize math the distributed rounds use, so
+# the trained centroids are bit-identical (parity-pinned). 65536 rows ×
+# D=64 int64 ≈ 32 MB of driver state — the MLlib-driver class. The win
+# is structural, not a local tune: each distributed round costs one
+# job submit + Arrow boundary + collect (~0.25 s at ANY tiny size,
+# measured sf0.1), i.e. max_iter × fixed job latency for data that
+# fits in one task; above the gate the distributed loop is unchanged.
+KMEANS_DRIVER_TRAIN_MAX_ROWS = 65536
+
+
+def _kmeans_train_driver(
+    df: DataFrame,
+    k: int,
+    max_iter: int,
+    vec_col: str,
+    id_col: str,
+    scale: int,
+) -> tuple[list[list[float]], int]:
+    """Driver-side Lloyd loop for tables at/below
+    ``KMEANS_DRIVER_TRAIN_MAX_ROWS`` — ONE Spark job (the quantize +
+    collect; quantization stays the pinned Spark expression), then
+    every round is pure numpy with the exact integers the distributed
+    loop computes: assignment is the identical
+    ``argmin(|c|² − 2·x@cᵀ)`` int64 kernel of
+    :func:`_lloyd_round_partials` (the per-row |q|² shift argument),
+    per-cluster sums are int64-exact (n ≤ 2¹⁷ rows × |qv| < 2³⁰ keeps
+    Σ < 2⁴⁷), and the mean → re-quantize math is byte-for-byte the
+    same Python code the distributed loop runs on its folded sums. No
+    per-round job submit / Arrow boundary / collect — the measured
+    ~0.25 s × max_iter fixed cost of looping tiny data through the
+    cluster."""
+    import math
+
+    rows = (
+        df.select(F.col(id_col), quantize_vec(vec_col, scale).alias("qv"))
+        .collect()
+    )
+    if not rows:
+        raise ValueError("kmeans_train_exact on an empty table")
+    rows.sort(key=lambda r: r[0])  # ≡ orderBy(id): ids are unique
+    X = np.asarray([list(r.qv) for r in rows], dtype=np.int64)
+    cents_q: list[list[int]] = [
+        [int(v) for v in X[i]] for i in range(min(k, len(X)))
+    ]
+    k_eff = len(cents_q)
+    dim = len(cents_q[0])
+    rounds = 0
+    for rounds in range(1, max_iter + 1):
+        cents = np.asarray(cents_q, dtype=np.int64)
+        c2 = (cents * cents).sum(axis=1)
+        cid = (c2[None, :] - 2 * (X @ cents.T)).argmin(axis=1)
+        new_q: list[list[int]] = []
+        for c in range(k_eff):
+            mask = cid == c
+            n = int(mask.sum())
+            if n:
+                s = X[mask].sum(axis=0)
+                nf = float(n)
+                new_q.append(
+                    [
+                        math.floor(
+                            ((float(int(s[d])) / nf) / float(scale))
+                            * float(scale)
+                            + 0.5
+                        )
+                        for d in range(dim)
+                    ]
+                )
+            else:
+                new_q.append(list(cents_q[c]))  # empty cluster: keep
+        if new_q == cents_q:
+            break
+        cents_q = new_q
+    return (
+        [[v / float(scale) for v in c] for c in cents_q],
+        rounds,
+    )
+
 
 def kmeans_train_exact(
     df: DataFrame,
@@ -398,6 +479,7 @@ def kmeans_train_exact(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     scale: int = KMEANS_SCALE,
+    driver_train_max_rows: int | None = None,
 ) -> tuple[list[list[float]], int]:
     """Full Lloyd training by iterating :func:`kmeans_lloyd_step` —
     quantized k-means, bit-reproducible on any cluster size or data
@@ -414,7 +496,16 @@ def kmeans_train_exact(
     Returns (centroids as floats in data units, rounds actually run).
     Deploy note: MLlib's :func:`train_centroids` remains the fast path;
     this is the auditable/reproducible one (one oracle-checkable step =
-    ``kmeans_lloyd_step``, the registry's ``kmeans_step``)."""
+    ``kmeans_lloyd_step``, the registry's ``kmeans_step``).
+
+    r18: at or below ``KMEANS_DRIVER_TRAIN_MAX_ROWS`` (override via
+    ``driver_train_max_rows``; the test seam) the quantized table is
+    collected once and all rounds run driver-side in numpy — identical
+    integers end to end (same argmin kernel, same int64 sums, same
+    Python mean→requantize), pinned by
+    test_kmeans_driver_and_distributed_training_agree. Every
+    invocation still scans the parquet input; nothing persists across
+    calls."""
     import math
 
     rounds = 0
@@ -428,6 +519,15 @@ def kmeans_train_exact(
     # every core busy. Exactness is partition-independent (integer
     # argmin + integer sums), so the layout is purely a cost knob.
     n_rows = df.count()
+    limit = (
+        KMEANS_DRIVER_TRAIN_MAX_ROWS
+        if driver_train_max_rows is None
+        else driver_train_max_rows
+    )
+    if n_rows <= limit:
+        return _kmeans_train_driver(
+            df, k, max_iter, vec_col, id_col, scale
+        )
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     target = max(1, min(parallelism, -(-n_rows // 512)))
     q = (
