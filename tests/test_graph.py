@@ -32,9 +32,14 @@ def test_component_summary(spark):
 
 def test_max_iter_guard(spark):
     with pytest.raises(RuntimeError, match="converge"):
-        # a 5-chain needs ~4 propagation rounds; 1 is not enough
+        # a 5-chain needs ~4 propagation rounds; 1 is not enough.
+        # driver_max_edges=0 forces the DISTRIBUTED loop — the guard is
+        # an iterative-loop contract (the r18 driver union-find always
+        # lands the exact fixpoint, so it has nothing to guard).
         connected_components(
-            _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)]), max_iter=1
+            _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)]),
+            max_iter=1,
+            driver_max_edges=0,
         )
 
 
@@ -49,7 +54,9 @@ def test_path_graph_converges_logarithmically(spark):
         .selectExpr("id AS left_id", "id + 1 AS right_id")
         .coalesce(8)
     )
-    cc = connected_components(edges, max_iter=30)
+    # force the distributed pointer-jumping loop — this test pins ITS
+    # convergence rate, not the r18 driver union-find's
+    cc = connected_components(edges, max_iter=30, driver_max_edges=0)
     agg = cc.groupBy("comp").count().collect()
     cc.unpersist()
     assert len(agg) == 1 and agg[0].comp == 1 and agg[0]["count"] == n
@@ -73,11 +80,23 @@ def test_parquet_checkpoint_mode_matches_local(spark, monkeypatch):
     as the default localCheckpoint mode, and release its cached blocks
     just the same."""
     edges = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (20, 21), (21, 22)]
-    want = {r.node: r.comp for r in connected_components(_edges(spark, edges)).collect()}
+    # driver_max_edges=0 on both runs: this test pins the DISTRIBUTED
+    # loop's checkpoint modes against each other
+    want = {
+        r.node: r.comp
+        for r in connected_components(
+            _edges(spark, edges), driver_max_edges=0
+        ).collect()
+    }
     monkeypatch.setenv("SPARK_GRAFT_CC_CHECKPOINT", "parquet")
     jsc = spark.sparkContext._jsc.sc()
     before = jsc.getPersistentRDDs().size()
-    got = {r.node: r.comp for r in connected_components(_edges(spark, edges)).collect()}
+    got = {
+        r.node: r.comp
+        for r in connected_components(
+            _edges(spark, edges), driver_max_edges=0
+        ).collect()
+    }
     assert got == want == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 20: 20, 21: 20, 22: 20}
     assert jsc.getPersistentRDDs().size() == before
 
@@ -111,11 +130,21 @@ def test_fused_round_fixpoint_matches_union_find_random_graphs(spark):
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
         want = {x: find(x) for x in parent}
+        # r18: BOTH paths must land the reference fixpoint — the
+        # default (driver union-find at this size) and the distributed
+        # fused loop (forced via driver_max_edges=0)
         got = {
             r.node: r.comp
             for r in connected_components(_edges(spark, edges)).collect()
         }
-        assert got == want, f"seed {seed}"
+        assert got == want, f"seed {seed} (driver path)"
+        got_dist = {
+            r.node: r.comp
+            for r in connected_components(
+                _edges(spark, edges), driver_max_edges=0
+            ).collect()
+        }
+        assert got_dist == want, f"seed {seed} (distributed path)"
 
 
 def test_minhash_sentinel_skip_changes_no_pairs(spark):

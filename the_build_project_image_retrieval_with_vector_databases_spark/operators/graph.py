@@ -63,11 +63,23 @@ from pyspark.sql import functions as F
 from .spill import spill_dir as _spill_dir
 
 
+# Driver union-find bound (r18): at or below this many symmetric edge
+# rows the component labels are computed by a driver-side union-find
+# over the ALREADY-MATERIALIZED pair cache — the same (node, min
+# reachable id) fixpoint, with zero per-round Spark jobs. 2^18 edge
+# rows ≈ 4 MB collected, union-find runs in well under 100 ms; above
+# the gate the distributed pointer-jumping loop is unchanged (the
+# crossover belongs to the cluster, so the gate is a row count, not a
+# deployment mode).
+CC_DRIVER_MAX_EDGES = 262_144
+
+
 def connected_components(
     edges: DataFrame,
     left_col: str = "left_id",
     right_col: str = "right_id",
     max_iter: int = 30,
+    driver_max_edges: int | None = None,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``;
     ``component`` = min node id reachable (including self).
@@ -77,6 +89,15 @@ def connected_components(
     result only AT the fixpoint). Returns a parquet-backed file-scan
     DataFrame (process-temp spill, removed at exit); no cached blocks
     remain after the call.
+
+    r18: at or below ``CC_DRIVER_MAX_EDGES`` symmetric edge rows
+    (override via ``driver_max_edges``; the test seam) the labels come
+    from a driver-side union-find over the persisted edge cache — the
+    identical min-id-per-component fixpoint (parity-pinned against the
+    distributed loop on random graphs), one job to materialize the
+    pairs (which the distributed init paid anyway) and one parquet
+    write. The pairs pipeline — the actual corpus-scaled work — is
+    untouched either way.
     """
     spark = edges.sparkSession
     root = _spill_dir("cc-labels-")
@@ -146,6 +167,43 @@ def connected_components(
             _free_checkpoint(df)
 
     try:
+        limit = (
+            CC_DRIVER_MAX_EDGES if driver_max_edges is None
+            else driver_max_edges
+        )
+        # the count doubles as the cache-materializing action — the
+        # pairs pipeline runs exactly once either way (the distributed
+        # init's first job did the same scan)
+        n_edges = sym.count()
+        if n_edges <= limit:
+            parent: dict = {}
+
+            def find(x):
+                r = x
+                while parent.get(r, r) != r:
+                    r = parent[r]
+                while parent.get(x, x) != r:  # path compression
+                    parent[x], x = r, parent[x]
+                return r
+
+            nodes = set()
+            for row in sym.collect():  # reads the persisted cache
+                a, b = row[0], row[1]
+                nodes.add(a)
+                nodes.add(b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    # min id becomes the root ⇒ root(v) = min(component)
+                    if ra < rb:
+                        parent[rb] = ra
+                    else:
+                        parent[ra] = rb
+            labels_local = sorted((n, find(n)) for n in nodes)
+            out_path = _slot(0)
+            spark.createDataFrame(
+                labels_local or [], _LABEL_SCHEMA
+            ).write.mode("overwrite").parquet(out_path)
+            return spark.read.schema(_LABEL_SCHEMA).parquet(out_path)
         # init = one propagation round for free: label(v) = min(v, N(v)),
         # computed by the same groupBy that enumerates the nodes. Valid
         # starting point for the invariant (every label is a node id of
